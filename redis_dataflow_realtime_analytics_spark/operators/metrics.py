@@ -1,0 +1,178 @@
+"""Write-side metric grains (reference legs W1–W12).
+
+The reference's Beam pipeline never aggregates — it reshapes each event into
+``(key, value)`` pairs where the key encodes (metric, dimensions, event-time
+minute) and the *Redis write method* encodes the aggregate function
+(``MetricsCalculationPipeline.java:60-193``):
+
+    INCRBY → sum/count          (W1)
+    PFADD  → approx distinct    (W2 W3 W5 W7 W9 W11, HyperLogLog)
+    SADD   → exact distinct set (W4 W6 W8 W10 W12)
+
+Here both halves collapse into ``groupBy`` aggregations: the key's minute
+bucket (Joda pattern ``'<p>_'yyyy_MM_dd'T'HH_mm``,
+MetricsCalculationPipeline.java:237-243) becomes
+``date_trunc('minute', ts)``, and the write method becomes the aggregate
+function. Every function takes the **normalized** event DataFrame
+(``sources.normalize_events``) so one shared scan feeds all grains, exactly
+like the reference's single parsed stream fanning out to 12 legs
+(MetricsCalculationPipeline.java:47-52).
+
+Scale notes (100 TB):
+* Each grain is one hash aggregation: Spark's partial (map-side) aggregation
+  collapses the per-event stream to per-(dims, minute) partials before the
+  shuffle — the reference instead ships 12 Redis commands per event, so this
+  is a large win, not just parity.
+* Grain cardinality is tiny relative to input (minutes × ≤100 experiments ×
+  ≤5 variants), so the shuffle moves partial aggregates, not events.
+* ``approx_count_distinct`` uses rsd=0.008 to match Redis HLL's ≈0.81% std
+  error (README.md:23-26); ``hll_sketches_*`` expose mergeable DataSketches
+  for the streaming store.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Matches Redis HLL accuracy (≈0.81% standard error, reference README.md:23-26).
+HLL_RSD = 0.008
+
+
+def minute(col: str = "ts") -> Column:
+    """Tumbling 1-minute event-time bucket (S4 ``timeBasedKeyBuilder``,
+    MetricsCalculationPipeline.java:237-243)."""
+    return F.date_trunc("minute", F.col(col)).alias("minute")
+
+
+def minute_key(col: str = "ts", prefix: str = "") -> Column:
+    """The reference's literal key string ``'<p>_'yyyy_MM_dd'T'HH_mm``
+    (S1/S2/S4 key builders, MetricsCalculationPipeline.java:198-222,237-243).
+
+    Kept for wire-compatibility with Redis-keyed consumers; the idiomatic
+    grain column is :func:`minute`.
+    """
+    return F.concat(F.lit(prefix), F.date_format(F.col(col), "yyyy_MM_dd'T'HH_mm")).alias("minute_key")
+
+
+# --- W1: visits per minute (INCRBY ≡ count) ---------------------------------
+def visits_per_minute(events: DataFrame) -> DataFrame:
+    """W1 ``Count visits per minute`` (MetricsCalculationPipeline.java:60-71).
+
+    Exactly-once count vs the reference's non-idempotent INCRBY under
+    Pub/Sub redelivery (SURVEY §4 delta 1).
+    """
+    return events.groupBy(minute()).agg(F.count("*").alias("visits"))
+
+
+# --- W2: uniques per (experiment, variant, minute) --------------------------
+def uniques_per_experiment_variant_minute(events: DataFrame, exact: bool = True) -> DataFrame:
+    """W2 ``evcounter_e_{exp}_v_{var}_{minute}`` PFADD leg
+    (MetricsCalculationPipeline.java:74-87). ``exact=False`` reproduces the
+    HLL estimate; ``exact=True`` is the exact twin used by the oracle gate."""
+    agg = (
+        F.count_distinct(F.col("user_id"))
+        if exact
+        else F.approx_count_distinct("user_id", rsd=HLL_RSD)
+    ).alias("unique_users")
+    return events.groupBy(minute(), "experiment_id", "variant").agg(agg)
+
+
+# --- W3/W4: all-time uniques per variant ------------------------------------
+def uniques_per_variant(events: DataFrame, exact: bool = True) -> DataFrame:
+    """W3 (hll_var_{v}, PFADD, :90-103) / W4 (set_var_{v}, SADD, :105-107).
+
+    All-time grain — the reference keeps an unbounded Redis set per variant
+    with no TTL (SURVEY §1.3); in batch this is a plain distinct aggregate,
+    in streaming the store keeps mergeable sketches (streaming.pipeline).
+    """
+    agg = (
+        F.count_distinct(F.col("user_id"))
+        if exact
+        else F.approx_count_distinct("user_id", rsd=HLL_RSD)
+    ).alias("unique_users")
+    return events.groupBy("variant").agg(agg)
+
+
+def user_sets_per_variant(events: DataFrame) -> DataFrame:
+    """W4's materialized exact set (``SADD``/``SMEMBERS`` semantics) —
+    ``collect_set`` per variant; input to set-algebra reads (R5)."""
+    return events.groupBy("variant").agg(F.collect_set("user_id").alias("user_set"))
+
+
+# --- W5/W6: all-time uniques per experiment ---------------------------------
+def uniques_per_experiment(events: DataFrame, exact: bool = True) -> DataFrame:
+    """W5 (hll_exp_{e}, :110-125) / W6 (set_exp_{e}, :127-129)."""
+    agg = (
+        F.count_distinct(F.col("user_id"))
+        if exact
+        else F.approx_count_distinct("user_id", rsd=HLL_RSD)
+    ).alias("unique_users")
+    return events.groupBy("experiment_id").agg(agg)
+
+
+# --- W7/W8: distinct experiments per minute ---------------------------------
+def experiments_per_minute(events: DataFrame, exact: bool = True) -> DataFrame:
+    """W7 (hll_experiments_…_{minute}, :131-151) / W8 (set leg, :153-155)."""
+    agg = (
+        F.count_distinct(F.col("experiment_id"))
+        if exact
+        else F.approx_count_distinct("experiment_id", rsd=HLL_RSD)
+    ).alias("active_experiments")
+    return events.groupBy(minute()).agg(agg)
+
+
+# --- W9/W10: distinct variants per minute -----------------------------------
+def variants_per_minute(events: DataFrame, exact: bool = True) -> DataFrame:
+    """W9 (hll_variants_…_{minute}, :157-176) / W10 (set leg, :178-180)."""
+    agg = (
+        F.count_distinct(F.col("variant"))
+        if exact
+        else F.approx_count_distinct("variant", rsd=HLL_RSD)
+    ).alias("active_variants")
+    return events.groupBy(minute()).agg(agg)
+
+
+# --- W11/W12: unique users per minute ----------------------------------------
+def uniques_per_minute(events: DataFrame, exact: bool = True) -> DataFrame:
+    """W11 (hll_dthr_{minute}, :183-189, via S3 extractUsersForDateTime
+    :224-235) / W12 (set_dthr_{minute}, :191-193)."""
+    agg = (
+        F.count_distinct(F.col("user_id"))
+        if exact
+        else F.approx_count_distinct("user_id", rsd=HLL_RSD)
+    ).alias("unique_users")
+    return events.groupBy(minute()).agg(agg)
+
+
+# --- Mergeable sketches (streaming store format) -----------------------------
+def hll_sketches_per_minute(events: DataFrame, col: str = "user_id") -> DataFrame:
+    """Per-minute DataSketches HLL sketches — the engine's analogue of the
+    reference's Redis HLL keys: mergeable across partitions/batches with
+    ``hll_union_agg`` and readable with ``hll_sketch_estimate``.
+
+    This is the bounded-state design for all-time distincts in streaming
+    (SURVEY §4 delta 2): persist per-batch sketches, merge at read time.
+    """
+    return events.groupBy(minute()).agg(F.hll_sketch_agg(col).alias("sketch"))
+
+
+def all_grains(events: DataFrame) -> dict[str, DataFrame]:
+    """The full 12-leg fan-out from one shared DataFrame
+    (MetricsCalculationPipeline.java:60-193). Caller may ``.cache()`` the
+    input when materializing several grains in one job."""
+    return {
+        "visits_per_minute": visits_per_minute(events),
+        "uniques_per_experiment_variant_minute": uniques_per_experiment_variant_minute(events),
+        "uniques_per_experiment_variant_minute_approx": uniques_per_experiment_variant_minute(events, exact=False),
+        "uniques_per_variant": uniques_per_variant(events),
+        "uniques_per_variant_approx": uniques_per_variant(events, exact=False),
+        "uniques_per_experiment": uniques_per_experiment(events),
+        "uniques_per_experiment_approx": uniques_per_experiment(events, exact=False),
+        "experiments_per_minute": experiments_per_minute(events),
+        "experiments_per_minute_approx": experiments_per_minute(events, exact=False),
+        "variants_per_minute": variants_per_minute(events),
+        "variants_per_minute_approx": variants_per_minute(events, exact=False),
+        "uniques_per_minute": uniques_per_minute(events),
+        "uniques_per_minute_approx": uniques_per_minute(events, exact=False),
+    }

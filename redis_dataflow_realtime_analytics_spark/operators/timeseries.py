@@ -1,0 +1,117 @@
+"""Read-side queries (reference dashboard operators R1–R7).
+
+The reference dashboard reads Redis point-lookups over minute-bucketed keys
+(``dashboard/.../TimeseriesMetricsController.java``): generate the last-N
+minute keys (R1, :144-152), ``MGET``/``PFCOUNT``/``SCARD`` them
+(R2 :45-63, R3 :69-86, R4 :88-107), coalesce missing keys to 0
+(``getIntValue`` :65-67), and compute pairwise variant overlaps with a
+``SINTERSTORE`` side-effect during the GET (R5, :109-136).
+
+Here each becomes a pure DataFrame query: a generated time axis LEFT JOINed
+to the metric grain with ``coalesce(metric, 0)``, and overlap as a self-join
+aggregation — no state mutation on read (fixes the reference's
+GET-with-side-effect and its leaked ``overlap_-*`` keys).
+
+Scale notes (100 TB):
+* The time axis is tiny (one row per minute — 525 600 rows/year) and the
+  per-minute aggregate side is bounded by the axis length, so the axis join
+  is explicitly ``broadcast()`` — no shuffle regardless of input size.
+* ``variant_overlap`` first reduces the event stream to distinct
+  (variant, user) pairs (partial-aggregated before shuffle), then self-joins
+  on ``user_id``; AQE skew-join splitting handles hot users.
+
+Result shaping (R7): ``(minute timestamp, metric double)`` mirrors
+``TimeSeriesMetric`` widening counters to Double
+(dashboard/TimeSeriesMetric.java:41-51); overlaps mirror ``OverlapMetric``
+(dashboard/OverlapMetric.java:23-54).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from . import metrics
+
+
+def time_axis(events: DataFrame) -> DataFrame:
+    """R1 time-axis generator (TimeseriesMetricsController.java:144-152).
+
+    The reference floors now() to the minute and steps back N minutes; for a
+    deterministic, replayable query the axis spans the data's own
+    [min(ts), max(ts)] minute range. One row per minute, column ``minute``.
+    """
+    bounds = events.agg(
+        F.date_trunc("minute", F.min("ts")).alias("t0"),
+        F.date_trunc("minute", F.max("ts")).alias("t1"),
+    )
+    return bounds.select(
+        F.explode(F.sequence("t0", "t1", F.expr("interval 1 minute"))).alias("minute")
+    )
+
+
+def _axis_join(events: DataFrame, grain: DataFrame, value_col: str) -> DataFrame:
+    """LEFT JOIN the time axis to a per-minute grain, null→0, widen to double
+    (R2's MGET + ``getIntValue`` null-coalescing, :50-51, :65-67).
+
+    The grain side is broadcast: it has at most one row per axis minute.
+    """
+    axis = time_axis(events)
+    return (
+        axis.join(F.broadcast(grain), "minute", "left")
+        .select("minute", F.coalesce(F.col(value_col), F.lit(0)).cast("double").alias("metric"))
+    )
+
+
+def visits_timeseries(events: DataFrame) -> DataFrame:
+    """R2 ``/visits`` (TimeseriesMetricsController.java:45-63)."""
+    return _axis_join(events, metrics.visits_per_minute(events), "visits")
+
+
+def users_timeseries(events: DataFrame, exact: bool = True) -> DataFrame:
+    """R3 ``/users`` per-minute PFCOUNT (:69-86). ``exact=False`` reproduces
+    the HLL estimate; the exact twin is the oracle-gated query."""
+    return _axis_join(events, metrics.uniques_per_minute(events, exact=exact), "unique_users")
+
+
+def experiments_timeseries(events: DataFrame) -> DataFrame:
+    """R4 ``/experiments`` per-minute SCARD (:88-107) — exact distinct."""
+    return _axis_join(events, metrics.experiments_per_minute(events), "active_experiments")
+
+
+def variants_timeseries(events: DataFrame) -> DataFrame:
+    """W9/W10 read twin: active variants per minute over the axis."""
+    return _axis_join(events, metrics.variants_per_minute(events), "active_variants")
+
+
+def variant_overlap(events: DataFrame) -> DataFrame:
+    """R5 ``/variantsOverlap`` (TimeseriesMetricsController.java:109-136).
+
+    Reference: ``KEYS set_var_*`` → all C(n,2) pairs → per pair
+    ``SINTERSTORE`` + ``SCARD`` (a write during a read). Here: reduce to
+    distinct (variant, user_id) pairs, self-join on user with
+    ``variant_a < variant_b`` (matching ``Sets.combinations`` :117 —
+    each unordered pair once), count common users.
+
+    Output: (variant_a, variant_b, overlap) — ``OverlapMetric`` dims order
+    is normalized lexicographically.
+    """
+    uv = events.select("variant", "user_id").distinct()
+    a, b = uv.alias("a"), uv.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.variant") < F.col("b.variant")),
+        )
+        .groupBy(
+            F.col("a.variant").alias("variant_a"),
+            F.col("b.variant").alias("variant_b"),
+        )
+        .agg(F.count("*").alias("overlap"))
+    )
+
+
+def times(events: DataFrame) -> DataFrame:
+    """R6 ``/times`` debug endpoint (:138-142) — the axis itself."""
+    return time_axis(events)

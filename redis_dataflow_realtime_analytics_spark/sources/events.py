@@ -1,0 +1,137 @@
+"""Event source: wire-format parsing and the normalized event stream.
+
+Reference data model (``processor/.../pipeline/LogEvent.java:36-42``): one
+streaming record ``{uid, experiment_id, variant, timestamp}``, JSON
+snake_case on the wire (``ParseMessageAsLogElement.java:44-48``), malformed
+messages dropped silently (``ParseMessageAsLogElement.java:37-41``).
+
+The driver's ``events`` table stands in for the wire stream with the
+dimension mapping (FIXTURES.md §1):
+
+    uid           → user_id
+    variant       → event_type
+    experiment_id → get_json_object(props, '$.k')
+    timestamp     → ts
+
+Scale notes: parsing is pure ``from_json`` + null-filter — JVM-side,
+whole-stage-codegen'd, no shuffle. The normalized projection selects only
+needed columns so parquet column pruning applies.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: Wire schema of the reference's Pub/Sub JSON messages
+#: (LogEvent.java:36-42; generator loggen/message_generator.py:84-88).
+#: All four fields are required — the AutoValue builder throws on missing
+#: fields, and the DoFn drops the message (ParseMessageAsLogElement.java:37-41).
+EVENT_WIRE_SCHEMA = T.StructType(
+    [
+        T.StructField("uid", T.StringType()),
+        T.StructField("experiment_id", T.StringType()),
+        T.StructField("variant", T.StringType()),
+        T.StructField("timestamp", T.TimestampType()),
+    ]
+)
+
+#: Schema of the driver's events.parquet fixture (FIXTURES.md §1).
+EVENTS_TABLE_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def parse_wire_events(raw: DataFrame, value_col: str = "value") -> DataFrame:
+    """JSON wire string → typed event record, dropping malformed rows.
+
+    Mirrors ``ParseMessageAsLogElement.java:35-49``: Jackson snake_case
+    deserialize with drop-on-failure. ``from_json`` yields NULL on
+    unparseable input, and the reference's AutoValue ``build()`` rejects any
+    missing field, so we require all four fields non-null.
+
+    Works identically on batch and streaming DataFrames.
+    """
+    parsed = raw.select(F.from_json(F.col(value_col), EVENT_WIRE_SCHEMA).alias("e"))
+    return parsed.where(
+        F.col("e").isNotNull()
+        & F.col("e.uid").isNotNull()
+        & F.col("e.experiment_id").isNotNull()
+        & F.col("e.variant").isNotNull()
+        & F.col("e.timestamp").isNotNull()
+    ).select("e.*")
+
+
+def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch scan of the events fixture.
+
+    The fixture stores ``ts`` as parquet TIMESTAMP(NANOS), which Spark's
+    vectorized reader rejects. We read nanos as raw int64
+    (``nanosAsLong``) and floor-divide to microseconds — the same
+    truncation DuckDB applies when materializing its µs-precision
+    TIMESTAMP, so both engines see identical values.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    return df
+
+
+#: Physical schema of events.parquet under ``nanosAsLong`` (ts = raw int64 nanos).
+_EVENTS_PARQUET_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, path: str, max_files_per_trigger: int = 1) -> DataFrame:
+    """Streaming scan of events parquet (file source ≙ Pub/Sub source).
+
+    The reference's source is ``PubsubIO.readStrings()``
+    (MetricsCalculationPipeline.java:49-50) — an unbounded at-least-once
+    stream. Structured Streaming's file source gives the same unbounded
+    DataFrame shape; swap for ``format("kafka")`` in production.
+
+    ``path`` may be a directory of parquet files (micro-batch per file via
+    ``maxFilesPerTrigger``) or a single file.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = (
+        spark.readStream.schema(_EVENTS_PARQUET_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+    return df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+
+
+def normalize_events(events: DataFrame) -> DataFrame:
+    """Map the fixture's columns onto the reference's event dimensions.
+
+    Output columns: ``event_id, ts, user_id, variant, experiment_id, value``.
+    ``experiment_id`` is extracted from the JSON ``props`` column — the
+    fixture's stand-in for the reference's JSON-parse stage (PARSE op,
+    ParseMessageAsLogElement.java:35-49). ``get_json_object`` stays JVM-side.
+    """
+    return events.select(
+        "event_id",
+        "ts",
+        "user_id",
+        F.col("event_type").alias("variant"),
+        F.get_json_object("props", "$.k").alias("experiment_id"),
+        "value",
+    )
