@@ -1,0 +1,281 @@
+"""Deduplication operators over the ``documents`` table (north-star
+extension): exact, n-gram Jaccard, MinHash+LSH, and SimHash. The
+embedding-cosine near-dup lives in ``operators.similarity``.
+
+Scale notes (100 TB):
+* ``exact_*``: hash-groupBy on ``md5(text)`` — one shuffle keyed by a
+  uniformly-distributed hash (no skew), partial aggregation collapses
+  duplicates map-side.
+* ``ngram_jaccard_pairs``: exact pairwise Jaccard via a shingle-inverted
+  index (explode → self-join on shingle). Cost scales with the number of
+  co-shingled pairs, NOT |docs|² — only documents sharing a shingle meet.
+  Stop-shingle skew (a shingle in millions of docs) is the scale hazard;
+  cap with ``max_shingle_df``.
+* ``minhash_lsh_*``: the sub-quadratic scale path. Signatures are one
+  groupBy over exploded shingles (32 mins computed map-side); banding turns
+  near-dup search into an equi-join on (band, bucket) — shuffle keyed by
+  band hash. Pairs ≥ est. Jaccard threshold; no cross join anywhere.
+* ``simhash_*``: 64-bit signature per doc from token-hash bit votes; the
+  16-bit-chunk blocking join guarantees (pigeonhole) recall of every pair
+  within Hamming distance 3 while only joining on 4 small keys per doc.
+
+MinHash/SimHash use ``xxhash64`` (seeded) — deterministic across runs and
+cluster sizes, but engine-specific, so these register rows-only with the
+driver; their recall/precision is asserted against exact Jaccard in
+tests/test_dedup.py with planted near-duplicates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import load
+
+TOKEN_RE = r"\s+"
+
+#: Token-level shingle width for Jaccard/MinHash (3-token shingles).
+NGRAM_K = 3
+
+#: MinHash signature size and LSH banding (8 bands × 4 rows).
+N_HASHES = 32
+N_BANDS = 8
+ROWS_PER_BAND = N_HASHES // N_BANDS
+
+
+def _norm_text() -> F.Column:
+    return F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+
+
+# --- Exact dedup -------------------------------------------------------------
+def exact_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate groups by content hash: (text_hash, canonical_doc_id,
+    n_docs). Canonical = min doc_id in the group."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.groupBy(F.md5(_norm_text()).alias("text_hash")).agg(
+        F.min("doc_id").alias("canonical_doc_id"),
+        F.count("*").alias("n_docs"),
+    )
+
+
+def dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Surviving doc_ids after exact dedup (first-id-wins policy)."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.groupBy(F.md5(_norm_text()).alias("text_hash")).agg(
+        F.min("doc_id").alias("doc_id")
+    ).select("doc_id")
+
+
+# --- Shingles ---------------------------------------------------------------
+def _shingles(docs: DataFrame, k: int = NGRAM_K) -> DataFrame:
+    """Distinct k-token shingles per doc: (doc_id, shingle)."""
+    toks = F.split(F.trim(F.col("text")), TOKEN_RE)
+    sh = F.expr(
+        f"array_distinct(transform(sequence(0, greatest(size(split(trim(text), '\\\\s+')) - {k}, 0)), "
+        f"i -> concat_ws(' ', slice(split(trim(text), '\\\\s+'), i + 1, {k}))))"
+    )
+    return docs.select("doc_id", F.explode(sh).alias("shingle"))
+
+
+def ngram_jaccard_pairs(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.06
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for every co-shingled doc pair
+    (doc_a < doc_b) at or above ``threshold``.
+
+    jaccard = |A∩B| / (|A| + |B| − |A∩B|) over distinct 3-token shingles —
+    integer set sizes, so the double division is bit-deterministic and
+    oracle-checkable.
+    """
+    docs = load(spark, sf_dir, "documents")
+    sh = _shingles(docs).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    common = (
+        sh.alias("a")
+        .join(sh.alias("b"), "shingle")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb"))
+    # sizes is one row per doc — NOT broadcastable at 100 TB; let AQE pick
+    # the strategy (it will broadcast at small SF, shuffle-join at scale).
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common")))
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def oracle_ngram_jaccard_pairs(threshold: float = 0.06) -> str:
+    """DuckDB twin of :func:`ngram_jaccard_pairs`."""
+    toks = "string_split_regex(trim(text), '\\s+')"
+    return f"""WITH pos AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(1, greatest(len(toks) - {NGRAM_K - 1}, 1))) AS i
+  FROM (SELECT doc_id, {toks} AS toks FROM documents) d
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(toks[i : i + {NGRAM_K - 1}], ' ') AS shingle
+  FROM pos
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       n_common / (sa.n + sb.n - n_common) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE n_common / (sa.n + sb.n - n_common) >= {threshold}"""
+
+
+# --- MinHash + LSH -----------------------------------------------------------
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """32-permutation MinHash signature per doc over 3-token shingles.
+
+    Each "permutation" is ``xxhash64(seed_i, shingle)``; the signature
+    column ``h0..h31`` is the per-seed min — computed map-side by the
+    partial aggregation of one groupBy."""
+    sh = _shingles(docs)
+    aggs = [
+        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+        for i in range(N_HASHES)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_candidates(docs: DataFrame) -> DataFrame:
+    """Candidate near-dup pairs via LSH banding: docs sharing any of the
+    8 band buckets (band = hash of 4 consecutive signature slots)."""
+    sig = minhash_signatures(docs)
+    band_cols = [
+        F.xxhash64(
+            F.lit(b), *[F.col(f"h{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
+        ).alias(f"band{b}")
+        for b in range(N_BANDS)
+    ]
+    banded = sig.select("doc_id", *band_cols).select(
+        "doc_id",
+        F.posexplode(F.array(*[F.col(f"band{b}") for b in range(N_BANDS)])).alias(
+            "band", "bucket"
+        ),
+    )
+    return (
+        banded.alias("a")
+        .join(banded.alias("b"), ["band", "bucket"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+
+
+def minhash_neardup_pairs(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.5
+) -> DataFrame:
+    """LSH candidates refined by estimated Jaccard (fraction of matching
+    signature slots) ≥ threshold. Sub-quadratic: no pair outside a shared
+    band bucket is ever scored."""
+    docs = load(spark, sf_dir, "documents")
+    sig = minhash_signatures(docs).cache()
+    cands = minhash_lsh_candidates(docs)
+    a = sig.select(F.col("doc_id").alias("doc_a"), *[F.col(f"h{i}").alias(f"a{i}") for i in range(N_HASHES)])
+    b = sig.select(F.col("doc_id").alias("doc_b"), *[F.col(f"h{i}").alias(f"b{i}") for i in range(N_HASHES)])
+    est = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(N_HASHES)
+    ) / float(N_HASHES)
+    return (
+        cands.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn("est_jaccard", est)
+        .where(F.col("est_jaccard") >= threshold)
+        .select("doc_a", "doc_b", "est_jaccard")
+    )
+
+
+# --- SimHash -----------------------------------------------------------------
+SIMHASH_BITS = 64
+SIMHASH_CHUNKS = 4
+CHUNK_BITS = SIMHASH_BITS // SIMHASH_CHUNKS
+
+
+def simhash_signatures(docs: DataFrame) -> DataFrame:
+    """64-bit SimHash per doc: per-bit majority vote over distinct-token
+    ``xxhash64`` values (tie votes resolve to 1 — deterministic)."""
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split(F.trim(F.col("text")), TOKEN_RE))).alias("tok"),
+    ).withColumn("th", F.xxhash64("tok"))
+    votes = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftrightunsigned(F.col("th"), i).bitwiseAND(1) == 1, 1).otherwise(-1)
+            ).alias(f"v{i}")
+            for i in range(SIMHASH_BITS)
+        ]
+    )
+    sim = None
+    for i in range(SIMHASH_BITS):
+        bit = F.when(F.col(f"v{i}") >= 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+            F.lit(0).cast("long")
+        )
+        sim = bit if sim is None else sim.bitwiseOR(bit)
+    return votes.select("doc_id", sim.alias("simhash"))
+
+
+def simhash_neardup_pairs(
+    spark: SparkSession, sf_dir: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs with SimHash Hamming distance ≤ ``max_hamming``.
+
+    Blocking: split the 64-bit signature into 4 × 16-bit chunks and join on
+    any equal chunk — by pigeonhole, every pair within Hamming distance 3
+    shares at least one chunk, so recall is exact for the distance bound.
+    """
+    docs = load(spark, sf_dir, "documents")
+    sig = simhash_signatures(docs).cache()
+    chunks = sig.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("simhash"), j * CHUNK_BITS)
+                    .bitwiseAND((1 << CHUNK_BITS) - 1)
+                    for j in range(SIMHASH_CHUNKS)
+                ]
+            )
+        ).alias("chunk_idx", "chunk_val"),
+    )
+    pairs = (
+        chunks.alias("a")
+        .join(chunks.alias("b"), ["chunk_idx", "chunk_val"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sim_a"),
+            F.col("b.simhash").alias("sim_b"),
+        )
+        .distinct()
+    )
+    return (
+        pairs.withColumn(
+            "hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).cast("int")
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

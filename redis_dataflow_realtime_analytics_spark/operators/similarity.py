@@ -1,0 +1,145 @@
+"""Similarity search over embedding columns (north-star extension).
+
+Brute-force cosine top-k as the exact baseline, and an IVF
+(inverted-file / coarse-quantizer) variant as the 100 TB scale path.
+
+Scale notes:
+* ``ann_topk_bruteforce`` broadcasts the (small) query set and streams the
+  corpus once — embarrassingly parallel, no shuffle until the final
+  per-query top-k, which is a ``row_number`` window over ``query_id``
+  (state bounded by k × |queries|). Exact, O(|corpus|·|queries|).
+* ``ann_ivf_topk`` buckets the corpus by nearest coarse centroid
+  (one broadcast join), then probes only ``nprobe`` buckets per query —
+  the classic IVF trade: ~nprobe/n_centroids of the corpus scanned.
+  Bucketing is a plain column, so at scale the corpus can be written
+  partitioned by ``centroid_id`` and probing becomes partition pruning.
+* All vector math is JVM-side Catalyst higher-order functions
+  (``functions.vectors``) — no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import vectors as V
+from ..tables import load
+
+#: Query set = every QUERY_MOD-th vector (deterministic, data-derived).
+QUERY_MOD = 100
+
+
+def _with_norm(df: DataFrame) -> DataFrame:
+    return df.withColumn("n2", V.norm2("embedding"))
+
+
+def query_set(emb: DataFrame) -> DataFrame:
+    return emb.where(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_embedding"),
+        F.col("n2").alias("q_n2"),
+    )
+
+
+def ann_topk_bruteforce(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+    """Exact cosine top-k neighbors for each query vector.
+
+    Output: (query_id, neighbor_id, cosine, rank) — rank 1..k, ties broken
+    by neighbor_id so results are fully deterministic.
+    """
+    emb = _with_norm(load(spark, sf_dir, "embeddings").select("vec_id", "embedding"))
+    q = query_set(emb)
+    scored = (
+        emb.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .withColumn("dot", V.dot("embedding", "q_embedding"))
+        .withColumn("cosine", V.cosine("dot", "n2", "q_n2"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "cosine", "rank")
+    )
+
+
+def embedding_neardup_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.45) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (vec_id_a < vec_id_b,
+    cosine ≥ threshold) — the dedup-by-embedding primitive.
+
+    Brute force O(n²) pairs; at scale swap the cross join for the IVF
+    bucketing below (pairs only within a bucket) or random-hyperplane LSH.
+    """
+    emb = _with_norm(load(spark, sf_dir, "embeddings").select("vec_id", "embedding"))
+    a = emb.select(
+        F.col("vec_id").alias("vec_id_a"),
+        F.col("embedding").alias("ea"),
+        F.col("n2").alias("na"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_id_b"),
+        F.col("embedding").alias("eb"),
+        F.col("n2").alias("nb"),
+    )
+    return (
+        a.join(b, F.col("vec_id_a") < F.col("vec_id_b"))
+        .withColumn("dot", V.dot("ea", "eb"))
+        .withColumn("cosine", V.cosine("dot", "na", "nb"))
+        .where(F.col("cosine") >= threshold)
+        .select("vec_id_a", "vec_id_b", "cosine")
+    )
+
+
+#: Coarse centroid seeds = every CENTROID_MOD-th vector. A production build
+#: would k-means these; deterministic data-derived seeds keep the operator
+#: reproducible without an iterative fit.
+CENTROID_MOD = 50
+
+
+def ann_ivf_topk(
+    spark: SparkSession, sf_dir: str, k: int = 10, nprobe: int = 3
+) -> DataFrame:
+    """IVF approximate top-k: assign corpus to nearest coarse centroid,
+    probe only the ``nprobe`` centroids nearest each query.
+
+    Output schema matches :func:`ann_topk_bruteforce`; recall vs the exact
+    baseline is asserted in tests (tests/test_similarity.py).
+    """
+    emb = _with_norm(load(spark, sf_dir, "embeddings").select("vec_id", "embedding"))
+    cents = emb.where(F.col("vec_id") % CENTROID_MOD == 0).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("c_embedding"),
+        F.col("n2").alias("c_n2"),
+    )
+
+    def nearest(df: DataFrame, id_col: str, emb_col: str, n2_col: str, n: int, out: str) -> DataFrame:
+        scored = (
+            df.join(F.broadcast(cents), how="cross")
+            .withColumn("c_dot", V.dot(emb_col, "c_embedding"))
+            .withColumn("c_cos", V.cosine("c_dot", n2_col, "c_n2"))
+        )
+        w = Window.partitionBy(id_col).orderBy(F.desc("c_cos"), "centroid_id")
+        return (
+            scored.withColumn("c_rank", F.row_number().over(w))
+            .where(F.col("c_rank") <= n)
+            .select(df["*"], F.col("centroid_id").alias(out))
+        )
+
+    assigned = nearest(emb, "vec_id", "embedding", "n2", 1, "bucket")
+    q = query_set(emb)
+    probes = nearest(q, "query_id", "q_embedding", "q_n2", nprobe, "probe_bucket")
+
+    scored = (
+        assigned.join(
+            probes,
+            (F.col("bucket") == F.col("probe_bucket"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .withColumn("dot", V.dot("embedding", "q_embedding"))
+        .withColumn("cosine", V.cosine("dot", "n2", "q_n2"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "cosine", "rank")
+    )

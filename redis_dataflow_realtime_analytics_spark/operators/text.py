@@ -1,0 +1,213 @@
+"""Text analysis over the ``documents`` table (north-star extension).
+
+Language-ID (stopword heuristic), quality scoring, token counting, and
+document fingerprinting — all pure Catalyst expressions (split /
+higher-order array functions / regexp / md5), no Python UDFs: the hot path
+stays inside whole-stage codegen and scales linearly with no shuffle
+(per-row projections only).
+
+Determinism: ratios are int/int double divisions (IEEE-exact), score
+formulas use only +,*,/ on those, and fingerprints are md5 — so every query
+here is oracle-checkable bit-exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import load
+
+#: Tokenization shared by all text operators (and their SQL oracles):
+#: whitespace split of trimmed text.
+TOKEN_RE = r"\s+"
+
+#: Stopword marker lists for the language-ID heuristic. Scores count
+#: *distinct* tokens appearing in each list; argmax with a fixed
+#: priority order (EN > DE > ES > FR > ZH) on ties.
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it", "for", "on"],
+    "de": ["der", "die", "das", "und", "ist", "mit", "für", "von", "auf", "ein"],
+    "es": ["el", "la", "de", "y", "en", "es", "por", "con", "para", "un"],
+    "fr": ["le", "la", "de", "et", "en", "est", "pour", "que", "dans", "un"],
+    "zh": ["的", "是", "在", "了", "和", "有", "我", "不", "人", "这"],
+}
+
+#: Generic stopword list for the quality score's stopword ratio.
+QUALITY_STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it", "for", "on"]
+
+
+def _tokens(col: str = "text") -> Column:
+    return F.split(F.trim(F.col(col)), TOKEN_RE)
+
+
+def _member_count(tokens: Column, words: list[str], distinct: bool) -> Column:
+    arr = F.array_distinct(tokens) if distinct else tokens
+    lit_list = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(arr, lambda t: F.array_contains(lit_list, t)))
+
+
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens, distinct tokens, mean token
+    length, and a BPE-ish regex unit count (letter runs / single digits /
+    single punctuation — a cheap proxy for subword token count)."""
+    docs = load(spark, sf_dir, "documents")
+    toks = _tokens()
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        (
+            F.expr("aggregate(transform(split(trim(text), '\\\\s+'), t -> length(t)), 0, (a, x) -> a + x)")
+            / F.size(toks)
+        ).alias("avg_token_len"),
+        F.regexp_count(F.col("text"), F.lit(r"[a-z]+|[0-9]|[^a-z0-9\s]")).alias("n_bpe_units"),
+    )
+
+
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document quality: length, punctuation ratio, stopword
+    ratio combined into one [0,1]-ish score.
+
+    score = 0.5·min(n_tokens,100)/100 + 0.3·(1 − punct_ratio)
+          + 0.2·stopword_ratio
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = _tokens()
+    n_tokens = F.size(toks)
+    punct = F.regexp_count(F.col("text"), F.lit(r"[^a-z0-9\s]"))
+    stop_hits = _member_count(toks, QUALITY_STOPWORDS, distinct=False)
+    punct_ratio = punct / F.length("text")
+    stop_ratio = stop_hits / n_tokens
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars_measured"),
+        n_tokens.alias("n_tokens"),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        (
+            F.least(n_tokens, F.lit(100)) / 100.0 * 0.5
+            + (F.lit(1.0) - punct_ratio) * 0.3
+            + stop_ratio * 0.2
+        ).alias("quality"),
+    )
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-list language ID with deterministic argmax tie-break.
+
+    Output: (doc_id, lang, lang_pred, plus one score column per language).
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = _tokens()
+    scores = {
+        lang: _member_count(toks, words, distinct=True).alias(f"score_{lang}")
+        for lang, words in LANG_STOPWORDS.items()
+    }
+    df = docs.select("doc_id", "lang", *scores.values())
+    langs = list(LANG_STOPWORDS)
+    pred = None
+    for lang in langs:
+        cond = None
+        for other in langs:
+            if other == lang:
+                continue
+            c = F.col(f"score_{lang}") >= F.col(f"score_{other}")
+            cond = c if cond is None else (cond & c)
+        pred = F.when(cond, F.lit(lang)) if pred is None else pred.when(cond, F.lit(lang))
+    return df.withColumn("lang_pred", F.coalesce(pred, F.lit(langs[-1])))
+
+
+#: Shingle width (tokens) for the min-shingle fingerprint.
+SHINGLE_K = 5
+
+
+def fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 of whitespace-normalized text, plus the
+    minimum md5 over all 5-token shingles (a winnowing-style rolling
+    fingerprint — equal for documents sharing their most-extreme shingle).
+    """
+    docs = load(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    shingle_min = F.expr(
+        "array_min(transform(sequence(0, size(split(trim(text), '\\\\s+')) - 5), "
+        "i -> md5(concat_ws(' ', slice(split(trim(text), '\\\\s+'), i + 1, 5)))))"
+    )
+    return docs.select(
+        "doc_id",
+        F.md5(norm).alias("fingerprint"),
+        shingle_min.alias("min_shingle_fp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Oracle SQL builders (kept next to the Spark logic so the two stay in sync)
+# ---------------------------------------------------------------------------
+_SQL_TOKENS = "string_split_regex(trim(text), '\\s+')"
+
+
+def oracle_token_stats() -> str:
+    return f"""SELECT doc_id,
+  CAST(len({_SQL_TOKENS}) AS INTEGER) AS n_tokens,
+  CAST(len(list_distinct({_SQL_TOKENS})) AS INTEGER) AS n_distinct_tokens,
+  CAST(list_aggregate(list_transform({_SQL_TOKENS}, t -> length(t)), 'sum') AS INTEGER)
+    / CAST(len({_SQL_TOKENS}) AS INTEGER) AS avg_token_len,
+  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]|[^a-z0-9\\s]')) AS INTEGER) AS n_bpe_units
+FROM documents"""
+
+
+def oracle_quality_score() -> str:
+    stop = ", ".join(f"'{w}'" for w in QUALITY_STOPWORDS)
+    return f"""SELECT doc_id,
+  CAST(length(text) AS INTEGER) AS n_chars_measured,
+  CAST(len({_SQL_TOKENS}) AS INTEGER) AS n_tokens,
+  CAST(len(regexp_extract_all(text, '[^a-z0-9\\s]')) AS INTEGER)
+    / CAST(length(text) AS INTEGER) AS punct_ratio,
+  CAST(len(list_filter({_SQL_TOKENS}, t -> t IN ({stop}))) AS INTEGER)
+    / CAST(len({_SQL_TOKENS}) AS INTEGER) AS stopword_ratio,
+  least(CAST(len({_SQL_TOKENS}) AS INTEGER), 100) / 100.0 * 0.5
+    + (1.0 - CAST(len(regexp_extract_all(text, '[^a-z0-9\\s]')) AS INTEGER)
+        / CAST(length(text) AS INTEGER)) * 0.3
+    + CAST(len(list_filter({_SQL_TOKENS}, t -> t IN ({stop}))) AS INTEGER)
+        / CAST(len({_SQL_TOKENS}) AS INTEGER) * 0.2 AS quality
+FROM documents"""
+
+
+def oracle_lang_id() -> str:
+    score_exprs = []
+    for lang, words in LANG_STOPWORDS.items():
+        lst = ", ".join(f"'{w}'" for w in words)
+        score_exprs.append(
+            f"CAST(len(list_filter(list_distinct({_SQL_TOKENS}), t -> t IN ({lst}))) AS INTEGER) AS score_{lang}"
+        )
+    langs = list(LANG_STOPWORDS)
+    cases = []
+    for lang in langs:
+        conds = " AND ".join(
+            f"score_{lang} >= score_{other}" for other in langs if other != lang
+        )
+        cases.append(f"WHEN {conds} THEN '{lang}'")
+    case_sql = "CASE " + " ".join(cases) + f" ELSE '{langs[-1]}' END"
+    return f"""WITH scored AS (
+  SELECT doc_id, lang, {', '.join(score_exprs)} FROM documents
+)
+SELECT doc_id, lang, score_en, score_de, score_es, score_fr, score_zh,
+       {case_sql} AS lang_pred
+FROM scored"""
+
+
+def oracle_fingerprints() -> str:
+    return f"""WITH toks AS (
+  SELECT doc_id,
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,
+         {_SQL_TOKENS} AS tokens
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, fingerprint, tokens,
+         unnest(generate_series(1, len(tokens) - 4)) AS i
+  FROM toks
+)
+SELECT doc_id, fingerprint,
+       min(md5(array_to_string(tokens[i : i + 4], ' '))) AS min_shingle_fp
+FROM pos GROUP BY 1, 2"""

@@ -17,7 +17,9 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .operators import metrics, timeseries
+from .functions.numeric import oracle_davg, oracle_dsum
+from .functions.vectors import oracle_dot
+from .operators import dedup, metrics, multimodal, relational, similarity, text, timeseries
 from .sources import normalize_events, read_events
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -170,4 +172,292 @@ uv AS (SELECT DISTINCT variant, user_id FROM ev)
 SELECT a.variant AS variant_a, b.variant AS variant_b, count(*) AS overlap
 FROM uv a JOIN uv b ON a.user_id = b.user_id AND a.variant < b.variant
 GROUP BY 1, 2""",
+)
+
+# ---------------------------------------------------------------------------
+# Relational surface (SURVEY §2.5 / Phase 3) — TPC-H-ish operator coverage
+# ---------------------------------------------------------------------------
+_REV = "l_extendedprice * (1 - l_discount)"
+
+q(
+    "q1_pricing_summary",
+    relational.q1_pricing_summary,
+    f"""SELECT l_returnflag, l_linestatus,
+  {oracle_dsum('l_quantity')} AS sum_qty,
+  {oracle_dsum('l_extendedprice')} AS sum_base_price,
+  {oracle_dsum(_REV)} AS sum_disc_price,
+  {oracle_dsum(_REV + ' * (1 + l_tax)')} AS sum_charge,
+  {oracle_davg('l_quantity')} AS avg_qty,
+  {oracle_davg('l_extendedprice')} AS avg_price,
+  {oracle_davg('l_discount')} AS avg_disc,
+  count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY 1, 2""",
+)
+q(
+    "q3_shipping_priority",
+    relational.q3_shipping_priority,
+    f"""SELECT l_orderkey, o_orderdate, o_orderpriority,
+  {oracle_dsum(_REV)} AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-06-01'
+  AND l_shipdate > TIMESTAMP '1998-06-01'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10""",
+)
+q(
+    "q5_local_supplier_volume",
+    relational.q5_local_supplier_volume,
+    f"""SELECT n_name, {oracle_dsum(_REV)} AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY 1
+ORDER BY revenue DESC, n_name""",
+)
+q(
+    "q6_forecast_revenue",
+    relational.q6_forecast_revenue,
+    f"""SELECT {oracle_dsum('l_extendedprice * l_discount')} AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.02 AND l_discount <= 0.06
+  AND l_quantity < 24""",
+)
+q(
+    "top_orders_by_value",
+    relational.top_orders_by_value,
+    """SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+)
+q(
+    "cube_quantity_by_flag_status",
+    relational.cube_quantity_by_flag_status,
+    f"""SELECT l_returnflag, l_linestatus,
+  {oracle_dsum('l_quantity')} AS sum_qty, count(*) AS n_rows
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""",
+)
+q(
+    "rollup_orders_by_status_priority",
+    relational.rollup_orders_by_status_priority,
+    f"""SELECT o_orderstatus, o_orderpriority,
+  {oracle_dsum('o_totalprice')} AS sum_price, count(*) AS n_orders
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""",
+)
+q(
+    "top_orders_per_customer",
+    relational.top_orders_per_customer,
+    """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         CAST(row_number() OVER (PARTITION BY o_custkey
+              ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rn
+  FROM orders) t
+WHERE rn <= 3""",
+)
+q(
+    "running_revenue_per_supplier",
+    relational.running_revenue_per_supplier,
+    f"""SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate,
+  CAST(SUM(CAST({_REV} AS DECIMAL(38,6))) OVER (
+    PARTITION BY l_suppkey
+    ORDER BY l_shipdate, l_orderkey, l_linenumber
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+    AS running_revenue
+FROM lineitem""",
+)
+q(
+    "customers_with_orders",
+    relational.customers_with_orders,
+    """SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""",
+)
+q(
+    "customers_without_orders",
+    relational.customers_without_orders,
+    """SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""",
+)
+q(
+    "active_entity_keys_union",
+    relational.active_entity_keys_union,
+    """SELECT c_custkey AS key FROM customer
+UNION
+SELECT o_custkey AS key FROM orders""",
+)
+q(
+    "customer_keys_minus_orders",
+    relational.customer_keys_minus_orders,
+    """SELECT c_custkey AS key FROM customer
+EXCEPT
+SELECT o_custkey AS key FROM orders""",
+)
+q(
+    "customer_keys_intersect_orders",
+    relational.customer_keys_intersect_orders,
+    """SELECT c_custkey AS key FROM customer
+INTERSECT
+SELECT o_custkey AS key FROM orders""",
+)
+q(
+    "customers_by_nation_segment_pivot",
+    relational.customers_by_nation_segment_pivot,
+    """SELECT n_name,
+  count(*) FILTER (WHERE c_mktsegment = 'AUTOMOBILE') AS "AUTOMOBILE",
+  count(*) FILTER (WHERE c_mktsegment = 'BUILDING')   AS "BUILDING",
+  count(*) FILTER (WHERE c_mktsegment = 'FURNITURE')  AS "FURNITURE",
+  count(*) FILTER (WHERE c_mktsegment = 'HOUSEHOLD')  AS "HOUSEHOLD",
+  count(*) FILTER (WHERE c_mktsegment = 'MACHINERY')  AS "MACHINERY"
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY 1""",
+)
+q(
+    "order_scalar_projections",
+    relational.order_scalar_projections,
+    """SELECT o_orderkey,
+  CAST(year(o_orderdate) AS INTEGER) AS order_year,
+  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS order_month,
+  strftime(o_orderdate, '%Y-%m') AS order_month_str,
+  concat_ws('-', o_orderstatus, o_orderpriority) AS status_priority,
+  coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_or_open,
+  CAST(floor(o_totalprice) AS BIGINT) AS price_floor,
+  abs(o_totalprice - 1000.0) AS price_abs_delta,
+  CAST(length(o_orderpriority) AS INTEGER) AS priority_len,
+  upper(o_orderstatus) AS status_upper,
+  substring(o_orderpriority, 1, 1) AS priority_code
+FROM orders""",
+)
+q(
+    "monthly_order_revenue",
+    relational.monthly_order_revenue,
+    f"""SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+  {oracle_dsum('o_totalprice')} AS revenue, count(*) AS n_orders
+FROM orders GROUP BY 1""",
+)
+
+# ---------------------------------------------------------------------------
+# Text analysis (north-star: LLM-data pipeline, documents table)
+# ---------------------------------------------------------------------------
+q("text_token_stats", text.token_stats, text.oracle_token_stats())
+q("text_quality_score", text.quality_score, text.oracle_quality_score())
+q("text_lang_id", text.lang_id, text.oracle_lang_id())
+q("text_fingerprints", text.fingerprints, text.oracle_fingerprints())
+
+# ---------------------------------------------------------------------------
+# Deduplication (north-star: exact, n-gram Jaccard, MinHash LSH, SimHash)
+# ---------------------------------------------------------------------------
+_NORM_MD5 = "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))"
+q(
+    "dedup_exact_groups",
+    dedup.exact_dedup_groups,
+    f"""SELECT {_NORM_MD5} AS text_hash,
+  min(doc_id) AS canonical_doc_id, count(*) AS n_docs
+FROM documents GROUP BY 1""",
+)
+q(
+    "dedup_documents",
+    dedup.dedup_documents,
+    f"""SELECT min(doc_id) AS doc_id FROM documents GROUP BY {_NORM_MD5}""",
+)
+q(
+    "dedup_ngram_jaccard_pairs",
+    dedup.ngram_jaccard_pairs,
+    dedup.oracle_ngram_jaccard_pairs(),
+)
+# Hash-family dedup ops are engine-specific (xxhash64) → rows-only checks;
+# recall/precision vs exact Jaccard is asserted in tests/test_dedup.py.
+q("dedup_minhash_neardup_pairs", dedup.minhash_neardup_pairs)
+q("dedup_simhash_neardup_pairs", dedup.simhash_neardup_pairs)
+
+# ---------------------------------------------------------------------------
+# Similarity search (north-star: embeddings table)
+# ---------------------------------------------------------------------------
+_ORACLE_NORMS = f"""e AS (SELECT vec_id, embedding FROM embeddings),
+n AS (
+  SELECT vec_id,
+         {oracle_dot('x', 'x')} AS n2
+  FROM (SELECT vec_id, unnest(embedding) AS x FROM e) GROUP BY vec_id
+)"""
+
+q(
+    "ann_topk_bruteforce",
+    similarity.ann_topk_bruteforce,
+    f"""WITH {_ORACLE_NORMS},
+q AS (SELECT vec_id AS query_id, embedding AS qe FROM e
+      WHERE vec_id % {similarity.QUERY_MOD} = 0),
+p AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+             unnest(list_zip(q.qe, e.embedding)) AS z
+      FROM q JOIN e ON e.vec_id <> q.query_id),
+d AS (SELECT query_id, neighbor_id, {oracle_dot('z[1]', 'z[2]')} AS dot
+      FROM p GROUP BY 1, 2),
+c AS (SELECT d.query_id, d.neighbor_id,
+             d.dot / (sqrt(nq.n2) * sqrt(nn.n2)) AS cosine
+      FROM d
+      JOIN n nq ON nq.vec_id = d.query_id
+      JOIN n nn ON nn.vec_id = d.neighbor_id)
+SELECT query_id, neighbor_id, cosine,
+       CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
+FROM c QUALIFY rank <= 10""",
+)
+q(
+    "embedding_neardup_pairs",
+    similarity.embedding_neardup_pairs,
+    f"""WITH {_ORACLE_NORMS},
+p AS (SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+             unnest(list_zip(a.embedding, b.embedding)) AS z
+      FROM e a JOIN e b ON a.vec_id < b.vec_id),
+d AS (SELECT vec_id_a, vec_id_b, {oracle_dot('z[1]', 'z[2]')} AS dot
+      FROM p GROUP BY 1, 2)
+SELECT vec_id_a, vec_id_b,
+       d.dot / (sqrt(na.n2) * sqrt(nb.n2)) AS cosine
+FROM d
+JOIN n na ON na.vec_id = vec_id_a
+JOIN n nb ON nb.vec_id = vec_id_b
+WHERE d.dot / (sqrt(na.n2) * sqrt(nb.n2)) >= 0.45""",
+)
+# IVF is an approximate engine-specific plan → rows-only; recall vs the
+# brute-force baseline asserted in tests/test_similarity.py.
+q("ann_ivf_topk", similarity.ann_ivf_topk)
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (binary columns + metadata; decode stage stubbed)
+# ---------------------------------------------------------------------------
+q(
+    "multimodal_blob_stats",
+    multimodal.blob_stats,
+    """SELECT doc_id,
+  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+  sha256(text) AS content_sha256
+FROM documents""",
+)
+q(
+    "multimodal_frame_sample_offsets",
+    multimodal.frame_sample_offsets,
+    """WITH b AS (
+  SELECT doc_id,
+         CAST(floor(octet_length(encode(text)) / 1024.0) AS BIGINT) + 1
+           AS duration_s
+  FROM documents
+)
+SELECT doc_id, duration_s,
+       unnest(generate_series(0, duration_s - 1, 10)) AS sample_second,
+       unnest(generate_series(0, duration_s - 1, 10)) * 24 AS frame_index
+FROM b""",
+)
+# Arrow-batched decode plumbing with the deterministic fake decoder —
+# engine-side mapInPandas, rows-only check.
+q(
+    "multimodal_decode_features_fake",
+    lambda s, d: multimodal.decode_features(multimodal.with_blob(s, d), fake=True),
 )

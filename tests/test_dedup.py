@@ -1,0 +1,95 @@
+"""Dedup operator behavior on planted near-duplicates.
+
+The synthetic documents table has almost no true near-dups, so these tests
+build a corpus with known duplicate structure and assert recall/precision
+properties of the hash-family operators against exact Jaccard.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from redis_dataflow_realtime_analytics_spark.operators import dedup
+
+WORDS = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima mike november".split()
+
+
+def _corpus(spark):
+    """60 docs: 20 base docs, each with one exact copy and one near-copy
+    (single token changed)."""
+    rng = random.Random(7)
+    rows = []
+    doc_id = 0
+    for base in range(20):
+        toks = [rng.choice(WORDS) for _ in range(40)]
+        text = " ".join(toks)
+        near = list(toks)
+        near[rng.randrange(len(near))] = "zulu"
+        rows.append((doc_id, text))          # base
+        rows.append((doc_id + 1, text))      # exact dup
+        rows.append((doc_id + 2, " ".join(near)))  # near dup
+        doc_id += 3
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, tmp_path_factory):
+    """Write the planted corpus as a documents.parquet so the (spark, sf_dir)
+    operator signatures work unchanged."""
+    d = tmp_path_factory.mktemp("dedup_sf")
+    _corpus(spark).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    return str(d)
+
+
+def test_exact_dedup(spark, corpus):
+    groups = dedup.exact_dedup_groups(spark, corpus).collect()
+    # 20 groups of size 2 (base + exact copy), 20 singleton near-dups
+    assert sum(1 for g in groups if g.n_docs == 2) == 20
+    assert sum(1 for g in groups if g.n_docs == 1) == 20
+    survivors = dedup.dedup_documents(spark, corpus).count()
+    assert survivors == 40
+
+
+def test_minhash_recall_of_planted_pairs(spark, corpus):
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.minhash_neardup_pairs(spark, corpus, threshold=0.5).collect()
+    }
+    # every exact-dup pair (jaccard 1.0) must be found
+    exact_pairs = {(i, i + 1) for i in range(0, 60, 3)}
+    assert exact_pairs <= pairs, f"missing {exact_pairs - pairs}"
+    # near-dup pairs (1 token of 40 changed → shingle jaccard ≈ 0.86) —
+    # expect high recall, allow an LSH miss or two
+    near_pairs = {(i, i + 2) for i in range(0, 60, 3)}
+    found_near = len(near_pairs & pairs)
+    assert found_near >= 18, f"minhash recall too low: {found_near}/20"
+
+
+def test_minhash_estimates_track_true_jaccard(spark, corpus):
+    rows = dedup.minhash_neardup_pairs(spark, corpus, threshold=0.5).collect()
+    exact_pairs = {(i, i + 1) for i in range(0, 60, 3)}
+    for r in rows:
+        if (r.doc_a, r.doc_b) in exact_pairs:
+            assert r.est_jaccard == 1.0
+
+
+def test_simhash_finds_exact_dups(spark, corpus):
+    pairs = dedup.simhash_neardup_pairs(spark, corpus, max_hamming=3).collect()
+    found = {(r.doc_a, r.doc_b) for r in pairs}
+    exact_pairs = {(i, i + 1) for i in range(0, 60, 3)}
+    assert exact_pairs <= found
+    for r in pairs:
+        if (r.doc_a, r.doc_b) in exact_pairs:
+            assert r.hamming == 0
+
+
+def test_ngram_jaccard_exactness(spark, corpus):
+    rows = dedup.ngram_jaccard_pairs(spark, corpus, threshold=0.5).collect()
+    vals = {(r.doc_a, r.doc_b): r.jaccard for r in rows}
+    for i in range(0, 60, 3):
+        assert vals[(i, i + 1)] == 1.0  # exact copies
+        # near-copy: 1 token changed in 40 → at most 3 of 38 shingles differ
+        assert vals[(i, i + 2)] > 0.7
