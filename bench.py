@@ -1,0 +1,78 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints exactly one JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>}
+
+Each query executes end-to-end into the no-op sink (full plan execution,
+no driver-side result transfer skewing the numbers).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from redis_dataflow_realtime_analytics_spark import registry
+from redis_dataflow_realtime_analytics_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+#: Representative, scale-sensitive subset of the catalog: reference-parity
+#: aggregation + read-side joins, TPC-H relational core, window/top-k, the
+#: LLM-data operators, and a real streaming replay.
+HEADLINE = [
+    "w1_visits_per_minute",
+    "w2_uniques_per_experiment_variant_minute",
+    "r2_visits_timeseries",
+    "r3_users_timeseries",
+    "r5_variant_overlap",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "top_orders_per_customer",
+    "running_revenue_per_supplier",
+    "text_token_stats",
+    "text_fingerprints",
+    "dedup_exact_groups",
+    "dedup_ngram_jaccard_pairs",
+    "dedup_minhash_neardup_pairs",
+    "dedup_simhash_neardup_pairs",
+    "ann_topk_bruteforce",
+    "ann_ivf_topk",
+    "stream_visits_per_minute",
+]
+
+
+def main() -> None:
+    spark = get_spark(app_name="bench")
+    # warm the JVM/codegen paths so timings measure the plans, not startup
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = registry.QUERIES[name]
+        t0 = time.perf_counter()
+        df = fn(spark, SF_DIR)
+        df.write.mode("overwrite").format("noop").save()
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    out = {
+        "metric": "headline_queries_total",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

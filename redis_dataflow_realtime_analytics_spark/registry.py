@@ -461,3 +461,46 @@ q(
     "multimodal_decode_features_fake",
     lambda s, d: multimodal.decode_features(multimodal.with_blob(s, d), fake=True),
 )
+
+
+# ---------------------------------------------------------------------------
+# Structured Streaming (SURVEY §2.5 streaming / Phase 2) — availableNow
+# replays through the real streaming engine; oracles prove stream/batch parity
+# ---------------------------------------------------------------------------
+def _stream_visits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming import pipeline as sp
+
+    return sp.stream_visits_per_minute(spark, f"{sf_dir}/events.parquet")
+
+
+def _stream_uniques_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming import pipeline as sp
+
+    return sp.stream_uniques_per_minute_approx(spark, f"{sf_dir}/events.parquet")
+
+
+def _stream_store_variant_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from .streaming import pipeline as sp
+
+    store = tempfile.mkdtemp(prefix="sketch_store_")
+    ckpt = tempfile.mkdtemp(prefix="sketch_ckpt_")
+    sp.run_sketch_ingest(spark, f"{sf_dir}/events.parquet", store, ckpt)
+    return sp.read_uniques_per_variant_exact(spark, store)
+
+
+q(
+    "stream_visits_per_minute",
+    _stream_visits,
+    f"""{EV_CTE}
+SELECT date_trunc('minute', ts) AS minute, count(*) AS visits
+FROM ev GROUP BY 1""",
+)
+q("stream_uniques_per_minute_approx", _stream_uniques_approx)
+q(
+    "stream_store_uniques_per_variant",
+    _stream_store_variant_uniques,
+    f"""{EV_CTE}
+SELECT variant, count(DISTINCT user_id) AS unique_users FROM ev GROUP BY 1""",
+)

@@ -108,15 +108,27 @@ def read_events_stream(spark: SparkSession, path: str, max_files_per_trigger: in
     DataFrame shape; swap for ``format("kafka")`` in production.
 
     ``path`` may be a directory of parquet files (micro-batch per file via
-    ``maxFilesPerTrigger``) or a single file.
+    ``maxFilesPerTrigger``) or a single file. Handles both the driver's
+    TIMESTAMP(NANOS) fixture (read as int64 + converted) and ordinary
+    µs-timestamp parquet; the physical schema is probed with a batch read
+    (streaming sources require an explicit schema).
     """
+    import os
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = (
-        spark.readStream.schema(_EVENTS_PARQUET_SCHEMA)
-        .option("maxFilesPerTrigger", max_files_per_trigger)
-        .parquet(path)
+    nanos = dict(spark.read.parquet(path).dtypes).get("ts") == "bigint"
+    schema = _EVENTS_PARQUET_SCHEMA if nanos else EVENTS_TABLE_SCHEMA
+    reader = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", max_files_per_trigger
     )
-    return df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    if os.path.isfile(path):
+        # the streaming file source requires a directory
+        reader = reader.option("pathGlobFilter", os.path.basename(path))
+        path = os.path.dirname(path)
+    df = reader.parquet(path)
+    if nanos:
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    return df
 
 
 def normalize_events(events: DataFrame) -> DataFrame:

@@ -1,0 +1,209 @@
+"""Structured Streaming ingest — the reference's write-side pipeline,
+Spark-first.
+
+Reference shape (processor/.../pipeline/MetricsCalculationPipeline.java):
+Pub/Sub → parse → 12 ParDo legs, each shipping one Redis command per event
+(INCRBY/PFADD/SADD); Redis is the aggregation engine, minute buckets live
+in key strings, there is no windowing/watermarking at all, and at-least-once
+redelivery can over-count the INCRBY legs (SURVEY §4 delta 1).
+
+Spark shape: one ``readStream`` → ``withWatermark`` → either
+
+* **built-in windowed aggregation** (``stream_*`` functions) — Spark keeps
+  the per-window state, emits exact/approx aggregates; used for the
+  stream/batch-parity queries the driver gates; or
+* **foreachBatch partial-aggregate store** (``SketchStoreWriter``) — each
+  micro-batch appends *mergeable partials* (counts, DataSketches HLL
+  sketches) partitioned by batch_id; readers merge partials at query time
+  (``read_*``). This is the scale design for unbounded all-time distincts
+  (SURVEY §4 delta 2): state per (grain × batch) is one row with a ≤KB
+  sketch — bounded, idempotently re-writable (a replayed batch_id
+  overwrites its own partition → effective exactly-once, unlike the
+  reference's INCRBY), and mergeable across arbitrarily many executors.
+
+Scale notes (100 TB/day ingest):
+* Partial aggregation happens map-side per micro-batch; the store receives
+  per-(minute,batch) rows, not events — write amplification is O(grains),
+  versus the reference's 12 Redis commands *per event*.
+* Read-time merge (`hll_union_agg` / sum) touches only store rows: a day
+  of 1-minute buckets × batches is tiny regardless of event volume.
+* The store is plain partitioned parquet here; swap for Delta/Iceberg
+  MERGE in production without touching the aggregation logic.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.metrics import HLL_RSD
+from ..sources.events import normalize_events, read_events_stream
+
+WATERMARK = "10 minutes"
+
+
+def _minute(col: str = "ts") -> F.Column:
+    return F.date_trunc("minute", F.col(col)).alias("minute")
+
+
+# ---------------------------------------------------------------------------
+# Built-in streaming aggregations (stream/batch parity surface)
+# ---------------------------------------------------------------------------
+def stream_visits_per_minute(
+    spark: SparkSession, events_path: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """W1 as a streaming query: replay ``events_path`` with
+    ``trigger(availableNow)`` through a watermarked 1-minute windowed count
+    into a memory sink; return the final aggregate (minute, visits).
+
+    Structured Streaming's incremental execution guarantees this equals the
+    batch ``metrics.visits_per_minute`` on the same data — asserted by the
+    driver's oracle (same SQL as w1) and tests/test_streaming.py.
+    """
+    ev = normalize_events(read_events_stream(spark, events_path, max_files_per_trigger))
+    agg = (
+        ev.withWatermark("ts", WATERMARK)
+        .groupBy(F.window("ts", "1 minute").alias("w"))
+        .agg(F.count("*").alias("visits"))
+        .select(F.col("w.start").alias("minute"), "visits")
+    )
+    name = f"visits_{uuid.uuid4().hex}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def stream_uniques_per_minute_approx(
+    spark: SparkSession, events_path: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """W11 (HLL leg) as a streaming query: approx distinct users per minute."""
+    ev = normalize_events(read_events_stream(spark, events_path, max_files_per_trigger))
+    agg = (
+        ev.withWatermark("ts", WATERMARK)
+        .groupBy(F.window("ts", "1 minute").alias("w"))
+        .agg(F.approx_count_distinct("user_id", rsd=HLL_RSD).alias("unique_users"))
+        .select(F.col("w.start").alias("minute"), "unique_users")
+    )
+    name = f"uniq_{uuid.uuid4().hex}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# foreachBatch mergeable-partials store
+# ---------------------------------------------------------------------------
+class SketchStoreWriter:
+    """foreachBatch sink writing mergeable partial aggregates.
+
+    Families written per micro-batch (mirroring the reference's key
+    families, SURVEY §1.3):
+
+    * ``visits``              — (minute, visits) partial counts       (W1)
+    * ``user_sketch_minute``  — (minute, sketch) HLL of user_id       (W11)
+    * ``user_sketch_variant`` — (variant, sketch) HLL of user_id      (W3, all-time)
+    * ``user_set_variant``    — (variant, user_id) distinct pairs     (W4, exact twin)
+
+    Each family lands under ``store/<family>/batch_id=<n>`` via dynamic
+    partition overwrite — replaying a batch overwrites its own partition,
+    making the sink idempotent (effective exactly-once).
+    """
+
+    def __init__(self, store_dir: str):
+        self.store_dir = store_dir
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        ev = batch_df.cache()
+        try:
+            families = {
+                "visits": ev.groupBy(_minute()).agg(F.count("*").alias("visits")),
+                "user_sketch_minute": ev.groupBy(_minute()).agg(
+                    F.hll_sketch_agg("user_id").alias("sketch")
+                ),
+                "user_sketch_variant": ev.groupBy("variant").agg(
+                    F.hll_sketch_agg("user_id").alias("sketch")
+                ),
+                "user_set_variant": ev.select("variant", "user_id").distinct(),
+            }
+            for family, df in families.items():
+                (
+                    df.withColumn("batch_id", F.lit(batch_id))
+                    .write.mode("overwrite")
+                    .partitionBy("batch_id")
+                    .parquet(f"{self.store_dir}/{family}")
+                )
+        finally:
+            ev.unpersist()
+
+
+def run_sketch_ingest(
+    spark: SparkSession,
+    events_path: str,
+    store_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 1,
+) -> None:
+    """Replay ``events_path`` through the foreachBatch store (availableNow)."""
+    ev = normalize_events(read_events_stream(spark, events_path, max_files_per_trigger))
+    q = (
+        ev.withWatermark("ts", WATERMARK)
+        .writeStream.foreachBatch(SketchStoreWriter(store_dir))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+# --- Read-side merges over the partials store --------------------------------
+def read_visits(spark: SparkSession, store_dir: str) -> DataFrame:
+    """Merge visit partials: sum over batches (R2's MGET read, minus Redis)."""
+    return (
+        spark.read.parquet(f"{store_dir}/visits")
+        .groupBy("minute")
+        .agg(F.sum("visits").alias("visits"))
+    )
+
+
+def read_uniques_per_minute(spark: SparkSession, store_dir: str) -> DataFrame:
+    """Merge per-minute HLL partials: union sketches, estimate (R3 PFCOUNT)."""
+    return (
+        spark.read.parquet(f"{store_dir}/user_sketch_minute")
+        .groupBy("minute")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("unique_users"))
+    )
+
+
+def read_uniques_per_variant(spark: SparkSession, store_dir: str) -> DataFrame:
+    """All-time uniques per variant from bounded sketch state (W3 read)."""
+    return (
+        spark.read.parquet(f"{store_dir}/user_sketch_variant")
+        .groupBy("variant")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("unique_users"))
+    )
+
+
+def read_uniques_per_variant_exact(spark: SparkSession, store_dir: str) -> DataFrame:
+    """Exact all-time uniques per variant from the distinct-pairs family
+    (W4's SADD/SCARD twin)."""
+    return (
+        spark.read.parquet(f"{store_dir}/user_set_variant")
+        .groupBy("variant")
+        .agg(F.count_distinct("user_id").alias("unique_users"))
+    )

@@ -1,0 +1,108 @@
+"""Streaming semantics: stream/batch parity, multi-batch incremental merge,
+late/shuffled-data invariance, and the mergeable-sketch store.
+
+The events fixture is re-written as 4 parquet files so availableNow +
+maxFilesPerTrigger=1 replays it as 4 micro-batches — exercising real
+incremental state, not a single-batch degenerate run.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from redis_dataflow_realtime_analytics_spark.operators import metrics
+from redis_dataflow_realtime_analytics_spark.sources import normalize_events, read_events
+from redis_dataflow_realtime_analytics_spark.streaming import pipeline as sp
+
+from .conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def multi_file_events(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("events_stream")
+    path = str(d / "events")
+    read_events(spark, SF_SMOKE).repartition(4).write.mode("overwrite").parquet(path)
+    return path
+
+
+@pytest.fixture(scope="module")
+def shuffled_events(spark, tmp_path_factory):
+    """Same events in deliberately scrambled order (late-data simulation)."""
+    d = tmp_path_factory.mktemp("events_shuffled")
+    path = str(d / "events")
+    (
+        read_events(spark, SF_SMOKE)
+        .orderBy(F.md5(F.col("event_id").cast("string")))  # deterministic scramble
+        .repartition(4)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    return path
+
+
+def _batch_visits(spark):
+    ev = normalize_events(read_events(spark, SF_SMOKE))
+    return {r.minute: r.visits for r in metrics.visits_per_minute(ev).collect()}
+
+
+def test_stream_batch_parity_visits(spark, multi_file_events):
+    got = {
+        r.minute: r.visits
+        for r in sp.stream_visits_per_minute(spark, multi_file_events).collect()
+    }
+    assert got == _batch_visits(spark)
+
+
+def test_late_data_lands_in_event_time_bucket(spark, shuffled_events):
+    """Reference semantics: a late event still lands in its event-time
+    minute (keys encode event time; Redis ops are commutative). Stream
+    result must be order-invariant."""
+    got = {
+        r.minute: r.visits
+        for r in sp.stream_visits_per_minute(spark, shuffled_events).collect()
+    }
+    assert got == _batch_visits(spark)
+
+
+def test_sketch_store_merges_across_batches(spark, multi_file_events, tmp_path_factory):
+    store = str(tmp_path_factory.mktemp("store"))
+    ckpt = str(tmp_path_factory.mktemp("ckpt"))
+    sp.run_sketch_ingest(spark, multi_file_events, store, ckpt)
+
+    # multiple batches actually happened
+    n_batches = (
+        spark.read.parquet(f"{store}/visits").select("batch_id").distinct().count()
+    )
+    assert n_batches >= 2, "expected a multi-batch replay"
+
+    # visits partials merge to the exact batch answer
+    got = {r.minute: r.visits for r in sp.read_visits(spark, store).collect()}
+    assert got == _batch_visits(spark)
+
+    # sketch merges estimate exact distincts within HLL error
+    ev = normalize_events(read_events(spark, SF_SMOKE))
+    exact = {r.variant: r.unique_users for r in metrics.uniques_per_variant(ev).collect()}
+    est = {r.variant: r.unique_users for r in sp.read_uniques_per_variant(spark, store).collect()}
+    assert set(est) == set(exact)
+    for v, e in exact.items():
+        assert abs(est[v] - e) <= max(3, 0.05 * e), (v, est[v], e)
+
+    # exact twin family matches exactly
+    exact_store = {
+        r.variant: r.unique_users
+        for r in sp.read_uniques_per_variant_exact(spark, store).collect()
+    }
+    assert exact_store == exact
+
+
+def test_sketch_ingest_is_idempotent_on_replay(spark, multi_file_events, tmp_path_factory):
+    """Re-running the same replay (fresh checkpoint → batches re-fire with
+    the same ids) must overwrite, not double-count — the reference's INCRBY
+    over-counts in this situation (SURVEY §4 delta 1)."""
+    store = str(tmp_path_factory.mktemp("store2"))
+    sp.run_sketch_ingest(spark, multi_file_events, store, str(tmp_path_factory.mktemp("c1")))
+    first = {r.minute: r.visits for r in sp.read_visits(spark, store).collect()}
+    sp.run_sketch_ingest(spark, multi_file_events, store, str(tmp_path_factory.mktemp("c2")))
+    second = {r.minute: r.visits for r in sp.read_visits(spark, store).collect()}
+    assert first == second == _batch_visits(spark)
