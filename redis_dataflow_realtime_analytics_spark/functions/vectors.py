@@ -1,10 +1,19 @@
 """Vector math over ``array<float>`` embedding columns — JVM-side only.
 
-Dot products fold through an exact ``DECIMAL(38,12)`` accumulator (see
-``functions.numeric`` for why: order-independent bit-identical results
-across partitionings and vs the DuckDB oracle). All expressions are
-Catalyst higher-order functions — no Python UDFs in the hot path; the
-per-element work stays inside whole-stage codegen.
+Determinism strategy: **fixed-point arithmetic**. Each float component is
+quantized once to ``floor(x · 2^20)`` as int64; dot products are then exact
+int64 sums — associative, order-independent, bit-identical across any
+partitioning and vs the DuckDB oracle, and far cheaper than a decimal
+accumulator (plain long multiply-adds inside codegen).
+
+Precision: components quantize with ≤2⁻²⁰ absolute error, so cosines are
+exact to ~1e-5 — far below any meaningful similarity resolution, and the
+oracle applies the identical quantization.
+
+Overflow headroom: |x| ≤ 2³ ⇒ |qx·qy| ≤ 2⁴⁶; dims ≤ 2¹⁰ ⇒ |dot| ≤ 2⁵⁶ < 2⁶³.
+
+All expressions are Catalyst higher-order functions — no Python UDFs in the
+hot path; per-element work stays inside whole-stage codegen.
 """
 
 from __future__ import annotations
@@ -12,34 +21,50 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+#: Fixed-point scale: 2^20 (power of two ⇒ x·SCALE is an exact double op).
+SCALE = float(1 << 20)
 
-def dot(a: str, b: str) -> Column:
-    """Exact-decimal dot product of two array<float|double> columns."""
+
+def quantize(col: str) -> Column:
+    """array<float> → array<bigint>, component-wise floor(x · 2^20).
+
+    Apply ONCE per vector (e.g. ``withColumn``) so joins/pair loops reuse
+    the quantized form instead of re-quantizing per pair.
+    """
     return F.expr(
-        f"CAST(aggregate(zip_with({a}, {b}, (x, y) -> "
-        f"CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(38,12))), "
-        f"CAST(0 AS DECIMAL(38,12)), (acc, v) -> CAST(acc + v AS DECIMAL(38,12))) AS DOUBLE)"
+        f"transform({col}, x -> CAST(floor(CAST(x AS DOUBLE) * {SCALE}) AS BIGINT))"
     )
 
 
-def norm2(a: str) -> Column:
-    """Squared L2 norm (exact-decimal accumulation)."""
-    return dot(a, a)
+def qdot(a: str, b: str) -> Column:
+    """Exact int64 dot product of two quantized (array<bigint>) columns."""
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+
+
+def qnorm2(a: str) -> Column:
+    """Squared L2 norm of a quantized vector (exact int64)."""
+    return qdot(a, a)
 
 
 def cosine(dot_col: str, n2_a: str, n2_b: str) -> Column:
-    """Cosine from a precomputed dot product and squared norms.
+    """Cosine from an int64 dot and squared norms.
 
-    ``sqrt`` is IEEE-754 correctly rounded, so the result is deterministic
-    across engines given identical inputs.
+    int64→double casts and ``sqrt`` are IEEE-exact/correctly-rounded, so the
+    result is deterministic across engines given identical integer inputs.
     """
-    return F.col(dot_col) / (F.sqrt(F.col(n2_a)) * F.sqrt(F.col(n2_b)))
-
-
-def oracle_dot(a: str, b: str) -> str:
-    """DuckDB twin of :func:`dot` for a pre-zipped pair — used inline by
-    registry oracles (operates on ``unnest(list_zip(a, b))`` terms)."""
-    return (
-        f"CAST(SUM(CAST(CAST({a} AS DOUBLE) * CAST({b} AS DOUBLE) "
-        f"AS DECIMAL(38,12))) AS DOUBLE)"
+    return F.col(dot_col).cast("double") / (
+        F.sqrt(F.col(n2_a).cast("double")) * F.sqrt(F.col(n2_b).cast("double"))
     )
+
+
+# --- DuckDB oracle twins -----------------------------------------------------
+def oracle_quantize(col: str) -> str:
+    return f"list_transform({col}, x -> CAST(floor(CAST(x AS DOUBLE) * {SCALE}) AS BIGINT))"
+
+
+def oracle_qdot(x: str, y: str) -> str:
+    """SUM of element products over an unnested zip — DuckDB SUM(BIGINT)
+    yields HUGEINT, so cast back to BIGINT (values fit, see overflow note)."""
+    return f"CAST(SUM({x} * {y}) AS BIGINT)"

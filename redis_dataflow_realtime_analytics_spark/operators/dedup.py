@@ -214,18 +214,25 @@ CHUNK_BITS = SIMHASH_BITS // SIMHASH_CHUNKS
 
 def simhash_signatures(docs: DataFrame) -> DataFrame:
     """64-bit SimHash per doc: per-bit majority vote over distinct-token
-    ``xxhash64`` values (tie votes resolve to 1 — deterministic)."""
-    toks = docs.select(
+    ``xxhash64`` values (tie votes resolve to 1 — deterministic).
+
+    Computed entirely per-row with array higher-order functions — token
+    hashes once, then one fold per bit — no explode, no shuffle: the whole
+    signature stage is a map-only projection that scales linearly."""
+    hashed = docs.select(
         "doc_id",
-        F.explode(F.array_distinct(F.split(F.trim(F.col("text")), TOKEN_RE))).alias("tok"),
-    ).withColumn("th", F.xxhash64("tok"))
-    votes = toks.groupBy("doc_id").agg(
+        F.expr(
+            "transform(array_distinct(split(trim(text), '\\\\s+')), t -> xxhash64(t))"
+        ).alias("th"),
+    )
+    votes = hashed.select(
+        "doc_id",
         *[
-            F.sum(
-                F.when(F.shiftrightunsigned(F.col("th"), i).bitwiseAND(1) == 1, 1).otherwise(-1)
+            F.expr(
+                f"aggregate(th, 0, (acc, h) -> acc + IF(((h >> {i}) & 1) = 1, 1, -1))"
             ).alias(f"v{i}")
             for i in range(SIMHASH_BITS)
-        ]
+        ],
     )
     sim = None
     for i in range(SIMHASH_BITS):

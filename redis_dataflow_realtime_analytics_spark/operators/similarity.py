@@ -3,6 +3,11 @@
 Brute-force cosine top-k as the exact baseline, and an IVF
 (inverted-file / coarse-quantizer) variant as the 100 TB scale path.
 
+Vectors are quantized ONCE to fixed-point int64 (``functions.vectors``) —
+dot products are then exact integer sums: deterministic under any
+partitioning, oracle-checkable bit-exactly, and cheap (long multiply-adds
+in codegen instead of decimal/float folds).
+
 Scale notes:
 * ``ann_topk_bruteforce`` broadcasts the (small) query set and streams the
   corpus once — embarrassingly parallel, no shuffle until the final
@@ -13,8 +18,6 @@ Scale notes:
   the classic IVF trade: ~nprobe/n_centroids of the corpus scanned.
   Bucketing is a plain column, so at scale the corpus can be written
   partitioned by ``centroid_id`` and probing becomes partition pruning.
-* All vector math is JVM-side Catalyst higher-order functions
-  (``functions.vectors``) — no Python in the hot path.
 """
 
 from __future__ import annotations
@@ -29,14 +32,19 @@ from ..tables import load
 QUERY_MOD = 100
 
 
-def _with_norm(df: DataFrame) -> DataFrame:
-    return df.withColumn("n2", V.norm2("embedding"))
+def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus with one-time fixed-point quantization + squared norms."""
+    return (
+        load(spark, sf_dir, "embeddings")
+        .select("vec_id", V.quantize("embedding").alias("qvec"))
+        .withColumn("n2", V.qnorm2("qvec"))
+    )
 
 
 def query_set(emb: DataFrame) -> DataFrame:
     return emb.where(F.col("vec_id") % QUERY_MOD == 0).select(
         F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("q_embedding"),
+        F.col("qvec").alias("q_qvec"),
         F.col("n2").alias("q_n2"),
     )
 
@@ -47,11 +55,11 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFr
     Output: (query_id, neighbor_id, cosine, rank) — rank 1..k, ties broken
     by neighbor_id so results are fully deterministic.
     """
-    emb = _with_norm(load(spark, sf_dir, "embeddings").select("vec_id", "embedding"))
+    emb = _quantized(spark, sf_dir)
     q = query_set(emb)
     scored = (
         emb.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
-        .withColumn("dot", V.dot("embedding", "q_embedding"))
+        .withColumn("dot", V.qdot("qvec", "q_qvec"))
         .withColumn("cosine", V.cosine("dot", "n2", "q_n2"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "vec_id")
@@ -66,23 +74,23 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str, threshold: float =
     """Embedding-cosine near-duplicate pairs (vec_id_a < vec_id_b,
     cosine ≥ threshold) — the dedup-by-embedding primitive.
 
-    Brute force O(n²) pairs; at scale swap the cross join for the IVF
+    Brute force O(n²) pairs; at scale swap the pair join for the IVF
     bucketing below (pairs only within a bucket) or random-hyperplane LSH.
     """
-    emb = _with_norm(load(spark, sf_dir, "embeddings").select("vec_id", "embedding"))
+    emb = _quantized(spark, sf_dir)
     a = emb.select(
         F.col("vec_id").alias("vec_id_a"),
-        F.col("embedding").alias("ea"),
+        F.col("qvec").alias("qa"),
         F.col("n2").alias("na"),
     )
     b = emb.select(
         F.col("vec_id").alias("vec_id_b"),
-        F.col("embedding").alias("eb"),
+        F.col("qvec").alias("qb"),
         F.col("n2").alias("nb"),
     )
     return (
         a.join(b, F.col("vec_id_a") < F.col("vec_id_b"))
-        .withColumn("dot", V.dot("ea", "eb"))
+        .withColumn("dot", V.qdot("qa", "qb"))
         .withColumn("cosine", V.cosine("dot", "na", "nb"))
         .where(F.col("cosine") >= threshold)
         .select("vec_id_a", "vec_id_b", "cosine")
@@ -104,17 +112,17 @@ def ann_ivf_topk(
     Output schema matches :func:`ann_topk_bruteforce`; recall vs the exact
     baseline is asserted in tests (tests/test_similarity.py).
     """
-    emb = _with_norm(load(spark, sf_dir, "embeddings").select("vec_id", "embedding"))
+    emb = _quantized(spark, sf_dir)
     cents = emb.where(F.col("vec_id") % CENTROID_MOD == 0).select(
         F.col("vec_id").alias("centroid_id"),
-        F.col("embedding").alias("c_embedding"),
+        F.col("qvec").alias("c_qvec"),
         F.col("n2").alias("c_n2"),
     )
 
-    def nearest(df: DataFrame, id_col: str, emb_col: str, n2_col: str, n: int, out: str) -> DataFrame:
+    def nearest(df: DataFrame, id_col: str, vec_col: str, n2_col: str, n: int, out: str) -> DataFrame:
         scored = (
             df.join(F.broadcast(cents), how="cross")
-            .withColumn("c_dot", V.dot(emb_col, "c_embedding"))
+            .withColumn("c_dot", V.qdot(vec_col, "c_qvec"))
             .withColumn("c_cos", V.cosine("c_dot", n2_col, "c_n2"))
         )
         w = Window.partitionBy(id_col).orderBy(F.desc("c_cos"), "centroid_id")
@@ -124,9 +132,9 @@ def ann_ivf_topk(
             .select(df["*"], F.col("centroid_id").alias(out))
         )
 
-    assigned = nearest(emb, "vec_id", "embedding", "n2", 1, "bucket")
+    assigned = nearest(emb, "vec_id", "qvec", "n2", 1, "bucket")
     q = query_set(emb)
-    probes = nearest(q, "query_id", "q_embedding", "q_n2", nprobe, "probe_bucket")
+    probes = nearest(q, "query_id", "q_qvec", "q_n2", nprobe, "probe_bucket")
 
     scored = (
         assigned.join(
@@ -134,7 +142,7 @@ def ann_ivf_topk(
             (F.col("bucket") == F.col("probe_bucket"))
             & (F.col("vec_id") != F.col("query_id")),
         )
-        .withColumn("dot", V.dot("embedding", "q_embedding"))
+        .withColumn("dot", V.qdot("qvec", "q_qvec"))
         .withColumn("cosine", V.cosine("dot", "n2", "q_n2"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "vec_id")

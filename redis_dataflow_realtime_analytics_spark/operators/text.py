@@ -129,15 +129,18 @@ def fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load(spark, sf_dir, "documents")
     norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
-    shingle_min = F.expr(
-        "array_min(transform(sequence(0, size(split(trim(text), '\\\\s+')) - 5), "
-        "i -> md5(concat_ws(' ', slice(split(trim(text), '\\\\s+'), i + 1, 5)))))"
-    )
-    return docs.select(
+    # materialize the token array once; the shingle transform then reuses it
+    # instead of re-splitting per shingle
+    toks = docs.select(
         "doc_id",
         F.md5(norm).alias("fingerprint"),
-        shingle_min.alias("min_shingle_fp"),
+        F.split(F.trim(F.col("text")), TOKEN_RE).alias("tokens"),
     )
+    shingle_min = F.expr(
+        "array_min(transform(sequence(0, size(tokens) - 5), "
+        "i -> md5(concat_ws(' ', slice(tokens, i + 1, 5)))))"
+    )
+    return toks.select("doc_id", "fingerprint", shingle_min.alias("min_shingle_fp"))
 
 
 # ---------------------------------------------------------------------------

@@ -18,7 +18,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from .functions.numeric import oracle_davg, oracle_dsum
-from .functions.vectors import oracle_dot
+from .functions.vectors import oracle_qdot, oracle_quantize
 from .operators import dedup, metrics, multimodal, relational, similarity, text, timeseries
 from .sources import normalize_events, read_events
 
@@ -382,26 +382,29 @@ q("dedup_simhash_neardup_pairs", dedup.simhash_neardup_pairs)
 # ---------------------------------------------------------------------------
 # Similarity search (north-star: embeddings table)
 # ---------------------------------------------------------------------------
-_ORACLE_NORMS = f"""e AS (SELECT vec_id, embedding FROM embeddings),
+_ORACLE_NORMS = f"""e AS (SELECT vec_id, {oracle_quantize('embedding')} AS qv FROM embeddings),
 n AS (
-  SELECT vec_id,
-         {oracle_dot('x', 'x')} AS n2
-  FROM (SELECT vec_id, unnest(embedding) AS x FROM e) GROUP BY vec_id
+  SELECT vec_id, {oracle_qdot('x', 'x')} AS n2
+  FROM (SELECT vec_id, unnest(qv) AS x FROM e) GROUP BY vec_id
 )"""
+
+#: cosine from int64 dot + norms — identical formula on the Spark side
+#: (functions.vectors.cosine).
+_ORACLE_COS = "CAST({d} AS DOUBLE) / (sqrt(CAST({a} AS DOUBLE)) * sqrt(CAST({b} AS DOUBLE)))"
 
 q(
     "ann_topk_bruteforce",
     similarity.ann_topk_bruteforce,
     f"""WITH {_ORACLE_NORMS},
-q AS (SELECT vec_id AS query_id, embedding AS qe FROM e
+q AS (SELECT vec_id AS query_id, qv AS qq FROM e
       WHERE vec_id % {similarity.QUERY_MOD} = 0),
 p AS (SELECT q.query_id, e.vec_id AS neighbor_id,
-             unnest(list_zip(q.qe, e.embedding)) AS z
+             unnest(list_zip(q.qq, e.qv)) AS z
       FROM q JOIN e ON e.vec_id <> q.query_id),
-d AS (SELECT query_id, neighbor_id, {oracle_dot('z[1]', 'z[2]')} AS dot
+d AS (SELECT query_id, neighbor_id, {oracle_qdot('z[1]', 'z[2]')} AS dot
       FROM p GROUP BY 1, 2),
 c AS (SELECT d.query_id, d.neighbor_id,
-             d.dot / (sqrt(nq.n2) * sqrt(nn.n2)) AS cosine
+             {_ORACLE_COS.format(d='d.dot', a='nq.n2', b='nn.n2')} AS cosine
       FROM d
       JOIN n nq ON nq.vec_id = d.query_id
       JOIN n nn ON nn.vec_id = d.neighbor_id)
@@ -415,16 +418,16 @@ q(
     similarity.embedding_neardup_pairs,
     f"""WITH {_ORACLE_NORMS},
 p AS (SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
-             unnest(list_zip(a.embedding, b.embedding)) AS z
+             unnest(list_zip(a.qv, b.qv)) AS z
       FROM e a JOIN e b ON a.vec_id < b.vec_id),
-d AS (SELECT vec_id_a, vec_id_b, {oracle_dot('z[1]', 'z[2]')} AS dot
+d AS (SELECT vec_id_a, vec_id_b, {oracle_qdot('z[1]', 'z[2]')} AS dot
       FROM p GROUP BY 1, 2)
 SELECT vec_id_a, vec_id_b,
-       d.dot / (sqrt(na.n2) * sqrt(nb.n2)) AS cosine
+       {_ORACLE_COS.format(d='d.dot', a='na.n2', b='nb.n2')} AS cosine
 FROM d
 JOIN n na ON na.vec_id = vec_id_a
 JOIN n nb ON nb.vec_id = vec_id_b
-WHERE d.dot / (sqrt(na.n2) * sqrt(nb.n2)) >= 0.45""",
+WHERE {_ORACLE_COS.format(d='d.dot', a='na.n2', b='nb.n2')} >= 0.45""",
 )
 # IVF is an approximate engine-specific plan → rows-only; recall vs the
 # brute-force baseline asserted in tests/test_similarity.py.
