@@ -253,6 +253,41 @@ def order_scalar_projections(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Max-per-group (correlated-subquery pattern as a window) -----------------
+def priciest_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All parts at their brand's maximum retail price — the
+    max-per-group / correlated-subquery pattern, expressed as one window
+    (single shuffle on the group key; ties all kept)."""
+    part = load(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand")
+    return (
+        part.withColumn("brand_max", F.max("p_retailprice").over(w))
+        .where(F.col("p_retailprice") == F.col("brand_max"))
+        .select("p_brand", "p_partkey", "p_retailprice")
+    )
+
+
+# --- Conditional aggregation + HAVING + IN/LIKE/BETWEEN ----------------------
+def returnflag_discount_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter surface (IN-list, BETWEEN, LIKE) feeding conditional
+    aggregates with a HAVING clause."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            F.col("l_returnflag").isin("A", "R", "N")
+            & F.col("l_quantity").between(1, 40)
+            & F.col("l_linestatus").like("%F%")
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_rows"),
+            dsum("l_quantity", "sum_qty"),
+            F.count(F.when(F.col("l_discount") > 0.05, 1)).alias("n_high_discount"),
+        )
+        .where(F.col("n_rows") > 100)
+    )
+
+
 # --- Monthly revenue rollup (date_trunc grouping) ----------------------------
 def monthly_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders")

@@ -1,0 +1,149 @@
+"""Event-time window extensions beyond the reference's tumbling minutes:
+sliding (hopping) windows, gap-based session windows, and a grouped
+Arrow/pandas feature extractor.
+
+The reference only has 1-minute tumbling buckets encoded in Redis keys
+(MetricsCalculationPipeline.java:237-243); sliding/session windows are the
+natural Spark extensions of the same event-time model (SURVEY §2.5
+"no session or sliding windows" → engine extension).
+
+Scale notes:
+* ``sliding_visits``: ``window(ts, '5 min', '1 min')`` replicates each
+  event into 5 window assignments *logically*; Spark expands then
+  partially aggregates map-side, so the shuffle carries per-(window)
+  partials only.
+* ``user_sessions``: ``session_window`` is a built-in stateful operator —
+  in batch it sorts within user partitions; the shuffle is keyed by
+  user_id (the natural session key at any scale).
+* ``user_event_features``: ``applyInPandas`` — Arrow-batched grouped map,
+  the designated slow path for logic SQL can't express comfortably
+  (here: per-user median inter-arrival). State is one group in memory at
+  a time; keys hash-partition across executors.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import normalize_events, read_events
+
+SESSION_GAP = "30 minutes"
+
+
+def _ev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return normalize_events(read_events(spark, sf_dir))
+
+
+def sliding_visits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Visits per 5-minute window hopping every minute: (window_start, visits)."""
+    ev = _ev(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "5 minutes", "1 minute").alias("w"))
+        .agg(F.count("*").alias("visits"))
+        .select(F.col("w.start").alias("window_start"), "visits")
+    )
+
+
+def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization: events of a user belong to one session
+    while consecutive gaps stay under 30 minutes.
+
+    Output: (user_id, session_start, session_end, n_events) where
+    session_end = last event + gap (Spark ``session_window`` semantics).
+    """
+    ev = _ev(spark, sf_dir)
+    return (
+        ev.groupBy("user_id", F.session_window("ts", SESSION_GAP).alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+#: applyInPandas output schema.
+FEATURE_SCHEMA = "user_id bigint, n_events bigint, n_variants bigint, median_gap_us double"
+
+
+def user_event_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user behavioral features via an Arrow-batched grouped map:
+    event count, distinct variants, and the median inter-arrival time in
+    microseconds (NULL for single-event users).
+
+    Gaps are computed on integer microseconds so the median is
+    bit-deterministic and oracle-checkable (epoch_us in DuckDB).
+    """
+    ev = _ev(spark, sf_dir).select("user_id", "ts", "variant")
+
+    def features(pdf: pd.DataFrame) -> pd.DataFrame:
+        us = (
+            pd.to_datetime(pdf["ts"]).sort_values().astype("int64") // 1000
+        )  # ns → µs (µs values < 2^53: float-safe)
+        gaps = us.diff().dropna()
+        med = float(gaps.median()) if len(gaps) else None
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "n_events": [len(pdf)],
+                "n_variants": [pdf["variant"].nunique()],
+                "median_gap_us": [med],
+            }
+        )
+
+    return ev.groupBy("user_id").applyInPandas(features, schema=FEATURE_SCHEMA)
+
+
+# --- DuckDB oracle twins -----------------------------------------------------
+def oracle_sliding_visits(ev_cte: str) -> str:
+    return f"""{ev_cte},
+m AS (SELECT date_trunc('minute', ts) AS minute FROM ev),
+x AS (
+  SELECT minute - to_minutes(off) AS window_start
+  FROM (SELECT minute, unnest(generate_series(0, 4)) AS off FROM m)
+)
+SELECT window_start, count(*) AS visits FROM x GROUP BY 1"""
+
+
+def oracle_user_sessions(ev_cte: str) -> str:
+    return f"""{ev_cte},
+o AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+s AS (
+  SELECT user_id, ts,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+)
+SELECT user_id, min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       count(*) AS n_events
+FROM s GROUP BY user_id, sid"""
+
+
+def oracle_user_event_features(ev_cte: str) -> str:
+    return f"""{ev_cte},
+g AS (
+  SELECT user_id,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts)
+           AS gap_us
+  FROM ev
+)
+SELECT e.user_id,
+       count(*) AS n_events,
+       count(DISTINCT e.variant) AS n_variants,
+       (SELECT median(gap_us) FROM g WHERE g.user_id = e.user_id AND gap_us IS NOT NULL)
+         AS median_gap_us
+FROM ev e GROUP BY e.user_id"""

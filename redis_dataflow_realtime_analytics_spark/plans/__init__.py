@@ -1,0 +1,7 @@
+from .inspect import (  # noqa: F401
+    count_exchanges,
+    has_broadcast_join,
+    plan_string,
+    pushed_filters,
+    read_schema_columns,
+)

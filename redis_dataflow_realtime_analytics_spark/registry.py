@@ -19,7 +19,16 @@ from pyspark.sql import DataFrame, SparkSession
 
 from .functions.numeric import oracle_davg, oracle_dsum
 from .functions.vectors import oracle_qdot, oracle_quantize
-from .operators import dedup, metrics, multimodal, relational, similarity, text, timeseries
+from .operators import (
+    dedup,
+    metrics,
+    multimodal,
+    relational,
+    sessions,
+    similarity,
+    text,
+    timeseries,
+)
 from .sources import normalize_events, read_events
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -343,6 +352,36 @@ q(
     f"""SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
   {oracle_dsum('o_totalprice')} AS revenue, count(*) AS n_orders
 FROM orders GROUP BY 1""",
+)
+
+q(
+    "priciest_parts_per_brand",
+    relational.priciest_parts_per_brand,
+    """SELECT p_brand, p_partkey, p_retailprice FROM part
+QUALIFY p_retailprice = max(p_retailprice) OVER (PARTITION BY p_brand)""",
+)
+q(
+    "returnflag_discount_profile",
+    relational.returnflag_discount_profile,
+    f"""SELECT l_returnflag, count(*) AS n_rows,
+  {oracle_dsum('l_quantity')} AS sum_qty,
+  count(*) FILTER (WHERE l_discount > 0.05) AS n_high_discount
+FROM lineitem
+WHERE l_returnflag IN ('A', 'R', 'N')
+  AND l_quantity BETWEEN 1 AND 40
+  AND l_linestatus LIKE '%F%'
+GROUP BY 1 HAVING count(*) > 100""",
+)
+
+# ---------------------------------------------------------------------------
+# Event-time window extensions (sliding, session, grouped-pandas features)
+# ---------------------------------------------------------------------------
+q("sliding_visits", sessions.sliding_visits, sessions.oracle_sliding_visits(EV_CTE))
+q("user_sessions", sessions.user_sessions, sessions.oracle_user_sessions(EV_CTE))
+q(
+    "user_event_features",
+    sessions.user_event_features,
+    sessions.oracle_user_event_features(EV_CTE),
 )
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,65 @@
+"""Physical-plan quality gates: pushdown, pruning, broadcast, shuffle counts.
+
+These encode the 100 TB design contract — a regression here means a plan
+that works at test SF but degrades catastrophically at scale.
+"""
+
+from __future__ import annotations
+
+from redis_dataflow_realtime_analytics_spark import plans
+from redis_dataflow_realtime_analytics_spark.operators import (
+    metrics,
+    relational,
+    similarity,
+    timeseries,
+)
+from redis_dataflow_realtime_analytics_spark.sources import normalize_events, read_events
+
+from .conftest import SF_SMOKE
+
+
+def test_q1_filter_pushed_to_scan(spark):
+    df = relational.q1_pricing_summary(spark, SF_SMOKE)
+    pf = plans.pushed_filters(df)
+    assert "l_shipdate" in pf, f"shipdate filter not pushed: {pf}"
+
+
+def test_q1_column_pruning(spark):
+    df = relational.q1_pricing_summary(spark, SF_SMOKE)
+    cols = plans.read_schema_columns(df)
+    # only the referenced measures/dims are scanned
+    assert "l_partkey" not in cols and "l_suppkey" not in cols and "l_orderkey" not in cols
+
+
+def test_timeseries_axis_join_is_broadcast(spark):
+    ev = normalize_events(read_events(spark, SF_SMOKE))
+    assert plans.has_broadcast_join(timeseries.visits_timeseries(ev))
+
+
+def test_q5_broadcasts_dimensions(spark):
+    df = relational.q5_local_supplier_volume(spark, SF_SMOKE)
+    p = plans.plan_string(df)
+    assert p.count("BroadcastHashJoin") >= 2, p
+
+
+def test_ann_query_side_is_broadcast(spark):
+    assert plans.has_broadcast_join(similarity.ann_topk_bruteforce(spark, SF_SMOKE))
+
+
+def test_visits_single_shuffle(spark):
+    ev = normalize_events(read_events(spark, SF_SMOKE))
+    df = metrics.visits_per_minute(ev)
+    assert plans.count_exchanges(df) <= 1, plans.plan_string(df)
+
+
+def test_events_scan_prunes_columns(spark):
+    ev = normalize_events(read_events(spark, SF_SMOKE))
+    df = metrics.uniques_per_minute(ev)
+    cols = plans.read_schema_columns(df)
+    assert "value" not in cols and "event_type" not in cols, cols
+
+
+def test_q6_scan_only_needed_columns(spark):
+    df = relational.q6_forecast_revenue(spark, SF_SMOKE)
+    cols = plans.read_schema_columns(df)
+    assert set(cols) <= {"l_shipdate", "l_discount", "l_quantity", "l_extendedprice"}, cols
