@@ -546,3 +546,67 @@ q(
     f"""{EV_CTE}
 SELECT variant, count(DISTINCT user_id) AS unique_users FROM ev GROUP BY 1""",
 )
+
+
+def _stream_stateful_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming import stateful
+
+    return stateful.stream_exact_uniques_per_variant(spark, f"{sf_dir}/events.parquet")
+
+
+# custom stateful operator (applyInPandasWithState) — exact, so oracle-gated
+q(
+    "stream_stateful_uniques_per_variant",
+    _stream_stateful_uniques,
+    f"""{EV_CTE}
+SELECT variant, count(DISTINCT user_id) AS unique_users FROM ev GROUP BY 1""",
+)
+
+# ---------------------------------------------------------------------------
+# Wire-level parity: the reference's literal Redis key/command catalog
+# (S1/S2/S4 key builders + all 12 legs), and the G1 generator
+# ---------------------------------------------------------------------------
+_MINUTE_KEY = "strftime(ts, '%Y_%m_%dT%H_%M')"
+
+
+def _redis_commands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming.redis_sink import metric_commands
+
+    return metric_commands(_ev(spark, sf_dir))
+
+
+def _oracle_pairs(method: str, key_sql: str, member_sql: str) -> str:
+    return f"""SELECT DISTINCT '{method}' AS method, {key_sql} AS key,
+  CAST({member_sql} AS VARCHAR) AS member, CAST(NULL AS BIGINT) AS delta FROM ev"""
+
+
+q(
+    "sink_redis_command_catalog",
+    _redis_commands,
+    f"""{EV_CTE}
+SELECT 'INCRBY' AS method, concat('visitCounter_', {_MINUTE_KEY}) AS key,
+       CAST(NULL AS VARCHAR) AS member, count(*) AS delta
+FROM ev GROUP BY 2
+UNION ALL {_oracle_pairs('PFADD', f"concat('evcounter_e_', experiment_id, '_v_', variant, '_', {_MINUTE_KEY})", 'user_id')}
+UNION ALL {_oracle_pairs('PFADD', "concat('hll_var_', variant)", 'user_id')}
+UNION ALL {_oracle_pairs('SADD', "concat('set_var_', variant)", 'user_id')}
+UNION ALL {_oracle_pairs('PFADD', "concat('hll_exp_', experiment_id)", 'user_id')}
+UNION ALL {_oracle_pairs('SADD', "concat('set_exp_', experiment_id)", 'user_id')}
+UNION ALL {_oracle_pairs('PFADD', f"concat('hll_experiments_experiments_', {_MINUTE_KEY})", 'experiment_id')}
+UNION ALL {_oracle_pairs('SADD', f"concat('set_experiments_experiments_', {_MINUTE_KEY})", 'experiment_id')}
+UNION ALL {_oracle_pairs('PFADD', f"concat('hll_variants_variants_', {_MINUTE_KEY})", 'variant')}
+UNION ALL {_oracle_pairs('SADD', f"concat('set_variants_variants_', {_MINUTE_KEY})", 'variant')}
+UNION ALL {_oracle_pairs('PFADD', f"concat('hll_dthr_', {_MINUTE_KEY})", 'user_id')}
+UNION ALL {_oracle_pairs('SADD', f"concat('set_dthr_', {_MINUTE_KEY})", 'user_id')}""",
+)
+
+
+def _g1_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources.generator import generate_events
+
+    return generate_events(spark, n=10_000)
+
+
+# generator distribution is engine-hash-specific → rows-only; invariants
+# asserted in tests/test_generator.py
+q("g1_generated_events", _g1_events)
