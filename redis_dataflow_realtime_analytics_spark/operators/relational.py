@@ -295,3 +295,328 @@ def monthly_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.groupBy(F.date_trunc("month", F.col("o_orderdate")).alias("month"))
         .agg(dsum("o_totalprice", "revenue"), F.count("*").alias("n_orders"))
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H query shapes Q4–Q22, adapted to the testdata's slimmer schema
+# (no partsupp table, no l_commitdate/l_receiptdate/l_shipmode, no c_phone/
+# p_container — see TESTDATA.md). Each keeps the original query's OPERATOR
+# shape (the part the engine must execute well at 100 TB): correlated EXISTS
+# as semi-join, two-sided nation pairs, conditional-aggregate ratios,
+# group-then-distribute, scalar-subquery anti-join, OR-of-conjunct pushdown.
+# ---------------------------------------------------------------------------
+
+
+def _ts(s: str) -> F.Column:
+    return F.lit(s).cast("timestamp")
+
+
+# --- Q4: order priority checking (EXISTS → left-semi join + agg) -------------
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders per priority having ≥1 line shipped >30 days after order date
+    (adaptation of Q4's commit<receipt lateness; schema lacks those dates).
+    The correlated EXISTS becomes a left-semi join whose non-equi clause
+    (l_shipdate > o_orderdate + 30d) rides on the equi-key shuffle."""
+    orders = load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= _ts("1996-01-01"))
+        & (F.col("o_orderdate") < _ts("1997-01-01"))
+    )
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        orders.join(
+            li,
+            (orders.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def _nation_as(spark: SparkSession, sf_dir: str, key: str, name: str) -> DataFrame:
+    n = load(spark, sf_dir, "nation")
+    return n.select(F.col("n_nationkey").alias(key), F.col("n_name").alias(name))
+
+
+# --- Q7: volume shipping between two nations ---------------------------------
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bilateral trade: revenue per (supplier-nation, customer-nation, year)
+    for the NATION_1↔NATION_2 pair. Both nation lookups broadcast; the only
+    shuffles are the two fact-fact equi-joins and the final agg."""
+    li = load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= _ts("1996-01-01"))
+        & (F.col("l_shipdate") < _ts("1998-01-01"))
+    )
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    supp = load(spark, sf_dir, "supplier")
+    n1 = _nation_as(spark, sf_dir, "s_nkey", "supp_nation")
+    n2 = _nation_as(spark, sf_dir, "c_nkey", "cust_nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), supp.s_nationkey == F.col("s_nkey"))
+        .join(F.broadcast(n2), cust.c_nationkey == F.col("c_nkey"))
+        .where(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(dsum(_rev(li), "revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+# --- Q8: national market share (conditional-aggregate ratio) ------------------
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NATION_3's share of PROMO-part revenue sold into ASIA, per order year.
+    Numerator and denominator both go through the exact decimal accumulator,
+    so the final double division is deterministic under any partitioning."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= _ts("1996-01-01"))
+        & (F.col("o_orderdate") < _ts("1998-01-01"))
+    )
+    part = load(spark, sf_dir, "part").where(F.col("p_type") == "PROMO")
+    cust = load(spark, sf_dir, "customer")
+    supp = load(spark, sf_dir, "supplier")
+    n_cust = _nation_as(spark, sf_dir, "c_nkey", "cust_nation")
+    n_supp = _nation_as(spark, sf_dir, "s_nkey", "supp_nation")
+    region = load(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    nation = load(spark, sf_dir, "nation")
+    cust_region = (
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select(F.col("n_nationkey").alias("cr_nkey"))
+    )
+    rev = _rev(li).cast("decimal(38,6)")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(cust_region), cust.c_nationkey == F.col("cr_nkey"))
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n_supp), supp.s_nationkey == F.col("s_nkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (
+                F.sum(F.when(F.col("supp_nation") == "NATION_3", rev).otherwise(F.lit(0).cast("decimal(38,6)"))).cast("double")
+                / F.sum(rev).cast("double")
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+# --- Q9: product-type profit by nation/year -----------------------------------
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue from 'widget' parts per supplier nation and order year
+    (Q9's profit minus the ps_supplycost term — no partsupp table)."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    part = load(spark, sf_dir, "part").where(F.col("p_name").contains("widget"))
+    supp = load(spark, sf_dir, "supplier")
+    n_supp = _nation_as(spark, sf_dir, "s_nkey", "nation")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n_supp), supp.s_nationkey == F.col("s_nkey"))
+        .groupBy("nation", F.year("o_orderdate").alias("o_year"))
+        .agg(dsum(_rev(li), "sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+# --- Q10: returned-item reporting (top-20 customers by returned revenue) ------
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    orders = load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= _ts("1997-01-01"))
+        & (F.col("o_orderdate") < _ts("1997-04-01"))
+    )
+    cust = load(spark, sf_dir, "customer")
+    n = _nation_as(spark, sf_dir, "c_nkey", "n_name")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n), cust.c_nationkey == F.col("c_nkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(dsum(_rev(li), "revenue"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+# --- Q12: late-shipment priority mix ------------------------------------------
+def q12_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per line status: how many 1996 lines shipped >60 days after their
+    order, split by high vs low order priority (Q12's shipmode axis replaced
+    by l_linestatus; commit/receipt lateness replaced by ship lag)."""
+    li = load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= _ts("1996-01-01"))
+        & (F.col("l_shipdate") < _ts("1997-01-01"))
+    )
+    orders = load(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .where(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.count(F.when(high, 1)).alias("high_line_count"),
+            F.count(F.when(~high, 1)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+# --- Q13: customer order-count distribution (group-then-distribute) -----------
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of per-customer order counts, excluding 5-LOW orders.
+    Left join keeps order-less customers (c_count = 0)."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").where(F.col("o_orderpriority") != "5-LOW")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+# --- Q14: promotion-effect ratio ----------------------------------------------
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= _ts("1997-03-01"))
+        & (F.col("l_shipdate") < _ts("1997-04-01"))
+    )
+    part = load(spark, sf_dir, "part")
+    rev = _rev(li).cast("decimal(38,6)")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast("decimal(38,6)"))).cast("double")
+                / F.sum(rev).cast("double")
+            ).alias("promo_revenue")
+        )
+    )
+
+
+# --- Q15: top supplier (agg → max-join, no global sort) ------------------------
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier(s) with the maximum quarterly revenue. The max is a 1-row
+    broadcast join against the revenue aggregate — no single-partition
+    window, so the pattern scales to any supplier count."""
+    li = load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= _ts("1997-01-01"))
+        & (F.col("l_shipdate") < _ts("1997-04-01"))
+    )
+    supp = load(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(dsum(_rev(li), "total_revenue"))
+    mx = rev.agg(F.max("total_revenue").alias("max_rev"))
+    return (
+        rev.join(F.broadcast(mx), rev.total_revenue == F.col("max_rev"))
+        .join(supp, rev.l_suppkey == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+# --- Q17: small-quantity-order revenue ------------------------------------------
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average yearly revenue lost if Brand#23 orders below 20% of a part's
+    mean quantity were dropped. The per-part mean is a grouped agg joined
+    back on the part key (shuffle reused), not a correlated subquery."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#23")
+    part_avg = li.groupBy(F.col("l_partkey").alias("pa_key")).agg(
+        davg("l_quantity", "avg_qty")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(part_avg, li.l_partkey == F.col("pa_key"))
+        .where(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg((dsum("l_extendedprice") / F.lit(7.0)).alias("avg_yearly"))
+    )
+
+
+# --- Q18: large-volume customers -------------------------------------------------
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders whose total quantity exceeds 300, with their customers.
+    The HAVING filter runs on the lineitem aggregate BEFORE the joins, so
+    only the tiny qualifying set reaches the orders/customer tables."""
+    li = load(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(dsum("l_quantity", "sum_qty"))
+        .where(F.col("sum_qty") > 300)
+    )
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty")
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(100)
+    )
+
+
+# --- Q19: discounted revenue (OR-of-conjuncts pushdown) ---------------------------
+def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disjunction of three (brand, size-range, quantity-range) conjuncts —
+    the classic OR-of-ANDs predicate Catalyst must keep pushed below the
+    join (common l_quantity/p_size bounds are extracted as a pre-filter)."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return j.where(cond).agg(dsum(_rev(li), "revenue"))
+
+
+# --- Q22: dormant high-balance customers (scalar subquery + anti-join) ------------
+def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per nation: customers with above-average (positive-balance) account
+    balance and no orders since 2000 (Q22's phone-prefix axis replaced by
+    nationkey). The global mean is a 1-row broadcast; the NOT EXISTS is a
+    left-anti join."""
+    cust = load(spark, sf_dir, "customer")
+    avg_bal = cust.where(F.col("c_acctbal") > 0).agg(
+        davg("c_acctbal", "avg_bal")
+    )
+    recent = (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") >= _ts("2000-01-01"))
+        .select("o_custkey")
+    )
+    return (
+        cust.join(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("numcust"), dsum("c_acctbal", "totacctbal"))
+        .orderBy("c_nationkey")
+    )

@@ -610,3 +610,170 @@ def _g1_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # generator distribution is engine-hash-specific → rows-only; invariants
 # asserted in tests/test_generator.py
 q("g1_generated_events", _g1_events)
+
+# ---------------------------------------------------------------------------
+# TPC-H query shapes Q4–Q22 adapted to the testdata schema (operators/
+# relational.py bottom half). Decimal-sum convention on every double measure.
+# ---------------------------------------------------------------------------
+q(
+    "q4_order_priority",
+    relational.q4_order_priority,
+    """SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+GROUP BY 1""",
+)
+q(
+    "q7_volume_shipping",
+    relational.q7_volume_shipping,
+    f"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+  CAST(year(l_shipdate) AS INTEGER) AS l_year, {oracle_dsum(_REV)} AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+GROUP BY 1, 2, 3""",
+)
+q(
+    "q8_market_share",
+    relational.q8_market_share,
+    f"""SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+  CAST(SUM(CASE WHEN n1.n_name = 'NATION_3'
+                THEN CAST({_REV} AS DECIMAL(38,6))
+                ELSE CAST(0 AS DECIMAL(38,6)) END) AS DOUBLE)
+  / CAST(SUM(CAST({_REV} AS DECIMAL(38,6))) AS DOUBLE) AS mkt_share
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+JOIN region ON n2.n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+WHERE p_type = 'PROMO' AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY 1""",
+)
+q(
+    "q9_product_profit",
+    relational.q9_product_profit,
+    f"""SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+  {oracle_dsum(_REV)} AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%widget%'
+GROUP BY 1, 2""",
+)
+q(
+    "q10_returned_items",
+    relational.q10_returned_items,
+    f"""SELECT c_custkey, c_name, c_acctbal, n_name, {oracle_dsum(_REV)} AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-04-01'
+GROUP BY 1, 2, 3, 4
+ORDER BY revenue DESC, c_custkey
+LIMIT 20""",
+)
+q(
+    "q12_late_shipments",
+    relational.q12_late_shipments,
+    """SELECT l_linestatus,
+  count(*) FILTER (WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')) AS high_line_count,
+  count(*) FILTER (WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH')) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+GROUP BY 1""",
+)
+q(
+    "q13_customer_distribution",
+    relational.q13_customer_distribution,
+    """SELECT c_count, count(*) AS custdist FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+  GROUP BY 1) t
+GROUP BY 1""",
+)
+q(
+    "q14_promo_revenue",
+    relational.q14_promo_revenue,
+    f"""SELECT 100.0
+  * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN CAST({_REV} AS DECIMAL(38,6))
+             ELSE CAST(0 AS DECIMAL(38,6)) END) AS DOUBLE)
+  / CAST(SUM(CAST({_REV} AS DECIMAL(38,6))) AS DOUBLE) AS promo_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-03-01' AND l_shipdate < TIMESTAMP '1997-04-01'""",
+)
+q(
+    "q15_top_supplier",
+    relational.q15_top_supplier,
+    f"""WITH rev AS (
+  SELECT l_suppkey, {oracle_dsum(_REV)} AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+  GROUP BY 1)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN rev ON s_suppkey = l_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM rev)""",
+)
+q(
+    "q17_small_quantity_revenue",
+    relational.q17_small_quantity_revenue,
+    f"""WITH pa AS (
+  SELECT l_partkey AS pa_key, {oracle_davg('l_quantity')} AS avg_qty
+  FROM lineitem GROUP BY 1)
+SELECT {oracle_dsum('l_extendedprice')} / 7.0 AS avg_yearly
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN pa ON l_partkey = pa_key
+WHERE p_brand = 'Brand#23' AND l_quantity < CAST(0.2 AS DOUBLE) * avg_qty""",
+)
+q(
+    "q18_large_volume_customers",
+    relational.q18_large_volume_customers,
+    f"""WITH big AS (
+  SELECT l_orderkey, {oracle_dsum('l_quantity')} AS sum_qty
+  FROM lineitem GROUP BY 1 HAVING {oracle_dsum('l_quantity')} > 300)
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
+FROM orders
+JOIN big ON o_orderkey = l_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100""",
+)
+q(
+    "q19_discounted_revenue",
+    relational.q19_discounted_revenue,
+    f"""SELECT {oracle_dsum(_REV)} AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""",
+)
+q(
+    "q22_dormant_customers",
+    relational.q22_dormant_customers,
+    f"""SELECT c_nationkey, count(*) AS numcust, {oracle_dsum('c_acctbal')} AS totacctbal
+FROM customer c
+WHERE c_acctbal > (SELECT {oracle_davg('c_acctbal')} FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY 1""",
+)
