@@ -47,6 +47,26 @@ def _norm_text() -> F.Column:
     return F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
 
 
+def _spread(docs: DataFrame) -> DataFrame:
+    """Round-robin repartition a narrow doc frame across all cores when the
+    scan produced fewer splits than the cluster has slots.
+
+    The signature/shingle stages below are compute-bound per row; a small
+    parquet (or a 100 TB table whose files outnumber partitions unevenly)
+    must not serialize them onto a handful of tasks. Shuffling (doc_id,
+    text) rows is cheap relative to the per-doc hashing work, and a no-op
+    decision when the scan already has enough splits. The file count is a
+    pure metadata lookup (no job, unlike ``rdd.getNumPartitions``)."""
+    target = docs.sparkSession.sparkContext.defaultParallelism
+    try:
+        n_files = len(docs.inputFiles())
+    except Exception:  # non-file-backed frame — nothing to infer
+        n_files = target
+    if n_files >= target:
+        return docs
+    return docs.repartition(target)
+
+
 # --- Exact dedup -------------------------------------------------------------
 def exact_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate groups by content hash: (text_hash, canonical_doc_id,
@@ -67,14 +87,17 @@ def dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- Shingles ---------------------------------------------------------------
-def _shingles(docs: DataFrame, k: int = NGRAM_K) -> DataFrame:
-    """Distinct k-token shingles per doc: (doc_id, shingle)."""
-    toks = F.split(F.trim(F.col("text")), TOKEN_RE)
-    sh = F.expr(
+def _shingle_array(k: int = NGRAM_K) -> F.Column:
+    """Distinct k-token shingle array for ``text`` — one map-side expression."""
+    return F.expr(
         f"array_distinct(transform(sequence(0, greatest(size(split(trim(text), '\\\\s+')) - {k}, 0)), "
         f"i -> concat_ws(' ', slice(split(trim(text), '\\\\s+'), i + 1, {k}))))"
     )
-    return docs.select("doc_id", F.explode(sh).alias("shingle"))
+
+
+def _shingles(docs: DataFrame, k: int = NGRAM_K) -> DataFrame:
+    """Distinct k-token shingles per doc: (doc_id, shingle)."""
+    return docs.select("doc_id", F.explode(_shingle_array(k)).alias("shingle"))
 
 
 def ngram_jaccard_pairs(
@@ -86,27 +109,33 @@ def ngram_jaccard_pairs(
     jaccard = |A∩B| / (|A| + |B| − |A∩B|) over distinct 3-token shingles —
     integer set sizes, so the double division is bit-deterministic and
     oracle-checkable.
+
+    Plan shape: the per-doc set size |A| is ``size()`` of the shingle array
+    (computed in the same map-side projection as the explode) and rides
+    along each inverted-index row, so the whole query is ONE self-join on
+    the shingle plus ONE aggregation — no separate size table, no extra
+    joins, nothing cached.
     """
-    docs = load(spark, sf_dir, "documents")
-    sh = _shingles(docs).cache()
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
-    common = (
+    docs = _spread(load(spark, sf_dir, "documents"))
+    # Materialize the shingle array ONCE per doc in its own projection;
+    # size()/explode() then reference the attribute. (Inlining the array
+    # expression into both would recompute it per exploded row — the
+    # optimizer keeps multiply-referenced non-trivial aliases as-is.)
+    arr = docs.select("doc_id", _shingle_array().alias("arr"))
+    sh = arr.select(
+        "doc_id", F.size("arr").alias("n"), F.explode("arr").alias("shingle")
+    ).cache()  # the inverted index feeds both sides of the self-join
+    return (
         sh.alias("a")
         .join(sh.alias("b"), "shingle")
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
         .groupBy(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
         )
         .agg(F.count("*").alias("n_common"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb"))
-    # sizes is one row per doc — NOT broadcastable at 100 TB; let AQE pick
-    # the strategy (it will broadcast at small SF, shuffle-join at scale).
-    return (
-        common.join(sa, "doc_a")
-        .join(sb, "doc_b")
         .withColumn("jaccard", F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common")))
         .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
@@ -145,8 +174,11 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
     """32-permutation MinHash signature per doc over 3-token shingles.
 
     Each "permutation" is ``xxhash64(seed_i, shingle)``; the signature
-    column ``h0..h31`` is the per-seed min — computed map-side by the
-    partial aggregation of one groupBy."""
+    column ``h0..h31`` is the per-seed min, computed by one explode +
+    groupBy. The 32 min-aggregates stay inside whole-stage codegen (an
+    array-fold formulation benches ~4× slower: higher-order-function
+    lambdas evaluate interpreted), and partial aggregation collapses the
+    exploded rows back to one per doc before the shuffle."""
     sh = _shingles(docs)
     aggs = [
         F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
@@ -189,7 +221,7 @@ def minhash_neardup_pairs(
     """LSH candidates refined by estimated Jaccard (fraction of matching
     signature slots) ≥ threshold. Sub-quadratic: no pair outside a shared
     band bucket is ever scored."""
-    docs = load(spark, sf_dir, "documents")
+    docs = _spread(load(spark, sf_dir, "documents"))
     sig = minhash_signatures(docs).cache()
     cands = minhash_lsh_candidates(docs)
     a = sig.select(F.col("doc_id").alias("doc_a"), *[F.col(f"h{i}").alias(f"a{i}") for i in range(N_HASHES)])
@@ -216,31 +248,26 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
     """64-bit SimHash per doc: per-bit majority vote over distinct-token
     ``xxhash64`` values (tie votes resolve to 1 — deterministic).
 
-    Computed entirely per-row with array higher-order functions — token
-    hashes once, then one fold per bit — no explode, no shuffle: the whole
-    signature stage is a map-only projection that scales linearly."""
-    hashed = docs.select(
-        "doc_id",
-        F.expr(
-            "transform(array_distinct(split(trim(text), '\\\\s+')), t -> xxhash64(t))"
-        ).alias("th"),
+    Computed entirely per-row as ONE nested higher-order-function fold:
+    token hashes → 64 vote counters (array accumulator) → bit assembly.
+    No explode, no shuffle, and — unlike a 64-column formulation — a small
+    generated-code footprint, so the first run isn't dominated by Janino
+    compilation."""
+    b = SIMHASH_BITS
+    sim = F.expr(
+        f"aggregate("
+        f"  zip_with("
+        f"    aggregate("
+        f"      transform(array_distinct(split(trim(text), '\\\\s+')), t -> xxhash64(t)),"
+        f"      array_repeat(0, {b}),"
+        f"      (acc, h) -> zip_with(acc, sequence(0, {b - 1}),"
+        f"                           (a, i) -> a + IF(((h >> i) & 1) = 1, 1, -1))),"
+        f"    sequence(0, {b - 1}),"
+        f"    (v, i) -> IF(v >= 0, shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT))),"
+        f"  CAST(0 AS BIGINT),"
+        f"  (s, bit) -> s | bit)"
     )
-    votes = hashed.select(
-        "doc_id",
-        *[
-            F.expr(
-                f"aggregate(th, 0, (acc, h) -> acc + IF(((h >> {i}) & 1) = 1, 1, -1))"
-            ).alias(f"v{i}")
-            for i in range(SIMHASH_BITS)
-        ],
-    )
-    sim = None
-    for i in range(SIMHASH_BITS):
-        bit = F.when(F.col(f"v{i}") >= 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
-            F.lit(0).cast("long")
-        )
-        sim = bit if sim is None else sim.bitwiseOR(bit)
-    return votes.select("doc_id", sim.alias("simhash"))
+    return docs.select("doc_id", sim.alias("simhash"))
 
 
 def simhash_neardup_pairs(
@@ -252,7 +279,7 @@ def simhash_neardup_pairs(
     any equal chunk — by pigeonhole, every pair within Hamming distance 3
     shares at least one chunk, so recall is exact for the distance bound.
     """
-    docs = load(spark, sf_dir, "documents")
+    docs = _spread(load(spark, sf_dir, "documents"))
     sig = simhash_signatures(docs).cache()
     chunks = sig.select(
         "doc_id",
