@@ -63,3 +63,39 @@ def test_q6_scan_only_needed_columns(spark):
     df = relational.q6_forecast_revenue(spark, SF_SMOKE)
     cols = plans.read_schema_columns(df)
     assert set(cols) <= {"l_shipdate", "l_discount", "l_quantity", "l_extendedprice"}, cols
+
+
+def test_q4_exists_becomes_semi_join(spark):
+    df = relational.q4_order_priority(spark, SF_SMOKE)
+    p = plans.plan_string(df)
+    assert "LeftSemi" in p, p
+
+
+def test_q4_date_filter_pushed(spark):
+    df = relational.q4_order_priority(spark, SF_SMOKE)
+    assert "o_orderdate" in plans.pushed_filters(df)
+
+
+def test_q7_nation_lookups_broadcast(spark):
+    df = relational.q7_volume_shipping(spark, SF_SMOKE)
+    p = plans.plan_string(df)
+    assert p.count("BroadcastHashJoin") >= 3, p
+
+
+def test_q19_or_predicate_pushed_to_scan(spark):
+    df = relational.q19_discounted_revenue(spark, SF_SMOKE)
+    pf = plans.pushed_filters(df)
+    assert "Or(" in pf and "l_quantity" in pf, pf
+
+
+def test_q22_not_exists_becomes_anti_join(spark):
+    df = relational.q22_dormant_customers(spark, SF_SMOKE)
+    p = plans.plan_string(df)
+    assert "LeftAnti" in p, p
+
+
+def test_q18_lineitem_scan_pruned(spark):
+    """The qty aggregate must read only (l_orderkey, l_quantity)."""
+    df = relational.q18_large_volume_customers(spark, SF_SMOKE)
+    cols = plans.read_schema_columns(df)
+    assert "l_extendedprice" not in cols and "l_shipdate" not in cols, cols
