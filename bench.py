@@ -46,7 +46,11 @@ HEADLINE = [
     "dedup_simhash_neardup_pairs",
     "ann_topk_bruteforce",
     "ann_ivf_topk",
+    "ann_lsh_topk",
     "stream_visits_per_minute",
+    "q4_order_priority",
+    "q13_customer_distribution",
+    "q18_large_volume_customers",
 ]
 
 
@@ -54,6 +58,16 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     # warm the JVM/codegen paths so timings measure the plans, not startup
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    # warm the Python/Arrow UDF workers the same way (pandas-UDF queries
+    # otherwise pay a one-time ~3 s interpreter spin-up inside their slot)
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _ident(s):
+        return s
+
+    _ident.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    spark.range(1_000).select(pandas_udf(_ident, "long")("id")).collect()
 
     times: dict[str, float] = {}
     for name in HEADLINE:

@@ -103,6 +103,104 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str, threshold: float =
 CENTROID_MOD = 50
 
 
+#: Random-hyperplane LSH: signature width (2^LSH_BITS buckets). With
+#: Hamming-1 multiprobe this scans ≈(LSH_BITS+1)/2^LSH_BITS of the corpus
+#: per query (~19% at 5 bits); widen for larger corpora.
+LSH_BITS = 5
+LSH_SEED = 7
+
+
+def _lsh_bucket_udf(n_bits: int = LSH_BITS, seed: int = LSH_SEED):
+    """Vectorized Arrow UDF: embedding → hyperplane-sign bucket id.
+
+    The hyperplane matrix is derived from a fixed seed (no fit step), so
+    bucket assignment is deterministic across runs, partitions, and cluster
+    sizes. One numpy matmul per Arrow batch — the idiomatic Pandas-UDF
+    shape for per-row linear algebra Spark's built-ins can't express.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import LongType
+    from pyspark.sql.functions import pandas_udf
+
+    def bucket(emb):
+        if emb.empty:
+            return pd.Series([], dtype="int64")
+        x = np.vstack(emb.to_numpy())  # (batch, dim) float32
+        planes = np.random.RandomState(seed).standard_normal((x.shape[1], n_bits))
+        bits = (x @ planes) >= 0.0  # (batch, n_bits) bool
+        weights = 1 << np.arange(n_bits, dtype=np.int64)
+        return pd.Series(bits @ weights)
+
+    # `from __future__ import annotations` stringifies hints module-wide,
+    # which pandas_udf's type-hint inference rejects — attach real objects.
+    bucket.__annotations__ = {"emb": pd.Series, "return": pd.Series}
+    return pandas_udf(bucket, LongType())
+
+
+def ann_lsh_topk(
+    spark: SparkSession, sf_dir: str, k: int = 10, n_bits: int = LSH_BITS
+) -> DataFrame:
+    """Random-hyperplane LSH approximate top-k (third ANN strategy next to
+    brute force and IVF).
+
+    Corpus vectors hash to a 2^n_bits bucket via sign bits against fixed
+    hyperplanes; each query probes its own bucket plus every Hamming-1
+    neighbor (n_bits+1 probes), then candidates re-rank by exact
+    fixed-point cosine. Expected work per query ≈ |corpus|·(n_bits+1)/2^n_bits.
+    At scale the corpus is written partitioned by ``lsh_bucket`` so probing
+    is partition pruning, same as the IVF layout.
+
+    Output schema matches :func:`ann_topk_bruteforce`; recall vs the exact
+    baseline is asserted in tests/test_similarity.py.
+    """
+    bucket_udf = _lsh_bucket_udf(n_bits)
+    # Cache the bucketed corpus: it feeds both the probe join's corpus side
+    # and the (collected) broadcast query set — without it the Python UDF
+    # stage runs once per consumer.
+    emb = (
+        load(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            V.quantize("embedding").alias("qvec"),
+            bucket_udf("embedding").alias("bucket"),
+        )
+        .withColumn("n2", V.qnorm2("qvec"))
+        .cache()
+    )
+
+    q = emb.where(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qvec").alias("q_qvec"),
+        F.col("n2").alias("q_n2"),
+        F.explode(
+            F.array(
+                F.col("bucket"),
+                *[
+                    F.col("bucket").bitwiseXOR(F.lit(1 << i).cast("long"))
+                    for i in range(n_bits)
+                ],
+            )
+        ).alias("probe_bucket"),
+    )
+
+    scored = (
+        emb.join(
+            F.broadcast(q),
+            (F.col("bucket") == F.col("probe_bucket"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .withColumn("dot", V.qdot("qvec", "q_qvec"))
+        .withColumn("cosine", V.cosine("dot", "n2", "q_n2"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "cosine", "rank")
+    )
+
+
 def ann_ivf_topk(
     spark: SparkSession, sf_dir: str, k: int = 10, nprobe: int = 3
 ) -> DataFrame:

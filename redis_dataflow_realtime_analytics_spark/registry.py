@@ -611,6 +611,11 @@ def _g1_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # asserted in tests/test_generator.py
 q("g1_generated_events", _g1_events)
 
+# Random-hyperplane LSH ANN (third strategy next to brute force / IVF) —
+# bucket ids are engine-hash-specific, so rows-only; recall vs the exact
+# baseline is asserted in tests/test_similarity.py.
+q("ann_lsh_topk", similarity.ann_lsh_topk)
+
 # ---------------------------------------------------------------------------
 # TPC-H query shapes Q4–Q22 adapted to the testdata schema (operators/
 # relational.py bottom half). Decimal-sum convention on every double measure.

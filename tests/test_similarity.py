@@ -47,3 +47,27 @@ def test_neardup_pairs_symmetric_threshold(spark):
     for r in df.collect():
         assert r.vec_id_a < r.vec_id_b
         assert r.cosine >= 0.4
+
+
+def test_lsh_recall_vs_bruteforce(spark):
+    exact = _topk_sets(similarity.ann_topk_bruteforce(spark, SF_SMOKE, k=10))
+    approx = _topk_sets(similarity.ann_lsh_topk(spark, SF_SMOKE, k=10))
+    assert set(approx) <= set(exact)
+    # every query must surface (its own bucket always probes)
+    assert set(approx) == set(exact)
+    recalls = [len(exact[q] & approx[q]) / 10 for q in exact]
+    mean_recall = sum(recalls) / len(recalls)
+    # 6 of 32 buckets probed ≈ 19% of the corpus scanned; recall clearly
+    # above that random-scan floor indicates hyperplane locality works
+    assert mean_recall >= 0.27, f"LSH mean recall {mean_recall}"
+
+
+def test_lsh_bucket_deterministic(spark):
+    from redis_dataflow_realtime_analytics_spark.tables import load
+
+    udf = similarity._lsh_bucket_udf()
+    emb = load(spark, SF_SMOKE, "embeddings").limit(50)
+    a = {r.vec_id: r.b for r in emb.select("vec_id", udf("embedding").alias("b")).collect()}
+    b = {r.vec_id: r.b for r in emb.select("vec_id", udf("embedding").alias("b")).collect()}
+    assert a == b
+    assert all(0 <= v < (1 << similarity.LSH_BITS) for v in a.values())
