@@ -26,11 +26,14 @@ def has_broadcast_join(df: DataFrame) -> bool:
 
 def count_exchanges(df: DataFrame) -> int:
     """Number of shuffle exchanges in the physical plan (broadcast
-    exchanges excluded)."""
+    exchanges excluded).
+
+    Counts the formatted-explain detail headers ``(N) Exchange`` — in
+    formatted mode the partitioning arguments sit on a separate
+    ``Arguments:`` line, so matching ``Exchange hashpartitioning`` (the
+    simple-mode spelling) silently finds nothing."""
     p = plan_string(df)
-    return len(
-        re.findall(r"Exchange (?:hashpartitioning|rangepartitioning|SinglePartition)", p)
-    )
+    return len(re.findall(r"^\(\d+\) Exchange\b", p, re.MULTILINE))
 
 
 def pushed_filters(df: DataFrame) -> str:

@@ -95,6 +95,22 @@ q(
     "w3_uniques_per_variant_approx",
     lambda s, d: metrics.uniques_per_variant(_ev(s, d), exact=False),
 )
+def _w4_user_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    return metrics.user_sets_per_variant(_ev(spark, sf_dir)).select(
+        "variant", F.sort_array("user_set").alias("user_set")
+    )
+
+
+# W4/W6 set legs materialize the SET ITSELF (SADD/SMEMBERS), not just its
+# cardinality; sorted for order-insensitive value comparison.
+q(
+    "w4_user_sets_per_variant",
+    _w4_user_sets,
+    f"""{EV_CTE}
+SELECT variant, list_sort(list(DISTINCT user_id)) AS user_set FROM ev GROUP BY 1""",
+)
 q(
     "w5_uniques_per_experiment",
     lambda s, d: metrics.uniques_per_experiment(_ev(s, d)),
