@@ -95,6 +95,24 @@ q(
     "w3_uniques_per_variant_approx",
     lambda s, d: metrics.uniques_per_variant(_ev(s, d), exact=False),
 )
+def _w3_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.skew import salted_count_distinct
+
+    return salted_count_distinct(
+        _ev(spark, sf_dir), ["variant"], "user_id", "unique_users"
+    )
+
+
+# W3 under the skew-resilient salted two-phase plan — same oracle as the
+# naive grain proves the salting is exact (functions/skew.py).
+q(
+    "w3_uniques_per_variant_salted",
+    _w3_salted,
+    f"""{EV_CTE}
+SELECT variant, count(DISTINCT user_id) AS unique_users FROM ev GROUP BY 1""",
+)
+
+
 def _w4_user_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 

@@ -99,3 +99,17 @@ def test_q18_lineitem_scan_pruned(spark):
     df = relational.q18_large_volume_customers(spark, SF_SMOKE)
     cols = plans.read_schema_columns(df)
     assert "l_extendedprice" not in cols and "l_shipdate" not in cols, cols
+
+
+def test_salted_distinct_two_phase(spark):
+    """Salted W3: phase-1 shuffle on (variant, salt), phase-2 on variant —
+    two exchanges, and the result is exact (oracle-gated in the registry)."""
+    from redis_dataflow_realtime_analytics_spark.functions.skew import (
+        salted_count_distinct,
+    )
+
+    ev = normalize_events(read_events(spark, SF_SMOKE))
+    df = salted_count_distinct(ev, ["variant"], "user_id", "unique_users")
+    p = plans.plan_string(df)
+    assert "xxhash64" in p, p  # the value-hash salt key
+    assert plans.count_exchanges(df) >= 2, p
