@@ -1,0 +1,123 @@
+"""Property-based invariants (hypothesis) over the engine's determinism
+contracts: order-independence of aggregation grains, symmetry of pairwise
+operators, and exactness of the fixed-point vector math.
+
+Example counts are small — every example is a Spark job — but each property
+runs over randomized inputs the fixture tables can't produce.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from redis_dataflow_realtime_analytics_spark.functions import vectors as V
+from redis_dataflow_realtime_analytics_spark.functions.skew import salted_count_distinct
+from redis_dataflow_realtime_analytics_spark.operators import timeseries
+
+SETTINGS = dict(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+events_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 30),  # user_id
+        st.sampled_from(["default", "1", "2", "3"]),  # variant
+        st.integers(0, 120),  # seconds offset
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+def _ev_df(spark, rows):
+    return spark.createDataFrame(
+        [(u, v, s) for u, v, s in rows], ["user_id", "variant", "sec"]
+    ).select(
+        "user_id",
+        "variant",
+        F.expr("timestamp_micros(CAST(1700000000000000 + sec * 1000000 AS BIGINT))").alias("ts"),
+    )
+
+
+@given(rows=events_strategy)
+@settings(**SETTINGS)
+def test_salted_distinct_equals_naive(spark, rows):
+    """Salting never changes the exact distinct count, for any input."""
+    ev = _ev_df(spark, rows)
+    naive = {
+        r.variant: r.n
+        for r in ev.groupBy("variant").agg(F.count_distinct("user_id").alias("n")).collect()
+    }
+    salted = {
+        r.variant: r.n
+        for r in salted_count_distinct(ev, ["variant"], "user_id", "n", n_salts=4).collect()
+    }
+    assert naive == salted
+
+
+@given(rows=events_strategy)
+@settings(**SETTINGS)
+def test_variant_overlap_symmetric_and_bounded(spark, rows):
+    """overlap(a,b) is emitted once per unordered pair and never exceeds
+    either variant's audience (R5 invariants)."""
+    ev = _ev_df(spark, rows)
+    uniques = {
+        r.variant: r.n
+        for r in ev.groupBy("variant").agg(F.count_distinct("user_id").alias("n")).collect()
+    }
+    seen = set()
+    for r in timeseries.variant_overlap(ev).collect():
+        assert r.variant_a < r.variant_b
+        assert (r.variant_a, r.variant_b) not in seen
+        seen.add((r.variant_a, r.variant_b))
+        assert 0 < r.overlap <= min(uniques[r.variant_a], uniques[r.variant_b])
+
+
+@given(rows=events_strategy, seed=st.integers(0, 2**31 - 1))
+@settings(**SETTINGS)
+def test_minute_grain_permutation_invariant(spark, rows, seed):
+    """Event order (late data) never changes event-time minute buckets."""
+    import random
+
+    ev = _ev_df(spark, rows)
+    shuffled_rows = list(rows)
+    random.Random(seed).shuffle(shuffled_rows)
+    ev2 = _ev_df(spark, shuffled_rows)
+
+    def buckets(df):
+        return sorted(
+            (str(r.minute), r.visits)
+            for r in df.groupBy(F.date_trunc("minute", "ts").alias("minute"))
+            .agg(F.count("*").alias("visits"))
+            .collect()
+        )
+
+    assert buckets(ev) == buckets(ev2)
+
+
+vec_strategy = st.lists(
+    st.floats(-4.0, 4.0, allow_nan=False, width=32), min_size=4, max_size=16
+)
+
+
+@given(a=vec_strategy)
+@settings(**SETTINGS)
+def test_quantized_dot_commutative_and_int_exact(spark, a):
+    """Fixed-point dots are exact int64s: commutative, and the squared norm
+    is non-negative regardless of float input."""
+    b = list(reversed(a))
+    df = spark.createDataFrame([(a, b)], "a array<float>, b array<float>").select(
+        V.quantize("a").alias("qa"), V.quantize("b").alias("qb")
+    )
+    r = df.select(
+        V.qdot("qa", "qb").alias("ab"),
+        V.qdot("qb", "qa").alias("ba"),
+        V.qnorm2("qa").alias("n2"),
+    ).collect()[0]
+    assert r.ab == r.ba
+    assert isinstance(r.ab, int)
+    assert r.n2 >= 0
