@@ -95,6 +95,54 @@ q(
     "w3_uniques_per_variant_approx",
     lambda s, d: metrics.uniques_per_variant(_ev(s, d), exact=False),
 )
+def _stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming import pipeline
+
+    return pipeline.stream_sliding_visits(spark, f"{sf_dir}/events.parquet")
+
+
+def _stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming import pipeline
+
+    return pipeline.stream_user_sessions(spark, f"{sf_dir}/events.parquet")
+
+
+# Streaming twins of the batch sliding/session windows — same oracles
+# (stream/batch parity is the correctness claim).
+q(
+    "stream_sliding_visits",
+    _stream_sliding,
+    sessions.oracle_sliding_visits(EV_CTE),
+)
+q(
+    "stream_user_sessions",
+    _stream_sessions,
+    sessions.oracle_user_sessions(EV_CTE),
+)
+
+
+def _ev_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    return (
+        _ev(spark, sf_dir)
+        .cube("experiment_id", "variant")
+        .agg(F.count_distinct("user_id").alias("unique_users"))
+    )
+
+
+# The reference computes exp-grain (W5), variant-grain (W3) and
+# exp×variant-grain (W2) uniques as three hand-built legs — i.e. a manual
+# cube (SURVEY §2.5). One cube() covers all four grouping sets.
+q(
+    "ev_cube_uniques",
+    _ev_cube,
+    f"""{EV_CTE}
+SELECT experiment_id, variant, count(DISTINCT user_id) AS unique_users
+FROM ev GROUP BY CUBE (experiment_id, variant)""",
+)
+
+
 def _w3_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.skew import salted_count_distinct
 

@@ -104,6 +104,66 @@ def stream_uniques_per_minute_approx(
     return spark.table(name)
 
 
+def stream_sliding_visits(
+    spark: SparkSession, events_path: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """Sliding (hopping) window in streaming mode: visits per 5-minute
+    window hopping every minute — the streaming twin of
+    ``operators.sessions.sliding_visits`` (same oracle, stream/batch
+    parity). Watermark bounds the open-window state to
+    (watermark + window)/hop windows per key-space slice."""
+    ev = normalize_events(read_events_stream(spark, events_path, max_files_per_trigger))
+    agg = (
+        ev.withWatermark("ts", WATERMARK)
+        .groupBy(F.window("ts", "5 minutes", "1 minute").alias("w"))
+        .agg(F.count("*").alias("visits"))
+        .select(F.col("w.start").alias("window_start"), "visits")
+    )
+    name = f"slide_{uuid.uuid4().hex}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def stream_user_sessions(
+    spark: SparkSession, events_path: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """Gap-based session windows in streaming mode — the streaming twin of
+    ``operators.sessions.user_sessions`` (same oracle). ``session_window``
+    keeps one open session per user in state; the watermark closes and
+    emits sessions once no on-time event can extend them."""
+    from ..operators.sessions import SESSION_GAP
+
+    ev = normalize_events(read_events_stream(spark, events_path, max_files_per_trigger))
+    agg = (
+        ev.withWatermark("ts", WATERMARK)
+        .groupBy("user_id", F.session_window("ts", SESSION_GAP).alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    name = f"sess_{uuid.uuid4().hex}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 # ---------------------------------------------------------------------------
 # foreachBatch mergeable-partials store
 # ---------------------------------------------------------------------------
