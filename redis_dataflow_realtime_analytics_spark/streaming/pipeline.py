@@ -33,7 +33,9 @@ Scale notes (100 TB/day ingest):
 
 from __future__ import annotations
 
+import os
 import uuid
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -44,8 +46,44 @@ from ..sources.events import normalize_events, read_events_stream
 WATERMARK = "10 minutes"
 
 
+@contextmanager
+def _state_partitions(spark: SparkSession):
+    """Pin ``spark.sql.shuffle.partitions`` to the core count for the
+    duration of a streaming replay.
+
+    Streaming stateful aggregation fixes its state-store partition count at
+    query start and AQE never coalesces it, so an unconfigured session's
+    default (200) pays 200-task stateful stages per micro-batch on a
+    32-core box. On a cluster, size this to executors × cores instead.
+    The previous value is restored after the query terminates."""
+    key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    try:
+        yield
+    finally:
+        if old is not None:
+            spark.conf.set(key, old)
+
+
 def _minute(col: str = "ts") -> F.Column:
     return F.date_trunc("minute", F.col(col)).alias("minute")
+
+
+def _replay_to_memory(spark: SparkSession, agg: DataFrame, prefix: str) -> DataFrame:
+    """Run a streaming aggregate to completion (availableNow) into a memory
+    sink and return the final table, with state partitions pinned."""
+    with _state_partitions(spark):
+        name = f"{prefix}_{uuid.uuid4().hex}"
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(name)
 
 
 # ---------------------------------------------------------------------------
@@ -69,16 +107,7 @@ def stream_visits_per_minute(
         .agg(F.count("*").alias("visits"))
         .select(F.col("w.start").alias("minute"), "visits")
     )
-    name = f"visits_{uuid.uuid4().hex}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name)
+    return _replay_to_memory(spark, agg, "visits")
 
 
 def stream_uniques_per_minute_approx(
@@ -92,16 +121,7 @@ def stream_uniques_per_minute_approx(
         .agg(F.approx_count_distinct("user_id", rsd=HLL_RSD).alias("unique_users"))
         .select(F.col("w.start").alias("minute"), "unique_users")
     )
-    name = f"uniq_{uuid.uuid4().hex}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name)
+    return _replay_to_memory(spark, agg, "uniq")
 
 
 def stream_sliding_visits(
@@ -119,16 +139,7 @@ def stream_sliding_visits(
         .agg(F.count("*").alias("visits"))
         .select(F.col("w.start").alias("window_start"), "visits")
     )
-    name = f"slide_{uuid.uuid4().hex}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name)
+    return _replay_to_memory(spark, agg, "slide")
 
 
 def stream_user_sessions(
@@ -152,16 +163,7 @@ def stream_user_sessions(
             "n_events",
         )
     )
-    name = f"sess_{uuid.uuid4().hex}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name)
+    return _replay_to_memory(spark, agg, "sess")
 
 
 # ---------------------------------------------------------------------------

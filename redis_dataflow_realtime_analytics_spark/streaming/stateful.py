@@ -59,15 +59,18 @@ def stream_exact_uniques_per_variant(
             update, OUTPUT_SCHEMA, STATE_SCHEMA, "update", GroupStateTimeout.NoTimeout
         )
     )
+    from .pipeline import _state_partitions
+
     name = f"state_uniq_{uuid.uuid4().hex}"
-    q = (
-        updates.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _state_partitions(spark):
+        q = (
+            updates.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return (
         spark.table(name)
         .groupBy("variant")
