@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..tables import load
+from ..tables import load, spread
 
 TOKEN_RE = r"\s+"
 
@@ -47,24 +47,8 @@ def _norm_text() -> F.Column:
     return F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
 
 
-def _spread(docs: DataFrame) -> DataFrame:
-    """Round-robin repartition a narrow doc frame across all cores when the
-    scan produced fewer splits than the cluster has slots.
-
-    The signature/shingle stages below are compute-bound per row; a small
-    parquet (or a 100 TB table whose files outnumber partitions unevenly)
-    must not serialize them onto a handful of tasks. Shuffling (doc_id,
-    text) rows is cheap relative to the per-doc hashing work, and a no-op
-    decision when the scan already has enough splits. The file count is a
-    pure metadata lookup (no job, unlike ``rdd.getNumPartitions``)."""
-    target = docs.sparkSession.sparkContext.defaultParallelism
-    try:
-        n_files = len(docs.inputFiles())
-    except Exception:  # non-file-backed frame — nothing to infer
-        n_files = target
-    if n_files >= target:
-        return docs
-    return docs.repartition(target)
+#: Shared with the text operators — see tables.spread.
+_spread = spread
 
 
 # --- Exact dedup -------------------------------------------------------------

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..tables import load
+from ..tables import load, spread
 
 #: Tokenization shared by all text operators (and their SQL oracles):
 #: whitespace split of trimmed text.
@@ -51,7 +51,7 @@ def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting: whitespace tokens, distinct tokens, mean token
     length, and a BPE-ish regex unit count (letter runs / single digits /
     single punctuation — a cheap proxy for subword token count)."""
-    docs = load(spark, sf_dir, "documents")
+    docs = spread(load(spark, sf_dir, "documents"))
     toks = _tokens()
     return docs.select(
         "doc_id",
@@ -72,7 +72,7 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     score = 0.5·min(n_tokens,100)/100 + 0.3·(1 − punct_ratio)
           + 0.2·stopword_ratio
     """
-    docs = load(spark, sf_dir, "documents")
+    docs = spread(load(spark, sf_dir, "documents"))
     toks = _tokens()
     n_tokens = F.size(toks)
     punct = F.regexp_count(F.col("text"), F.lit(r"[^a-z0-9\s]"))
@@ -98,7 +98,7 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Output: (doc_id, lang, lang_pred, plus one score column per language).
     """
-    docs = load(spark, sf_dir, "documents")
+    docs = spread(load(spark, sf_dir, "documents"))
     toks = _tokens()
     scores = {
         lang: _member_count(toks, words, distinct=True).alias(f"score_{lang}")
@@ -127,7 +127,7 @@ def fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     minimum md5 over all 5-token shingles (a winnowing-style rolling
     fingerprint — equal for documents sharing their most-extreme shingle).
     """
-    docs = load(spark, sf_dir, "documents")
+    docs = spread(load(spark, sf_dir, "documents"))
     norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
     # materialize the token array once; the shingle transform then reuses it
     # instead of re-splitting per shingle

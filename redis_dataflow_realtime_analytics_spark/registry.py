@@ -143,6 +143,33 @@ FROM ev GROUP BY CUBE (experiment_id, variant)""",
 )
 
 
+def _ev_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _ev(spark, sf_dir).createOrReplaceTempView("_ev_gs")
+    return spark.sql(
+        """SELECT date_trunc('minute', ts) AS minute, variant,
+                  count(DISTINCT user_id) AS unique_users
+           FROM _ev_gs
+           GROUP BY GROUPING SETS ((date_trunc('minute', ts)),
+                                   (variant),
+                                   (date_trunc('minute', ts), variant))"""
+    )
+
+
+# The reference computes minute-grain (W11), variant-grain (W3) and
+# minute×variant uniques as separate pipeline legs; GROUPING SETS folds all
+# three grains into ONE pass over the events (single expand + aggregate).
+q(
+    "ev_grouping_sets_uniques",
+    _ev_grouping_sets,
+    f"""{EV_CTE}
+SELECT date_trunc('minute', ts) AS minute, variant,
+       count(DISTINCT user_id) AS unique_users
+FROM ev
+GROUP BY GROUPING SETS ((date_trunc('minute', ts)), (variant),
+                        (date_trunc('minute', ts), variant))""",
+)
+
+
 def _w3_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.skew import salted_count_distinct
 

@@ -36,3 +36,22 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view (for the SQL surface)."""
     for name in TABLES:
         load(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition a narrow frame across all cores when the
+    scan produced fewer splits than the cluster has task slots.
+
+    Compute-heavy per-row stages (hashing, shingling, signatures) must not
+    serialize onto a handful of tasks just because the input is a single
+    file; shuffling the narrow rows is cheap relative to that work, and
+    the check is a pure metadata lookup (``inputFiles`` — no job), a no-op
+    on well-split inputs."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:  # non-file-backed frame — nothing to infer
+        n_files = target
+    if n_files >= target:
+        return df
+    return df.repartition(target)
