@@ -68,6 +68,32 @@ def visits_timeseries(events: DataFrame) -> DataFrame:
     return _axis_join(events, metrics.visits_per_minute(events), "visits")
 
 
+def visits_timeseries_last(events: DataFrame, last_minutes: int = 10) -> DataFrame:
+    """R2 with the reference's ``lastMinutes=N`` read window
+    (TimeseriesMetricsController.java:43 — default 10): the axis is the N
+    most recent minutes ending at the data's max(ts) minute ("now" in a
+    replay), missing minutes still 0-filled.
+
+    The window filter lands on the grain's GROUP BY input, so at scale the
+    scan prunes to N minutes of partitions before aggregating.
+    """
+    bounds = events.agg(F.date_trunc("minute", F.max("ts")).alias("t1")).select(
+        F.col("t1"),
+        (F.col("t1") - F.expr(f"interval {last_minutes - 1} minutes")).alias("t0"),
+    )
+    axis = bounds.select(
+        F.explode(F.sequence("t0", "t1", F.expr("interval 1 minute"))).alias("minute")
+    )
+    grain = metrics.visits_per_minute(events)
+    return (
+        axis.join(F.broadcast(grain), "minute", "left")
+        .select(
+            "minute",
+            F.coalesce(F.col("visits"), F.lit(0)).cast("double").alias("metric"),
+        )
+    )
+
+
 def users_timeseries(events: DataFrame, exact: bool = True) -> DataFrame:
     """R3 ``/users`` per-minute PFCOUNT (:69-86). ``exact=False`` reproduces
     the HLL estimate; the exact twin is the oracle-gated query."""

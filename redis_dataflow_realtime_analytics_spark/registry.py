@@ -292,6 +292,37 @@ FROM uv a JOIN uv b ON a.user_id = b.user_id AND a.variant < b.variant
 GROUP BY 1, 2""",
 )
 
+q(
+    "r2_visits_timeseries_last10",
+    lambda s, d: timeseries.visits_timeseries_last(_ev(s, d), 10),
+    f"""{EV_CTE},
+b AS (SELECT date_trunc('minute', max(ts)) AS t1 FROM ev),
+axis AS (
+  SELECT unnest(generate_series(t1 - INTERVAL 9 MINUTE, t1, INTERVAL 1 MINUTE)) AS minute
+  FROM b
+),
+g AS (SELECT date_trunc('minute', ts) AS minute, count(*) AS visits FROM ev GROUP BY 1)
+SELECT a.minute, CAST(coalesce(g.visits, 0) AS DOUBLE) AS metric
+FROM axis a LEFT JOIN g USING (minute)""",
+)
+
+
+def _w11_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    # estimate from the mergeable per-minute sketches (binary sketches are
+    # engine-specific → rows-only; the exact twin w11 gates correctness)
+    return (
+        metrics.hll_sketches_per_minute(_ev(spark, sf_dir))
+        .select(
+            "minute",
+            F.hll_sketch_estimate("sketch").alias("unique_users_est"),
+        )
+    )
+
+
+q("w11_hll_sketch_estimates", _w11_sketches)
+
 # ---------------------------------------------------------------------------
 # Relational surface (SURVEY §2.5 / Phase 3) — TPC-H-ish operator coverage
 # ---------------------------------------------------------------------------
