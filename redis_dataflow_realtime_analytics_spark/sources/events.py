@@ -70,6 +70,34 @@ def parse_wire_events(raw: DataFrame, value_col: str = "value") -> DataFrame:
     ).select("e.*")
 
 
+def parse_wire_events_with_corrupt(
+    raw: DataFrame, value_col: str = "value"
+) -> DataFrame:
+    """Parse variant that RETAINS malformed input instead of dropping it.
+
+    The reference logs-and-drops (throttled, ``ParseMessageAsLogElement
+    .java:37-41``) — operationally that loses the bad payloads. This
+    variant emits every record with the raw wire string in ``_corrupt``
+    when (and only when) it failed to parse, so a dead-letter sink is a
+    ``where(_corrupt IS NOT NULL)`` filter away. Same four-field
+    null-rejection rule decides validity.
+    """
+    parsed = raw.select(
+        F.col(value_col).alias("_raw"),
+        F.from_json(F.col(value_col), EVENT_WIRE_SCHEMA).alias("e"),
+    )
+    ok = (
+        F.col("e").isNotNull()
+        & F.col("e.uid").isNotNull()
+        & F.col("e.experiment_id").isNotNull()
+        & F.col("e.variant").isNotNull()
+        & F.col("e.timestamp").isNotNull()
+    )
+    return parsed.select(
+        "e.*", F.when(~ok, F.col("_raw")).alias("_corrupt")
+    )
+
+
 def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch scan of the events fixture.
 

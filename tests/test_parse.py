@@ -36,3 +36,21 @@ def test_parse_types(spark):
         "variant": "string",
         "timestamp": "timestamp",
     }
+
+
+def test_parse_with_corrupt_retains_bad_payloads(spark):
+    from redis_dataflow_realtime_analytics_spark.sources.events import (
+        parse_wire_events_with_corrupt,
+    )
+
+    raw = spark.createDataFrame([(r,) for r in WIRE_ROWS], ["value"])
+    out = parse_wire_events_with_corrupt(raw).collect()
+    assert len(out) == len(WIRE_ROWS)  # nothing dropped
+    good = [r for r in out if r._corrupt is None]
+    bad = [r for r in out if r._corrupt is not None]
+    assert len(good) == 2
+    assert len(bad) == len(WIRE_ROWS) - 2
+    # the dead-letter column holds the original wire payload verbatim
+    assert "plain garbage" in {r._corrupt for r in bad}
+    # valid rows parse identically to the dropping variant
+    assert {r.uid for r in good} == {"4711", "1"}

@@ -106,3 +106,43 @@ def test_sketch_ingest_is_idempotent_on_replay(spark, multi_file_events, tmp_pat
     sp.run_sketch_ingest(spark, multi_file_events, store, str(tmp_path_factory.mktemp("c2")))
     second = {r.minute: r.visits for r in sp.read_visits(spark, store).collect()}
     assert first == second == _batch_visits(spark)
+
+
+def test_sketch_store_batch_replay_is_idempotent(spark, tmp_path):
+    """The exactly-once claim (SURVEY §4 delta 1): re-delivering a
+    micro-batch must NOT change any read-side result — unlike the
+    reference's INCRBY legs, which over-count on Pub/Sub redelivery.
+    A replayed batch_id overwrites its own partition, so writing the same
+    batch twice (and one batch a third time) leaves every family's merge
+    unchanged."""
+    from redis_dataflow_realtime_analytics_spark.sources import (
+        normalize_events,
+        read_events,
+    )
+    from redis_dataflow_realtime_analytics_spark.streaming.pipeline import (
+        SketchStoreWriter,
+        read_uniques_per_variant_exact,
+        read_visits,
+    )
+
+    ev = normalize_events(read_events(spark, SF_SMOKE))
+    b0 = ev.where("user_id % 2 = 0")
+    b1 = ev.where("user_id % 2 = 1")
+
+    once = str(tmp_path / "once")
+    w = SketchStoreWriter(once)
+    w(b0, 0)
+    w(b1, 1)
+
+    replayed = str(tmp_path / "replayed")
+    w2 = SketchStoreWriter(replayed)
+    w2(b0, 0)
+    w2(b0, 0)  # redelivery of batch 0
+    w2(b1, 1)
+    w2(b1, 1)  # redelivery of batch 1
+    w2(b0, 0)  # and batch 0 once more
+
+    for reader in (read_visits, read_uniques_per_variant_exact):
+        a = sorted(map(tuple, reader(spark, once).collect()))
+        b = sorted(map(tuple, reader(spark, replayed).collect()))
+        assert a == b, f"{reader.__name__} changed under replay"
