@@ -101,6 +101,55 @@ def decode_features(blobs: DataFrame, fake: bool = False) -> DataFrame:
     return blobs.mapInPandas(_decode, schema=FEATURE_SCHEMA)
 
 
+#: Output schema of the resize stage: the blob is replaced, the typed
+#: metadata records both the old and new geometry.
+RESIZE_SCHEMA = (
+    "doc_id bigint, content binary, n_bytes int, width int, height int, "
+    "target_width int, target_height int"
+)
+
+
+def resize_images(
+    blobs: DataFrame, width: int = 224, height: int = 224, fake: bool = False
+) -> DataFrame:
+    """Resize stage for an image column via Arrow-batched ``mapInPandas``.
+
+    Same stub discipline as :func:`decode_features`: ``fake=False`` raises
+    ``NotImplementedError`` where a PIL/torchvision resize would run;
+    ``fake=True`` emits a deterministic truncation/padding of the payload
+    to ``width·height`` bytes with identical batch shape, so the schema,
+    partitioning and UDF plumbing are exercised end-to-end. No shuffle:
+    resize is embarrassingly parallel over whatever partitioning the scan
+    (or an upstream filter) produced.
+    """
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        target = width * height
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "image codecs unavailable in this environment; "
+                    "plug PIL.Image.resize / torchvision here"
+                )
+            content = pdf["content"].map(
+                lambda b: bytes(b[:target]).ljust(target, b"\0")
+            )
+            n = pdf["content"].str.len().astype("int32")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "content": content,
+                    "n_bytes": n,
+                    "width": (n % 512 + 1).astype("int32"),
+                    "height": (n // 512 + 1).astype("int32"),
+                    "target_width": pd.Series([width] * len(pdf), dtype="int32"),
+                    "target_height": pd.Series([height] * len(pdf), dtype="int32"),
+                }
+            )
+
+    return blobs.mapInPandas(_resize, schema=RESIZE_SCHEMA)
+
+
 def frame_sample_offsets(
     spark: SparkSession, sf_dir: str, fps: int = 24, every_n_seconds: int = 10
 ) -> DataFrame:

@@ -249,3 +249,62 @@ def ann_ivf_topk(
         .where(F.col("rank") <= k)
         .select("query_id", F.col("vec_id").alias("neighbor_id"), "cosine", "rank")
     )
+
+
+def embedding_neardup_pairs_lsh(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.45, n_bits: int = 3
+) -> DataFrame:
+    """Embedding near-dup pairs, LSH-bucketed: candidate pairs form only
+    within a hyperplane bucket (plus Hamming-1 neighbor buckets), then the
+    exact fixed-point cosine filters them.
+
+    This is the 100 TB path for :func:`embedding_neardup_pairs`: pair count
+    drops from |corpus|² to Σ_bucket |bucket|·(probes·|bucket|), and the
+    bucket id is a plain column, so the corpus can be written partitioned
+    by it. High-cosine pairs collide in sign buckets with high probability;
+    recall vs the brute-force pairs is asserted in tests.
+
+    Default bits are coarser than the ANN top-k path (3 vs 5): pair mining
+    wants recall at mid-range cosines, where the sign-collision probability
+    (1 − θ/π) per hyperplane decays faster than for true near-dups.
+    """
+    bucket_udf = _lsh_bucket_udf(n_bits)
+    emb = (
+        load(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            V.quantize("embedding").alias("qvec"),
+            bucket_udf("embedding").alias("bucket"),
+        )
+        .withColumn("n2", V.qnorm2("qvec"))
+        .cache()
+    )
+    a = emb.select(
+        F.col("vec_id").alias("vec_id_a"),
+        F.col("qvec").alias("qa"),
+        F.col("n2").alias("na"),
+        F.explode(
+            F.array(
+                F.col("bucket"),
+                *[
+                    F.col("bucket").bitwiseXOR(F.lit(1 << i).cast("long"))
+                    for i in range(n_bits)
+                ],
+            )
+        ).alias("probe_bucket"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_id_b"),
+        F.col("qvec").alias("qb"),
+        F.col("n2").alias("nb"),
+        F.col("bucket").alias("probe_bucket"),
+    )
+    return (
+        a.join(b, ["probe_bucket"])
+        .where(F.col("vec_id_a") < F.col("vec_id_b"))
+        .withColumn("dot", V.qdot("qa", "qb"))
+        .withColumn("cosine", V.cosine("dot", "na", "nb"))
+        .where(F.col("cosine") >= threshold)
+        .select("vec_id_a", "vec_id_b", "cosine")
+        .distinct()
+    )

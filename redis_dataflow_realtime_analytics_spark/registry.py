@@ -756,6 +756,17 @@ q("g1_generated_events", _g1_events)
 # baseline is asserted in tests/test_similarity.py.
 q("ann_lsh_topk", similarity.ann_lsh_topk)
 
+# LSH-bucketed embedding near-dup (the 100 TB path for
+# embedding_neardup_pairs) — bucket ids engine-specific → rows-only;
+# recall vs the brute-force pairs asserted in tests/test_similarity.py.
+q("embedding_neardup_pairs_lsh", similarity.embedding_neardup_pairs_lsh)
+
+# resize plumbing (Arrow mapInPandas, stubbed codec) — rows-only
+q(
+    "multimodal_resize_fake",
+    lambda s, d: multimodal.resize_images(multimodal.with_blob(s, d), fake=True),
+)
+
 # ---------------------------------------------------------------------------
 # TPC-H query shapes Q4–Q22 adapted to the testdata schema (operators/
 # relational.py bottom half). Decimal-sum convention on every double measure.

@@ -47,3 +47,27 @@ def test_frame_sampling_arithmetic(spark):
     assert all(b - a == 10 for a, b in zip(secs, secs[1:]))
     for r in rows:
         assert r.frame_index == r.sample_second * 24
+
+
+def test_resize_fake_shapes(spark):
+    from redis_dataflow_realtime_analytics_spark.operators import multimodal
+
+    out = multimodal.resize_images(
+        multimodal.with_blob(spark, SF_SMOKE), width=16, height=8, fake=True
+    ).collect()
+    assert len(out) > 0
+    for r in out:
+        assert len(r.content) == 16 * 8
+        assert r.target_width == 16 and r.target_height == 8
+
+
+def test_resize_real_path_raises(spark):
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PythonException
+
+    from redis_dataflow_realtime_analytics_spark.operators import multimodal
+
+    df = multimodal.resize_images(multimodal.with_blob(spark, SF_SMOKE), fake=False)
+    with pytest.raises((PythonException, Py4JJavaError)):
+        df.collect()

@@ -71,3 +71,18 @@ def test_lsh_bucket_deterministic(spark):
     b = {r.vec_id: r.b for r in emb.select("vec_id", udf("embedding").alias("b")).collect()}
     assert a == b
     assert all(0 <= v < (1 << similarity.LSH_BITS) for v in a.values())
+
+
+def test_lsh_neardup_recall_vs_bruteforce(spark):
+    brute = {
+        (r.vec_id_a, r.vec_id_b)
+        for r in similarity.embedding_neardup_pairs(spark, SF_SMOKE, threshold=0.4).collect()
+    }
+    lsh = {
+        (r.vec_id_a, r.vec_id_b)
+        for r in similarity.embedding_neardup_pairs_lsh(spark, SF_SMOKE, threshold=0.4).collect()
+    }
+    assert lsh <= brute  # exact-cosine filter ⇒ no false positives
+    if brute:
+        recall = len(lsh & brute) / len(brute)
+        assert recall >= 0.55, f"LSH near-dup recall {recall} over {len(brute)} pairs"
