@@ -1,0 +1,36 @@
+"""The 12-leg fan-out (metrics.all_grains) evaluates every grain from one
+shared cached DataFrame, and approx twins stay within HLL tolerance of
+their exact grain."""
+
+from __future__ import annotations
+
+from redis_dataflow_realtime_analytics_spark.operators import metrics
+from redis_dataflow_realtime_analytics_spark.sources import normalize_events, read_events
+
+from .conftest import SF_SMOKE
+
+
+def test_all_grains_evaluate(spark):
+    ev = normalize_events(read_events(spark, SF_SMOKE)).cache()
+    try:
+        grains = metrics.all_grains(ev)
+        assert len(grains) == 13
+        for name, df in grains.items():
+            assert df.count() > 0, name
+    finally:
+        ev.unpersist()
+
+
+def test_approx_twins_within_tolerance(spark):
+    ev = normalize_events(read_events(spark, SF_SMOKE)).cache()
+    try:
+        exact = {r.variant: r.unique_users for r in metrics.uniques_per_variant(ev).collect()}
+        approx = {
+            r.variant: r.unique_users
+            for r in metrics.uniques_per_variant(ev, exact=False).collect()
+        }
+        for v, n in exact.items():
+            # rsd 0.008 ⇒ ±5% is a generous bound at smoke scale
+            assert abs(approx[v] - n) <= max(0.05 * n, 2), (v, n, approx[v])
+    finally:
+        ev.unpersist()
