@@ -113,3 +113,27 @@ def test_salted_distinct_two_phase(spark):
     p = plans.plan_string(df)
     assert "xxhash64" in p, p  # the value-hash salt key
     assert plans.count_exchanges(df) >= 2, p
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """Co-bucketed orders⋈lineitem: the write-once bucket layout replaces
+    the per-query join shuffle — the plan must contain NO Exchange before
+    the join (the groupBy on the same key also reuses the partitioning)."""
+    from redis_dataflow_realtime_analytics_spark.functions.bucketing import (
+        cobucketed_order_revenue,
+        write_bucketed,
+    )
+    from redis_dataflow_realtime_analytics_spark.tables import load
+
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS bktest LOCATION '{tmp_path / 'wh'}'")
+    try:
+        write_bucketed(load(spark, SF_SMOKE, "orders"), "bktest.orders_b", "o_orderkey", 8)
+        write_bucketed(
+            load(spark, SF_SMOKE, "lineitem"), "bktest.lineitem_b", "l_orderkey", 8
+        )
+        df = cobucketed_order_revenue(spark, "bktest.orders_b", "bktest.lineitem_b")
+        p = plans.plan_string(df)
+        assert plans.count_exchanges(df) == 0, p
+        assert df.count() > 0
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS bktest CASCADE")
