@@ -157,12 +157,21 @@ def top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def running_revenue_per_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Running decimal-exact revenue per supplier ordered by ship date —
-    frame-based aggregation window. Tie-break on (l_orderkey, l_linenumber)
-    makes the running sum fully deterministic."""
+    frame-based aggregation window.
+
+    The sort is made TOTAL by appending the measure columns
+    (l_extendedprice, l_discount) after (l_shipdate, l_orderkey,
+    l_linenumber): the synthetic lineitem contains duplicate
+    (orderkey, linenumber) pairs, and a prefix sum over a non-total order
+    is engine-dependent at every tie. With the measures in the key, any
+    rows still tied are value-identical, so their prefix sums agree
+    regardless of which engine puts which first."""
     li = load(spark, sf_dir, "lineitem")
     w = (
         Window.partitionBy("l_suppkey")
-        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .orderBy(
+            "l_shipdate", "l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"
+        )
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     return li.select(

@@ -420,7 +420,7 @@ q(
     f"""SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate,
   CAST(SUM(CAST({_REV} AS DECIMAL(38,6))) OVER (
     PARTITION BY l_suppkey
-    ORDER BY l_shipdate, l_orderkey, l_linenumber
+    ORDER BY l_shipdate, l_orderkey, l_linenumber, l_extendedprice, l_discount
     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
     AS running_revenue
 FROM lineitem""",
