@@ -629,3 +629,47 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("numcust"), dsum("c_acctbal", "totacctbal"))
         .orderBy("c_nationkey")
     )
+
+
+# --- Statistical aggregates (discrete percentiles — order-independent) --------
+def price_percentiles_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min / p50 / p90 / max of extended price per return flag.
+
+    ``percentile_disc`` picks an actual data value (no interpolation), so
+    the result is bit-identical across engines and partitionings — unlike
+    mean/stddev chains on doubles.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.min("l_extendedprice").alias("min_price"),
+            F.expr(
+                "percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)"
+            ).alias("p50_price"),
+            F.expr(
+                "percentile_disc(0.9) WITHIN GROUP (ORDER BY l_extendedprice)"
+            ).alias("p90_price"),
+            F.max("l_extendedprice").alias("max_price"),
+        )
+    )
+
+
+# --- Extended string-function surface -----------------------------------------
+def part_name_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String scalar surface beyond order_scalar_projections: regex extract,
+    case mapping, reverse, padding, char translation, split indexing and
+    edit distance — all JVM-side codegen expressions."""
+    part = load(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.regexp_extract("p_name", r"^(\w+)", 1).alias("first_word"),
+        F.initcap("p_name").alias("name_title"),
+        F.reverse("p_name").alias("name_rev"),
+        F.lpad("p_brand", 12, "_").alias("brand_padded"),
+        F.translate("p_name", "aeiou", "AEIOU").alias("vowels_upper"),
+        F.split(F.col("p_name"), " ").getItem(1).alias("second_word"),
+        F.levenshtein("p_name", "p_brand").alias("name_brand_dist"),
+        F.instr("p_name", "widget").alias("widget_pos"),
+        F.repeat(F.substring("p_name", 1, 2), 2).alias("prefix_x2"),
+    )

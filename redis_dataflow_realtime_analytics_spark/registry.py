@@ -767,6 +767,33 @@ q(
     lambda s, d: multimodal.resize_images(multimodal.with_blob(s, d), fake=True),
 )
 
+q(
+    "price_percentiles_by_flag",
+    relational.price_percentiles_by_flag,
+    """SELECT l_returnflag,
+  min(l_extendedprice) AS min_price,
+  quantile_disc(l_extendedprice, 0.5) AS p50_price,
+  quantile_disc(l_extendedprice, 0.9) AS p90_price,
+  max(l_extendedprice) AS max_price
+FROM lineitem GROUP BY 1""",
+)
+q(
+    "part_name_functions",
+    relational.part_name_functions,
+    """SELECT p_partkey,
+  regexp_extract(p_name, '^(\w+)', 1) AS first_word,
+  list_aggregate(list_transform(string_split(p_name, ' '),
+    w -> upper(w[1]) || lower(w[2:])), 'string_agg', ' ') AS name_title,
+  reverse(p_name) AS name_rev,
+  lpad(p_brand, 12, '_') AS brand_padded,
+  translate(p_name, 'aeiou', 'AEIOU') AS vowels_upper,
+  string_split(p_name, ' ')[2] AS second_word,
+  CAST(levenshtein(p_name, p_brand) AS INTEGER) AS name_brand_dist,
+  CAST(instr(p_name, 'widget') AS INTEGER) AS widget_pos,
+  repeat(p_name[1:2], 2) AS prefix_x2
+FROM part""",
+)
+
 # ---------------------------------------------------------------------------
 # TPC-H query shapes Q4–Q22 adapted to the testdata schema (operators/
 # relational.py bottom half). Decimal-sum convention on every double measure.
