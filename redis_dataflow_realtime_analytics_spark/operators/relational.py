@@ -673,3 +673,28 @@ def part_name_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.instr("p_name", "widget").alias("widget_pos"),
         F.repeat(F.substring("p_name", 1, 2), 2).alias("prefix_x2"),
     )
+
+
+# --- Full-outer join (entity reconciliation) ----------------------------------
+def nation_customer_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer vs supplier presence per nation — FULL OUTER join of two
+    aggregates, null-filled to 0. Nations with only customers or only
+    suppliers survive on the respective side."""
+    cust = (
+        load(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count("*").alias("n_customers"))
+    )
+    supp = (
+        load(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count("*").alias("n_suppliers"))
+    )
+    return (
+        cust.join(supp, "nationkey", "full_outer")
+        .select(
+            "nationkey",
+            F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+            F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+        )
+    )

@@ -141,3 +141,29 @@ def variant_overlap(events: DataFrame) -> DataFrame:
 def times(events: DataFrame) -> DataFrame:
     """R6 ``/times`` debug endpoint (:138-142) — the axis itself."""
     return time_axis(events)
+
+
+def variant_minute_grid(events: DataFrame) -> DataFrame:
+    """Dense (minute × variant) visit grid: the time axis CROSS JOINed with
+    the distinct variants, left-joined to the per-(minute,variant) counts,
+    missing cells 0-filled — the 2-D densification every dashboard heatmap
+    needs (the reference leaves missing keys to the client, R2's null→0
+    applied per dimension combination here).
+
+    Both the axis and the variant list are broadcast: the cross join
+    multiplies two tiny relations, never the fact table.
+    """
+    axis = time_axis(events)
+    variants = events.select("variant").distinct()
+    grain = events.groupBy(
+        F.date_trunc("minute", "ts").alias("minute"), "variant"
+    ).agg(F.count("*").alias("visits"))
+    return (
+        axis.crossJoin(F.broadcast(variants))
+        .join(F.broadcast(grain), ["minute", "variant"], "left")
+        .select(
+            "minute",
+            "variant",
+            F.coalesce("visits", F.lit(0)).cast("double").alias("metric"),
+        )
+    )

@@ -768,6 +768,27 @@ q(
 )
 
 q(
+    "full_outer_nation_counts",
+    relational.nation_customer_supplier_counts,
+    """SELECT coalesce(c.nationkey, s.nationkey) AS nationkey,
+  coalesce(n_customers, 0) AS n_customers,
+  coalesce(n_suppliers, 0) AS n_suppliers
+FROM (SELECT c_nationkey AS nationkey, count(*) AS n_customers FROM customer GROUP BY 1) c
+FULL JOIN (SELECT s_nationkey AS nationkey, count(*) AS n_suppliers FROM supplier GROUP BY 1) s
+USING (nationkey)""",
+)
+q(
+    "r2b_variant_minute_grid",
+    lambda s, d: timeseries.variant_minute_grid(_ev(s, d)),
+    f"""{EV_CTE}, {AXIS_CTE},
+v AS (SELECT DISTINCT variant FROM ev),
+g AS (SELECT date_trunc('minute', ts) AS minute, variant, count(*) AS visits
+      FROM ev GROUP BY 1, 2)
+SELECT a.minute, v.variant, CAST(coalesce(g.visits, 0) AS DOUBLE) AS metric
+FROM axis a CROSS JOIN v
+LEFT JOIN g ON g.minute = a.minute AND g.variant = v.variant""",
+)
+q(
     "price_percentiles_by_flag",
     relational.price_percentiles_by_flag,
     """SELECT l_returnflag,
