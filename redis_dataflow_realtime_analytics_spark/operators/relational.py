@@ -698,3 +698,184 @@ def nation_customer_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFra
             F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
         )
     )
+
+
+# --- Q2: best-balance supplier per part (correlated scalar subquery) -----------
+def q2_best_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2's shape on the slimmer schema: for each qualifying part,
+    the EUROPE supplier(s) with the maximum account balance among those who
+    have supplied it (lineitem stands in for partsupp as the part-supplier
+    catalog). The correlated ``= (SELECT max ...)`` becomes a grouped max
+    joined back on the part key.
+
+    Scale: parts are filtered BEFORE the lineitem semi-pass (broadcast), so
+    the (partkey, suppkey) distinct only shuffles the qualifying sliver;
+    the per-part max is a broadcast join back (few qualifying parts)."""
+    part = load(spark, sf_dir, "part").where(
+        (F.col("p_size") == 15) & (F.col("p_type") == "LARGE")
+    )
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    eur = (
+        load(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    li = load(spark, sf_dir, "lineitem")
+    ps = (
+        li.join(F.broadcast(part.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    cand = (
+        ps.join(F.broadcast(part), ps.l_partkey == part.p_partkey)
+        .join(F.broadcast(eur), ps.l_suppkey == eur.s_suppkey)
+        .select("p_partkey", "p_name", "s_name", "n_name", "s_acctbal")
+    )
+    best = cand.groupBy(F.col("p_partkey").alias("b_key")).agg(
+        F.max("s_acctbal").alias("max_bal")
+    )
+    return (
+        cand.join(
+            F.broadcast(best),
+            (cand.p_partkey == F.col("b_key")) & (cand.s_acctbal == F.col("max_bal")),
+        )
+        .select("p_partkey", "p_name", "s_name", "n_name", "s_acctbal")
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+# --- Q11: important part values (global-ratio HAVING via scalar subquery) ------
+def q11_important_part_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11's shape: per-part shipped value from one nation's suppliers,
+    keeping parts whose value exceeds 0.1% of the nation's total (the
+    ``HAVING > (SELECT sum(...) * fraction)`` scalar subquery).
+
+    Scale: the nation's supplier keys broadcast into the lineitem scan; the
+    global total is a 1-row broadcast against the already-aggregated
+    per-part frame — no second pass over lineitem."""
+    li = load(spark, sf_dir, "lineitem")
+    supp = load(spark, sf_dir, "supplier").where(F.col("s_nationkey") == 7)
+    pv = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy("l_partkey")
+        .agg(dsum(_rev(li), "part_value"))
+    )
+    total = pv.agg((F.sum(F.col("part_value").cast("decimal(38,6)")).cast("double") * 0.001).alias("threshold"))
+    return (
+        pv.join(F.broadcast(total))
+        .where(F.col("part_value") > F.col("threshold"))
+        .select("l_partkey", "part_value")
+        .orderBy(F.desc("part_value"), "l_partkey")
+    )
+
+
+# --- Q16: supplier diversity per part class (NOT IN anti-join + distinct count) -
+def q16_part_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16's shape: distinct suppliers per (brand, type, size) bucket
+    for parts outside one brand/type, excluding "complaint" suppliers
+    (negative balance stands in for the comment-pattern NOT IN subquery —
+    a broadcast left-anti join).
+
+    Scale: the excluded-supplier list is tiny (broadcast anti); part
+    attributes broadcast into the lineitem join; the count-distinct
+    shuffles once on the 3-column group key."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#23")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35)
+    )
+    complaints = load(spark, sf_dir, "supplier").where(F.col("s_acctbal") < 0)
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(
+            F.broadcast(complaints.select("s_suppkey")),
+            li.l_suppkey == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+# --- Q20: heavy suppliers of a part family (nested semi-join chain) ------------
+def q20_heavy_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20's shape: suppliers in one region who shipped more than 50
+    units of any single part whose name starts with a prefix, during 1997
+    (the IN (... IN (...) HAVING) nesting becomes semi-join → grouped
+    HAVING → semi-join).
+
+    Scale: the part-prefix filter broadcasts into lineitem; the
+    (supp, part) aggregate shuffles only prefix-matched 1997 rows; the
+    qualifying supplier-key set broadcasts back against supplier."""
+    part = load(spark, sf_dir, "part").where(F.col("p_name").like("red%"))
+    li = load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= _ts("1997-01-01"))
+        & (F.col("l_shipdate") < _ts("1998-01-01"))
+    )
+    heavy = (
+        li.join(F.broadcast(part.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(dsum("l_quantity", "sum_qty"))
+        .where(F.col("sum_qty") > 50)
+        .select("l_suppkey")
+        .distinct()
+    )
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    supp = (
+        load(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return (
+        supp.join(F.broadcast(heavy), supp.s_suppkey == heavy.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+# --- Q21: suppliers who kept orders waiting (EXISTS + NOT EXISTS self-joins) ---
+def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21's shape with shipdate-vs-orderdate lateness (the schema has
+    no commit/receipt dates): for finished orders, count per supplier the
+    late lineitems where other suppliers were on the order (EXISTS) but no
+    OTHER supplier was late (NOT EXISTS). The two correlated subqueries
+    become one order-grain aggregate — distinct suppliers and distinct
+    late suppliers per order — joined back to the late lines.
+
+    Scale: one orders⋈lineitem shuffle feeds both the order-grain summary
+    and the late-line stream (same key), so AQE can reuse the exchange;
+    the per-order summary is filtered (multi-supplier, single late
+    supplier) before the join back."""
+    orders = load(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    li = load(spark, sf_dir, "lineitem")
+    lines = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (
+                F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+            ).alias("is_late"),
+        )
+    )
+    per_order = lines.groupBy(F.col("l_orderkey").alias("o_key")).agg(
+        F.count_distinct("l_suppkey").alias("n_supp"),
+        F.count_distinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias("n_late"),
+    )
+    waiting = per_order.where((F.col("n_supp") > 1) & (F.col("n_late") == 1))
+    supp = load(spark, sf_dir, "supplier").where(F.col("s_nationkey") == 3)
+    return (
+        lines.where(F.col("is_late"))
+        .join(waiting, F.col("l_orderkey") == F.col("o_key"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
+    )

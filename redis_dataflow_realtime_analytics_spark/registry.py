@@ -971,6 +971,85 @@ WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1
    OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""",
 )
 q(
+    "q2_best_supplier_per_part",
+    relational.q2_best_supplier_per_part,
+    """WITH eur AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'),
+cand AS (
+  SELECT DISTINCT p_partkey, p_name, s_name, n_name, s_acctbal
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN eur ON l_suppkey = s_suppkey
+  WHERE p_size = 15 AND p_type = 'LARGE')
+SELECT p_partkey, p_name, s_name, n_name, s_acctbal
+FROM cand c
+WHERE s_acctbal = (SELECT max(s_acctbal) FROM cand c2 WHERE c2.p_partkey = c.p_partkey)
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100""",
+)
+q(
+    "q11_important_part_values",
+    relational.q11_important_part_values,
+    f"""WITH pv AS (
+  SELECT l_partkey, {oracle_dsum(_REV)} AS part_value
+  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+  WHERE s_nationkey = 7
+  GROUP BY 1)
+SELECT l_partkey, part_value
+FROM pv
+WHERE part_value > (SELECT CAST(SUM(CAST(part_value AS DECIMAL(38,6))) AS DOUBLE) * 0.001 FROM pv)
+ORDER BY part_value DESC, l_partkey""",
+)
+q(
+    "q16_part_supplier_diversity",
+    relational.q16_part_supplier_diversity,
+    """SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#23' AND p_type <> 'PROMO'
+  AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""",
+)
+q(
+    "q20_heavy_part_suppliers",
+    relational.q20_heavy_part_suppliers,
+    f"""SELECT s_suppkey, s_name
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND s_suppkey IN (
+    SELECT l_suppkey FROM lineitem
+    WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+      AND l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY l_suppkey, l_partkey
+    HAVING {oracle_dsum('l_quantity')} > 50)
+ORDER BY s_suppkey""",
+)
+q(
+    "q21_suppliers_kept_waiting",
+    relational.q21_suppliers_kept_waiting,
+    """SELECT s_name, count(*) AS numwait
+FROM lineitem l1
+JOIN orders ON o_orderkey = l1.l_orderkey
+JOIN supplier ON s_suppkey = l1.l_suppkey
+WHERE o_orderstatus = 'F' AND s_nationkey = 3
+  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY 1
+ORDER BY numwait DESC, s_name
+LIMIT 100""",
+)
+q(
     "q22_dormant_customers",
     relational.q22_dormant_customers,
     f"""SELECT c_nationkey, count(*) AS numcust, {oracle_dsum('c_acctbal')} AS totacctbal
