@@ -51,6 +51,9 @@ HEADLINE = [
     "q4_order_priority",
     "q13_customer_distribution",
     "q18_large_volume_customers",
+    "q21_suppliers_kept_waiting",
+    "chunk_documents",
+    "train_corpus_pipeline",
 ]
 
 

@@ -1,0 +1,103 @@
+"""Deterministic sampling + corpus-assembly operators (training-data path).
+
+A 100 TB training pipeline needs *reproducible* sampling: ``df.sample()``
+draws from a partition-seeded RNG, so results change with partitioning and
+engine. These operators sample by comparing a prefix of ``md5(key)`` against
+a hex threshold instead — a pure, engine-portable filter:
+
+* no shuffle — the predicate evaluates row-local and pushes into the scan
+  stage (the parquet reader still prunes columns; md5 itself can't push to
+  footer stats, but the filter runs before any wide operator);
+* fraction = int(threshold, 16) / 16^len(threshold) — e.g. ``'1a'`` keeps
+  26/256 ≈ 10.2% of keys;
+* stable under repartitioning, AQE re-planning, speculative re-execution,
+  and across engines (DuckDB's ``md5`` matches Spark's byte-for-byte on the
+  same UTF-8 input), so the oracle can value-hash the sample exactly.
+
+Chunking expands documents into fixed-width character windows — the narrow
+(shuffle-free) row-explosion shape used for context-window packing; at
+scale the only cost is output volume, which AQE splits across partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import load
+
+
+def _hash_bucket(key: F.Column) -> F.Column:
+    """First two hex chars of md5(key) — a uniform draw over 256 buckets."""
+    return F.substring(F.md5(key.cast("string")), 1, 2)
+
+
+def hash_sample_documents(
+    spark: SparkSession, sf_dir: str, threshold: str = "1a"
+) -> DataFrame:
+    """~10% deterministic sample of documents by md5(doc_id) prefix."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.where(_hash_bucket(F.col("doc_id")) < threshold)
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+def stratified_sample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-rebalancing sample: downsample the majority language (en,
+    ~6%) while keeping minority languages at ~25% — the training-mix
+    reweighting move, still a pure deterministic filter."""
+    docs = load(spark, sf_dir, "documents")
+    threshold = F.when(F.col("lang") == "en", F.lit("10")).otherwise(F.lit("40"))
+    return (
+        docs.where(_hash_bucket(F.col("doc_id")) < threshold)
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+def chunk_documents(
+    spark: SparkSession, sf_dir: str, width: int = 400
+) -> DataFrame:
+    """Split each document into fixed ``width``-char chunks (context-window
+    packing). Row expansion is narrow — no shuffle; chunk_idx is 0-based."""
+    docs = load(spark, sf_dir, "documents")
+    n_chunks = F.floor((F.col("n_chars") - 1) / F.lit(float(width))).cast("bigint")
+    return (
+        docs.select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0).cast("bigint"), n_chunks)).alias("chunk_idx"),
+            "text",
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.expr(f"substr(text, CAST(chunk_idx * {width} + 1 AS INT), {width})").alias(
+                "chunk_text"
+            ),
+        )
+        .withColumn("chunk_len", F.length("chunk_text"))
+        .drop("text")
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+def train_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus assembly: language filter → length floor → exact
+    content dedup (keep lowest doc_id per md5(text) group) → deterministic
+    50% subsample. One shuffle total (the dedup groupBy); filters run
+    before it so only qualifying rows shuffle."""
+    docs = load(spark, sf_dir, "documents")
+    filt = docs.where((F.col("lang") == "en") & (F.col("n_chars") >= 150))
+    keep = (
+        filt.groupBy(F.md5(F.col("text")).alias("content_hash"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    return (
+        filt.join(keep, "doc_id", "left_semi")
+        .where(_hash_bucket(F.col("doc_id")) < "80")
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    )

@@ -24,6 +24,7 @@ from .operators import (
     metrics,
     multimodal,
     relational,
+    sampling,
     sessions,
     similarity,
     text,
@@ -1059,4 +1060,51 @@ WHERE c_acctbal > (SELECT {oracle_davg('c_acctbal')} FROM customer WHERE c_acctb
                   WHERE o.o_custkey = c.c_custkey
                     AND o.o_orderdate >= TIMESTAMP '2000-01-01')
 GROUP BY 1""",
+)
+
+# ---------------------------------------------------------------------------
+# Deterministic sampling + corpus assembly (training-data path)
+# ---------------------------------------------------------------------------
+q(
+    "sample_documents_hash",
+    sampling.hash_sample_documents,
+    """SELECT doc_id, lang, source, n_chars
+FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
+ORDER BY doc_id""",
+)
+q(
+    "sample_documents_stratified",
+    sampling.stratified_sample_by_lang,
+    """SELECT doc_id, lang, n_chars
+FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+      < CASE WHEN lang = 'en' THEN '10' ELSE '40' END
+ORDER BY doc_id""",
+)
+q(
+    "chunk_documents",
+    sampling.chunk_documents,
+    """WITH ex AS (
+  SELECT doc_id, text,
+         unnest(generate_series(0, CAST(floor((n_chars-1)/400.0) AS BIGINT))) AS chunk_idx
+  FROM documents)
+SELECT doc_id, chunk_idx,
+       substr(text, CAST(chunk_idx*400+1 AS INT), 400) AS chunk_text,
+       length(substr(text, CAST(chunk_idx*400+1 AS INT), 400)) AS chunk_len
+FROM ex
+ORDER BY doc_id, chunk_idx""",
+)
+q(
+    "train_corpus_pipeline",
+    sampling.train_corpus_pipeline,
+    """WITH filt AS (
+  SELECT * FROM documents WHERE lang = 'en' AND n_chars >= 150),
+keep AS (
+  SELECT min(doc_id) AS doc_id FROM filt GROUP BY md5(text))
+SELECT doc_id, lang, source, n_chars
+FROM filt
+WHERE doc_id IN (SELECT doc_id FROM keep)
+  AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '80'
+ORDER BY doc_id""",
 )

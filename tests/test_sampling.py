@@ -1,0 +1,62 @@
+"""Behavioral invariants for the deterministic sampling operators."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from redis_dataflow_realtime_analytics_spark.operators import sampling  # noqa: E402
+from redis_dataflow_realtime_analytics_spark.tables import load  # noqa: E402
+
+from .conftest import SF_SMOKE
+
+
+def test_hash_sample_deterministic_under_repartition(spark):
+    """The sample is a pure key filter: identical under any partitioning."""
+    a = {r.doc_id for r in sampling.hash_sample_documents(spark, SF_SMOKE).collect()}
+    docs = load(spark, SF_SMOKE, "documents").repartition(13)
+    b = {
+        r.doc_id
+        for r in docs.where(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < "1a"
+        ).collect()
+    }
+    assert a == b
+
+
+def test_hash_sample_fraction_in_expected_band(spark):
+    total = load(spark, SF_SMOKE, "documents").count()
+    kept = sampling.hash_sample_documents(spark, SF_SMOKE).count()
+    # threshold '1a' keeps 26/256 ≈ 10.2%; allow a generous binomial band
+    assert 0.02 <= kept / total <= 0.25
+
+
+def test_chunks_reassemble_to_original_text(spark):
+    docs = {r.doc_id: r.text for r in load(spark, SF_SMOKE, "documents").collect()}
+    chunks = sampling.chunk_documents(spark, SF_SMOKE).collect()
+    rebuilt: dict[int, list] = {}
+    for r in chunks:
+        rebuilt.setdefault(r.doc_id, []).append((r.chunk_idx, r.chunk_text))
+    assert set(rebuilt) == set(docs)
+    for doc_id, parts in rebuilt.items():
+        joined = "".join(t for _, t in sorted(parts))
+        assert joined == docs[doc_id]
+        widths = [len(t) for _, t in sorted(parts)]
+        assert all(w == 400 for w in widths[:-1])  # only the tail may be short
+
+
+def test_train_corpus_subset_of_filtered_dedup(spark):
+    out = sampling.train_corpus_pipeline(spark, SF_SMOKE)
+    rows = out.collect()
+    assert all(r.lang == "en" and r.n_chars >= 150 for r in rows)
+    # dedup: no two surviving docs share content
+    docs = load(spark, SF_SMOKE, "documents")
+    kept_ids = [r.doc_id for r in rows]
+    texts = [
+        r.text for r in docs.where(F.col("doc_id").isin(kept_ids)).collect()
+    ]
+    assert len(texts) == len(set(texts))
