@@ -71,21 +71,38 @@ def dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- Shingles ---------------------------------------------------------------
-def _shingle_array(k: int = NGRAM_K) -> F.Column:
-    """Distinct k-token shingle array for ``text`` — one map-side expression."""
-    return F.expr(
-        f"array_distinct(transform(sequence(0, greatest(size(split(trim(text), '\\\\s+')) - {k}, 0)), "
-        f"i -> concat_ws(' ', slice(split(trim(text), '\\\\s+'), i + 1, {k}))))"
+def _shingle_docs(docs: DataFrame, k: int = NGRAM_K) -> DataFrame:
+    """(doc_id, arr) with arr = distinct k-token shingle array.
+
+    Two projections: tokenize ONCE into ``toks``, then slide over the
+    materialized array. Inlining ``split`` into the ``transform`` lambda
+    instead re-splits the text per window position — O(tokens²)
+    interpreted work per doc (benched ~20 s of the old 26 s Jaccard
+    total at sf0.1)."""
+    toks = docs.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks")
+    )
+    return toks.select(
+        "doc_id",
+        F.expr(
+            f"array_distinct(transform(sequence(0, greatest(size(toks) - {k}, 0)), "
+            f"i -> concat_ws(' ', slice(toks, i + 1, {k}))))"
+        ).alias("arr"),
     )
 
 
 def _shingles(docs: DataFrame, k: int = NGRAM_K) -> DataFrame:
     """Distinct k-token shingles per doc: (doc_id, shingle)."""
-    return docs.select("doc_id", F.explode(_shingle_array(k)).alias("shingle"))
+    return _shingle_docs(docs, k).select(
+        "doc_id", F.explode("arr").alias("shingle")
+    )
 
 
 def ngram_jaccard_pairs(
-    spark: SparkSession, sf_dir: str, threshold: float = 0.06
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.06,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for every co-shingled doc pair
     (doc_a < doc_b) at or above ``threshold``.
@@ -99,19 +116,37 @@ def ngram_jaccard_pairs(
     along each inverted-index row, so the whole query is ONE self-join on
     the shingle plus ONE aggregation — no separate size table, no extra
     joins, nothing cached.
+
+    ``max_shingle_df`` is the 100 TB stop-shingle guard: shingles appearing
+    in more than that many documents are dropped from the inverted index
+    (a shingle with df=10⁶ alone generates ~5·10¹¹ candidate pairs).
+    Set sizes |A|/|B| stay TRUE sizes, so capped Jaccard only ever
+    *under*-counts the intersection: the output is a subset of the exact
+    pairs (precision 1, bounded recall loss on pairs whose overlap is
+    mostly stop-shingles). Default ``None`` = exact (the oracle-gated
+    configuration).
     """
     docs = _spread(load(spark, sf_dir, "documents"))
     # Materialize the shingle array ONCE per doc in its own projection;
     # size()/explode() then reference the attribute. (Inlining the array
     # expression into both would recompute it per exploded row — the
     # optimizer keeps multiply-referenced non-trivial aliases as-is.)
-    arr = docs.select("doc_id", _shingle_array().alias("arr"))
+    arr = _shingle_docs(docs)
     sh = arr.select(
         "doc_id", F.size("arr").alias("n"), F.explode("arr").alias("shingle")
     ).cache()  # the inverted index feeds both sides of the self-join
+    idx = sh
+    if max_shingle_df is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .where(F.col("df") <= max_shingle_df)
+            .select("shingle")
+        )
+        idx = sh.join(rare, "shingle", "left_semi")
     return (
-        sh.alias("a")
-        .join(sh.alias("b"), "shingle")
+        idx.alias("a")
+        .join(idx.alias("b"), "shingle")
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
         .groupBy(
             F.col("a.doc_id").alias("doc_a"),

@@ -40,7 +40,6 @@ def hash_sample_documents(
     return (
         docs.where(_hash_bucket(F.col("doc_id")) < threshold)
         .select("doc_id", "lang", "source", "n_chars")
-        .orderBy("doc_id")
     )
 
 
@@ -53,7 +52,6 @@ def stratified_sample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         docs.where(_hash_bucket(F.col("doc_id")) < threshold)
         .select("doc_id", "lang", "n_chars")
-        .orderBy("doc_id")
     )
 
 
@@ -79,7 +77,6 @@ def chunk_documents(
         )
         .withColumn("chunk_len", F.length("chunk_text"))
         .drop("text")
-        .orderBy("doc_id", "chunk_idx")
     )
 
 
@@ -99,5 +96,4 @@ def train_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         filt.join(keep, "doc_id", "left_semi")
         .where(_hash_bucket(F.col("doc_id")) < "80")
         .select("doc_id", "lang", "source", "n_chars")
-        .orderBy("doc_id")
     )

@@ -27,7 +27,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources import normalize_events, read_events
@@ -147,3 +147,87 @@ SELECT e.user_id,
        (SELECT median(gap_us) FROM g WHERE g.user_id = e.user_id AND gap_us IS NOT NULL)
          AS median_gap_us
 FROM ev e GROUP BY e.user_id"""
+
+
+# --- As-of join (event-time point lookup into history) -----------------------
+def asof_last_click_before_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join expressed as a window: for every ``error`` event, the
+    timestamp of the same user's most recent STRICTLY EARLIER ``click``
+    event, plus the gap in microseconds (NULL when no click precedes).
+
+    Instead of a range/inequality join (quadratic per user), one sorted
+    window pass per user computes the running last click — a single
+    shuffle keyed by user_id, linear scan per partition; this is the
+    scalable as-of pattern for feature extraction at any event volume.
+    Ordering ties break on event_id so the result is deterministic.
+    """
+    ev = _ev(spark, sf_dir).select("event_id", "user_id", "ts", "variant")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    last_click = F.last(
+        F.when(F.col("variant") == "click", F.col("ts")), ignorenulls=True
+    ).over(w)
+    return (
+        ev.withColumn("last_click_ts", last_click)
+        .where(F.col("variant") == "error")
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            "last_click_ts",
+            (F.unix_micros("ts") - F.unix_micros("last_click_ts")).alias("gap_us"),
+        )
+    )
+
+
+def oracle_asof_last_click_before_error(ev_cte: str) -> str:
+    return f"""{ev_cte},
+x AS (
+  SELECT event_id, user_id, ts, variant,
+         last_value(CASE WHEN variant = 'click' THEN ts END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_ts
+  FROM ev)
+SELECT event_id, user_id, ts, last_click_ts,
+       epoch_us(ts) - epoch_us(last_click_ts) AS gap_us
+FROM x WHERE variant = 'error'"""
+
+
+# --- Time-range window frame (rolling aggregate) -----------------------------
+def rolling_week_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event: the user's total ``value`` over the trailing 7 days
+    (RANGE frame over event time, inclusive of the current row's peers).
+
+    The frame is expressed on integer microseconds (``unix_micros``), so
+    the boundary is exact and engine-portable; the sum goes through the
+    decimal accumulator (functions.numeric convention) for
+    order-independent doubles. One shuffle keyed by user_id.
+    """
+    ev = _ev(spark, sf_dir).select("event_id", "user_id", "ts", "value")
+    seven_days_us = 7 * 86400 * 1_000_000
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-seven_days_us, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.sum(F.col("value").cast("decimal(38,6)")).over(w).cast("double").alias(
+            "rolling_value"
+        ),
+    )
+
+
+def oracle_rolling_week_user_value(ev_cte: str) -> str:
+    return f"""{ev_cte}
+SELECT event_id, user_id, ts,
+       CAST(SUM(CAST(value AS DECIMAL(38,6)))
+              OVER (PARTITION BY user_id ORDER BY ts
+                    RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW)
+            AS DOUBLE) AS rolling_value
+FROM ev"""

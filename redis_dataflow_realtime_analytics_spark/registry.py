@@ -1070,8 +1070,7 @@ q(
     sampling.hash_sample_documents,
     """SELECT doc_id, lang, source, n_chars
 FROM documents
-WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
-ORDER BY doc_id""",
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'""",
 )
 q(
     "sample_documents_stratified",
@@ -1079,8 +1078,7 @@ q(
     """SELECT doc_id, lang, n_chars
 FROM documents
 WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
-      < CASE WHEN lang = 'en' THEN '10' ELSE '40' END
-ORDER BY doc_id""",
+      < CASE WHEN lang = 'en' THEN '10' ELSE '40' END""",
 )
 q(
     "chunk_documents",
@@ -1092,8 +1090,7 @@ q(
 SELECT doc_id, chunk_idx,
        substr(text, CAST(chunk_idx*400+1 AS INT), 400) AS chunk_text,
        length(substr(text, CAST(chunk_idx*400+1 AS INT), 400)) AS chunk_len
-FROM ex
-ORDER BY doc_id, chunk_idx""",
+FROM ex""",
 )
 q(
     "train_corpus_pipeline",
@@ -1105,6 +1102,37 @@ keep AS (
 SELECT doc_id, lang, source, n_chars
 FROM filt
 WHERE doc_id IN (SELECT doc_id FROM keep)
-  AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '80'
-ORDER BY doc_id""",
+  AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '80'""",
+)
+
+# ---------------------------------------------------------------------------
+# As-of join, time-range window frame, streaming dedup
+# ---------------------------------------------------------------------------
+q(
+    "asof_last_click_before_error",
+    sessions.asof_last_click_before_error,
+    sessions.oracle_asof_last_click_before_error(EV_CTE),
+)
+q(
+    "rolling_week_user_value",
+    sessions.rolling_week_user_value,
+    sessions.oracle_rolling_week_user_value(EV_CTE),
+)
+
+
+def _stream_deduped_visits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming import pipeline
+
+    return pipeline.stream_deduped_visits(spark, f"{sf_dir}/events.parquet")
+
+
+# Doubled (at-least-once) input + dropDuplicatesWithinWatermark == the plain
+# batch W1 count: the oracle proves redelivery does not over-count here,
+# unlike the reference's INCRBY leg (SURVEY §4 delta 1).
+q(
+    "stream_deduped_visits",
+    _stream_deduped_visits,
+    f"""{EV_CTE}
+SELECT date_trunc('minute', ts) AS minute, count(*) AS visits
+FROM ev GROUP BY 1""",
 )

@@ -166,6 +166,32 @@ def stream_user_sessions(
     return _replay_to_memory(spark, agg, "sess")
 
 
+def stream_deduped_visits(
+    spark: SparkSession, events_path: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """At-least-once delivery repaired by streaming dedup: the source is
+    read TWICE and unioned (simulating redelivery of every event — the
+    reference's Pub/Sub at-least-once wart that makes its INCRBY legs
+    over-count, SURVEY §4 delta 1), then
+    ``dropDuplicatesWithinWatermark('event_id')`` removes the replays
+    before the per-minute count. The oracle is the plain batch W1 — i.e.
+    the duplicates demonstrably don't over-count, unlike the reference.
+
+    State: one entry per event_id within the watermark horizon — bounded
+    by (event rate × watermark), the scalable streaming-dedup contract."""
+    a = normalize_events(read_events_stream(spark, events_path, max_files_per_trigger))
+    b = normalize_events(read_events_stream(spark, events_path, max_files_per_trigger))
+    ev = a.unionByName(b)
+    agg = (
+        ev.withWatermark("ts", WATERMARK)
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .groupBy(F.window("ts", "1 minute").alias("w"))
+        .agg(F.count("*").alias("visits"))
+        .select(F.col("w.start").alias("minute"), "visits")
+    )
+    return _replay_to_memory(spark, agg, "dedupvisits")
+
+
 # ---------------------------------------------------------------------------
 # foreachBatch mergeable-partials store
 # ---------------------------------------------------------------------------

@@ -14,6 +14,8 @@ from pyspark.sql import functions as F
 
 from redis_dataflow_realtime_analytics_spark.operators import dedup
 
+from .conftest import SF_SMOKE
+
 WORDS = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima mike november".split()
 
 
@@ -93,3 +95,32 @@ def test_ngram_jaccard_exactness(spark, corpus):
         assert vals[(i, i + 1)] == 1.0  # exact copies
         # near-copy: 1 token changed in 40 → at most 3 of 38 shingles differ
         assert vals[(i, i + 2)] > 0.7
+
+
+def test_jaccard_stop_shingle_cap_is_precision_preserving(spark):
+    """With a df cap, output pairs are a subset of the exact pairs and
+    every emitted jaccard is ≤ the exact value for that pair (true set
+    sizes + undercounted intersection)."""
+    from redis_dataflow_realtime_analytics_spark.operators import dedup
+
+    exact = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(spark, SF_SMOKE).collect()
+    }
+    capped = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(
+            spark, SF_SMOKE, max_shingle_df=5
+        ).collect()
+    }
+    assert set(capped) <= set(exact)
+    for pair, j in capped.items():
+        assert j <= exact[pair] + 1e-12
+    # a generous cap changes nothing
+    uncapped_hi = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(
+            spark, SF_SMOKE, max_shingle_df=10**9
+        ).collect()
+    }
+    assert uncapped_hi == exact

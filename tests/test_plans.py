@@ -137,3 +137,40 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         assert df.count() > 0
     finally:
         spark.sql("DROP DATABASE IF EXISTS bktest CASCADE")
+
+
+def test_sampling_filter_is_shuffle_free(spark):
+    from redis_dataflow_realtime_analytics_spark.operators import sampling
+
+    df = sampling.hash_sample_documents(spark, SF_SMOKE)
+    assert plans.count_exchanges(df) == 0, plans.plan_string(df)
+    cols = plans.read_schema_columns(df)
+    assert "text" not in cols, cols  # sample never reads the payload column
+
+
+def test_chunking_is_shuffle_free(spark):
+    from redis_dataflow_realtime_analytics_spark.operators import sampling
+
+    df = sampling.chunk_documents(spark, SF_SMOKE)
+    assert plans.count_exchanges(df) == 0, plans.plan_string(df)
+
+
+def test_asof_join_single_shuffle(spark):
+    from redis_dataflow_realtime_analytics_spark.operators import sessions
+
+    df = sessions.asof_last_click_before_error(spark, SF_SMOKE)
+    assert plans.count_exchanges(df) == 1, plans.plan_string(df)
+
+
+def test_rolling_week_single_shuffle(spark):
+    from redis_dataflow_realtime_analytics_spark.operators import sessions
+
+    df = sessions.rolling_week_user_value(spark, SF_SMOKE)
+    assert plans.count_exchanges(df) == 1, plans.plan_string(df)
+
+
+def test_q21_broadcasts_supplier_filter(spark):
+    df = relational.q21_suppliers_kept_waiting(spark, SF_SMOKE)
+    assert plans.has_broadcast_join(df)
+    pf = plans.pushed_filters(df)
+    assert "o_orderstatus" in pf, pf
