@@ -71,31 +71,34 @@ def dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- Shingles ---------------------------------------------------------------
-def _shingle_docs(docs: DataFrame, k: int = NGRAM_K) -> DataFrame:
-    """(doc_id, arr) with arr = distinct k-token shingle array.
+def _shingle_array(k: int = NGRAM_K) -> F.Column:
+    """Distinct k-token shingle array for ``text`` — one map-side expression.
 
-    Two projections: tokenize ONCE into ``toks``, then slide over the
-    materialized array. Inlining ``split`` into the ``transform`` lambda
-    instead re-splits the text per window position — O(tokens²)
-    interpreted work per doc (benched ~20 s of the old 26 s Jaccard
-    total at sf0.1)."""
-    toks = docs.select(
-        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks")
+    Formulation note (benched at sf0.1): keep this as ONE expression and
+    let each call site choose how to reference it. A pre-tokenized
+    two-projection variant (materialize ``toks``, then slide) benches
+    ~6× SLOWER for the explode-only path (0.5 s → 3.4 s): the split is
+    cheap relative to materializing the token array between projections."""
+    return F.expr(
+        f"array_distinct(transform(sequence(0, greatest(size(split(trim(text), '\\\\s+')) - {k}, 0)), "
+        f"i -> concat_ws(' ', slice(split(trim(text), '\\\\s+'), i + 1, {k}))))"
     )
-    return toks.select(
-        "doc_id",
-        F.expr(
-            f"array_distinct(transform(sequence(0, greatest(size(toks) - {k}, 0)), "
-            f"i -> concat_ws(' ', slice(toks, i + 1, {k}))))"
-        ).alias("arr"),
-    )
+
+
+def _shingle_docs(docs: DataFrame, k: int = NGRAM_K) -> DataFrame:
+    """(doc_id, arr) with arr = distinct k-token shingle array, aliased in
+    its own projection — for call sites that reference the array MORE THAN
+    ONCE (size + explode): the multiply-referenced alias is kept by the
+    optimizer, so the array is computed once per doc (benched ~2× faster
+    than inlining the expression at both references)."""
+    return docs.select("doc_id", _shingle_array(k).alias("arr"))
 
 
 def _shingles(docs: DataFrame, k: int = NGRAM_K) -> DataFrame:
-    """Distinct k-token shingles per doc: (doc_id, shingle)."""
-    return _shingle_docs(docs, k).select(
-        "doc_id", F.explode("arr").alias("shingle")
-    )
+    """Distinct k-token shingles per doc: (doc_id, shingle). Single
+    reference → inline the array expression directly under explode (see
+    the formulation note on :func:`_shingle_array`)."""
+    return docs.select("doc_id", F.explode(_shingle_array(k)).alias("shingle"))
 
 
 def ngram_jaccard_pairs(

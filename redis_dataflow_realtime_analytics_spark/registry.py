@@ -1136,3 +1136,28 @@ q(
 SELECT date_trunc('minute', ts) AS minute, count(*) AS visits
 FROM ev GROUP BY 1""",
 )
+
+
+def _stream_ev_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming import pipeline
+
+    return pipeline.stream_uniques_per_ev_minute(spark, f"{sf_dir}/events.parquet")
+
+
+# Streaming EXACT distinct via watermarked dropDuplicates + windowed count —
+# same oracle as batch w2 (stream/batch parity).
+q(
+    "stream_uniques_per_ev_minute",
+    _stream_ev_uniques,
+    f"""{EV_CTE}
+SELECT date_trunc('minute', ts) AS minute, experiment_id, variant,
+       count(DISTINCT user_id) AS unique_users
+FROM ev GROUP BY 1, 2, 3""",
+)
+
+# Stop-shingle-capped Jaccard — the 100 TB scale path (precision-preserving
+# subset of the exact result; subset/ordering asserted in tests/test_dedup.py).
+q(
+    "dedup_ngram_jaccard_pairs_capped",
+    lambda s, d: dedup.ngram_jaccard_pairs(s, d, max_shingle_df=20),
+)

@@ -166,6 +166,38 @@ def stream_user_sessions(
     return _replay_to_memory(spark, agg, "sess")
 
 
+def stream_uniques_per_ev_minute(
+    spark: SparkSession, events_path: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """W2 (exact leg) as a streaming query: EXACT unique users per
+    (experiment, variant, minute). Streaming aggregation cannot hold a
+    per-group distinct set, so exactness comes from the standard two-stage
+    pattern: watermarked ``dropDuplicates`` on the full grain key (state =
+    one row per distinct (window, experiment, variant, user) inside the
+    watermark horizon), then an ordinary windowed count. Oracle: the same
+    SQL as batch ``w2`` — stream/batch parity for an exact distinct."""
+    ev = normalize_events(read_events_stream(spark, events_path, max_files_per_trigger))
+    agg = (
+        ev.withWatermark("ts", WATERMARK)
+        .select(
+            F.window("ts", "1 minute").alias("w"),
+            "experiment_id",
+            "variant",
+            "user_id",
+        )
+        .dropDuplicates(["w", "experiment_id", "variant", "user_id"])
+        .groupBy("w", "experiment_id", "variant")
+        .agg(F.count("*").alias("unique_users"))
+        .select(
+            F.col("w.start").alias("minute"),
+            "experiment_id",
+            "variant",
+            "unique_users",
+        )
+    )
+    return _replay_to_memory(spark, agg, "evuniq")
+
+
 def stream_deduped_visits(
     spark: SparkSession, events_path: str, max_files_per_trigger: int = 1
 ) -> DataFrame:
