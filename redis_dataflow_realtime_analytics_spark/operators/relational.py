@@ -879,3 +879,60 @@ def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("numwait"), "s_name")
         .limit(100)
     )
+
+
+# --- Equi-width histogram ------------------------------------------------------
+def order_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram of order totals over 20 equi-width buckets between 0 and
+    500k (width_bucket semantics: below-range → bucket 0, above-range →
+    21). One shuffle keyed by bucket id — at any scale the shuffle carries
+    ≤22 partial rows per input partition."""
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            F.width_bucket(F.col("o_totalprice"), F.lit(0.0), F.lit(500000.0), F.lit(20))
+            .alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy("bucket")
+    )
+
+
+# --- Distributed moments (numerically deterministic) --------------------------
+def price_moments_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean and population standard deviation of extended price per return
+    flag, computed from exact decimal power sums (n, Σx, Σx²) rather than
+    Spark's streaming variance — so the result is bit-identical at any
+    partitioning AND matches the oracle running the same formula
+    single-threaded. The one-pass Σx² formulation is safe here because
+    decimal accumulation is exact (no catastrophic cancellation from
+    float partials)."""
+    li = load(spark, sf_dir, "lineitem")
+    x = F.col("l_extendedprice").cast("decimal(38,6)")
+    agg = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum((x * x).cast("decimal(38,6)")).cast("double").alias("sxx"),
+    )
+    mean = F.col("sx") / F.col("n")
+    return agg.select(
+        "l_returnflag",
+        "n",
+        mean.alias("mean_price"),
+        F.sqrt(F.col("sxx") / F.col("n") - mean * mean).alias("stddev_pop_price"),
+    ).orderBy("l_returnflag")
+
+
+# --- Unpivot / melt ------------------------------------------------------------
+def part_measures_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long unpivot of part's numeric attributes via ``stack`` — the
+    inverse of pivot; a narrow row expansion (no shuffle)."""
+    part = load(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.expr(
+            "stack(2, 'size', CAST(p_size AS DOUBLE), "
+            "'retailprice', CAST(p_retailprice AS DOUBLE))"
+        ).alias("measure", "value"),
+    )

@@ -1161,3 +1161,37 @@ q(
     "dedup_ngram_jaccard_pairs_capped",
     lambda s, d: dedup.ngram_jaccard_pairs(s, d, max_shingle_df=20),
 )
+
+# ---------------------------------------------------------------------------
+# Histogram, distributed moments, unpivot
+# ---------------------------------------------------------------------------
+q(
+    "order_price_histogram",
+    relational.order_price_histogram,
+    """SELECT CASE WHEN o_totalprice < 0 THEN 0
+            WHEN o_totalprice >= 500000 THEN 21
+            ELSE CAST(floor(o_totalprice / 25000.0) AS BIGINT) + 1 END AS bucket,
+       count(*) AS n_orders
+FROM orders GROUP BY 1 ORDER BY 1""",
+)
+q(
+    "price_moments_by_flag",
+    relational.price_moments_by_flag,
+    """WITH a AS (
+  SELECT l_returnflag, count(*) AS n,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(38,6))
+                       * CAST(l_extendedprice AS DECIMAL(38,6)) AS DECIMAL(38,6)))
+              AS DOUBLE) AS sxx
+  FROM lineitem GROUP BY 1)
+SELECT l_returnflag, n, sx / n AS mean_price,
+       sqrt(sxx / n - (sx / n) * (sx / n)) AS stddev_pop_price
+FROM a ORDER BY 1""",
+)
+q(
+    "part_measures_unpivot",
+    relational.part_measures_unpivot,
+    """SELECT p_partkey, 'size' AS measure, CAST(p_size AS DOUBLE) AS value FROM part
+UNION ALL
+SELECT p_partkey, 'retailprice' AS measure, CAST(p_retailprice AS DOUBLE) AS value FROM part""",
+)

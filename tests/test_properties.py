@@ -121,3 +121,32 @@ def test_quantized_dot_commutative_and_int_exact(spark, a):
     assert r.ab == r.ba
     assert isinstance(r.ab, int)
     assert r.n2 >= 0
+
+
+def test_decimal_moments_agree_with_builtin_stddev(spark):
+    """The exact-decimal moments formulation equals Spark's builtin
+    stddev_pop/avg within float tolerance (it exists for cross-engine
+    determinism, not different math)."""
+    from redis_dataflow_realtime_analytics_spark.operators import relational
+
+    from .conftest import SF_SMOKE
+
+    ours = {
+        r.l_returnflag: (r.mean_price, r.stddev_pop_price)
+        for r in relational.price_moments_by_flag(spark, SF_SMOKE).collect()
+    }
+    from pyspark.sql import functions as F
+
+    from redis_dataflow_realtime_analytics_spark.tables import load
+
+    ref = {
+        r.l_returnflag: (r.m, r.s)
+        for r in load(spark, SF_SMOKE, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.avg("l_extendedprice").alias("m"), F.stddev_pop("l_extendedprice").alias("s"))
+        .collect()
+    }
+    assert set(ours) == set(ref)
+    for k, (m, s) in ours.items():
+        assert abs(m - ref[k][0]) < 1e-6 * max(1.0, abs(m))
+        assert abs(s - ref[k][1]) < 1e-6 * max(1.0, abs(s))
