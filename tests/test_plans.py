@@ -174,3 +174,23 @@ def test_q21_broadcasts_supplier_filter(spark):
     assert plans.has_broadcast_join(df)
     pf = plans.pushed_filters(df)
     assert "o_orderstatus" in pf, pf
+
+
+def test_date_partitioned_layout_prunes_partitions(spark, tmp_path):
+    from redis_dataflow_realtime_analytics_spark.functions import layout
+
+    out = str(tmp_path / "events_by_date")
+    layout.write_date_partitioned_events(spark, SF_SMOKE, out)
+    df = layout.read_events_for_day(spark, out, "2024-01-02")
+    p = plans.plan_string(df)
+    # the day predicate must appear as a PartitionFilter (directory pruning),
+    # NOT as a data filter / PushedFilter
+    assert "PartitionFilters" in p and "event_date" in p, p
+    assert "PushedFilters: [IsNotNull(event_date" not in p, p
+    # physical layout is one directory per day, so pruning skips whole dirs
+    day_files = spark.read.parquet(f"{out}/event_date=2024-01-02").inputFiles()
+    all_files = spark.read.parquet(out).inputFiles()
+    assert 0 < len(day_files) < len(all_files)
+    # and the day filter is exact
+    days = {r.event_date for r in df.select("event_date").distinct().collect()}
+    assert days == {__import__("datetime").date(2024, 1, 2)}
