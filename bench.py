@@ -40,6 +40,7 @@ HEADLINE = [
     "running_revenue_per_supplier",
     "text_token_stats",
     "text_fingerprints",
+    "text_tfidf_top_terms",
     "dedup_exact_groups",
     "dedup_ngram_jaccard_pairs",
     "dedup_minhash_neardup_pairs",

@@ -13,7 +13,7 @@ here is oracle-checkable bit-exactly.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..tables import load, spread
@@ -129,18 +129,16 @@ def fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = spread(load(spark, sf_dir, "documents"))
     norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
-    # materialize the token array once; the shingle transform then reuses it
-    # instead of re-splitting per shingle
-    toks = docs.select(
-        "doc_id",
-        F.md5(norm).alias("fingerprint"),
-        F.split(F.trim(F.col("text")), TOKEN_RE).alias("tokens"),
-    )
+    # single-reference array expression → inline it (same finding as
+    # dedup._shingle_array: a separate tokens projection costs ~3 s of
+    # one-time stage/codegen overhead at sf0.1 and wins nothing back)
     shingle_min = F.expr(
-        "array_min(transform(sequence(0, size(tokens) - 5), "
-        "i -> md5(concat_ws(' ', slice(tokens, i + 1, 5)))))"
+        "array_min(transform(sequence(0, size(split(trim(text), '\\\\s+')) - 5), "
+        "i -> md5(concat_ws(' ', slice(split(trim(text), '\\\\s+'), i + 1, 5)))))"
     )
-    return toks.select("doc_id", "fingerprint", shingle_min.alias("min_shingle_fp"))
+    return docs.select(
+        "doc_id", F.md5(norm).alias("fingerprint"), shingle_min.alias("min_shingle_fp")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -214,3 +212,97 @@ pos AS (
 SELECT doc_id, fingerprint,
        min(md5(array_to_string(tokens[i : i + 4], ' '))) AS min_shingle_fp
 FROM pos GROUP BY 1, 2"""
+
+
+# --- Corpus-wide n-gram statistics -------------------------------------------
+def top_bigrams(spark: SparkSession, sf_dir: str, k: int = 50) -> DataFrame:
+    """The ``k`` most frequent lowercased token bigrams across the corpus
+    (count = total occurrences, not distinct-per-doc). Explode → one
+    count shuffle keyed by the bigram → TakeOrderedAndProject top-k; at
+    any corpus size the shuffle carries per-partition partial counts.
+    Deterministic tie-break on the bigram string."""
+    docs = load(spark, sf_dir, "documents")
+    # guard: Spark's sequence(1, 0) yields a DESCENDING [1, 0], so docs with
+    # <2 tokens must short-circuit to an empty array, not hit the transform
+    bigram = F.explode(
+        F.expr(
+            "CASE WHEN size(split(trim(lower(text)), '\\\\s+')) >= 2 THEN "
+            "transform(sequence(1, size(split(trim(lower(text)), '\\\\s+')) - 1), "
+            "i -> concat_ws(' ', slice(split(trim(lower(text)), '\\\\s+'), i, 2))) "
+            "ELSE array() END"
+        )
+    ).alias("bigram")
+    return (
+        docs.select(bigram)
+        .groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "bigram")
+        .limit(k)
+    )
+
+
+def oracle_top_bigrams(k: int = 50) -> str:
+    return f"""WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents),
+bg AS (
+  SELECT array_to_string(t[i : i + 1], ' ') AS bigram
+  FROM (SELECT t, unnest(generate_series(1, greatest(len(t) - 1, 1))) AS i FROM toks)
+  WHERE len(t) >= 2)
+SELECT bigram, count(*) AS n FROM bg
+GROUP BY 1 ORDER BY n DESC, bigram LIMIT {k}"""
+
+
+# --- TF-IDF ------------------------------------------------------------------
+def tfidf_top_terms(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+    """Top-``k`` characteristic terms per document by tf-idf.
+
+    tf = occurrences of the term in the doc; idf = ln(N / df) with df =
+    number of docs containing the term. Ranking uses the INTEGER pair
+    (tf, -df) with a term-string tie-break — fully deterministic across
+    engines — so the float tfidf is a reported value, never a sort key
+    (a 1-ulp ln() difference can never flip row membership).
+
+    Plan: explode → (doc, term) counts [shuffle 1] → term df [shuffle 2,
+    carries one row per distinct term] broadcast back → per-doc top-k via
+    ranking window [shuffle 3 keyed by doc_id]. N is a 1-row broadcast.
+    """
+    docs = load(spark, sf_dir, "documents")
+    terms = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("term"),
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tf"), "df", "term")
+    return (
+        tf.join(df_, "term")
+        .join(F.broadcast(n_docs))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            (F.col("tf") * F.log(F.col("n_docs") / F.col("df"))).alias("tfidf"),
+            F.col("rn").cast("int").alias("rank"),
+        )
+    )
+
+
+def oracle_tfidf_top_terms(k: int = 3) -> str:
+    return f"""WITH terms AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+  FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents),
+ranked AS (
+  SELECT doc_id, term, tf, df, n_docs,
+         row_number() OVER (PARTITION BY doc_id ORDER BY tf DESC, df, term) AS rn
+  FROM tf JOIN df USING (term) CROSS JOIN n)
+SELECT doc_id, term, tf, df,
+       tf * ln(CAST(n_docs AS DOUBLE) / df) AS tfidf,
+       CAST(rn AS INTEGER) AS rank
+FROM ranked WHERE rn <= {k}"""

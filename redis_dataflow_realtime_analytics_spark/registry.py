@@ -59,6 +59,8 @@ ORACLE: dict[str, str] = {}
 
 
 def q(name: str, fn: QueryFn, oracle: str | None = None) -> None:
+    if name in QUERIES:
+        raise ValueError(f"duplicate registry entry: {name}")
     QUERIES[name] = fn
     if oracle is not None:
         ORACLE[name] = oracle
@@ -1195,3 +1197,9 @@ q(
 UNION ALL
 SELECT p_partkey, 'retailprice' AS measure, CAST(p_retailprice AS DOUBLE) AS value FROM part""",
 )
+
+# ---------------------------------------------------------------------------
+# Corpus n-gram statistics and TF-IDF
+# ---------------------------------------------------------------------------
+q("text_top_bigrams", text.top_bigrams, text.oracle_top_bigrams())
+q("text_tfidf_top_terms", text.tfidf_top_terms, text.oracle_tfidf_top_terms())
