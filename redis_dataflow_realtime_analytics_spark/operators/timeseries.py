@@ -138,6 +138,43 @@ def variant_overlap(events: DataFrame) -> DataFrame:
     )
 
 
+def variant_overlap_approx(events: DataFrame) -> DataFrame:
+    """R5's scale path: approximate pairwise audience overlap via HLL
+    inclusion–exclusion — |A∩B| ≈ est(A) + est(B) − est(A ∪ B) on
+    DataSketches HLL sketches (``hll_sketch_agg`` / ``hll_union``).
+
+    The exact self-join (:func:`variant_overlap`) shuffles every distinct
+    (variant, user) pair; at 100 TB that is the dominant cost. This
+    variant reduces each variant to ONE ≤KB sketch (map-side partial
+    aggregation), then cross-joins the handful of sketches — no per-user
+    shuffle at all, and the sketches are the same mergeable state the
+    streaming store persists (SCALE.md principle 5). Mirrors the
+    reference's own HLL/exact double-write philosophy (SURVEY §1.3) on
+    the one read-side op it only implemented exactly.
+
+    Registered rows-only (sketch estimates are engine-specific); accuracy
+    vs the exact overlap is asserted in tests.
+    """
+    sk = events.groupBy("variant").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count_distinct("user_id").alias("exact_n"),
+    )
+    a, b = sk.alias("a"), sk.alias("b")
+    est = F.hll_sketch_estimate
+    return (
+        a.join(b, F.col("a.variant") < F.col("b.variant"))
+        .select(
+            F.col("a.variant").alias("variant_a"),
+            F.col("b.variant").alias("variant_b"),
+            (
+                est(F.col("a.sk")).cast("double")
+                + est(F.col("b.sk")).cast("double")
+                - est(F.hll_union(F.col("a.sk"), F.col("b.sk"))).cast("double")
+            ).alias("overlap_approx"),
+        )
+    )
+
+
 def times(events: DataFrame) -> DataFrame:
     """R6 ``/times`` debug endpoint (:138-142) — the axis itself."""
     return time_axis(events)

@@ -1203,3 +1203,10 @@ SELECT p_partkey, 'retailprice' AS measure, CAST(p_retailprice AS DOUBLE) AS val
 # ---------------------------------------------------------------------------
 q("text_top_bigrams", text.top_bigrams, text.oracle_top_bigrams())
 q("text_tfidf_top_terms", text.tfidf_top_terms, text.oracle_tfidf_top_terms())
+
+# R5's scale path: sketch-based overlap (rows-only; accuracy vs the exact
+# self-join asserted in tests/test_metrics_fanout.py).
+q(
+    "r5_variant_overlap_approx",
+    lambda s, d: timeseries.variant_overlap_approx(_ev(s, d)),
+)

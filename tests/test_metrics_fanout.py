@@ -34,3 +34,29 @@ def test_approx_twins_within_tolerance(spark):
             assert abs(approx[v] - n) <= max(0.05 * n, 2), (v, n, approx[v])
     finally:
         ev.unpersist()
+
+
+def test_variant_overlap_approx_close_to_exact(spark):
+    """HLL inclusion-exclusion overlap within 5% of the exact self-join
+    (DataSketches default lgK=12 → ~1.6% rse per sketch; the difference
+    of three estimates stays well inside 5% at these cardinalities)."""
+    from redis_dataflow_realtime_analytics_spark.operators import timeseries
+    from redis_dataflow_realtime_analytics_spark.sources import (
+        normalize_events,
+        read_events,
+    )
+
+    from .conftest import SF_SMOKE
+
+    ev = normalize_events(read_events(spark, SF_SMOKE))
+    exact = {
+        (r.variant_a, r.variant_b): r.overlap
+        for r in timeseries.variant_overlap(ev).collect()
+    }
+    approx = {
+        (r.variant_a, r.variant_b): r.overlap_approx
+        for r in timeseries.variant_overlap_approx(ev).collect()
+    }
+    assert set(exact) == set(approx)
+    for pair, n in exact.items():
+        assert abs(approx[pair] - n) <= max(0.05 * n, 3.0), (pair, n, approx[pair])
