@@ -936,3 +936,26 @@ def part_measures_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
             "'retailprice', CAST(p_retailprice AS DOUBLE))"
         ).alias("measure", "value"),
     )
+
+
+# --- Analytic window-function surface -----------------------------------------
+def order_window_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The navigation/distribution window surface in one pass per customer:
+    lag/lead (prior/next order value), first_value (frame-to-current),
+    ntile quartile, percent_rank and cume_dist. One shuffle keyed by
+    o_custkey; the (o_orderdate, o_orderkey) ordering is total, so every
+    function is deterministic and engine-portable."""
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        "o_totalprice",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.first("o_orderdate").over(w).alias("first_order_date"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )

@@ -1210,3 +1210,19 @@ q(
     "r5_variant_overlap_approx",
     lambda s, d: timeseries.variant_overlap_approx(_ev(s, d)),
 )
+
+# Navigation/distribution window functions (lag/lead/first_value/ntile/
+# percent_rank/cume_dist) over a total per-customer ordering.
+q(
+    "order_window_functions",
+    relational.order_window_functions,
+    """SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+       lag(o_totalprice) OVER w AS prev_price,
+       lead(o_totalprice) OVER w AS next_price,
+       first_value(o_orderdate) OVER w AS first_order_date,
+       CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist() OVER w AS cume
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""",
+)
