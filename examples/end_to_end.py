@@ -56,6 +56,15 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     print(f"[4] exact-dup groups: {dedup.exact_dedup_groups(spark, sf_dir).count()}, "
           f"ANN top-k rows: {similarity.ann_topk_bruteforce(spark, sf_dir).count()}")
 
+    # 5. training-corpus assembly: filter -> dedup -> sample -> chunk
+    from redis_dataflow_realtime_analytics_spark.operators import sampling, text
+
+    corpus = sampling.train_corpus_pipeline(spark, sf_dir)
+    chunks = sampling.chunk_documents(spark, sf_dir)
+    terms = text.tfidf_top_terms(spark, sf_dir)
+    print(f"[5] corpus docs: {corpus.count()}, chunks: {chunks.count()}, "
+          f"tf-idf term rows: {terms.count()}")
+
 
 if __name__ == "__main__":
     main(*sys.argv[1:2])

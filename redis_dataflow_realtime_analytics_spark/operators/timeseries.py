@@ -204,3 +204,21 @@ def variant_minute_grid(events: DataFrame) -> DataFrame:
             F.coalesce("visits", F.lit(0)).cast("double").alias("metric"),
         )
     )
+
+
+def events_enriched_with_customer(events: DataFrame, customer: DataFrame) -> DataFrame:
+    """Dimension enrichment: attach customer attributes to each event by
+    user key — the standard streaming-enrichment shape. The dimension side
+    broadcasts (a customer table is small relative to the event stream at
+    any realistic ratio), so enrichment is shuffle-free on the event side
+    and works identically under ``readStream``.
+
+    Left join: events without a matching customer survive with NULL
+    attributes (enrichment must never drop events).
+    """
+    dim = customer.select(
+        F.col("c_custkey").alias("user_id"), "c_nationkey", "c_mktsegment"
+    )
+    return events.join(F.broadcast(dim), "user_id", "left").select(
+        "event_id", "user_id", "ts", "variant", "c_nationkey", "c_mktsegment"
+    )

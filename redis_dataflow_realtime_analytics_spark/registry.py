@@ -1226,3 +1226,22 @@ q(
 FROM orders
 WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""",
 )
+
+
+def _events_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .tables import load
+
+    return timeseries.events_enriched_with_customer(
+        _ev(spark, sf_dir), load(spark, sf_dir, "customer")
+    )
+
+
+# Streaming-enrichment shape: broadcast dimension left-join on the event
+# stream (shuffle-free on the event side).
+q(
+    "events_enriched_with_customer",
+    _events_enriched,
+    f"""{EV_CTE}
+SELECT event_id, e.user_id, ts, variant, c_nationkey, c_mktsegment
+FROM ev e LEFT JOIN customer c ON e.user_id = c.c_custkey""",
+)
