@@ -959,3 +959,24 @@ def order_window_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percent_rank().over(w).alias("pct_rank"),
         F.cume_dist().over(w).alias("cume"),
     )
+
+
+# --- SQL entry point -----------------------------------------------------------
+def sql_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's second API surface: the exact Q4 statement as literal
+    ``spark.sql`` over registered views — correlated EXISTS included.
+    Catalyst plans SQL and DataFrame code through the same optimizer, so
+    this carries the identical physical plan (and oracle) as the
+    DataFrame-built :func:`q4_order_priority`."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """SELECT o_orderpriority, count(*) AS order_count
+           FROM orders o
+           WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+             AND o_orderdate < TIMESTAMP '1997-01-01'
+             AND EXISTS (SELECT 1 FROM lineitem l
+                         WHERE l.l_orderkey = o.o_orderkey
+                           AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+           GROUP BY o_orderpriority"""
+    )

@@ -308,3 +308,101 @@ def embedding_neardup_pairs_lsh(
         .select("vec_id_a", "vec_id_b", "cosine")
         .distinct()
     )
+
+
+# --- Distributed k-means (iterative algorithm, Lloyd's) -----------------------
+#: Embedding dimensionality of the fixture corpus.
+EMBED_DIM = 64
+
+
+def kmeans_embedding_centroids(
+    spark: SparkSession, sf_dir: str, k: int = 8, iters: int = 5
+) -> DataFrame:
+    """Lloyd's k-means over the embedding corpus — the canonical
+    driver-coordinated iterative algorithm: per iteration one broadcast of
+    the k×dim centroid table (tiny) into a narrow assignment pass, then
+    one groupBy computing per-dimension means. Nothing but the k centroids
+    ever reaches the driver, so the pattern is unchanged at 100 TB.
+
+    Determinism discipline (same as functions.numeric): per-dimension
+    means are exact decimal sums / counts, and argmin assignment breaks
+    distance ties on centroid_id — so the final centroids are
+    bit-identical at any partitioning (asserted in tests). Registered
+    rows-only: an iterative fixpoint has no single-statement SQL oracle.
+
+    Empty clusters keep their previous centroid. Initialization is the
+    deterministic data-derived sample (every ``n/k``-th vector).
+
+    Output: one row per cluster — (cluster_id, n_points, inertia,
+    centroid array<double>).
+    """
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    init = (
+        emb.withColumn(
+            "rn", F.row_number().over(Window.orderBy("vec_id")) - 1
+        )
+        .where(F.col("rn") % F.lit(max(emb.count() // k, 1)) == 0)
+        .orderBy("vec_id")
+        .limit(k)
+        .collect()
+    )
+    centroids: list[list[float]] = [list(map(float, r.embedding)) for r in init]
+
+    def assigned_df() -> DataFrame:
+        cent_rows = [(cid, c) for cid, c in enumerate(centroids)]
+        cents = spark.createDataFrame(
+            cent_rows, "cluster_id int, centroid array<double>"
+        )
+        dist = F.aggregate(
+            F.zip_with("embedding", "centroid", lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        w = Window.partitionBy("vec_id").orderBy("dist", "cluster_id")
+        return (
+            emb.join(F.broadcast(cents), how="cross")
+            .withColumn("dist", dist)
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("vec_id", "embedding", "cluster_id", "dist")
+        )
+
+    for _ in range(iters):
+        means = (
+            assigned_df()
+            .groupBy("cluster_id")
+            .agg(
+                *[
+                    (
+                        F.sum(F.col("embedding")[i].cast("decimal(38,12)")).cast(
+                            "double"
+                        )
+                        / F.count("*")
+                    ).alias(f"m{i}")
+                    for i in range(EMBED_DIM)
+                ]
+            )
+            .collect()
+        )
+        for r in means:  # clusters with no members keep their old centroid
+            centroids[r.cluster_id] = [float(r[f"m{i}"]) for i in range(EMBED_DIM)]
+
+    return (
+        assigned_df()
+        .groupBy("cluster_id")
+        .agg(
+            F.count("*").alias("n_points"),
+            F.sum(F.col("dist").cast("decimal(38,12)")).cast("double").alias("inertia"),
+        )
+        .join(
+            F.broadcast(
+                spark.createDataFrame(
+                    [(cid, c) for cid, c in enumerate(centroids)],
+                    "cluster_id int, centroid array<double>",
+                )
+            ),
+            "cluster_id",
+        )
+        .orderBy("cluster_id")
+    )

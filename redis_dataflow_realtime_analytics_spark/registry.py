@@ -1245,3 +1245,25 @@ q(
 SELECT event_id, e.user_id, ts, variant, c_nationkey, c_mktsegment
 FROM ev e LEFT JOIN customer c ON e.user_id = c.c_custkey""",
 )
+
+# Iterative algorithm surface: driver-coordinated Lloyd's k-means (rows-only —
+# an iterative fixpoint has no single-statement SQL oracle; determinism and
+# inertia descent are asserted in tests/test_similarity.py).
+q(
+    "kmeans_embedding_centroids",
+    lambda s, d: similarity.kmeans_embedding_centroids(s, d),
+)
+
+# The same Q4 through the spark.sql() entry point (identical oracle —
+# SQL and DataFrame collapse to one Catalyst plan).
+q(
+    "sql_q4_order_priority",
+    relational.sql_q4_order_priority,
+    """SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+GROUP BY 1""",
+)

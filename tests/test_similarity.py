@@ -86,3 +86,31 @@ def test_lsh_neardup_recall_vs_bruteforce(spark):
     if brute:
         recall = len(lsh & brute) / len(brute)
         assert recall >= 0.55, f"LSH near-dup recall {recall} over {len(brute)} pairs"
+
+
+def test_kmeans_inertia_decreases_and_deterministic(spark):
+    from redis_dataflow_realtime_analytics_spark.operators.similarity import (
+        kmeans_embedding_centroids,
+    )
+
+    one = kmeans_embedding_centroids(spark, SF_SMOKE, k=4, iters=1)
+    five = kmeans_embedding_centroids(spark, SF_SMOKE, k=4, iters=5)
+    inertia_one = sum(r.inertia for r in one.collect())
+    inertia_five = sum(r.inertia for r in five.collect())
+    assert inertia_five <= inertia_one + 1e-9
+
+    # bit-identical at different shuffle parallelism (decimal means +
+    # deterministic tie-breaks)
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        again = kmeans_embedding_centroids(spark, SF_SMOKE, k=4, iters=5)
+        a = [(r.cluster_id, r.n_points, r.inertia, tuple(r.centroid)) for r in five.collect()]
+        b = [(r.cluster_id, r.n_points, r.inertia, tuple(r.centroid)) for r in again.collect()]
+        assert a == b
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+    rows = five.collect()
+    assert len(rows) <= 4
+    assert all(len(r.centroid) == 64 for r in rows)
