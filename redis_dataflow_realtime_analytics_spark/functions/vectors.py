@@ -68,3 +68,12 @@ def oracle_qdot(x: str, y: str) -> str:
     """SUM of element products over an unnested zip — DuckDB SUM(BIGINT)
     yields HUGEINT, so cast back to BIGINT (values fit, see overflow note)."""
     return f"CAST(SUM({x} * {y}) AS BIGINT)"
+
+
+def quantize_py(vec: list[float]) -> list[int]:
+    """Python twin of :func:`quantize` — for driver-side vectors (e.g. a
+    trained k-means codebook) that must join against SQL-quantized columns.
+    ``math.floor`` on a double matches SQL ``floor`` bit-for-bit."""
+    import math
+
+    return [int(math.floor(float(x) * SCALE)) for x in vec]

@@ -1267,3 +1267,10 @@ WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01
                 AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
 GROUP BY 1""",
 )
+
+# IVF with a k-means-trained codebook (rows-only; recall dominance over the
+# sampled-seed IVF is asserted in tests/test_similarity.py).
+q(
+    "ann_ivf_kmeans_topk",
+    lambda s, d: similarity.ann_ivf_kmeans_topk(s, d),
+)

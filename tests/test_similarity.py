@@ -114,3 +114,28 @@ def test_kmeans_inertia_decreases_and_deterministic(spark):
     rows = five.collect()
     assert len(rows) <= 4
     assert all(len(r.centroid) == 64 for r in rows)
+
+
+def test_trained_ivf_recall_within_band_of_sampled(spark):
+    """Trained-codebook IVF recalls within a band of the sampled-seed
+    variant at equal nprobe and codebook size (see the operator docstring
+    for why strict dominance is NOT claimed on this uniform fixture)."""
+    from redis_dataflow_realtime_analytics_spark.operators.similarity import (
+        ann_ivf_kmeans_topk,
+        ann_ivf_topk,
+        ann_topk_bruteforce,
+    )
+
+    def pairs(df):
+        return {(r.query_id, r.neighbor_id) for r in df.collect()}
+
+    exact = pairs(ann_topk_bruteforce(spark, SF_SMOKE))
+    sampled = pairs(ann_ivf_topk(spark, SF_SMOKE))
+    trained = pairs(ann_ivf_kmeans_topk(spark, SF_SMOKE))
+    recall_sampled = len(sampled & exact) / len(exact)
+    recall_trained = len(trained & exact) / len(exact)
+    assert recall_trained >= recall_sampled - 0.15, (
+        recall_trained,
+        recall_sampled,
+    )
+    assert recall_trained > 0.6
