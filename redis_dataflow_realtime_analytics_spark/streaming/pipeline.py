@@ -40,7 +40,7 @@ from contextlib import contextmanager
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.metrics import HLL_RSD
+from ..operators.metrics import approx_uniques
 from ..sources.events import normalize_events, read_events_stream
 
 WATERMARK = "10 minutes"
@@ -118,7 +118,7 @@ def stream_uniques_per_minute_approx(
     agg = (
         ev.withWatermark("ts", WATERMARK)
         .groupBy(F.window("ts", "1 minute").alias("w"))
-        .agg(F.approx_count_distinct("user_id", rsd=HLL_RSD).alias("unique_users"))
+        .agg(approx_uniques("user_id").alias("unique_users"))
         .select(F.col("w.start").alias("minute"), "unique_users")
     )
     return _replay_to_memory(spark, agg, "uniq")

@@ -1,0 +1,107 @@
+"""Scale-up soak: measure the core operators at 10-100x the bench SF.
+
+Generates synthetic inputs with the engine's own deterministic generator
+(sources.generator) — no dependence on driver fixtures — and times the
+reference-parity grains, streaming replay, and the dedup family at sizes
+that expose super-linear behavior. Records events/s so scaling factors are
+directly comparable with BASELINE.md.
+
+Usage:  python scripts/soak.py [n_events] [doc_multiplier]
+Prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from redis_dataflow_realtime_analytics_spark.operators import dedup
+from redis_dataflow_realtime_analytics_spark.session import get_spark
+from redis_dataflow_realtime_analytics_spark.sources.generator import generate_events
+
+
+def main(n_events: int = 10_000_000, doc_mult: int = 20) -> None:
+    spark = get_spark(app_name="soak")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    out: dict[str, float] = {}
+
+    with tempfile.TemporaryDirectory() as tmp:
+        # --- events at n_events (generator -> parquet, like a real ingest) ---
+        ev_path = f"{tmp}/events"
+        t0 = time.perf_counter()
+        generate_events(spark, n=n_events).write.mode("overwrite").parquet(ev_path)
+        out["generate_write_s"] = round(time.perf_counter() - t0, 2)
+
+        ev = spark.read.parquet(ev_path).select(
+            F.col("uid").alias("user_id"),
+            "experiment_id",
+            "variant",
+            F.col("timestamp").alias("ts"),
+        )
+        for name, df in {
+            "w1_visits": ev.groupBy(F.date_trunc("minute", "ts")).count(),
+            "w2_ev_uniques": ev.groupBy(
+                F.date_trunc("minute", "ts"), "experiment_id", "variant"
+            ).agg(F.count_distinct("user_id")),
+            "w11_uniques": ev.groupBy(F.date_trunc("minute", "ts")).agg(
+                F.count_distinct("user_id")
+            ),
+            "w11_approx": ev.groupBy(F.date_trunc("minute", "ts")).agg(
+                F.approx_count_distinct("user_id", rsd=0.008)
+            ),
+        }.items():
+            t0 = time.perf_counter()
+            df.write.mode("overwrite").format("noop").save()
+            dt = time.perf_counter() - t0
+            out[f"{name}_s"] = round(dt, 2)
+            out[f"{name}_events_per_s"] = int(n_events / dt)
+
+        # --- documents at doc_mult x sf0.1 (dedup family) --------------------
+        docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+        big = docs.crossJoin(spark.range(doc_mult).select(F.col("id").alias("rep")))
+        big = big.select(
+            (F.col("doc_id") * doc_mult + F.col("rep")).alias("doc_id"),
+            # perturb replicas so near-dup structure stays realistic
+            F.when(F.col("rep") == 0, F.col("text"))
+            .otherwise(F.concat_ws(" ", F.col("text"), F.col("rep").cast("string")))
+            .alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+        doc_path = f"{tmp}/documents/documents.parquet"
+        big.write.mode("overwrite").parquet(doc_path)
+        n_docs = spark.read.parquet(doc_path).count()
+        out["n_docs"] = n_docs
+
+        sf_dir = f"{tmp}/documents"  # tables.load reads <dir>/documents.parquet
+        for name, fn in {
+            "dedup_exact": lambda: dedup.exact_dedup_groups(spark, sf_dir),
+            "minhash_pairs": lambda: dedup.minhash_neardup_pairs(spark, sf_dir),
+            "simhash_pairs": lambda: dedup.simhash_neardup_pairs(spark, sf_dir),
+            "jaccard_capped": lambda: dedup.ngram_jaccard_pairs(
+                spark, sf_dir, max_shingle_df=200
+            ),
+        }.items():
+            t0 = time.perf_counter()
+            fn().write.mode("overwrite").format("noop").save()
+            dt = time.perf_counter() - t0
+            out[f"{name}_s"] = round(dt, 2)
+            out[f"{name}_docs_per_s"] = int(n_docs / dt)
+
+    out["n_events"] = n_events
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main(
+        int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000,
+        int(sys.argv[2]) if len(sys.argv) > 2 else 20,
+    )
