@@ -23,6 +23,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F
 
 from redis_dataflow_realtime_analytics_spark.operators import dedup
+from redis_dataflow_realtime_analytics_spark.operators.metrics import approx_uniques
 from redis_dataflow_realtime_analytics_spark.session import get_spark
 from redis_dataflow_realtime_analytics_spark.sources.generator import generate_events
 
@@ -54,7 +55,7 @@ def main(n_events: int = 10_000_000, doc_mult: int = 20) -> None:
                 F.count_distinct("user_id")
             ),
             "w11_approx": ev.groupBy(F.date_trunc("minute", "ts")).agg(
-                F.approx_count_distinct("user_id", rsd=0.008)
+                approx_uniques("user_id")
             ),
         }.items():
             t0 = time.perf_counter()
