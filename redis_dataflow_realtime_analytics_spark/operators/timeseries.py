@@ -222,3 +222,52 @@ def events_enriched_with_customer(events: DataFrame, customer: DataFrame) -> Dat
     return events.join(F.broadcast(dim), "user_id", "left").select(
         "event_id", "user_id", "ts", "variant", "c_nationkey", "c_mktsegment"
     )
+
+
+def variant_series_correlation(events: DataFrame) -> DataFrame:
+    """Cross-series similarity: Pearson correlation between the per-minute
+    visit series of every variant pair, over minutes where both variants
+    are active (inner join on the minute grain).
+
+    Correlation is computed from INTEGER power sums (n, Σx, Σy, Σxy, Σx²,
+    Σy² — visit counts are ints, so 64-bit sums are exact) followed by one
+    double formula — bit-identical at any partitioning and across engines,
+    unlike a streaming ``corr()`` accumulation of doubles.
+
+    Plan: one (minute, variant) count aggregation, a self-join on minute
+    (per-minute variant fan-out is tiny), then one aggregation keyed by the
+    variant pair. Series length never materializes anywhere — 100 TB of
+    events still reduces to per-minute partials before any join.
+    """
+    mv = events.groupBy(
+        F.date_trunc("minute", "ts").alias("minute"), "variant"
+    ).agg(F.count("*").alias("visits"))
+    a, b = mv.alias("a"), mv.alias("b")
+    j = a.join(
+        b,
+        (F.col("a.minute") == F.col("b.minute"))
+        & (F.col("a.variant") < F.col("b.variant")),
+    ).select(
+        F.col("a.variant").alias("variant_a"),
+        F.col("b.variant").alias("variant_b"),
+        F.col("a.visits").alias("x"),
+        F.col("b.visits").alias("y"),
+    )
+    g = j.groupBy("variant_a", "variant_b").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    ) * F.sqrt((F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double"))
+    return g.select(
+        "variant_a",
+        "variant_b",
+        "n",
+        F.when(den != 0, num / den).alias("pearson_corr"),
+    )

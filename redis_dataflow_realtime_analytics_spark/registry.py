@@ -1274,3 +1274,29 @@ q(
     "ann_ivf_kmeans_topk",
     lambda s, d: similarity.ann_ivf_kmeans_topk(s, d),
 )
+
+# Cross-series similarity: Pearson correlation between variant visit
+# series from exact integer power sums (engine-portable determinism).
+q(
+    "variant_series_correlation",
+    lambda s, d: timeseries.variant_series_correlation(_ev(s, d)),
+    f"""{EV_CTE},
+mv AS (
+  SELECT date_trunc('minute', ts) AS minute, variant, count(*) AS visits
+  FROM ev GROUP BY 1, 2),
+j AS (
+  SELECT a.variant AS variant_a, b.variant AS variant_b,
+         a.visits AS x, b.visits AS y
+  FROM mv a JOIN mv b ON a.minute = b.minute AND a.variant < b.variant),
+g AS (
+  SELECT variant_a, variant_b, count(*) AS n,
+         sum(x) AS sx, sum(y) AS sy, sum(x*y) AS sxy,
+         sum(x*x) AS sxx, sum(y*y) AS syy
+  FROM j GROUP BY 1, 2)
+SELECT variant_a, variant_b, n,
+       CASE WHEN sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) * sqrt(CAST(n*syy - sy*sy AS DOUBLE)) <> 0
+            THEN CAST(n*sxy - sx*sy AS DOUBLE)
+                 / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) * sqrt(CAST(n*syy - sy*sy AS DOUBLE)))
+       END AS pearson_corr
+FROM g""",
+)
