@@ -28,7 +28,7 @@ Result shaping (R7): ``(minute timestamp, metric double)`` mirrors
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from . import metrics
@@ -270,4 +270,49 @@ def variant_series_correlation(events: DataFrame) -> DataFrame:
         "variant_b",
         "n",
         F.when(den != 0, num / den).alias("pearson_corr"),
+    )
+
+
+def visit_anomalies(events: DataFrame, window_minutes: int = 30) -> DataFrame:
+    """Monitoring extension of the reference's dashboard: flag minutes whose
+    visit count deviates ≥3σ from the trailing ``window_minutes`` mean
+    (strictly-prior frame, so a spike can't mask itself).
+
+    Mean/σ come from integer power sums over the ROWS frame (counts are
+    ints → exact sums), then one double formula — deterministic at any
+    partitioning. Single-series window: the frame runs inside one
+    partition of one series; per-dimension deployments would partition by
+    the dimension.
+
+    Output: (minute, visits, trail_mean, trail_std, is_anomaly) for
+    minutes with a full trailing window.
+    """
+    mv = events.groupBy(
+        F.date_trunc("minute", "ts").alias("minute")
+    ).agg(F.count("*").alias("visits"))
+    w = (
+        Window.orderBy("minute")
+        .rowsBetween(-window_minutes, -1)
+    )
+    n = F.count("visits").over(w)
+    sx = F.sum("visits").over(w)
+    sxx = F.sum(F.col("visits") * F.col("visits")).over(w)
+    mean = sx.cast("double") / n
+    var = (n * sxx - sx * sx).cast("double") / (n * n).cast("double")
+    out = mv.select(
+        "minute",
+        "visits",
+        n.alias("n_trail"),
+        mean.alias("trail_mean"),
+        F.sqrt(var).alias("trail_std"),
+    ).where(F.col("n_trail") == window_minutes)
+    return out.select(
+        "minute",
+        "visits",
+        "trail_mean",
+        "trail_std",
+        (
+            (F.col("visits").cast("double") - F.col("trail_mean"))
+            > 3.0 * F.col("trail_std")
+        ).alias("is_anomaly"),
     )

@@ -1300,3 +1300,27 @@ SELECT variant_a, variant_b, n,
        END AS pearson_corr
 FROM g""",
 )
+
+# Monitoring extension: trailing z-score anomaly flags on the visit series
+# (strictly-prior ROWS frame; integer power sums -> deterministic doubles).
+q(
+    "visit_anomalies",
+    lambda s, d: timeseries.visit_anomalies(_ev(s, d)),
+    f"""{EV_CTE},
+mv AS (
+  SELECT date_trunc('minute', ts) AS minute, count(*) AS visits
+  FROM ev GROUP BY 1),
+t AS (
+  SELECT minute, visits,
+         count(visits) OVER w AS n_trail,
+         sum(visits) OVER w AS sx,
+         sum(visits*visits) OVER w AS sxx
+  FROM mv
+  WINDOW w AS (ORDER BY minute ROWS BETWEEN 30 PRECEDING AND 1 PRECEDING))
+SELECT minute, visits,
+       CAST(sx AS DOUBLE) / n_trail AS trail_mean,
+       sqrt(CAST(n_trail*sxx - sx*sx AS DOUBLE) / CAST(n_trail*n_trail AS DOUBLE)) AS trail_std,
+       (CAST(visits AS DOUBLE) - CAST(sx AS DOUBLE) / n_trail)
+         > 3.0 * sqrt(CAST(n_trail*sxx - sx*sx AS DOUBLE) / CAST(n_trail*n_trail AS DOUBLE)) AS is_anomaly
+FROM t WHERE n_trail = 30""",
+)
