@@ -1324,3 +1324,15 @@ SELECT minute, visits,
          > 3.0 * sqrt(CAST(n_trail*sxx - sx*sx AS DOUBLE) / CAST(n_trail*n_trail AS DOUBLE)) AS is_anomaly
 FROM t WHERE n_trail = 30""",
 )
+
+# W9/W10 read twin: active variants per minute over the axis (was
+# implemented in timeseries.py but previously unregistered).
+q(
+    "r4b_variants_timeseries",
+    lambda s, d: timeseries.variants_timeseries(_ev(s, d)),
+    f"""{EV_CTE}, {AXIS_CTE},
+g AS (SELECT date_trunc('minute', ts) AS minute,
+             count(DISTINCT variant) AS active_variants FROM ev GROUP BY 1)
+SELECT a.minute, CAST(coalesce(g.active_variants, 0) AS DOUBLE) AS metric
+FROM axis a LEFT JOIN g USING (minute)""",
+)
