@@ -23,8 +23,6 @@ Scale notes:
 
 from __future__ import annotations
 
-from collections.abc import Iterator
-
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession, Window
