@@ -97,3 +97,25 @@ def train_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(_hash_bucket(F.col("doc_id")) < "80")
         .select("doc_id", "lang", "source", "n_chars")
     )
+
+
+def corpus_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-governance report: per (source, lang) document counts, total
+    and mean characters, and share of the corpus — the composition table
+    every training-mix decision starts from. One aggregation shuffle plus
+    a 1-row broadcast for the share denominator."""
+    docs = load(spark, sf_dir, "documents")
+    g = docs.groupBy("source", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        (F.sum("n_chars").cast("double") / F.count("*")).alias("mean_chars"),
+    )
+    total = docs.agg(F.count("*").alias("corpus_docs"))
+    return g.join(F.broadcast(total)).select(
+        "source",
+        "lang",
+        "n_docs",
+        "total_chars",
+        "mean_chars",
+        (F.col("n_docs").cast("double") / F.col("corpus_docs")).alias("doc_share"),
+    )

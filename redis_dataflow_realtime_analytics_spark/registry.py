@@ -1336,3 +1336,17 @@ g AS (SELECT date_trunc('minute', ts) AS minute,
 SELECT a.minute, CAST(coalesce(g.active_variants, 0) AS DOUBLE) AS metric
 FROM axis a LEFT JOIN g USING (minute)""",
 )
+
+# Dataset-governance composition report over (source, lang).
+q(
+    "corpus_mix_report",
+    sampling.corpus_mix_report,
+    """WITH g AS (
+  SELECT source, lang, count(*) AS n_docs, sum(n_chars) AS total_chars,
+         CAST(sum(n_chars) AS DOUBLE) / count(*) AS mean_chars
+  FROM documents GROUP BY 1, 2),
+t AS (SELECT count(*) AS corpus_docs FROM documents)
+SELECT source, lang, n_docs, total_chars, mean_chars,
+       CAST(n_docs AS DOUBLE) / corpus_docs AS doc_share
+FROM g CROSS JOIN t""",
+)
