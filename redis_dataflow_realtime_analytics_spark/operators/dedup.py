@@ -339,3 +339,35 @@ def simhash_neardup_pairs(
         .where(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def lsh_exact_jaccard_pairs(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.5
+) -> DataFrame:
+    """Two-stage near-dup architecture: MinHash-LSH candidate generation
+    (sub-quadratic — only bucket-colliding pairs surface), then EXACT
+    Jaccard verification on the candidates via ``array_intersect`` of the
+    per-doc shingle arrays.
+
+    Output pairs carry exact similarity values (precision 1 vs the full
+    quadratic :func:`ngram_jaccard_pairs` at the same threshold — asserted
+    in tests); recall is bounded by the LSH banding probability, measured
+    in the same test. This candidates+verify split is the production
+    layout at 100 TB: the quadratic stage never runs, and the verify join
+    touches |candidates| ≈ O(near-dup pairs), each verified with one
+    row-local array intersection.
+    """
+    docs = _spread(load(spark, sf_dir, "documents"))
+    cands = minhash_lsh_candidates(docs)
+    arr = _shingle_docs(docs)
+    a = arr.select(F.col("doc_id").alias("doc_a"), F.col("arr").alias("arr_a"))
+    b = arr.select(F.col("doc_id").alias("doc_b"), F.col("arr").alias("arr_b"))
+    inter = F.size(F.array_intersect("arr_a", "arr_b"))
+    union = F.size("arr_a") + F.size("arr_b") - inter
+    return (
+        cands.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn("jaccard", inter / union)
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )

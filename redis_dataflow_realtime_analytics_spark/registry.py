@@ -1350,3 +1350,10 @@ SELECT source, lang, n_docs, total_chars, mean_chars,
        CAST(n_docs AS DOUBLE) / corpus_docs AS doc_share
 FROM g CROSS JOIN t""",
 )
+
+# Two-stage dedup: LSH candidates + exact-Jaccard verification (rows-only;
+# precision-1 vs the full quadratic exact pairs asserted in tests).
+q(
+    "dedup_lsh_exact_jaccard_pairs",
+    lambda s, d: dedup.lsh_exact_jaccard_pairs(s, d),
+)

@@ -124,3 +124,22 @@ def test_jaccard_stop_shingle_cap_is_precision_preserving(spark):
         ).collect()
     }
     assert uncapped_hi == exact
+
+
+def test_lsh_exact_jaccard_precision_one(spark):
+    """Every pair the two-stage operator emits must appear in the full
+    quadratic exact result with the identical jaccard value; recall is
+    reported by the banding probability, not asserted exactly."""
+    exact = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(spark, SF_SMOKE, threshold=0.5).collect()
+    }
+    staged = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.lsh_exact_jaccard_pairs(spark, SF_SMOKE, threshold=0.5).collect()
+    }
+    assert set(staged) <= set(exact)
+    for pair, j in staged.items():
+        assert abs(j - exact[pair]) < 1e-12
+    if exact:  # LSH banding at 8x4 should catch most >=0.5 pairs
+        assert len(staged) / len(exact) >= 0.5
