@@ -44,6 +44,7 @@ HEADLINE = [
     "dedup_exact_groups",
     "dedup_ngram_jaccard_pairs",
     "dedup_minhash_neardup_pairs",
+    "dedup_lsh_exact_jaccard_pairs",
     "dedup_simhash_neardup_pairs",
     "ann_topk_bruteforce",
     "ann_ivf_topk",
