@@ -473,3 +473,20 @@ def ann_ivf_kmeans_topk(
         .where(F.col("rank") <= k)
         .select("query_id", F.col("vec_id").alias("neighbor_id"), "cosine", "rank")
     )
+
+
+def similar_documents_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval joined back to metadata: the brute-force top-k neighbors
+    per query vector, enriched with the neighbor document's language and
+    source (vec_id aligns with doc_id in the fixture). The document
+    dimension broadcasts — the retrieval output gains no extra shuffle.
+    The everyday RAG/inspection query over an embedding index."""
+    topk = ann_topk_bruteforce(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("neighbor_id"),
+        F.col("lang").alias("neighbor_lang"),
+        F.col("source").alias("neighbor_source"),
+    )
+    return topk.join(F.broadcast(docs), "neighbor_id").select(
+        "query_id", "neighbor_id", "cosine", "rank", "neighbor_lang", "neighbor_source"
+    )

@@ -1357,3 +1357,31 @@ q(
     "dedup_lsh_exact_jaccard_pairs",
     lambda s, d: dedup.lsh_exact_jaccard_pairs(s, d),
 )
+
+# Retrieval + metadata join: top-k neighbors enriched with the neighbor
+# document's language/source (broadcast dimension join on the ANN output).
+q(
+    "similar_documents_report",
+    similarity.similar_documents_report,
+    f"""WITH {_ORACLE_NORMS},
+q AS (SELECT vec_id AS query_id, qv AS qq FROM e
+      WHERE vec_id % {similarity.QUERY_MOD} = 0),
+p AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+             unnest(list_zip(q.qq, e.qv)) AS z
+      FROM q JOIN e ON e.vec_id <> q.query_id),
+d AS (SELECT query_id, neighbor_id, {oracle_qdot('z[1]', 'z[2]')} AS dot
+      FROM p GROUP BY 1, 2),
+c AS (SELECT d.query_id, d.neighbor_id,
+             {_ORACLE_COS.format(d='d.dot', a='nq.n2', b='nn.n2')} AS cosine
+      FROM d
+      JOIN n nq ON nq.vec_id = d.query_id
+      JOIN n nn ON nn.vec_id = d.neighbor_id),
+topk AS (
+  SELECT query_id, neighbor_id, cosine,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
+  FROM c QUALIFY rank <= 10)
+SELECT t.query_id, t.neighbor_id, t.cosine, t.rank,
+       dd.lang AS neighbor_lang, dd.source AS neighbor_source
+FROM topk t JOIN documents dd ON dd.doc_id = t.neighbor_id""",
+)
