@@ -804,7 +804,7 @@ FROM lineitem GROUP BY 1""",
 q(
     "part_name_functions",
     relational.part_name_functions,
-    """SELECT p_partkey,
+    r"""SELECT p_partkey,
   regexp_extract(p_name, '^(\w+)', 1) AS first_word,
   list_aggregate(list_transform(string_split(p_name, ' '),
     w -> upper(w[1]) || lower(w[2:])), 'string_agg', ' ') AS name_title,
