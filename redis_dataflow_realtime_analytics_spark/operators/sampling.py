@@ -21,7 +21,7 @@ scale the only cost is output volume, which AQE splits across partitions.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..tables import load
@@ -118,4 +118,74 @@ def corpus_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_chars",
         "mean_chars",
         (F.col("n_docs").cast("double") / F.col("corpus_docs")).alias("doc_share"),
+    )
+
+
+def upsample_by_language(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix rebalancing: integer-weight upsampling of low-resource
+    languages (en x1, de/fr/es x2, everything else x3), the standard
+    "epochs per source" corpus recipe. ``explode(sequence(1, weight))``
+    multiplies rows inside whole-stage codegen — a pure per-row generator
+    with no shuffle and no driver involvement, so it scales linearly: at
+    100 TB the output is written straight back out partition-by-partition.
+
+    Counterpart of the reference's workload shaping (it has none — the
+    generator loggen/message_generator.py:79-88 fixes the mix at write
+    time); here the mix is a declarative, re-runnable query.
+    """
+    docs = load(spark, sf_dir, "documents")
+    weight = (
+        F.when(F.col("lang") == "en", F.lit(1))
+        .when(F.col("lang").isin("de", "fr", "es"), F.lit(2))
+        .otherwise(F.lit(3))
+        .cast("bigint")
+    )
+    return docs.select(
+        "doc_id", "lang", "source", weight.alias("weight")
+    ).select(
+        "doc_id",
+        "lang",
+        "source",
+        "weight",
+        F.explode(F.sequence(F.lit(1).cast("bigint"), F.col("weight"))).alias(
+            "copy_id"
+        ),
+    )
+
+
+def pack_documents(spark: SparkSession, sf_dir: str, max_tokens: int = 512) -> DataFrame:
+    """Sequence packing for LLM pre-training: assign each document to a
+    fixed-capacity pack of ~``max_tokens`` whitespace tokens, deterministic
+    under any partitioning. A document lands in pack
+    ``floor(tokens_before_it / max_tokens)`` where ``tokens_before_it`` is
+    the running token sum over earlier doc_ids in its (lang, shard) stream
+    — the classic streaming bin-by-cumsum approximation of greedy packing
+    (a doc may straddle a boundary; capacity is respected in expectation).
+
+    Scale: the only shuffle is the window's hash partitioning on
+    (lang, shard). Sharding doc_id into 16 streams per language bounds
+    every window partition to ~1/16 of a language — no single-reducer
+    bottleneck at 100 TB, unlike a global ORDER BY cumsum.
+    """
+    from .text import TOKEN_RE
+
+    docs = load(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        "lang",
+        F.pmod(F.col("doc_id"), F.lit(16)).alias("shard"),
+        F.size(F.split(F.trim(F.col("text")), TOKEN_RE)).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("lang", "shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    tokens_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return base.select(
+        "doc_id",
+        "lang",
+        "shard",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.floor(tokens_before / F.lit(max_tokens)).alias("pack_id"),
     )

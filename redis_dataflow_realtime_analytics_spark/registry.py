@@ -1106,6 +1106,33 @@ FROM filt
 WHERE doc_id IN (SELECT doc_id FROM keep)
   AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '80'""",
 )
+q(
+    "corpus_upsample_by_language",
+    sampling.upsample_by_language,
+    """WITH wtd AS (
+  SELECT doc_id, lang, source,
+         CAST(CASE WHEN lang = 'en' THEN 1
+                   WHEN lang IN ('de', 'fr', 'es') THEN 2
+                   ELSE 3 END AS BIGINT) AS weight
+  FROM documents)
+SELECT doc_id, lang, source, weight,
+       unnest(generate_series(1, weight)) AS copy_id
+FROM wtd""",
+)
+q(
+    "pack_documents_512",
+    sampling.pack_documents,
+    r"""WITH t AS (
+  SELECT doc_id, lang, doc_id % 16 AS shard,
+         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+  FROM documents)
+SELECT doc_id, lang, shard, n_tokens,
+       CAST(floor(coalesce(sum(n_tokens) OVER (
+         PARTITION BY lang, shard ORDER BY doc_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 512.0) AS BIGINT)
+         AS pack_id
+FROM t""",
+)
 
 # ---------------------------------------------------------------------------
 # As-of join, time-range window frame, streaming dedup

@@ -60,3 +60,46 @@ def test_train_corpus_subset_of_filtered_dedup(spark):
         r.text for r in docs.where(F.col("doc_id").isin(kept_ids)).collect()
     ]
     assert len(texts) == len(set(texts))
+
+
+def test_upsample_multiplies_rows_by_weight(spark):
+    """Every doc appears exactly `weight` times with copy_ids 1..weight."""
+    docs = load(spark, SF_SMOKE, "documents").collect()
+    want = {
+        r.doc_id: 1 if r.lang == "en" else 2 if r.lang in ("de", "fr", "es") else 3
+        for r in docs
+    }
+    rows = sampling.upsample_by_language(spark, SF_SMOKE).collect()
+    got: dict[int, list[int]] = {}
+    for r in rows:
+        got.setdefault(r.doc_id, []).append(r.copy_id)
+        assert r.weight == want[r.doc_id]
+    assert set(got) == set(want)
+    for doc_id, copies in got.items():
+        assert sorted(copies) == list(range(1, want[doc_id] + 1))
+
+
+def test_pack_capacity_respected_at_entry(spark):
+    """Bin-by-cumsum invariant: the running token total *before* each doc
+    stays inside its pack's capacity window, packs are contiguous and
+    non-decreasing along doc_id within every (lang, shard) stream."""
+    rows = sampling.pack_documents(spark, SF_SMOKE, max_tokens=512).collect()
+    streams: dict[tuple, list] = {}
+    for r in rows:
+        streams.setdefault((r.lang, r.shard), []).append(r)
+    for stream in streams.values():
+        stream.sort(key=lambda r: r.doc_id)
+        before = 0
+        prev_pack = 0
+        for r in stream:
+            assert r.pack_id == before // 512
+            assert r.pack_id >= prev_pack
+            prev_pack = r.pack_id
+            before += r.n_tokens
+
+
+def test_pack_deterministic_under_repartition(spark):
+    a = sorted(map(tuple, sampling.pack_documents(spark, SF_SMOKE).collect()))
+    b_df = sampling.pack_documents(spark, SF_SMOKE)
+    b = sorted(map(tuple, b_df.repartition(7).collect()))
+    assert a == b
