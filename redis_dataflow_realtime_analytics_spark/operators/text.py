@@ -306,3 +306,57 @@ SELECT doc_id, term, tf, df,
        tf * ln(CAST(n_docs AS DOUBLE) / df) AS tfidf,
        CAST(rn AS INTEGER) AS rank
 FROM ranked WHERE rn <= {k}"""
+
+
+#: Masking patterns for :func:`normalize_mask` — written in the regex subset
+#: shared by Java (Spark) and RE2 (DuckDB) so the oracle is bit-exact.
+URL_RE = r"https?://[^\s]+"
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+LONGNUM_RE = r"[0-9]{4,}"
+
+
+def normalize_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-training text normalization: mask URLs / emails / long digit
+    runs, lowercase, collapse runs of whitespace — with per-document mask
+    counts for corpus-quality telemetry. Pure per-row ``regexp_replace`` /
+    ``regexp_count`` projections: no shuffle, stays in whole-stage codegen,
+    scales linearly to any corpus size.
+
+    The reference has no cleaning stage (its generator emits clean JSON,
+    loggen/message_generator.py:79-88); this is north-star surface for the
+    documents table.
+    """
+    docs = load(spark, sf_dir, "documents")
+    t = F.col("text")
+    masked = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, URL_RE, "<URL>"), EMAIL_RE, "<EMAIL>"
+        ),
+        LONGNUM_RE,
+        "<NUM>",
+    )
+    clean = F.trim(F.regexp_replace(F.lower(masked), r"\s+", " "))
+    return docs.select(
+        "doc_id",
+        clean.alias("clean_text"),
+        F.length(clean).alias("clean_chars"),
+        F.regexp_count(t, F.lit(URL_RE)).cast("bigint").alias("n_urls"),
+        F.regexp_count(t, F.lit(EMAIL_RE)).cast("bigint").alias("n_emails"),
+        F.regexp_count(t, F.lit(LONGNUM_RE)).cast("bigint").alias("n_longnums"),
+    )
+
+
+def oracle_normalize_mask() -> str:
+    return r"""SELECT doc_id,
+  trim(regexp_replace(lower(
+    regexp_replace(regexp_replace(regexp_replace(text,
+      'https?://[^\s]+', '<URL>', 'g'),
+      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      '[0-9]{4,}', '<NUM>', 'g')),
+    '\s+', ' ', 'g')) AS clean_text,
+  CAST(length(clean_text) AS BIGINT) AS clean_chars,
+  CAST(len(regexp_extract_all(text, 'https?://[^\s]+')) AS BIGINT) AS n_urls,
+  CAST(len(regexp_extract_all(text,
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+  CAST(len(regexp_extract_all(text, '[0-9]{4,}')) AS BIGINT) AS n_longnums
+FROM documents"""

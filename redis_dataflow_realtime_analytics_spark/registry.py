@@ -534,6 +534,7 @@ q("text_token_stats", text.token_stats, text.oracle_token_stats())
 q("text_quality_score", text.quality_score, text.oracle_quality_score())
 q("text_lang_id", text.lang_id, text.oracle_lang_id())
 q("text_fingerprints", text.fingerprints, text.oracle_fingerprints())
+q("text_normalize_mask", text.normalize_mask, text.oracle_normalize_mask())
 
 # ---------------------------------------------------------------------------
 # Deduplication (north-star: exact, n-gram Jaccard, MinHash LSH, SimHash)
