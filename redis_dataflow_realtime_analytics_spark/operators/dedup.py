@@ -32,7 +32,9 @@ from pyspark.sql import functions as F
 
 from ..tables import load, spread
 
-TOKEN_RE = r"\s+"
+# Explicit whitespace class — Java's \s includes \x0B, RE2's (DuckDB) does
+# not, so both sides spell the class out (see operators.text.WS).
+from .text import TOKEN_EXPR, TOKEN_RE, TOKEN_SQL  # noqa: E402
 
 #: Token-level shingle width for Jaccard/MinHash (3-token shingles).
 NGRAM_K = 3
@@ -44,7 +46,7 @@ ROWS_PER_BAND = N_HASHES // N_BANDS
 
 
 def _norm_text() -> F.Column:
-    return F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    return F.regexp_replace(F.lower(F.trim(F.col("text"))), TOKEN_RE, " ")
 
 
 #: Shared with the text operators — see tables.spread.
@@ -80,8 +82,8 @@ def _shingle_array(k: int = NGRAM_K) -> F.Column:
     ~6× SLOWER for the explode-only path (0.5 s → 3.4 s): the split is
     cheap relative to materializing the token array between projections."""
     return F.expr(
-        f"array_distinct(transform(sequence(0, greatest(size(split(trim(text), '\\\\s+')) - {k}, 0)), "
-        f"i -> concat_ws(' ', slice(split(trim(text), '\\\\s+'), i + 1, {k}))))"
+        f"array_distinct(transform(sequence(0, greatest(size(split(trim(text), '{TOKEN_EXPR}')) - {k}, 0)), "
+        f"i -> concat_ws(' ', slice(split(trim(text), '{TOKEN_EXPR}'), i + 1, {k}))))"
     )
 
 
@@ -168,7 +170,7 @@ def ngram_jaccard_pairs(
 
 def oracle_ngram_jaccard_pairs(threshold: float = 0.06) -> str:
     """DuckDB twin of :func:`ngram_jaccard_pairs`."""
-    toks = "string_split_regex(trim(text), '\\s+')"
+    toks = f"string_split_regex(trim(text), '{TOKEN_SQL}')"
     return f"""WITH pos AS (
   SELECT doc_id, toks,
          unnest(generate_series(1, greatest(len(toks) - {NGRAM_K - 1}, 1))) AS i
@@ -284,7 +286,7 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
         f"aggregate("
         f"  zip_with("
         f"    aggregate("
-        f"      transform(array_distinct(split(trim(text), '\\\\s+')), t -> xxhash64(t)),"
+        f"      transform(array_distinct(split(trim(text), '{TOKEN_EXPR}')), t -> xxhash64(t)),"
         f"      array_repeat(0, {b}),"
         f"      (acc, h) -> zip_with(acc, sequence(0, {b - 1}),"
         f"                           (a, i) -> a + IF(((h >> i) & 1) = 1, 1, -1))),"

@@ -18,9 +18,23 @@ from pyspark.sql import functions as F
 
 from ..tables import load, spread
 
+#: Explicit whitespace class, spelled identically for Java (Spark) and RE2
+#: (DuckDB). Java's ``\s`` is ``[ \t\n\x0B\f\r]`` but RE2's ``\s`` omits
+#: ``\x0B`` (vertical tab), so no pattern here may use bare ``\s`` — the
+#: class is written out on both sides (round-1 ADVICE; verified divergence
+#: on \x0B-bearing text).
+WS = r" \t\n\x0B\f\r"  # class body, Java spelling (upper-hex \x0B)
+WS_SQL = r" \t\n\x0b\f\r"  # class body, RE2/DuckDB spelling
+
 #: Tokenization shared by all text operators (and their SQL oracles):
 #: whitespace split of trimmed text.
-TOKEN_RE = r"\s+"
+TOKEN_RE = rf"[{WS}]+"
+#: TOKEN_RE with backslashes doubled for embedding in F.expr SQL literals
+#: (the SQL string parser consumes one level of escaping).
+TOKEN_EXPR = TOKEN_RE.replace("\\", "\\\\")
+#: TOKEN_RE for DuckDB oracle SQL (single-quoted literals pass through to
+#: RE2 unmodified — no extra escaping level).
+TOKEN_SQL = rf"[{WS_SQL}]+"
 
 #: Stopword marker lists for the language-ID heuristic. Scores count
 #: *distinct* tokens appearing in each list; argmax with a fixed
@@ -58,10 +72,12 @@ def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(toks).alias("n_tokens"),
         F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
         (
-            F.expr("aggregate(transform(split(trim(text), '\\\\s+'), t -> length(t)), 0, (a, x) -> a + x)")
+            F.expr(
+                f"aggregate(transform(split(trim(text), '{TOKEN_EXPR}'), t -> length(t)), 0, (a, x) -> a + x)"
+            )
             / F.size(toks)
         ).alias("avg_token_len"),
-        F.regexp_count(F.col("text"), F.lit(r"[a-z]+|[0-9]|[^a-z0-9\s]")).alias("n_bpe_units"),
+        F.regexp_count(F.col("text"), F.lit(rf"[a-z]+|[0-9]|[^a-z0-9{WS}]")).alias("n_bpe_units"),
     )
 
 
@@ -75,7 +91,7 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(load(spark, sf_dir, "documents"))
     toks = _tokens()
     n_tokens = F.size(toks)
-    punct = F.regexp_count(F.col("text"), F.lit(r"[^a-z0-9\s]"))
+    punct = F.regexp_count(F.col("text"), F.lit(rf"[^a-z0-9{WS}]"))
     stop_hits = _member_count(toks, QUALITY_STOPWORDS, distinct=False)
     punct_ratio = punct / F.length("text")
     stop_ratio = stop_hits / n_tokens
@@ -128,13 +144,13 @@ def fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprint — equal for documents sharing their most-extreme shingle).
     """
     docs = spread(load(spark, sf_dir, "documents"))
-    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), TOKEN_RE, " ")
     # single-reference array expression → inline it (same finding as
     # dedup._shingle_array: a separate tokens projection costs ~3 s of
     # one-time stage/codegen overhead at sf0.1 and wins nothing back)
     shingle_min = F.expr(
-        "array_min(transform(sequence(0, size(split(trim(text), '\\\\s+')) - 5), "
-        "i -> md5(concat_ws(' ', slice(split(trim(text), '\\\\s+'), i + 1, 5)))))"
+        f"array_min(transform(sequence(0, size(split(trim(text), '{TOKEN_EXPR}')) - 5), "
+        f"i -> md5(concat_ws(' ', slice(split(trim(text), '{TOKEN_EXPR}'), i + 1, 5)))))"
     )
     return docs.select(
         "doc_id", F.md5(norm).alias("fingerprint"), shingle_min.alias("min_shingle_fp")
@@ -144,7 +160,7 @@ def fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Oracle SQL builders (kept next to the Spark logic so the two stay in sync)
 # ---------------------------------------------------------------------------
-_SQL_TOKENS = "string_split_regex(trim(text), '\\s+')"
+_SQL_TOKENS = f"string_split_regex(trim(text), '{TOKEN_SQL}')"
 
 
 def oracle_token_stats() -> str:
@@ -153,7 +169,7 @@ def oracle_token_stats() -> str:
   CAST(len(list_distinct({_SQL_TOKENS})) AS INTEGER) AS n_distinct_tokens,
   CAST(list_aggregate(list_transform({_SQL_TOKENS}, t -> length(t)), 'sum') AS INTEGER)
     / CAST(len({_SQL_TOKENS}) AS INTEGER) AS avg_token_len,
-  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]|[^a-z0-9\\s]')) AS INTEGER) AS n_bpe_units
+  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]|[^a-z0-9{WS_SQL}]')) AS INTEGER) AS n_bpe_units
 FROM documents"""
 
 
@@ -162,12 +178,12 @@ def oracle_quality_score() -> str:
     return f"""SELECT doc_id,
   CAST(length(text) AS INTEGER) AS n_chars_measured,
   CAST(len({_SQL_TOKENS}) AS INTEGER) AS n_tokens,
-  CAST(len(regexp_extract_all(text, '[^a-z0-9\\s]')) AS INTEGER)
+  CAST(len(regexp_extract_all(text, '[^a-z0-9{WS_SQL}]')) AS INTEGER)
     / CAST(length(text) AS INTEGER) AS punct_ratio,
   CAST(len(list_filter({_SQL_TOKENS}, t -> t IN ({stop}))) AS INTEGER)
     / CAST(len({_SQL_TOKENS}) AS INTEGER) AS stopword_ratio,
   least(CAST(len({_SQL_TOKENS}) AS INTEGER), 100) / 100.0 * 0.5
-    + (1.0 - CAST(len(regexp_extract_all(text, '[^a-z0-9\\s]')) AS INTEGER)
+    + (1.0 - CAST(len(regexp_extract_all(text, '[^a-z0-9{WS_SQL}]')) AS INTEGER)
         / CAST(length(text) AS INTEGER)) * 0.3
     + CAST(len(list_filter({_SQL_TOKENS}, t -> t IN ({stop}))) AS INTEGER)
         / CAST(len({_SQL_TOKENS}) AS INTEGER) * 0.2 AS quality
@@ -200,7 +216,7 @@ FROM scored"""
 def oracle_fingerprints() -> str:
     return f"""WITH toks AS (
   SELECT doc_id,
-         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,
+         md5(regexp_replace(lower(trim(text)), '{TOKEN_SQL}', ' ', 'g')) AS fingerprint,
          {_SQL_TOKENS} AS tokens
   FROM documents
 ),
@@ -226,9 +242,9 @@ def top_bigrams(spark: SparkSession, sf_dir: str, k: int = 50) -> DataFrame:
     # <2 tokens must short-circuit to an empty array, not hit the transform
     bigram = F.explode(
         F.expr(
-            "CASE WHEN size(split(trim(lower(text)), '\\\\s+')) >= 2 THEN "
-            "transform(sequence(1, size(split(trim(lower(text)), '\\\\s+')) - 1), "
-            "i -> concat_ws(' ', slice(split(trim(lower(text)), '\\\\s+'), i, 2))) "
+            f"CASE WHEN size(split(trim(lower(text)), '{TOKEN_EXPR}')) >= 2 THEN "
+            f"transform(sequence(1, size(split(trim(lower(text)), '{TOKEN_EXPR}')) - 1), "
+            f"i -> concat_ws(' ', slice(split(trim(lower(text)), '{TOKEN_EXPR}'), i, 2))) "
             "ELSE array() END"
         )
     ).alias("bigram")
@@ -243,7 +259,7 @@ def top_bigrams(spark: SparkSession, sf_dir: str, k: int = 50) -> DataFrame:
 
 def oracle_top_bigrams(k: int = 50) -> str:
     return f"""WITH toks AS (
-  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents),
+  SELECT doc_id, string_split_regex(trim(lower(text)), '{TOKEN_SQL}') AS t FROM documents),
 bg AS (
   SELECT array_to_string(t[i : i + 1], ' ') AS bigram
   FROM (SELECT t, unnest(generate_series(1, greatest(len(t) - 1, 1))) AS i FROM toks)
@@ -269,7 +285,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     terms = docs.select(
         "doc_id",
-        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("term"),
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), TOKEN_RE)).alias("term"),
     )
     tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
@@ -293,7 +309,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
 
 def oracle_tfidf_top_terms(k: int = 3) -> str:
     return f"""WITH terms AS (
-  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '{TOKEN_SQL}')) AS term
   FROM documents),
 tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
 df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
@@ -308,9 +324,11 @@ SELECT doc_id, term, tf, df,
 FROM ranked WHERE rn <= {k}"""
 
 
-#: Masking patterns for :func:`normalize_mask` — written in the regex subset
-#: shared by Java (Spark) and RE2 (DuckDB) so the oracle is bit-exact.
-URL_RE = r"https?://[^\s]+"
+#: Masking patterns for :func:`normalize_mask` — whitespace spelled as an
+#: explicit class (see ``WS``/``WS_SQL``); everything else is in the regex
+#: subset Java and RE2 interpret identically, so the oracle is bit-exact.
+URL_RE = rf"https?://[^{WS}]+"
+URL_SQL = rf"https?://[^{WS_SQL}]+"
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 LONGNUM_RE = r"[0-9]{4,}"
 
@@ -322,41 +340,47 @@ def normalize_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``regexp_count`` projections: no shuffle, stays in whole-stage codegen,
     scales linearly to any corpus size.
 
+    Each count is taken on the progressively-masked intermediate (URLs on
+    raw text, emails on URL-masked text, digit runs on URL+email-masked
+    text), so ``n_*`` equals the number of replacements actually performed
+    — a digit run inside a URL is not double-counted (round-1 ADVICE).
+
     The reference has no cleaning stage (its generator emits clean JSON,
     loggen/message_generator.py:79-88); this is north-star surface for the
     documents table.
     """
     docs = load(spark, sf_dir, "documents")
     t = F.col("text")
-    masked = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace(t, URL_RE, "<URL>"), EMAIL_RE, "<EMAIL>"
-        ),
-        LONGNUM_RE,
-        "<NUM>",
-    )
-    clean = F.trim(F.regexp_replace(F.lower(masked), r"\s+", " "))
+    url_masked = F.regexp_replace(t, URL_RE, "<URL>")
+    email_masked = F.regexp_replace(url_masked, EMAIL_RE, "<EMAIL>")
+    num_masked = F.regexp_replace(email_masked, LONGNUM_RE, "<NUM>")
+    clean = F.trim(F.regexp_replace(F.lower(num_masked), TOKEN_RE, " "))
     return docs.select(
         "doc_id",
         clean.alias("clean_text"),
         F.length(clean).alias("clean_chars"),
         F.regexp_count(t, F.lit(URL_RE)).cast("bigint").alias("n_urls"),
-        F.regexp_count(t, F.lit(EMAIL_RE)).cast("bigint").alias("n_emails"),
-        F.regexp_count(t, F.lit(LONGNUM_RE)).cast("bigint").alias("n_longnums"),
+        F.regexp_count(url_masked, F.lit(EMAIL_RE)).cast("bigint").alias("n_emails"),
+        F.regexp_count(email_masked, F.lit(LONGNUM_RE)).cast("bigint").alias("n_longnums"),
     )
 
 
 def oracle_normalize_mask() -> str:
-    return r"""SELECT doc_id,
+    email = EMAIL_RE
+    longnum = LONGNUM_RE
+    return f"""WITH staged AS (
+  SELECT doc_id, text,
+    regexp_replace(text, '{URL_SQL}', '<URL>', 'g') AS url_masked
+  FROM documents),
+staged2 AS (
+  SELECT *, regexp_replace(url_masked, '{email}', '<EMAIL>', 'g') AS email_masked
+  FROM staged)
+SELECT doc_id,
   trim(regexp_replace(lower(
-    regexp_replace(regexp_replace(regexp_replace(text,
-      'https?://[^\s]+', '<URL>', 'g'),
-      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-      '[0-9]{4,}', '<NUM>', 'g')),
-    '\s+', ' ', 'g')) AS clean_text,
+    regexp_replace(email_masked, '{longnum}', '<NUM>', 'g')),
+    '{TOKEN_SQL}', ' ', 'g')) AS clean_text,
   CAST(length(clean_text) AS BIGINT) AS clean_chars,
-  CAST(len(regexp_extract_all(text, 'https?://[^\s]+')) AS BIGINT) AS n_urls,
-  CAST(len(regexp_extract_all(text,
-    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
-  CAST(len(regexp_extract_all(text, '[0-9]{4,}')) AS BIGINT) AS n_longnums
-FROM documents"""
+  CAST(len(regexp_extract_all(text, '{URL_SQL}')) AS BIGINT) AS n_urls,
+  CAST(len(regexp_extract_all(url_masked, '{email}')) AS BIGINT) AS n_emails,
+  CAST(len(regexp_extract_all(email_masked, '{longnum}')) AS BIGINT) AS n_longnums
+FROM staged2"""

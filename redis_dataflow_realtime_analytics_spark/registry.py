@@ -195,17 +195,23 @@ def _w4_user_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     return metrics.user_sets_per_variant(_ev(spark, sf_dir)).select(
-        "variant", F.sort_array("user_set").alias("user_set")
+        "variant",
+        F.concat_ws(",", F.sort_array("user_set")).alias("user_set"),
+        F.size("user_set").cast("long").alias("set_size"),
     )
 
 
 # W4/W6 set legs materialize the SET ITSELF (SADD/SMEMBERS), not just its
-# cardinality; sorted for order-insensitive value comparison.
+# cardinality; sorted + serialized to a scalar string so the value-hash
+# comparator (pandas sort over object columns) never sees an unhashable list.
 q(
     "w4_user_sets_per_variant",
     _w4_user_sets,
     f"""{EV_CTE}
-SELECT variant, list_sort(list(DISTINCT user_id)) AS user_set FROM ev GROUP BY 1""",
+SELECT variant,
+       array_to_string(list_sort(list(DISTINCT user_id)), ',') AS user_set,
+       count(DISTINCT user_id) AS set_size
+FROM ev GROUP BY 1""",
 )
 q(
     "w5_uniques_per_experiment",
@@ -539,7 +545,7 @@ q("text_normalize_mask", text.normalize_mask, text.oracle_normalize_mask())
 # ---------------------------------------------------------------------------
 # Deduplication (north-star: exact, n-gram Jaccard, MinHash LSH, SimHash)
 # ---------------------------------------------------------------------------
-_NORM_MD5 = "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))"
+_NORM_MD5 = f"md5(regexp_replace(lower(trim(text)), '{text.TOKEN_SQL}', ' ', 'g'))"
 q(
     "dedup_exact_groups",
     dedup.exact_dedup_groups,
@@ -1123,9 +1129,9 @@ FROM wtd""",
 q(
     "pack_documents_512",
     sampling.pack_documents,
-    r"""WITH t AS (
+    rf"""WITH t AS (
   SELECT doc_id, lang, doc_id % 16 AS shard,
-         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+         CAST(len(regexp_split_to_array(trim(text), '{text.TOKEN_SQL}')) AS BIGINT) AS n_tokens
   FROM documents)
 SELECT doc_id, lang, shard, n_tokens,
        CAST(floor(coalesce(sum(n_tokens) OVER (

@@ -12,6 +12,42 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 from redis_dataflow_realtime_analytics_spark.operators import text  # noqa: E402
 
 
+def test_sequential_mask_counts_and_vertical_tab_parity(spark, tmp_path):
+    """Round-1 ADVICE regressions: (a) digit runs inside URLs must not count
+    toward n_longnums (counts are taken on the progressively-masked text);
+    (b) \\x0B (vertical tab): Java's \\s includes it, RE2's does not — the
+    explicit whitespace class must make Spark and DuckDB agree bit-exactly.
+    """
+    import duckdb
+
+    rows = [
+        (1, "see https://x.io/1234567 now", "en", "s", 28),  # digits inside URL
+        (2, "a\x0bb  c\x0b\x0bd 12345", "en", "s", 16),  # vertical tabs
+        (3, "mail a1@b.co or a2@b.co id 9999", "en", "s", 31),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+
+    got = {r.doc_id: r for r in text.normalize_mask(spark, str(tmp_path)).collect()}
+    assert got[1].clean_text == "see <url> now"
+    assert (got[1].n_urls, got[1].n_emails, got[1].n_longnums) == (1, 0, 0)
+    assert got[2].clean_text == "a b c d <num>"
+    assert (got[3].n_emails, got[3].n_longnums) == (2, 1)
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{tmp_path}/documents.parquet/*.parquet'"
+    )
+    oracle = {
+        r[0]: r
+        for r in con.sql(text.oracle_normalize_mask()).fetchall()
+    }
+    con.close()
+    for doc_id, r in got.items():
+        assert tuple(r) == oracle[doc_id], f"doc {doc_id}: {tuple(r)} vs {oracle[doc_id]}"
+
+
 def test_normalize_masks_urls_emails_numbers(spark, tmp_path):
     rows = [
         (1, "Visit https://example.com/a?q=1 or mail Bob@Example.org today", "en", "s", 60),
