@@ -132,16 +132,17 @@ def ngram_jaccard_pairs(
     configuration).
     """
     docs = _spread(load(spark, sf_dir, "documents"))
-    # Materialize the shingle array ONCE per doc in its own projection;
-    # size()/explode() then reference the attribute. (Inlining the array
-    # expression into both would recompute it per exploded row — the
-    # optimizer keeps multiply-referenced non-trivial aliases as-is.)
-    arr = _shingle_docs(docs)
-    sh = arr.select(
-        "doc_id", F.size("arr").alias("n"), F.explode("arr").alias("shingle")
-    )  # both self-join sides share this subplan; ReuseExchange dedups the
-    # shuffle, and benchmarking showed an explicit .cache() here only adds
-    # materialization cost (7.1 s vs 4.0 s cold at sf0.1)
+    # Keep the explode SINGLE-referenced: when size() and explode() both
+    # reference the aliased shingle array, ExtractGenerator/CollapseProject
+    # inline the array expression into the Generate and it is recomputed
+    # per OUTPUT row — measured 3.7 s vs 0.45 s for the index build at
+    # sf0.1. Per-doc set sizes are instead re-derived from the exploded
+    # rows (arr is distinct, so count == size) and joined onto the
+    # AGGREGATED pair table — tiny vs the pair stream, and AQE broadcasts
+    # it when it fits (no forced hint: at 10⁹ docs the sizes table is not
+    # broadcastable and this becomes an ordinary shuffle join).
+    sh = docs.select("doc_id", F.explode(_shingle_array()).alias("shingle"))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     idx = sh
     if max_shingle_df is not None:
         rare = (
@@ -151,17 +152,19 @@ def ngram_jaccard_pairs(
             .select("shingle")
         )
         idx = sh.join(rare, "shingle", "left_semi")
-    return (
+    common = (
         idx.alias("a")
         .join(idx.alias("b"), "shingle")
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
         .groupBy(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.n").alias("na"),
-            F.col("b.n").alias("nb"),
         )
         .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        common.join(sizes.selectExpr("doc_id AS doc_a", "n AS na"), "doc_a")
+        .join(sizes.selectExpr("doc_id AS doc_b", "n AS nb"), "doc_b")
         .withColumn("jaccard", F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common")))
         .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")

@@ -51,10 +51,6 @@ LANG_STOPWORDS: dict[str, list[str]] = {
 QUALITY_STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it", "for", "on"]
 
 
-def _tokens(col: str = "text") -> Column:
-    return F.split(F.trim(F.col(col)), TOKEN_RE)
-
-
 def _member_count(tokens: Column, words: list[str], distinct: bool) -> Column:
     arr = F.array_distinct(tokens) if distinct else tokens
     lit_list = F.array(*[F.lit(w) for w in words])
@@ -66,16 +62,17 @@ def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     length, and a BPE-ish regex unit count (letter runs / single digits /
     single punctuation — a cheap proxy for subword token count)."""
     docs = spread(load(spark, sf_dir, "documents"))
-    toks = _tokens()
-    return docs.select(
+    # tokenize once per row in its own projection (see fingerprints note)
+    tokd = docs.select(
+        "doc_id", "text", F.expr(f"split(trim(text), '{TOKEN_EXPR}')").alias("t")
+    )
+    return tokd.select(
         "doc_id",
-        F.size(toks).alias("n_tokens"),
-        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.size("t").alias("n_tokens"),
+        F.size(F.array_distinct("t")).alias("n_distinct_tokens"),
         (
-            F.expr(
-                f"aggregate(transform(split(trim(text), '{TOKEN_EXPR}'), t -> length(t)), 0, (a, x) -> a + x)"
-            )
-            / F.size(toks)
+            F.expr("aggregate(transform(t, x -> length(x)), 0, (a, x) -> a + x)")
+            / F.size("t")
         ).alias("avg_token_len"),
         F.regexp_count(F.col("text"), F.lit(rf"[a-z]+|[0-9]|[^a-z0-9{WS}]")).alias("n_bpe_units"),
     )
@@ -89,7 +86,10 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
           + 0.2·stopword_ratio
     """
     docs = spread(load(spark, sf_dir, "documents"))
-    toks = _tokens()
+    docs = docs.select(
+        "doc_id", "text", F.expr(f"split(trim(text), '{TOKEN_EXPR}')").alias("t")
+    )
+    toks = F.col("t")
     n_tokens = F.size(toks)
     punct = F.regexp_count(F.col("text"), F.lit(rf"[^a-z0-9{WS}]"))
     stop_hits = _member_count(toks, QUALITY_STOPWORDS, distinct=False)
@@ -115,7 +115,10 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: (doc_id, lang, lang_pred, plus one score column per language).
     """
     docs = spread(load(spark, sf_dir, "documents"))
-    toks = _tokens()
+    docs = docs.select(
+        "doc_id", "lang", F.expr(f"split(trim(text), '{TOKEN_EXPR}')").alias("t")
+    )
+    toks = F.col("t")
     scores = {
         lang: _member_count(toks, words, distinct=True).alias(f"score_{lang}")
         for lang, words in LANG_STOPWORDS.items()
@@ -145,14 +148,17 @@ def fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = spread(load(spark, sf_dir, "documents"))
     norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), TOKEN_RE, " ")
-    # single-reference array expression → inline it (same finding as
-    # dedup._shingle_array: a separate tokens projection costs ~3 s of
-    # one-time stage/codegen overhead at sf0.1 and wins nothing back)
-    shingle_min = F.expr(
-        f"array_min(transform(sequence(0, size(split(trim(text), '{TOKEN_EXPR}')) - 5), "
-        f"i -> md5(concat_ws(' ', slice(split(trim(text), '{TOKEN_EXPR}'), i + 1, 5)))))"
+    # tokenize ONCE in its own projection: referencing split() inside the
+    # transform lambda re-splits per shingle position (benched 0.44 s vs
+    # 0.28 s at sf0.1 for the pre-tokenized form)
+    tokd = docs.select(
+        "doc_id", "text", F.expr(f"split(trim(text), '{TOKEN_EXPR}')").alias("t")
     )
-    return docs.select(
+    shingle_min = F.expr(
+        "array_min(transform(sequence(0, size(t) - 5), "
+        "i -> md5(concat_ws(' ', slice(t, i + 1, 5)))))"
+    )
+    return tokd.select(
         "doc_id", F.md5(norm).alias("fingerprint"), shingle_min.alias("min_shingle_fp")
     )
 
