@@ -346,6 +346,121 @@ def simhash_neardup_pairs(
     )
 
 
+# --- Connected components (pairs -> duplicate clusters) ---------------------
+def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
+    """Connected components over an undirected edge list ``(doc_a, doc_b)``:
+    returns ``(doc_id, component_id)`` with ``component_id`` = min doc_id
+    reachable — the canonical-label convention every dedup pipeline uses to
+    turn near-dup PAIRS into duplicate CLUSTERS.
+
+    Algorithm: driver-coordinated min-label propagation — each iteration
+    every node takes ``min(own label, min of neighbor labels)``; stop when
+    no label changed. Per iteration: one shuffle keyed by node id (the
+    neighbor-min aggregation) + one join; lineage is truncated with
+    ``localCheckpoint`` so the plan doesn't grow across iterations (on a
+    cluster, set a checkpoint dir and use ``checkpoint`` — same call shape).
+
+    Scale: converges in O(graph diameter) iterations. Near-dup graphs are
+    unions of near-cliques (each duplicate cluster is densely
+    inter-connected because similarity is transitive-ish at high
+    thresholds), so diameter is small — 2–4 in practice; ``max_iter`` is a
+    safety bound and non-convergence raises. For adversarial long-chain
+    graphs at 10⁹+ nodes, swap the body for the large-star/small-star
+    alternating rounds (Kiveris et al., "Connected Components in
+    MapReduce"), which converges in O(log²) — same (node, label) contract.
+
+    Deterministic: min() over int64 labels, no floats, no randomness —
+    bit-identical at any partitioning, hash-checkable against a recursive
+    SQL closure.
+    """
+    sym = edges.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).union(edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+    sym = sym.localCheckpoint(eager=True)
+    labels = (
+        sym.select(F.col("src").alias("doc_id")).distinct()
+        .withColumn("comp", F.col("doc_id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels, sym.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.doc_id == nbr_min.src, "left")
+            .select(
+                labels.doc_id,
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
+                ).alias("comp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels.select("doc_id", F.col("comp").alias("component_id"))
+    raise RuntimeError(f"connected_components did not converge in {max_iter} iterations")
+
+
+def neardup_components(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.5
+) -> DataFrame:
+    """Duplicate clusters from exact n-gram Jaccard pairs at ``threshold``:
+    (doc_id, component_id) for every document in at least one near-dup
+    pair. The edge set is the SQL-oracled :func:`ngram_jaccard_pairs`, so
+    the whole pipeline — shingle index → pair similarity → transitive
+    clustering — is differential-testable end to end."""
+    edges = ngram_jaccard_pairs(spark, sf_dir, threshold=threshold)
+    return connected_components(edges)
+
+
+def neardup_survivors(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.5
+) -> DataFrame:
+    """Documents surviving near-dedup: every unpaired doc plus the minimum
+    doc_id (canonical) of each duplicate cluster — the keep-list a training
+    pipeline feeds downstream."""
+    docs = _spread(load(spark, sf_dir, "documents"))
+    comp = neardup_components(spark, sf_dir, threshold=threshold)
+    keep_of_cluster = comp.groupBy("component_id").agg(F.min("doc_id").alias("doc_id"))
+    unpaired = docs.join(comp.select("doc_id"), "doc_id", "left_anti")
+    return unpaired.select("doc_id").union(keep_of_cluster.select("doc_id"))
+
+
+def oracle_neardup_components(threshold: float = 0.5) -> str:
+    """DuckDB twin of :func:`neardup_components` — the pair CTE from
+    :func:`oracle_ngram_jaccard_pairs` plus a recursive min-label closure."""
+    pairs = oracle_ngram_jaccard_pairs(threshold)
+    return f"""WITH RECURSIVE pr AS ({pairs}),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM pr UNION SELECT doc_b, doc_a FROM pr),
+nodes AS (SELECT DISTINCT a AS n FROM edges),
+reach(n, m) AS (
+  SELECT n, n FROM nodes
+  UNION
+  SELECT r.n, e.b FROM reach r JOIN edges e ON e.a = r.m
+)
+SELECT n AS doc_id, min(m) AS component_id FROM reach GROUP BY n"""
+
+
+def oracle_neardup_survivors(threshold: float = 0.5) -> str:
+    """DuckDB twin of :func:`neardup_survivors`."""
+    comp = oracle_neardup_components(threshold)
+    return f"""WITH comp AS ({comp})
+SELECT min(doc_id) AS doc_id FROM comp GROUP BY component_id
+UNION ALL
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM comp)"""
+
+
 def lsh_exact_jaccard_pairs(
     spark: SparkSession, sf_dir: str, threshold: float = 0.5
 ) -> DataFrame:

@@ -1198,6 +1198,20 @@ q(
     lambda s, d: dedup.ngram_jaccard_pairs(s, d, max_shingle_df=20),
 )
 
+# Pairs -> clusters: iterative min-label connected components (the step that
+# turns near-dup pairs into duplicate groups); oracled against a recursive
+# SQL transitive closure over the same SQL-oracled edge set.
+q(
+    "dedup_connected_components",
+    dedup.neardup_components,
+    dedup.oracle_neardup_components(),
+)
+q(
+    "dedup_neardup_survivors",
+    dedup.neardup_survivors,
+    dedup.oracle_neardup_survivors(),
+)
+
 # ---------------------------------------------------------------------------
 # Histogram, distributed moments, unpivot
 # ---------------------------------------------------------------------------

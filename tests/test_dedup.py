@@ -143,3 +143,36 @@ def test_lsh_exact_jaccard_precision_one(spark):
         assert abs(j - exact[pair]) < 1e-12
     if exact:  # LSH banding at 8x4 should catch most >=0.5 pairs
         assert len(staged) / len(exact) >= 0.5
+
+
+def test_connected_components_chain(spark):
+    """A 5-node path graph (worst-case diameter for propagation) plus a
+    triangle and an isolated edge all collapse to min-label components."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (11, 12), (10, 12), (20, 21)],
+        ["doc_a", "doc_b"],
+    )
+    got = {
+        (r.doc_id, r.component_id)
+        for r in dedup.connected_components(edges).collect()
+    }
+    assert got == {
+        (1, 1), (2, 1), (3, 1), (4, 1), (5, 1),
+        (10, 10), (11, 10), (12, 10),
+        (20, 20), (21, 20),
+    }
+
+
+def test_neardup_components_cluster_planted_dups(spark, corpus):
+    """Each planted (base, exact-copy, near-copy) triple lands in one
+    component labeled by the base doc_id; survivors = 20 canonical docs."""
+    comp = dedup.neardup_components(spark, corpus).collect()
+    by_comp: dict[int, set[int]] = {}
+    for r in comp:
+        by_comp.setdefault(r.component_id, set()).add(r.doc_id)
+    assert len(by_comp) == 20
+    for label, members in by_comp.items():
+        assert label % 3 == 0
+        assert members == {label, label + 1, label + 2}
+    survivors = {r.doc_id for r in dedup.neardup_survivors(spark, corpus).collect()}
+    assert survivors == {3 * i for i in range(20)}
