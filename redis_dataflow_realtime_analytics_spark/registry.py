@@ -1191,6 +1191,27 @@ SELECT date_trunc('minute', ts) AS minute, experiment_id, variant,
 FROM ev GROUP BY 1, 2, 3""",
 )
 
+def _stream_click_error_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming import pipeline
+
+    return pipeline.stream_click_error_join(spark, f"{sf_dir}/events.parquet")
+
+
+# Watermarked stream-stream interval join (funnel/attribution shape) —
+# oracled against the identical batch self-join (stream/batch parity).
+q(
+    "stream_click_error_join",
+    _stream_click_error_join,
+    f"""{EV_CTE}
+SELECT c.user_id, c.event_id AS click_id, e.event_id AS error_id,
+       c.ts AS click_ts, e.ts AS error_ts,
+       epoch_us(e.ts) - epoch_us(c.ts) AS gap_us
+FROM ev c JOIN ev e
+  ON c.user_id = e.user_id
+ AND c.variant = 'click' AND e.variant = 'error'
+ AND e.ts > c.ts AND e.ts <= c.ts + INTERVAL 5 MINUTE""",
+)
+
 # Stop-shingle-capped Jaccard — the 100 TB scale path (precision-preserving
 # subset of the exact result; subset/ordering asserted in tests/test_dedup.py).
 q(

@@ -224,6 +224,79 @@ def stream_deduped_visits(
     return _replay_to_memory(spark, agg, "dedupvisits")
 
 
+def _replay_to_memory_append(
+    spark: SparkSession, df: DataFrame, prefix: str
+) -> DataFrame:
+    """Append-mode variant of :func:`_replay_to_memory` — for queries that
+    only support append output (stream-stream joins)."""
+    with _state_partitions(spark):
+        name = f"{prefix}_{uuid.uuid4().hex}"
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(name)
+
+
+def stream_click_error_join(
+    spark: SparkSession, events_path: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """Watermarked stream-stream inner join: every (click, error) pair of
+    the same user where the error lands within 5 minutes after the click —
+    the funnel/attribution join shape.
+
+    Both sides carry an event-time watermark and the join predicate bounds
+    ``error_ts`` to a closed interval after ``click_ts``; together these
+    let Structured Streaming evict buffered rows once no future match is
+    possible, so join state is bounded by (rate × (watermark + interval)),
+    not by stream length. Inner-join matches emit as soon as both sides
+    arrive (append mode). State is keyed by the equi-column ``user_id`` —
+    the shuffle key — with the time bound as the pruning residual.
+
+    Oracle: the identical batch self-join in SQL — stream/batch parity for
+    the interval-join semantics.
+    """
+    ev = normalize_events(read_events_stream(spark, events_path, max_files_per_trigger))
+    clicks = (
+        ev.where(F.col("variant") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("click_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", WATERMARK)
+    )
+    errors = (
+        ev.where(F.col("variant") == "error")
+        .select(
+            F.col("event_id").alias("error_id"),
+            F.col("user_id").alias("error_user"),
+            F.col("ts").alias("error_ts"),
+        )
+        .withWatermark("error_ts", WATERMARK)
+    )
+    joined = clicks.join(
+        errors,
+        F.expr(
+            "click_user = error_user AND "
+            "error_ts > click_ts AND "
+            "error_ts <= click_ts + interval 5 minutes"
+        ),
+    ).select(
+        F.col("click_user").alias("user_id"),
+        "click_id",
+        "error_id",
+        "click_ts",
+        "error_ts",
+        (F.unix_micros("error_ts") - F.unix_micros("click_ts")).alias("gap_us"),
+    )
+    return _replay_to_memory_append(spark, joined, "ssjoin")
+
+
 # ---------------------------------------------------------------------------
 # foreachBatch mergeable-partials store
 # ---------------------------------------------------------------------------
