@@ -655,6 +655,36 @@ def price_percentiles_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def price_quantiles_kll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p50/p90/p99 of extended price per return flag from KLL quantile
+    sketches (``kll_sketch_agg_double``) — the mergeable-quantile scale
+    path beside the exact :func:`price_percentiles_by_flag`.
+
+    Exact per-group percentiles need the full value multiset per group on
+    one node (sort or ``percentile_disc``); a KLL sketch is a ≤KB bounded
+    summary built with map-side partial aggregation and merged
+    associatively — the same partials-then-merge contract as the HLL/theta
+    sketches in the streaming store, so per-group quantiles stay cheap at
+    any fan-in, and the sketch itself can be persisted and re-merged
+    incrementally (e.g. per-day partials → 90-day quantiles without
+    re-reading 90 days).
+
+    Registered rows-only (KLL picks a retained value within rank error
+    ±1.7% at the default k=200); the rank-error bound vs the exact
+    percentiles is asserted in tests/test_properties.py.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    sk = li.groupBy("l_returnflag").agg(
+        F.kll_sketch_agg_double(F.col("l_extendedprice").cast("double")).alias("sk")
+    )
+    return sk.select(
+        "l_returnflag",
+        F.kll_sketch_get_quantile_double("sk", F.lit(0.5)).alias("p50_est"),
+        F.kll_sketch_get_quantile_double("sk", F.lit(0.9)).alias("p90_est"),
+        F.kll_sketch_get_quantile_double("sk", F.lit(0.99)).alias("p99_est"),
+    )
+
+
 # --- Extended string-function surface -----------------------------------------
 def part_name_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """String scalar surface beyond order_scalar_projections: regex extract,

@@ -175,6 +175,37 @@ def variant_overlap_approx(events: DataFrame) -> DataFrame:
     )
 
 
+def variant_overlap_theta(events: DataFrame) -> DataFrame:
+    """R5 on Theta sketches — the sketch family whose NATIVE operation is
+    set intersection, i.e. the true analogue of the reference's
+    ``SINTERSTORE`` + ``SCARD`` (TimeseriesMetricsController.java:109-136).
+
+    ``theta_sketch_agg`` reduces each variant's audience to one mergeable
+    KMV-style sketch map-side (same no-per-user-shuffle plan as
+    :func:`variant_overlap_approx`); ``theta_intersection`` then estimates
+    |A∩B| DIRECTLY, with error bounds on the intersection itself — unlike
+    HLL inclusion–exclusion, whose absolute error compounds from three
+    union-sized estimates and degrades when the overlap is small relative
+    to the sets. Theta sketches also support difference (A\\B), giving the
+    full Redis set algebra (SINTER/SDIFF/SUNION) on bounded state.
+
+    Registered rows-only (estimates are sketch-seeded); accuracy vs the
+    exact overlap is asserted in tests/test_metrics_fanout.py.
+    """
+    sk = events.groupBy("variant").agg(F.theta_sketch_agg("user_id").alias("sk"))
+    a, b = sk.alias("a"), sk.alias("b")
+    return (
+        a.join(b, F.col("a.variant") < F.col("b.variant"))
+        .select(
+            F.col("a.variant").alias("variant_a"),
+            F.col("b.variant").alias("variant_b"),
+            F.theta_sketch_estimate(
+                F.theta_intersection(F.col("a.sk"), F.col("b.sk"))
+            ).alias("overlap_est"),
+        )
+    )
+
+
 def times(events: DataFrame) -> DataFrame:
     """R6 ``/times`` debug endpoint (:138-142) — the axis itself."""
     return time_axis(events)

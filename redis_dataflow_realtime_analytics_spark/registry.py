@@ -1280,6 +1280,18 @@ q(
     lambda s, d: timeseries.variant_overlap_approx(_ev(s, d)),
 )
 
+# R5 on Theta sketches — native set-intersection estimates (the true
+# SINTERSTORE+SCARD analogue; supports the full SINTER/SDIFF/SUNION algebra
+# on bounded mergeable state). Rows-only; accuracy asserted in tests.
+q(
+    "r5_variant_overlap_theta",
+    lambda s, d: timeseries.variant_overlap_theta(_ev(s, d)),
+)
+
+# Mergeable per-group quantiles (DataSketches KLL) beside the exact
+# percentile_disc twin. Rows-only; rank-error bound asserted in tests.
+q("price_quantiles_kll", relational.price_quantiles_kll)
+
 # Navigation/distribution window functions (lag/lead/first_value/ntile/
 # percent_rank/cume_dist) over a total per-customer ordering.
 q(

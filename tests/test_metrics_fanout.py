@@ -60,3 +60,30 @@ def test_variant_overlap_approx_close_to_exact(spark):
     assert set(exact) == set(approx)
     for pair, n in exact.items():
         assert abs(approx[pair] - n) <= max(0.05 * n, 3.0), (pair, n, approx[pair])
+
+
+def test_variant_overlap_theta_close_to_exact(spark):
+    """Theta-sketch intersection estimates within 5% of the exact overlap
+    (default lgK ⇒ ~1.6% rse; intersection error scales with the overlap
+    itself, not the union, so the bound is tighter in principle than
+    HLL inclusion-exclusion)."""
+    from redis_dataflow_realtime_analytics_spark.operators import timeseries
+    from redis_dataflow_realtime_analytics_spark.sources import (
+        normalize_events,
+        read_events,
+    )
+
+    from .conftest import SF_SMOKE
+
+    ev = normalize_events(read_events(spark, SF_SMOKE))
+    exact = {
+        (r.variant_a, r.variant_b): r.overlap
+        for r in timeseries.variant_overlap(ev).collect()
+    }
+    theta = {
+        (r.variant_a, r.variant_b): r.overlap_est
+        for r in timeseries.variant_overlap_theta(ev).collect()
+    }
+    assert set(exact) == set(theta)
+    for pair, n in exact.items():
+        assert abs(theta[pair] - n) <= max(0.05 * n, 3.0), (pair, n, theta[pair])

@@ -150,3 +150,28 @@ def test_decimal_moments_agree_with_builtin_stddev(spark):
     for k, (m, s) in ours.items():
         assert abs(m - ref[k][0]) < 1e-6 * max(1.0, abs(m))
         assert abs(s - ref[k][1]) < 1e-6 * max(1.0, abs(s))
+
+
+def test_kll_quantiles_within_rank_error(spark):
+    """KLL p50/p90/p99 estimates must sit within ±2% RANK error of the
+    exact distribution (k=200 ⇒ ~1.7% normalized rank error): the
+    estimate's true rank, not its value, is what the sketch bounds."""
+    from redis_dataflow_realtime_analytics_spark.operators.relational import (
+        price_quantiles_kll,
+    )
+    from redis_dataflow_realtime_analytics_spark.tables import load
+
+    from .conftest import SF_SMOKE
+
+    li = (
+        load(spark, SF_SMOKE, "lineitem")
+        .select("l_returnflag", F.col("l_extendedprice").cast("double").alias("v"))
+        .toPandas()
+    )
+    est = {r.l_returnflag: r for r in price_quantiles_kll(spark, SF_SMOKE).collect()}
+    for flag, grp in li.groupby("l_returnflag"):
+        vals = grp["v"].sort_values().reset_index(drop=True)
+        n = len(vals)
+        for q, col in ((0.5, "p50_est"), (0.9, "p90_est"), (0.99, "p99_est")):
+            rank = (vals <= getattr(est[flag], col)).sum() / n
+            assert abs(rank - q) <= 0.02, (flag, q, rank)
