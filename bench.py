@@ -46,10 +46,13 @@ HEADLINE = [
     "dedup_minhash_neardup_pairs",
     "dedup_lsh_exact_jaccard_pairs",
     "dedup_simhash_neardup_pairs",
+    "dedup_connected_components",
     "ann_topk_bruteforce",
     "ann_ivf_topk",
     "ann_lsh_topk",
     "stream_visits_per_minute",
+    "stream_click_error_join",
+    "r5_variant_overlap_theta",
     "q4_order_priority",
     "q13_customer_distribution",
     "q18_large_volume_customers",
