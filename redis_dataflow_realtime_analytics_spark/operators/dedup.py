@@ -436,6 +436,24 @@ def neardup_survivors(
     return unpaired.select("doc_id").union(keep_of_cluster.select("doc_id"))
 
 
+def lsh_components(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.5
+) -> DataFrame:
+    """The production near-dedup pipeline end to end at 100 TB shape:
+    MinHash-LSH candidates → exact-Jaccard verification
+    (:func:`lsh_exact_jaccard_pairs`, sub-quadratic, precision 1) →
+    transitive clustering (:func:`connected_components`).
+
+    Same output contract as :func:`neardup_components` but the quadratic
+    shingle self-join never runs — edge generation is bounded by LSH
+    bucket collisions. Registered rows-only (edges depend on xxhash64
+    banding); on corpora whose near-dup pairs sit well above the LSH
+    threshold (recall ≈ 1) it equals the exact clustering — asserted on
+    planted duplicates in tests/test_dedup.py."""
+    edges = lsh_exact_jaccard_pairs(spark, sf_dir, threshold=threshold)
+    return connected_components(edges)
+
+
 def oracle_neardup_components(threshold: float = 0.5) -> str:
     """DuckDB twin of :func:`neardup_components` — the pair CTE from
     :func:`oracle_ngram_jaccard_pairs` plus a recursive min-label closure."""

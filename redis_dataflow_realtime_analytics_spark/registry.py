@@ -1233,6 +1233,11 @@ q(
     dedup.oracle_neardup_survivors(),
 )
 
+# The production 100 TB pipeline: LSH candidates -> exact verify -> cluster
+# (quadratic stage never runs). Rows-only: edges depend on xxhash64 banding;
+# equality with the exact clustering on planted dups asserted in tests.
+q("dedup_lsh_components", dedup.lsh_components)
+
 # ---------------------------------------------------------------------------
 # Histogram, distributed moments, unpivot
 # ---------------------------------------------------------------------------

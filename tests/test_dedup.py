@@ -176,3 +176,18 @@ def test_neardup_components_cluster_planted_dups(spark, corpus):
         assert members == {label, label + 1, label + 2}
     survivors = {r.doc_id for r in dedup.neardup_survivors(spark, corpus).collect()}
     assert survivors == {3 * i for i in range(20)}
+
+
+def test_lsh_components_match_exact_on_planted_dups(spark, corpus):
+    """On the planted corpus every true pair's Jaccard is far above the
+    LSH threshold (recall ~ 1), so the sub-quadratic LSH clustering equals
+    the exact-edge clustering."""
+    exact = {
+        (r.doc_id, r.component_id)
+        for r in dedup.neardup_components(spark, corpus).collect()
+    }
+    lsh = {
+        (r.doc_id, r.component_id)
+        for r in dedup.lsh_components(spark, corpus).collect()
+    }
+    assert lsh == exact
