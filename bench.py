@@ -77,17 +77,19 @@ def main() -> None:
     _ident.__annotations__ = {"s": pd.Series, "return": pd.Series}
     spark.range(1_000).select(pandas_udf(_ident, "long")("id")).collect()
 
-    # Each query runs twice and records the faster run: the first execution
-    # pays one-time JVM/whole-stage-codegen compilation (1-4 s per distinct
-    # plan shape) and occasional GC pauses from the preceding queries'
-    # shuffles — the min is the reproducible steady-state cost of the PLAN,
-    # which is what the round-over-round comparison should track. Caches are
-    # cleared between queries so no query benefits from another's state.
+    # Each query runs three times and records the fastest run: the first
+    # execution pays one-time JVM/whole-stage-codegen compilation (1-4 s per
+    # distinct plan shape) and occasional GC pauses from the preceding
+    # queries' shuffles — the min is the reproducible steady-state cost of
+    # the PLAN, which is what the round-over-round comparison should track
+    # (n=2 left 1.4-1.7x run-to-run noise on four queries in round 2; n=3
+    # bounds it). Caches are cleared between queries so no query benefits
+    # from another's state.
     times: dict[str, float] = {}
     for name in HEADLINE:
         fn = registry.QUERIES[name]
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             df = fn(spark, SF_DIR)
             df.write.mode("overwrite").format("noop").save()

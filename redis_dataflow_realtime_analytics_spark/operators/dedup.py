@@ -388,25 +388,30 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
             .groupBy("src")
             .agg(F.min("comp").alias("nbr_comp"))
         )
+        # Convergence detection is folded into the update itself: the
+        # update join already sees (old comp, neighbor min), so a boolean
+        # ``changed`` column costs nothing, and ONE action — the
+        # full-scan max(changed) aggregate — both materializes the lazy
+        # localCheckpoint (every partition is computed, unlike a
+        # limit(1) probe) and answers "did any label move". No separate
+        # old-vs-new join, no second job per round.
         new_labels = (
             labels.join(nbr_min, labels.doc_id == nbr_min.src, "left")
             .select(
                 labels.doc_id,
                 F.least(
                     F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
-                ).alias("comp"),
+                ).alias("new_comp"),
+                F.col("comp").alias("old_comp"),
             )
-            .localCheckpoint(eager=True)
+            .withColumn("changed", F.col("new_comp") != F.col("old_comp"))
+            .localCheckpoint(eager=False)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .where(F.col("n.comp") != F.col("o.comp"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        any_changed = new_labels.agg(
+            F.coalesce(F.max("changed"), F.lit(False)).alias("c")
+        ).first()["c"]
+        labels = new_labels.select("doc_id", F.col("new_comp").alias("comp"))
+        if not any_changed:
             return labels.select("doc_id", F.col("comp").alias("component_id"))
     raise RuntimeError(f"connected_components did not converge in {max_iter} iterations")
 

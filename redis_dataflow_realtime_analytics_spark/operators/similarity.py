@@ -331,18 +331,21 @@ def kmeans_embedding_centroids(
     rows-only: an iterative fixpoint has no single-statement SQL oracle.
 
     Empty clusters keep their previous centroid. Initialization is the
-    deterministic data-derived sample (every ``n/k``-th vector).
+    deterministic data-derived sample (every ``n/k``-th vector by id) —
+    a plain modulo FILTER on ``vec_id``, fully parallel: no global
+    ``Window.orderBy`` row_number (which would funnel the whole corpus
+    through one task just to pick k seeds — a single-partition pass that
+    kills at 10⁹ rows). Only ``count()`` (a distributed agg) and the k
+    seed rows touch the driver.
 
     Output: one row per cluster — (cluster_id, n_points, inertia,
     centroid array<double>).
     """
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
 
+    stride = max(emb.count() // k, 1)
     init = (
-        emb.withColumn(
-            "rn", F.row_number().over(Window.orderBy("vec_id")) - 1
-        )
-        .where(F.col("rn") % F.lit(max(emb.count() // k, 1)) == 0)
+        emb.where(F.col("vec_id") % F.lit(stride) == 0)
         .orderBy("vec_id")
         .limit(k)
         .collect()

@@ -34,13 +34,35 @@ from pyspark.sql import functions as F
 from . import metrics
 
 
-def time_axis(events: DataFrame) -> DataFrame:
+def time_axis(events: DataFrame, anchor_now: bool = False, last_minutes: int = 10) -> DataFrame:
     """R1 time-axis generator (TimeseriesMetricsController.java:144-152).
 
-    The reference floors now() to the minute and steps back N minutes; for a
-    deterministic, replayable query the axis spans the data's own
-    [min(ts), max(ts)] minute range. One row per minute, column ``minute``.
+    The reference floors now() to the minute and steps back N minutes
+    (``timePatternForLastMinutes``); for a deterministic, replayable query
+    the default axis instead spans the data's own [min(ts), max(ts)] minute
+    range. One row per minute, column ``minute``.
+
+    ``anchor_now=True`` gives production parity with the reference: the axis
+    is the ``last_minutes`` most recent WALL-CLOCK minutes ending at
+    ``date_trunc('minute', now())``, independent of the data — exactly the
+    dashboard's key window, including minutes with no events (which the
+    axis join 0-fills, ``getIntValue`` :65-67). Not used by oracles (now()
+    is nondeterministic across engines by construction).
     """
+    if anchor_now:
+        return (
+            events.sparkSession.range(1)
+            .select(F.date_trunc("minute", F.current_timestamp()).alias("t1"))
+            .select(
+                F.explode(
+                    F.sequence(
+                        F.col("t1") - F.expr(f"interval {last_minutes - 1} minutes"),
+                        F.col("t1"),
+                        F.expr("interval 1 minute"),
+                    )
+                ).alias("minute")
+            )
+        )
     bounds = events.agg(
         F.date_trunc("minute", F.min("ts")).alias("t0"),
         F.date_trunc("minute", F.max("ts")).alias("t1"),

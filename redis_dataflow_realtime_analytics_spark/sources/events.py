@@ -106,11 +106,21 @@ def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``nanosAsLong``) and floor-divide to microseconds — the same
     truncation DuckDB applies when materializing its µs-precision
     TIMESTAMP, so both engines see identical values.
+
+    Regardless of the physical encoding (nanos-as-int64, TIMESTAMP_NTZ, or
+    TIMESTAMP), the returned ``ts`` is always session-zoned TIMESTAMP: the
+    session timezone is UTC (see :mod:`..session`), so casting NTZ →
+    TIMESTAMP is value-preserving, and every downstream consumer
+    (``unix_micros``, window ``RANGE`` frames, minute bucketing) can rely
+    on one type instead of special-casing per fixture variant.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    if dict(df.dtypes).get("ts") == "bigint":
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
         df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    elif ts_type != "timestamp":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
@@ -125,6 +135,12 @@ _EVENTS_PARQUET_SCHEMA = T.StructType(
         T.StructField("props", T.StringType()),
     ]
 )
+
+
+#: Cache of probed physical ts-encodings keyed by path, so replay harnesses
+#: that build several streams over the same fixture (e.g. the stream-stream
+#: interval join reads the source twice) pay the schema-probe batch read once.
+_PROBED_NANOS: dict[str, bool] = {}
 
 
 def read_events_stream(spark: SparkSession, path: str, max_files_per_trigger: int = 1) -> DataFrame:
@@ -144,7 +160,9 @@ def read_events_stream(spark: SparkSession, path: str, max_files_per_trigger: in
     import os
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    nanos = dict(spark.read.parquet(path).dtypes).get("ts") == "bigint"
+    if path not in _PROBED_NANOS:
+        _PROBED_NANOS[path] = dict(spark.read.parquet(path).dtypes).get("ts") == "bigint"
+    nanos = _PROBED_NANOS[path]
     schema = _EVENTS_PARQUET_SCHEMA if nanos else EVENTS_TABLE_SCHEMA
     reader = spark.readStream.schema(schema).option(
         "maxFilesPerTrigger", max_files_per_trigger

@@ -87,3 +87,30 @@ def test_variant_overlap_theta_close_to_exact(spark):
     assert set(exact) == set(theta)
     for pair, n in exact.items():
         assert abs(theta[pair] - n) <= max(0.05 * n, 3.0), (pair, n, theta[pair])
+
+
+def test_now_anchored_time_axis_shape(spark):
+    # Production-parity R1 (TimeseriesMetricsController.java:144-152): the
+    # last-N wall-clock minutes ending at date_trunc('minute', now()),
+    # contiguous at 1-minute steps, independent of the data.
+    import datetime as dt
+
+    from redis_dataflow_realtime_analytics_spark.operators import timeseries
+    from redis_dataflow_realtime_analytics_spark.sources import (
+        normalize_events,
+        read_events,
+    )
+
+    from .conftest import SF_SMOKE
+
+    ev = normalize_events(read_events(spark, SF_SMOKE))
+    n = 7
+    rows = sorted(
+        r.minute for r in timeseries.time_axis(ev, anchor_now=True, last_minutes=n).collect()
+    )
+    assert len(rows) == n
+    steps = {(b - a) for a, b in zip(rows, rows[1:])}
+    assert steps == {dt.timedelta(minutes=1)}
+    assert rows[-1].second == 0
+    # anchored at now(), not at the (historical) fixture data
+    assert abs((dt.datetime.now(dt.timezone.utc).replace(tzinfo=None) - rows[-1]).total_seconds()) < 120

@@ -194,3 +194,12 @@ def test_date_partitioned_layout_prunes_partitions(spark, tmp_path):
     # and the day filter is exact
     days = {r.event_date for r in df.select("event_date").distinct().collect()}
     assert days == {__import__("datetime").date(2024, 1, 2)}
+
+
+def test_kmeans_has_no_single_partition_pass(spark):
+    # seed init is a modulo filter + take-ordered, NOT a global
+    # Window.orderBy row_number; nothing in the final plan may funnel the
+    # corpus through one partition (the 10^9-row scale killer).
+    df = similarity.kmeans_embedding_centroids(spark, SF_SMOKE, k=4, iters=1)
+    p = plans.plan_string(df)
+    assert "SinglePartition" not in p, p
