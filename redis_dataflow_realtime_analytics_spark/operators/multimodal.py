@@ -2,12 +2,23 @@
 
 Images/audio/video are opaque ``binary`` columns with a typed metadata
 struct. The Spark-side plumbing — schema, partition-friendly projections,
-Arrow-batched ``mapInPandas`` decode stage — is real and tested; the actual
-codec step is STUBBED (image/audio libraries are not in this environment):
-``decode_features(fake=False)`` raises ``NotImplementedError`` inside the
-UDF, and ``fake=True`` substitutes a deterministic byte-level feature
-extractor with the exact same batch shape, so the distributed plumbing is
-exercised end-to-end.
+Arrow-batched ``mapInPandas`` decode stage — is real and tested.
+
+The codec story has two tiers:
+
+* **Real codec (binary PPM "P6")**: :func:`with_image_blob` synthesizes
+  genuine P6 raster images (ASCII header + raw RGB bytes — a public
+  Netpbm format any image tool can open) with pure Catalyst expressions;
+  ``decode_features(fake=False)`` is a real pure-numpy P6 decoder (header
+  parse, payload validation, per-channel statistics) and
+  ``resize_images(fake=False)`` a real nearest-neighbor resampler that
+  re-emits valid P6 bytes. No external image libraries needed.
+* **Stubbed codecs (everything else)**: blobs whose magic bytes aren't a
+  supported format raise ``NotImplementedError`` inside the UDF — the
+  marked extension point where PIL/ffmpeg/torchaudio would plug in.
+  ``fake=True`` substitutes a deterministic byte-level feature extractor
+  with the exact same batch shape, so the distributed plumbing is
+  exercised end-to-end even for unsupported formats.
 
 Scale notes (100 TB):
 * Blobs ride in the row as ``binary``; all metadata predicates (mime,
@@ -22,8 +33,10 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
@@ -31,9 +44,28 @@ from pyspark.sql import functions as F
 
 from ..tables import load
 
-#: Output schema of the decode/feature-extract stage.
+# The decode/resize closures reference module-level helpers (_parse_p6 /
+# _encode_p6). Python workers don't inherit a driver-side sys.path patch,
+# so if the engine package was imported off-path (e.g. the driver harness
+# inserts /root/repo at runtime and runs from another cwd), by-REFERENCE
+# pickling would make every executor fail to re-import this module.
+# Registering the module for by-VALUE pickling ships the helper code with
+# the closure — the same self-containment the repo's other Pandas-UDF
+# closures get by construction. (On a real cluster you'd also ship the
+# package via --py-files; this keeps the operator correct either way.)
+try:  # pragma: no cover - trivially present on pyspark>=3.3
+    from pyspark import cloudpickle as _cloudpickle
+
+    _cloudpickle.register_pickle_by_value(sys.modules[__name__])
+except Exception:  # noqa: BLE001 - best-effort; --py-files covers the rest
+    pass
+
+#: Output schema of the decode/feature-extract stage. ``channel_means`` is
+#: populated by the real P6 decoder (one mean per channel); the fake
+#: byte-level path leaves it NULL.
 FEATURE_SCHEMA = (
-    "doc_id bigint, n_bytes int, width int, height int, n_channels int, mean_byte double"
+    "doc_id bigint, n_bytes int, width int, height int, n_channels int, "
+    "mean_byte double, channel_means array<double>"
 )
 
 
@@ -55,6 +87,79 @@ def with_blob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def with_image_blob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attach a genuine binary-PPM ("P6") image blob to each document.
+
+    The raster is synthesized entirely with Catalyst expressions (no Python
+    in the plan): geometry derives from ``doc_id``; the RGB payload is the
+    first ``w*h*3`` bytes of the document's repeated SHA-256 stream —
+    deterministic, byte-exact, independent of text encoding. The result is
+    a VALID image file (ASCII ``P6 <w> <h> 255\\n`` header + raw RGB bytes)
+    any Netpbm-aware tool can open, so ``decode_features(fake=False)``
+    exercises a real codec.
+
+    At scale this models image ingest: blobs ride as ``binary``, geometry
+    and byte-size live in the typed ``meta`` struct so predicates prune
+    before any decode touches payload bytes.
+    """
+    docs = load(spark, sf_dir, "documents")
+    w = (F.col("doc_id") % 24 + 8).cast("int")
+    h = ((F.col("doc_id") * 7) % 16 + 8).cast("int")
+    n_payload = w * h * 3
+    # SHA-256 hex of (doc_id || text) = 32 bytes per unhex'd repetition;
+    # repeat enough times and truncate to exactly w*h*3 bytes.
+    reps = F.ceil(n_payload / F.lit(32)).cast("int")
+    payload = F.unhex(
+        F.substring(
+            F.repeat(F.sha2(F.concat(F.col("doc_id").cast("string"), F.col("text")), 256), reps),
+            1,
+            n_payload * 2,
+        )
+    )
+    header = F.encode(
+        F.concat_ws(" ", F.lit("P6"), w.cast("string"), h.cast("string"), F.lit("255\n")),
+        "UTF-8",
+    )
+    content = F.concat(header, payload)
+    return docs.select(
+        "doc_id",
+        "source",
+        content.alias("content"),
+        F.struct(
+            F.lit("image/x-portable-pixmap").alias("mime"),
+            F.octet_length(content).alias("n_bytes"),
+            w.alias("width"),
+            h.alias("height"),
+        ).alias("meta"),
+    )
+
+
+def _parse_p6(blob: bytes) -> tuple[int, int, np.ndarray]:
+    """Parse a binary-PPM P6 blob → (width, height, HxWx3 uint8 array).
+
+    Minimal, strict decoder for the P6 subset this pipeline emits
+    (single-space separators, maxval 255). Raises ValueError on any
+    malformed header or payload-length mismatch.
+    """
+    import re
+
+    # Strict header match (NOT whitespace split — payload bytes may
+    # themselves be whitespace and must not be consumed as separators).
+    m = re.match(rb"^P6 (\d+) (\d+) 255\n", blob[:32])
+    if not m:
+        raise ValueError("not a supported P6 ppm")
+    w, h = int(m.group(1)), int(m.group(2))
+    payload = blob[m.end():]
+    if len(payload) != w * h * 3:
+        raise ValueError(f"payload {len(payload)} != {w}*{h}*3")
+    return w, h, np.frombuffer(payload, dtype=np.uint8).reshape(h, w, 3)
+
+
+def _encode_p6(img: np.ndarray) -> bytes:
+    h, w = img.shape[:2]
+    return b"P6 %d %d 255\n" % (w, h) + img.astype(np.uint8).tobytes()
+
+
 def blob_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata-only scan over the blob column: byte length + content hash
     per doc — no decode, pure codegen expressions."""
@@ -69,34 +174,61 @@ def blob_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def decode_features(blobs: DataFrame, fake: bool = False) -> DataFrame:
     """Decode blobs → features via an Arrow-batched ``mapInPandas`` stage.
 
-    ``fake=False``: raises NotImplementedError (no codec libs here) — this
-    is the marked stub where PIL/ffmpeg decoding would run.
+    ``fake=False`` (the REAL path): a pure-numpy binary-PPM (P6) decoder —
+    header parse, payload-length validation, per-channel means on the
+    decoded HxWx3 raster. Blobs in any other format raise
+    ``NotImplementedError`` inside the UDF — the marked extension point
+    where PIL/ffmpeg/torchaudio would plug in for JPEG/audio/video.
+
     ``fake=True``: deterministic byte-level pseudo-decode with the same
-    batch shape (used by tests and the rows-only registry entry).
+    batch shape, for blobs with no decodable structure (used by tests and
+    the rows-only registry entry over text/plain blobs).
+
+    Either way the stage is ``mapInPandas`` — Arrow batches in, no
+    shuffle, linear in executors; decode cost is per-blob and the batch
+    size bound caps task memory.
     """
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "image/audio codecs unavailable in this environment; "
-                    "plug PIL/torchaudio/ffmpeg here"
-                )
             content = pdf["content"]
-            n = content.str.len().astype("int32")
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "n_bytes": n,
-                    # deterministic fake geometry derived from byte length
-                    "width": (n % 512 + 1).astype("int32"),
-                    "height": (n // 512 + 1).astype("int32"),
-                    "n_channels": pd.Series([3] * len(pdf), dtype="int32"),
-                    "mean_byte": content.map(
-                        lambda b: (sum(b) / len(b)) if len(b) else 0.0
-                    ).astype("float64"),
-                }
-            )
+            if fake:
+                n = content.str.len().astype("int32")
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"],
+                        "n_bytes": n,
+                        # deterministic fake geometry derived from byte length
+                        "width": (n % 512 + 1).astype("int32"),
+                        "height": (n // 512 + 1).astype("int32"),
+                        "n_channels": pd.Series([3] * len(pdf), dtype="int32"),
+                        "mean_byte": content.map(
+                            lambda b: (sum(b) / len(b)) if len(b) else 0.0
+                        ).astype("float64"),
+                        "channel_means": pd.Series([None] * len(pdf), dtype=object),
+                    }
+                )
+                continue
+            out = {k: [] for k in ("doc_id", "n_bytes", "width", "height",
+                                   "n_channels", "mean_byte", "channel_means")}
+            for doc_id, blob in zip(pdf["doc_id"], content):
+                blob = bytes(blob)
+                if not blob.startswith(b"P6"):
+                    raise NotImplementedError(
+                        "only binary-PPM (P6) decode is implemented; "
+                        "plug PIL/torchaudio/ffmpeg here for other codecs"
+                    )
+                w, h, img = _parse_p6(blob)
+                out["doc_id"].append(doc_id)
+                out["n_bytes"].append(len(blob))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_channels"].append(img.shape[2])
+                out["mean_byte"].append(float(img.mean()))
+                out["channel_means"].append(
+                    [float(x) for x in img.mean(axis=(0, 1))]
+                )
+            yield pd.DataFrame(out)
 
     return blobs.mapInPandas(_decode, schema=FEATURE_SCHEMA)
 
@@ -114,38 +246,62 @@ def resize_images(
 ) -> DataFrame:
     """Resize stage for an image column via Arrow-batched ``mapInPandas``.
 
-    Same stub discipline as :func:`decode_features`: ``fake=False`` raises
-    ``NotImplementedError`` where a PIL/torchvision resize would run;
+    ``fake=False`` (the REAL path): pure-numpy nearest-neighbor resample
+    of binary-PPM (P6) blobs to ``width × height``, re-emitting VALID P6
+    bytes (decode → index-sample rows/cols → re-encode). Non-P6 blobs
+    raise ``NotImplementedError`` — the extension point for
+    PIL/torchvision codecs.
+
     ``fake=True`` emits a deterministic truncation/padding of the payload
-    to ``width·height`` bytes with identical batch shape, so the schema,
-    partitioning and UDF plumbing are exercised end-to-end. No shuffle:
-    resize is embarrassingly parallel over whatever partitioning the scan
-    (or an upstream filter) produced.
+    to ``width·height`` bytes with identical batch shape, for blobs with
+    no decodable raster. No shuffle either way: resize is embarrassingly
+    parallel over whatever partitioning the scan (or an upstream filter)
+    produced.
     """
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         target = width * height
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "image codecs unavailable in this environment; "
-                    "plug PIL.Image.resize / torchvision here"
+            if fake:
+                content = pdf["content"].map(
+                    lambda b: bytes(b[:target]).ljust(target, b"\0")
                 )
-            content = pdf["content"].map(
-                lambda b: bytes(b[:target]).ljust(target, b"\0")
-            )
-            n = pdf["content"].str.len().astype("int32")
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "content": content,
-                    "n_bytes": n,
-                    "width": (n % 512 + 1).astype("int32"),
-                    "height": (n // 512 + 1).astype("int32"),
-                    "target_width": pd.Series([width] * len(pdf), dtype="int32"),
-                    "target_height": pd.Series([height] * len(pdf), dtype="int32"),
-                }
-            )
+                n = pdf["content"].str.len().astype("int32")
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"],
+                        "content": content,
+                        "n_bytes": n,
+                        "width": (n % 512 + 1).astype("int32"),
+                        "height": (n // 512 + 1).astype("int32"),
+                        "target_width": pd.Series([width] * len(pdf), dtype="int32"),
+                        "target_height": pd.Series([height] * len(pdf), dtype="int32"),
+                    }
+                )
+                continue
+            out = {k: [] for k in ("doc_id", "content", "n_bytes", "width",
+                                   "height", "target_width", "target_height")}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["content"]):
+                blob = bytes(blob)
+                if not blob.startswith(b"P6"):
+                    raise NotImplementedError(
+                        "only binary-PPM (P6) resize is implemented; "
+                        "plug PIL.Image.resize / torchvision here"
+                    )
+                w, h, img = _parse_p6(blob)
+                # nearest-neighbor: sample source pixel centers on the
+                # target grid (the classical index map)
+                rows = (np.arange(height) * h) // height
+                cols = (np.arange(width) * w) // width
+                resized = img[rows][:, cols]
+                out["doc_id"].append(doc_id)
+                out["content"].append(_encode_p6(resized))
+                out["n_bytes"].append(len(blob))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["target_width"].append(width)
+                out["target_height"].append(height)
+            yield pd.DataFrame(out)
 
     return blobs.mapInPandas(_resize, schema=RESIZE_SCHEMA)
 

@@ -653,6 +653,41 @@ q(
     "multimodal_decode_features_fake",
     lambda s, d: multimodal.decode_features(multimodal.with_blob(s, d), fake=True),
 )
+# REAL codec: binary-PPM (P6) blobs synthesized with pure Catalyst
+# expressions (geometry from doc_id, payload = repeated SHA-256 stream),
+# decoded by the pure-numpy P6 decoder inside mapInPandas. Fully
+# SQL-oracled: DuckDB re-derives the payload hex stream and aggregates
+# per-channel byte means — a hash-gated differential test of an actual
+# image decode path.
+q(
+    "multimodal_decode_features",
+    lambda s, d: multimodal.decode_features(multimodal.with_image_blob(s, d), fake=False),
+    r"""WITH img AS (
+  SELECT doc_id,
+         CAST(doc_id % 24 + 8 AS INTEGER) AS w,
+         CAST((doc_id * 7) % 16 + 8 AS INTEGER) AS h,
+         sha256(CAST(doc_id AS VARCHAR) || text) AS hx
+  FROM documents
+), geom AS (
+  SELECT doc_id, w, h, w*h*3 AS n_pay,
+         substring(repeat(hx, CAST(ceil((w*h*3) / 32.0) AS INTEGER)), 1, w*h*3*2) AS ph
+  FROM img
+), b AS (
+  SELECT doc_id, w, h, n_pay, i,
+         (strpos('0123456789abcdef', substring(ph, 2*i-1, 1)) - 1) * 16
+         + (strpos('0123456789abcdef', substring(ph, 2*i, 1)) - 1) AS byte,
+         (i - 1) % 3 AS ch
+  FROM geom, LATERAL unnest(generate_series(1, n_pay)) AS t(i)
+)
+SELECT doc_id,
+       CAST(length('P6 ' || w || ' ' || h || ' 255') + 1 + n_pay AS INTEGER) AS n_bytes,
+       w AS width, h AS height, 3 AS n_channels,
+       avg(byte) AS mean_byte,
+       [avg(CASE WHEN ch=0 THEN byte END),
+        avg(CASE WHEN ch=1 THEN byte END),
+        avg(CASE WHEN ch=2 THEN byte END)] AS channel_means
+FROM b GROUP BY doc_id, w, h, n_pay""",
+)
 
 
 # ---------------------------------------------------------------------------
@@ -775,6 +810,15 @@ q("embedding_neardup_pairs_lsh", similarity.embedding_neardup_pairs_lsh)
 q(
     "multimodal_resize_fake",
     lambda s, d: multimodal.resize_images(multimodal.with_blob(s, d), fake=True),
+)
+# REAL nearest-neighbor resize of the P6 blobs (decode → index-sample →
+# re-encode valid P6). Rows-only: the binary output is asserted
+# byte-exact against an independent decode in tests/test_multimodal.py.
+q(
+    "multimodal_resize",
+    lambda s, d: multimodal.resize_images(
+        multimodal.with_image_blob(s, d), width=32, height=32, fake=False
+    ),
 )
 
 q(
@@ -1540,9 +1584,10 @@ _PRIORITY = [
     "sample_documents_stratified",
     "corpus_upsample_by_language",
     "corpus_mix_report",
-    # multimodal (oracled) never checked
+    # multimodal (oracled) never checked — incl. the REAL P6 decode, new r3
     "multimodal_blob_stats",
     "multimodal_frame_sample_offsets",
+    "multimodal_decode_features",
     # --- rows-only high-value keys (driver rows-only check) ---
     "dedup_minhash_neardup_pairs",
     "dedup_simhash_neardup_pairs",
@@ -1551,7 +1596,6 @@ _PRIORITY = [
     "ann_lsh_topk",
     "kmeans_embedding_centroids",
     "r5_variant_overlap_theta",
-    "embedding_neardup_pairs_lsh",
 ]
 
 

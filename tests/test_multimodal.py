@@ -31,12 +31,57 @@ def test_fake_decode_runs_distributed(spark):
         assert 0.0 <= r.mean_byte <= 255.0
 
 
-def test_real_decode_is_stubbed(spark):
+def test_unsupported_codec_is_stubbed(spark):
+    # text/plain blobs have no decodable raster: the real path must raise
+    # the marked NotImplementedError, not silently fake features
     blobs = multimodal.with_blob(spark, SF_SMOKE).limit(1)
     feats = multimodal.decode_features(blobs, fake=False)
     with pytest.raises((Py4JJavaError, Exception)) as ei:
         feats.collect()
-    assert "NotImplementedError" in str(ei.value) or "codecs unavailable" in str(ei.value)
+    assert "NotImplementedError" in str(ei.value) or "P6" in str(ei.value)
+
+
+def test_image_blob_is_valid_p6(spark):
+    blobs = multimodal.with_image_blob(spark, SF_SMOKE)
+    for r in blobs.limit(10).collect():
+        blob = bytes(r.content)
+        w, h, img = multimodal._parse_p6(blob)
+        assert (w, h) == (r.meta.width, r.meta.height)
+        assert r.meta.n_bytes == len(blob)
+        assert img.shape == (h, w, 3)
+        # deterministic: geometry derives from doc_id
+        assert w == r.doc_id % 24 + 8 and h == (r.doc_id * 7) % 16 + 8
+
+
+def test_real_p6_decode_matches_independent_decode(spark):
+    import numpy as np
+
+    blobs = multimodal.with_image_blob(spark, SF_SMOKE)
+    raw = {r.doc_id: bytes(r.content) for r in blobs.collect()}
+    feats = multimodal.decode_features(blobs, fake=False).collect()
+    assert len(feats) == len(raw)
+    for r in feats[:50]:
+        w, h, img = multimodal._parse_p6(raw[r.doc_id])
+        assert (r.width, r.height, r.n_channels) == (w, h, 3)
+        assert r.mean_byte == img.mean()
+        assert r.channel_means == [float(x) for x in img.mean(axis=(0, 1))]
+
+
+def test_real_p6_resize_is_exact_nearest_neighbor(spark):
+    import numpy as np
+
+    blobs = multimodal.with_image_blob(spark, SF_SMOKE).limit(20)
+    raw = {r.doc_id: bytes(r.content) for r in blobs.collect()}
+    out = multimodal.resize_images(blobs, width=16, height=8, fake=False).collect()
+    assert len(out) == len(raw)
+    for r in out:
+        w, h, img = multimodal._parse_p6(raw[r.doc_id])
+        assert (r.width, r.height) == (w, h)
+        w2, h2, resized = multimodal._parse_p6(bytes(r.content))
+        assert (w2, h2) == (16, 8)
+        rows = (np.arange(8) * h) // 8
+        cols = (np.arange(16) * w) // 16
+        assert (resized == img[rows][:, cols]).all()
 
 
 def test_frame_sampling_arithmetic(spark):
