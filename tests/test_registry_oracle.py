@@ -32,16 +32,38 @@ def test_unoracled_query_runs(spark, name):
     assert len(df.schema.fields) > 0
 
 
-def test_priority_window_is_fully_oracled():
-    """The driver checks a bounded prefix of queries() in insertion order;
-    the curated priority block must be SQL-oracled end to end and rows-only
-    keys must sit at the back."""
+def test_priority_window_covers_every_unchecked_oracled_key():
+    """The driver checks a bounded prefix (50 keys) of queries() in
+    insertion order. Round-3 policy: every SQL-oracled key that has never
+    had a green driver row (rounds 1-2 checked 63 keys, recorded in
+    CORRECTNESS_r01/r02.json) must sit inside the window so that after r3
+    the whole oracled catalog has external evidence; the window's tail may
+    hold curated rows-only keys (they get the driver's weaker rows check).
+    Behind the priority block, oracled keys still precede rows-only ones.
+    """
+    import json
+    import pathlib
+
     keys = list(registry.QUERIES)
     n = len(registry._PRIORITY)
-    assert all(k in registry.ORACLE for k in keys[:n]), "unoracled key in priority window"
-    tail_start = min(i for i, k in enumerate(keys) if k not in registry.ORACLE)
-    assert all(k not in registry.ORACLE for k in keys[tail_start:]), (
-        "SQL-oracled key ordered after a rows-only key"
+    window = set(keys[:n])
+    assert n <= 50, "priority block exceeds the driver's 50-key budget"
+
+    root = pathlib.Path(__file__).resolve().parent.parent
+    green: set[str] = set()
+    for f in sorted(root.glob("CORRECTNESS_r*.json")):
+        rec = json.loads(f.read_text())
+        green |= {k for k, v in rec.items() if v.get("hash_match")}
+    never_green = [k for k in registry.ORACLE if k not in green]
+    missing = [k for k in never_green if k not in window]
+    assert not missing, f"oracled keys with no green driver row outside window: {missing}"
+
+    rest = keys[n:]
+    tail_start = min(
+        (i for i, k in enumerate(rest) if k not in registry.ORACLE), default=len(rest)
+    )
+    assert all(k not in registry.ORACLE for k in rest[tail_start:]), (
+        "SQL-oracled key ordered after a rows-only key behind the priority block"
     )
 
 
