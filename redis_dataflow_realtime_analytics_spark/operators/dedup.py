@@ -72,6 +72,51 @@ def dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id")
 
 
+def incremental_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: classify an INCOMING batch of documents against
+    the EXISTING corpus — the production shape where dedup runs per
+    ingest batch against a persisted content-hash index, never
+    all-pairs over history. The fixture splits on ``doc_id % 10 = 0``
+    (incoming) vs the rest (existing).
+
+    Output, one row per incoming doc: ``status`` = ``exact_dup`` with the
+    smallest matching existing doc (``dup_of``) or ``new`` (NULL).
+
+    Scale: a single equi-join on ``md5(normalized text)`` — uniform key,
+    no skew; with the corpus index stored bucketed by hash
+    (functions/bucketing.py) the join shuffles ONLY the incoming batch,
+    so per-batch cost is O(batch), independent of corpus size. Near-dup
+    incremental checks compose the same way with the MinHash index
+    (:func:`minhash_signatures` persisted, bucket join on band/bucket).
+    """
+    docs = load(spark, sf_dir, "documents").withColumn("h", F.md5(_norm_text()))
+    incoming = docs.where(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id"), F.col("h")
+    )
+    existing = (
+        docs.where(F.col("doc_id") % 10 != 0)
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("dup_of"))
+    )
+    return incoming.join(existing, "h", "left").select(
+        "doc_id",
+        F.when(F.col("dup_of").isNotNull(), F.lit("exact_dup"))
+        .otherwise(F.lit("new"))
+        .alias("status"),
+        "dup_of",
+    )
+
+
+def oracle_incremental_new_docs(norm_sql: str) -> str:
+    return f"""WITH d AS (SELECT doc_id, md5({norm_sql}) AS h FROM documents),
+inc AS (SELECT doc_id, h FROM d WHERE doc_id % 10 = 0),
+ex  AS (SELECT h, min(doc_id) AS dup_of FROM d WHERE doc_id % 10 <> 0 GROUP BY h)
+SELECT inc.doc_id,
+       CASE WHEN ex.dup_of IS NOT NULL THEN 'exact_dup' ELSE 'new' END AS status,
+       ex.dup_of
+FROM inc LEFT JOIN ex ON ex.h = inc.h"""
+
+
 # --- Shingles ---------------------------------------------------------------
 def _shingle_array(k: int = NGRAM_K) -> F.Column:
     """Distinct k-token shingle array for ``text`` — one map-side expression.

@@ -55,6 +55,42 @@ def stratified_sample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def topk_per_stratum(
+    spark: SparkSession, sf_dir: str, k: int = 20
+) -> DataFrame:
+    """Exact-k-per-stratum sample: for every language, the ``k`` documents
+    with the smallest ``md5(doc_id)`` — a fixed PER-STRATUM BUDGET rather
+    than a per-stratum rate (:func:`stratified_sample_by_lang`). This is
+    the "give me exactly 10k docs per language" corpus-assembly move:
+    deterministic (hash order, doc_id tie-break), engine-portable, and
+    stable under any partitioning — a distributed reservoir sample with a
+    reproducible reservoir.
+
+    Scale: one shuffle keyed by the stratum column for the per-stratum
+    rank window. Strata are languages (low cardinality) so the window
+    partitions are large but few; with k ≪ stratum size, swap the window
+    for a per-partition top-k + merge (``Window`` here keeps the plan
+    declarative and lets Spark's rank-limit pushdown
+    (WindowGroupLimit) prune to k rows per partition before the sort).
+    """
+    docs = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    return (
+        docs.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("lang", "doc_id", F.col("rk").cast("int").alias("rk"))
+    )
+
+
+def oracle_topk_per_stratum(k: int = 20) -> str:
+    return f"""SELECT lang, doc_id, CAST(rk AS INTEGER) AS rk
+FROM (
+  SELECT lang, doc_id,
+         row_number() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+  FROM documents)
+WHERE rk <= {k}"""
+
+
 def chunk_documents(
     spark: SparkSession, sf_dir: str, width: int = 400
 ) -> DataFrame:

@@ -221,6 +221,87 @@ def rolling_week_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Funnel conversion (click → error within a bounded horizon) --------------
+def funnel_conversion_by_experiment(
+    spark: SparkSession, sf_dir: str, horizon_minutes: int = 5
+) -> DataFrame:
+    """Per experiment: how many distinct users clicked, how many of those
+    "converted" (an ``error`` event by the same user within
+    ``horizon_minutes`` after some click of the same experiment), and the
+    conversion rate — the batch twin of the streaming interval join
+    (``stream_click_error_join``), rolled up to the funnel report every
+    experimentation dashboard ships.
+
+    Shape: ONE window pass per (user, experiment) ordered by time — the
+    running last-click timestamp turns the interval join into a linear
+    scan (same as-of pattern as :func:`asof_last_click_before_error`; no
+    quadratic pair join, one shuffle keyed by (user_id, experiment_id)),
+    then an exact-distinct rollup per experiment.
+    """
+    ev = _ev(spark, sf_dir).select("event_id", "user_id", "experiment_id", "ts", "variant")
+    w = (
+        Window.partitionBy("user_id", "experiment_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    last_click = F.last(
+        F.when(F.col("variant") == "click", F.col("ts")), ignorenulls=True
+    ).over(w)
+    flagged = ev.withColumn("last_click_ts", last_click)
+    horizon_us = horizon_minutes * 60 * 1_000_000
+    converted = (
+        flagged.where(
+            (F.col("variant") == "error")
+            & F.col("last_click_ts").isNotNull()
+            & (F.unix_micros("ts") - F.unix_micros("last_click_ts") <= horizon_us)
+        )
+        .groupBy("experiment_id")
+        .agg(F.count_distinct("user_id").alias("converted_users"))
+    )
+    clickers = (
+        ev.where(F.col("variant") == "click")
+        .groupBy("experiment_id")
+        .agg(F.count_distinct("user_id").alias("click_users"))
+    )
+    return (
+        clickers.join(converted, "experiment_id", "left")
+        .select(
+            "experiment_id",
+            "click_users",
+            F.coalesce("converted_users", F.lit(0)).alias("converted_users"),
+            (
+                F.coalesce("converted_users", F.lit(0)).cast("double")
+                / F.col("click_users")
+            ).alias("conversion_rate"),
+        )
+    )
+
+
+def oracle_funnel_conversion_by_experiment(ev_cte: str, horizon_minutes: int = 5) -> str:
+    horizon_us = horizon_minutes * 60 * 1_000_000
+    return f"""{ev_cte},
+x AS (
+  SELECT user_id, experiment_id, ts, variant,
+         last_value(CASE WHEN variant = 'click' THEN ts END IGNORE NULLS)
+           OVER (PARTITION BY user_id, experiment_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_ts
+  FROM ev),
+conv AS (
+  SELECT experiment_id, count(DISTINCT user_id) AS converted_users
+  FROM x
+  WHERE variant = 'error' AND last_click_ts IS NOT NULL
+    AND epoch_us(ts) - epoch_us(last_click_ts) <= {horizon_us}
+  GROUP BY experiment_id),
+clk AS (
+  SELECT experiment_id, count(DISTINCT user_id) AS click_users
+  FROM ev WHERE variant = 'click' GROUP BY experiment_id)
+SELECT clk.experiment_id, clk.click_users,
+       COALESCE(conv.converted_users, 0) AS converted_users,
+       CAST(COALESCE(conv.converted_users, 0) AS DOUBLE) / clk.click_users
+         AS conversion_rate
+FROM clk LEFT JOIN conv ON conv.experiment_id = clk.experiment_id"""
+
+
 def oracle_rolling_week_user_value(ev_cte: str) -> str:
     return f"""{ev_cte}
 SELECT event_id, user_id, ts,

@@ -558,6 +558,15 @@ q(
     dedup.dedup_documents,
     f"""SELECT min(doc_id) AS doc_id FROM documents GROUP BY {_NORM_MD5}""",
 )
+# Incremental dedup: incoming batch vs existing corpus via the content-hash
+# index join — the per-ingest-batch production shape (O(batch), not O(corpus)).
+q(
+    "dedup_incremental_new_docs",
+    dedup.incremental_new_docs,
+    dedup.oracle_incremental_new_docs(
+        f"regexp_replace(lower(trim(text)), '{text.TOKEN_SQL}', ' ', 'g')"
+    ),
+)
 q(
     "dedup_ngram_jaccard_pairs",
     dedup.ngram_jaccard_pairs,
@@ -1133,6 +1142,12 @@ FROM documents
 WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
       < CASE WHEN lang = 'en' THEN '10' ELSE '40' END""",
 )
+# Exact-k-per-stratum budgeted sample (deterministic reservoir by hash rank).
+q(
+    "sample_topk_per_language",
+    sampling.topk_per_stratum,
+    sampling.oracle_topk_per_stratum(),
+)
 q(
     "chunk_documents",
     sampling.chunk_documents,
@@ -1197,6 +1212,13 @@ q(
     "rolling_week_user_value",
     sessions.rolling_week_user_value,
     sessions.oracle_rolling_week_user_value(EV_CTE),
+)
+# Funnel rollup of the as-of pattern: click→error conversion within 5 min,
+# per experiment — the batch twin of stream_click_error_join as a report.
+q(
+    "funnel_conversion_by_experiment",
+    sessions.funnel_conversion_by_experiment,
+    sessions.oracle_funnel_conversion_by_experiment(EV_CTE),
 )
 
 
@@ -1575,27 +1597,30 @@ _PRIORITY = [
     "visit_anomalies",
     # text analysis never checked
     "text_top_bigrams",
-    # dedup family never checked
+    # dedup family never checked (incl. new r3: incremental batch-vs-corpus)
     "dedup_documents",
+    "dedup_incremental_new_docs",
     "dedup_neardup_survivors",
     "dedup_connected_components",
     "embedding_neardup_pairs",
-    # corpus assembly never checked
+    # sessions/funnel new r3
+    "funnel_conversion_by_experiment",
+    # corpus assembly never checked (incl. new r3: exact-k per stratum)
     "sample_documents_stratified",
+    "sample_topk_per_language",
     "corpus_upsample_by_language",
     "corpus_mix_report",
     # multimodal (oracled) never checked — incl. the REAL P6 decode, new r3
     "multimodal_blob_stats",
     "multimodal_frame_sample_offsets",
     "multimodal_decode_features",
-    # --- rows-only high-value keys (driver rows-only check) ---
+    # --- rows-only high-value keys (driver rows-only check; the dropped
+    # ones — ann_lsh, kmeans, theta overlap — are bounded by recall/
+    # determinism/error-band pytest gates instead) ---
     "dedup_minhash_neardup_pairs",
     "dedup_simhash_neardup_pairs",
     "dedup_lsh_components",
     "ann_ivf_topk",
-    "ann_lsh_topk",
-    "kmeans_embedding_centroids",
-    "r5_variant_overlap_theta",
 ]
 
 

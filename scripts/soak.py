@@ -64,6 +64,56 @@ def main(n_events: int = 10_000_000, doc_mult: int = 20) -> None:
             out[f"{name}_s"] = round(dt, 2)
             out[f"{name}_events_per_s"] = int(n_events / dt)
 
+        # --- streaming interval join at n_events (state-partition sizing) ---
+        # Same watermarked stream-stream join shape as stream_click_error_join,
+        # replayed over the generated events; run at two state-partition
+        # counts to demonstrate the sizing rule (volume, not cores).
+        import uuid as _uuid
+
+        gen_schema = spark.read.parquet(ev_path).schema
+        for parts in (8, 32):
+            os.environ["SPARK_GRAFT_STATE_PARTITIONS"] = str(parts)
+            spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+            sev = spark.readStream.schema(gen_schema).parquet(ev_path)
+            clicks = (
+                sev.where(F.col("variant").isin("default", "1"))
+                .select(
+                    F.col("uid").alias("click_user"),
+                    F.col("timestamp").alias("click_ts"),
+                )
+                .withWatermark("click_ts", "10 minutes")
+            )
+            errors = (
+                sev.where(F.col("variant").isin("2", "3"))
+                .select(
+                    F.col("uid").alias("error_user"),
+                    F.col("timestamp").alias("error_ts"),
+                )
+                .withWatermark("error_ts", "10 minutes")
+            )
+            joined = clicks.join(
+                errors,
+                F.expr(
+                    "click_user = error_user AND error_ts > click_ts "
+                    "AND error_ts <= click_ts + interval 5 minutes"
+                ),
+            )
+            t0 = time.perf_counter()
+            q = (
+                joined.writeStream.format("noop")
+                .option("checkpointLocation", f"{tmp}/ck_{_uuid.uuid4().hex}")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            dt = time.perf_counter() - t0
+            out[f"stream_join_p{parts}_s"] = round(dt, 2)
+            out[f"stream_join_p{parts}_events_per_s"] = int(n_events / dt)
+        os.environ.pop("SPARK_GRAFT_STATE_PARTITIONS", None)
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", os.environ.get("SPARK_GRAFT_CPUS", "32")
+        )
+
         # --- documents at doc_mult x sf0.1 (dedup family) --------------------
         docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
         big = docs.crossJoin(spark.range(doc_mult).select(F.col("id").alias("rep")))
@@ -96,6 +146,26 @@ def main(n_events: int = 10_000_000, doc_mult: int = 20) -> None:
             dt = time.perf_counter() - t0
             out[f"{name}_s"] = round(dt, 2)
             out[f"{name}_docs_per_s"] = int(n_docs / dt)
+
+        # --- real P6 decode throughput at n_docs ------------------------------
+        from redis_dataflow_realtime_analytics_spark.operators import multimodal
+
+        t0 = time.perf_counter()
+        multimodal.decode_features(
+            multimodal.with_image_blob(spark, sf_dir), fake=False
+        ).write.mode("overwrite").format("noop").save()
+        dt = time.perf_counter() - t0
+        out["p6_decode_s"] = round(dt, 2)
+        out["p6_decode_docs_per_s"] = int(n_docs / dt)
+
+        # --- LSH candidates -> exact verify -> components at n_docs ----------
+        t0 = time.perf_counter()
+        dedup.lsh_components(spark, sf_dir).write.mode("overwrite").format(
+            "noop"
+        ).save()
+        dt = time.perf_counter() - t0
+        out["lsh_components_s"] = round(dt, 2)
+        out["lsh_components_docs_per_s"] = int(n_docs / dt)
 
     out["n_events"] = n_events
     print(json.dumps(out))
