@@ -330,6 +330,108 @@ SELECT doc_id, term, tf, df,
 FROM ranked WHERE rn <= {k}"""
 
 
+# --- Vocabulary building -----------------------------------------------------
+def vocabulary_coverage(spark: SparkSession, sf_dir: str, v: int = 1000) -> DataFrame:
+    """Top-``v`` corpus vocabulary with cumulative token coverage — the
+    tokenizer-training precursor (how many types cover what fraction of
+    the token stream). Output: (rank, token, freq, cum_coverage).
+
+    Plan: explode → one count shuffle keyed by token (map-side partial
+    counts) → TakeOrderedAndProject top-v (parallel; no global sort of
+    the vocabulary) → rank/running-sum window over the V-ROW result —
+    that window is single-partition by construction but bounded by ``v``,
+    never by data size. Total token count is a 1-row broadcast.
+    Deterministic tie-break on the token string; coverage is an exact
+    int/int division reported as double.
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), TOKEN_RE)).alias("token")
+    )
+    freq = toks.groupBy("token").agg(F.count("*").alias("freq"))
+    total = toks.agg(F.count("*").alias("total_tokens"))
+    top = freq.orderBy(F.desc("freq"), "token").limit(v)
+    w = Window.orderBy(F.desc("freq"), "token")
+    return (
+        top.join(F.broadcast(total))
+        .select(
+            F.row_number().over(w).cast("int").alias("rank"),
+            "token",
+            "freq",
+            (
+                F.sum("freq")
+                .over(w.rowsBetween(Window.unboundedPreceding, 0))
+                .cast("double")
+                / F.col("total_tokens")
+            ).alias("cum_coverage"),
+        )
+    )
+
+
+def oracle_vocabulary_coverage(v: int = 1000) -> str:
+    return f"""WITH toks AS (
+  SELECT unnest(string_split_regex(trim(lower(text)), '{TOKEN_SQL}')) AS token
+  FROM documents),
+freq AS (SELECT token, count(*) AS freq FROM toks GROUP BY 1),
+tot AS (SELECT count(*) AS total_tokens FROM toks),
+top AS (SELECT token, freq FROM freq ORDER BY freq DESC, token LIMIT {v})
+SELECT CAST(row_number() OVER (ORDER BY freq DESC, token) AS INTEGER) AS rank,
+       token, freq,
+       CAST(SUM(freq) OVER (ORDER BY freq DESC, token
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS DOUBLE) / (SELECT total_tokens FROM tot) AS cum_coverage
+FROM top"""
+
+
+# --- Unigram-LM quality scoring ----------------------------------------------
+def unigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean token log-probability under the corpus's own
+    unigram LM — the classical perplexity-proxy quality filter (gibberish
+    and boilerplate score low; fluent text scores high). Output:
+    (doc_id, n_tokens, avg_logp).
+
+    Plan: explode → token counts [shuffle keyed by token] → join the
+    frequency table back to the token stream (AQE picks broadcast while
+    the vocabulary fits; at web-corpus vocab sizes it becomes a shuffle
+    join on the uniform token key) → per-doc aggregate. Determinism: the
+    per-token logs go through the decimal-sum convention
+    (functions.numeric) so the per-doc mean is order-independent and
+    engine-portable.
+    """
+    docs = load(spark, sf_dir, "documents")
+    terms = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), TOKEN_RE)).alias("token"),
+    )
+    freq = terms.groupBy("token").agg(F.count("*").alias("freq"))
+    total = terms.agg(F.count("*").alias("total_tokens"))
+    logp = F.log(F.col("freq").cast("double") / F.col("total_tokens"))
+    return (
+        terms.join(freq, "token")
+        .join(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            (
+                F.sum(logp.cast("decimal(38,12)")).cast("double") / F.count("*")
+            ).alias("avg_logp"),
+        )
+    )
+
+
+def oracle_unigram_logprob_scores() -> str:
+    return f"""WITH terms AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '{TOKEN_SQL}')) AS token
+  FROM documents),
+freq AS (SELECT token, count(*) AS freq FROM terms GROUP BY 1),
+tot AS (SELECT count(*) AS total_tokens FROM terms)
+SELECT doc_id, count(*) AS n_tokens,
+       CAST(SUM(CAST(ln(CAST(freq AS DOUBLE) / total_tokens) AS DECIMAL(38,12)))
+            AS DOUBLE) / count(*) AS avg_logp
+FROM terms JOIN freq USING (token) CROSS JOIN tot
+GROUP BY doc_id"""
+
+
 #: Masking patterns for :func:`normalize_mask` — whitespace spelled as an
 #: explicit class (see ``WS``/``WS_SQL``); everything else is in the regex
 #: subset Java and RE2 interpret identically, so the oracle is bit-exact.

@@ -541,6 +541,20 @@ q("text_quality_score", text.quality_score, text.oracle_quality_score())
 q("text_lang_id", text.lang_id, text.oracle_lang_id())
 q("text_fingerprints", text.fingerprints, text.oracle_fingerprints())
 q("text_normalize_mask", text.normalize_mask, text.oracle_normalize_mask())
+# Vocabulary building (tokenizer-training precursor): top-V types +
+# cumulative token-stream coverage.
+q(
+    "text_vocabulary_coverage",
+    text.vocabulary_coverage,
+    text.oracle_vocabulary_coverage(),
+)
+# Perplexity-proxy quality filter: mean token log-prob under the corpus's
+# own unigram LM.
+q(
+    "text_unigram_logprob_scores",
+    text.unigram_logprob_scores,
+    text.oracle_unigram_logprob_scores(),
+)
 
 # ---------------------------------------------------------------------------
 # Deduplication (north-star: exact, n-gram Jaccard, MinHash LSH, SimHash)
@@ -1595,8 +1609,10 @@ _PRIORITY = [
     "events_enriched_with_customer",
     "variant_series_correlation",
     "visit_anomalies",
-    # text analysis never checked
+    # text analysis never checked (incl. new r3: vocabulary + unigram LM)
     "text_top_bigrams",
+    "text_vocabulary_coverage",
+    "text_unigram_logprob_scores",
     # dedup family never checked (incl. new r3: incremental batch-vs-corpus)
     "dedup_documents",
     "dedup_incremental_new_docs",
@@ -1615,10 +1631,8 @@ _PRIORITY = [
     "multimodal_frame_sample_offsets",
     "multimodal_decode_features",
     # --- rows-only high-value keys (driver rows-only check; the dropped
-    # ones — ann_lsh, kmeans, theta overlap — are bounded by recall/
-    # determinism/error-band pytest gates instead) ---
-    "dedup_minhash_neardup_pairs",
-    "dedup_simhash_neardup_pairs",
+    # ones — minhash/simhash pairs, ann_lsh, kmeans, theta overlap — are
+    # bounded by recall/determinism/error-band pytest gates instead) ---
     "dedup_lsh_components",
     "ann_ivf_topk",
 ]

@@ -203,3 +203,33 @@ def test_kmeans_has_no_single_partition_pass(spark):
     df = similarity.kmeans_embedding_centroids(spark, SF_SMOKE, k=4, iters=1)
     p = plans.plan_string(df)
     assert "SinglePartition" not in p, p
+
+
+def test_vocabulary_topv_avoids_global_sort(spark):
+    # top-V must be TakeOrderedAndProject (parallel per-partition top-k +
+    # merge), never a full Sort of the vocabulary; the rank/coverage window
+    # afterwards is bounded by V rows, not by data.
+    from redis_dataflow_realtime_analytics_spark.operators import text
+
+    df = text.vocabulary_coverage(spark, SF_SMOKE, v=100)
+    p = plans.plan_string(df)
+    assert "TakeOrderedAndProject" in p, p
+
+
+def test_incremental_dedup_is_pure_equi_join(spark):
+    # batch-vs-corpus classification: one hash equi-join on the content
+    # hash; any nested-loop/cartesian fallback would be O(batch x corpus).
+    from redis_dataflow_realtime_analytics_spark.operators import dedup
+
+    p = plans.plan_string(dedup.incremental_new_docs(spark, SF_SMOKE))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_funnel_conversion_no_pair_join(spark):
+    # conversion attribution via the as-of window pattern - the plan must
+    # not contain an interval/theta pair join of clicks x errors.
+    from redis_dataflow_realtime_analytics_spark.operators import sessions
+
+    p = plans.plan_string(sessions.funnel_conversion_by_experiment(spark, SF_SMOKE))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+    assert "Window" in p, p
