@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.numeric import davg, dsum
-from ..tables import load
+from ..tables import load, spread
 
 
 def _rev(df: DataFrame) -> F.Column:
@@ -37,8 +37,12 @@ def _rev(df: DataFrame) -> F.Column:
 # --- TPC-H Q1: pricing summary (multi-measure grouped agg) -------------------
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
+    # spread() AFTER the pushed-down filter: the 8-aggregate decimal
+    # partial agg is the dominant cost, and a single-row-group fixture
+    # would otherwise run it in one task (no-op on well-split inputs,
+    # so the 100 TB plan is unchanged — see tables.spread).
     return (
-        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        spread(li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             dsum("l_quantity", "sum_qty"),

@@ -243,7 +243,7 @@ def top_bigrams(spark: SparkSession, sf_dir: str, k: int = 50) -> DataFrame:
     count shuffle keyed by the bigram → TakeOrderedAndProject top-k; at
     any corpus size the shuffle carries per-partition partial counts.
     Deterministic tie-break on the bigram string."""
-    docs = load(spark, sf_dir, "documents")
+    docs = spread(load(spark, sf_dir, "documents"))
     # guard: Spark's sequence(1, 0) yields a DESCENDING [1, 0], so docs with
     # <2 tokens must short-circuit to an empty array, not hit the transform
     bigram = F.explode(
@@ -288,7 +288,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
     carries one row per distinct term] broadcast back → per-doc top-k via
     ranking window [shuffle 3 keyed by doc_id]. N is a 1-row broadcast.
     """
-    docs = load(spark, sf_dir, "documents")
+    docs = spread(load(spark, sf_dir, "documents"))
     terms = docs.select(
         "doc_id",
         F.explode(F.split(F.trim(F.lower(F.col("text"))), TOKEN_RE)).alias("term"),
@@ -344,7 +344,7 @@ def vocabulary_coverage(spark: SparkSession, sf_dir: str, v: int = 1000) -> Data
     Deterministic tie-break on the token string; coverage is an exact
     int/int division reported as double.
     """
-    docs = load(spark, sf_dir, "documents")
+    docs = spread(load(spark, sf_dir, "documents"))
     toks = docs.select(
         F.explode(F.split(F.trim(F.lower(F.col("text"))), TOKEN_RE)).alias("token")
     )
@@ -398,7 +398,7 @@ def unigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     (functions.numeric) so the per-doc mean is order-independent and
     engine-portable.
     """
-    docs = load(spark, sf_dir, "documents")
+    docs = spread(load(spark, sf_dir, "documents"))
     terms = docs.select(
         "doc_id",
         F.explode(F.split(F.trim(F.lower(F.col("text"))), TOKEN_RE)).alias("token"),
