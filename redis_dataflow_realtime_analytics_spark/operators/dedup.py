@@ -422,9 +422,18 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).union(edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
     sym = sym.localCheckpoint(eager=True)
+    # Initial labels already fold in the direct neighborhood:
+    # comp = min(own id, min neighbor id) is exactly what the first
+    # propagation round would compute, but costs one groupBy on the edge
+    # list instead of a join + checkpoint round — the loop below then only
+    # needs (diameter - 1) rounds.
     labels = (
-        sym.select(F.col("src").alias("doc_id")).distinct()
-        .withColumn("comp", F.col("doc_id"))
+        sym.groupBy("src")
+        .agg(F.min("dst").alias("nbr_min"))
+        .select(
+            F.col("src").alias("doc_id"),
+            F.least("src", "nbr_min").alias("comp"),
+        )
         .localCheckpoint(eager=True)
     )
     for _ in range(max_iter):
