@@ -31,7 +31,16 @@ from redis_dataflow_realtime_analytics_spark.sources.generator import generate_e
 def main(n_events: int = 10_000_000, doc_mult: int = 20) -> None:
     spark = get_spark(app_name="soak")
     spark.range(1_000_000).selectExpr("sum(id)").collect()
-    out: dict[str, float] = {}
+    out: dict[str, object] = {}
+
+    def section(name: str, fn) -> None:
+        """Run one soak section; a failure records the error instead of
+        losing every other section's numbers (a 30M-event streaming join
+        can exhaust a local JVM - the batch numbers must still print)."""
+        try:
+            fn()
+        except Exception as ex:  # noqa: BLE001 - diagnostic harness
+            out[f"{name}_error"] = repr(ex)[:200]
 
     with tempfile.TemporaryDirectory() as tmp:
         # --- events at n_events (generator -> parquet, like a real ingest) ---
@@ -71,44 +80,51 @@ def main(n_events: int = 10_000_000, doc_mult: int = 20) -> None:
         import uuid as _uuid
 
         gen_schema = spark.read.parquet(ev_path).schema
+
+        def _stream_join(parts: int):
+            def run() -> None:
+                os.environ["SPARK_GRAFT_STATE_PARTITIONS"] = str(parts)
+                spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+                sev = spark.readStream.schema(gen_schema).parquet(ev_path)
+                clicks = (
+                    sev.where(F.col("variant").isin("default", "1"))
+                    .select(
+                        F.col("uid").alias("click_user"),
+                        F.col("timestamp").alias("click_ts"),
+                    )
+                    .withWatermark("click_ts", "10 minutes")
+                )
+                errors = (
+                    sev.where(F.col("variant").isin("2", "3"))
+                    .select(
+                        F.col("uid").alias("error_user"),
+                        F.col("timestamp").alias("error_ts"),
+                    )
+                    .withWatermark("error_ts", "10 minutes")
+                )
+                joined = clicks.join(
+                    errors,
+                    F.expr(
+                        "click_user = error_user AND error_ts > click_ts "
+                        "AND error_ts <= click_ts + interval 5 minutes"
+                    ),
+                )
+                t0 = time.perf_counter()
+                q = (
+                    joined.writeStream.format("noop")
+                    .option("checkpointLocation", f"{tmp}/ck_{_uuid.uuid4().hex}")
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                q.awaitTermination()
+                dt = time.perf_counter() - t0
+                out[f"stream_join_p{parts}_s"] = round(dt, 2)
+                out[f"stream_join_p{parts}_events_per_s"] = int(n_events / dt)
+
+            return run
+
         for parts in (8, 32):
-            os.environ["SPARK_GRAFT_STATE_PARTITIONS"] = str(parts)
-            spark.conf.set("spark.sql.shuffle.partitions", str(parts))
-            sev = spark.readStream.schema(gen_schema).parquet(ev_path)
-            clicks = (
-                sev.where(F.col("variant").isin("default", "1"))
-                .select(
-                    F.col("uid").alias("click_user"),
-                    F.col("timestamp").alias("click_ts"),
-                )
-                .withWatermark("click_ts", "10 minutes")
-            )
-            errors = (
-                sev.where(F.col("variant").isin("2", "3"))
-                .select(
-                    F.col("uid").alias("error_user"),
-                    F.col("timestamp").alias("error_ts"),
-                )
-                .withWatermark("error_ts", "10 minutes")
-            )
-            joined = clicks.join(
-                errors,
-                F.expr(
-                    "click_user = error_user AND error_ts > click_ts "
-                    "AND error_ts <= click_ts + interval 5 minutes"
-                ),
-            )
-            t0 = time.perf_counter()
-            q = (
-                joined.writeStream.format("noop")
-                .option("checkpointLocation", f"{tmp}/ck_{_uuid.uuid4().hex}")
-                .trigger(availableNow=True)
-                .start()
-            )
-            q.awaitTermination()
-            dt = time.perf_counter() - t0
-            out[f"stream_join_p{parts}_s"] = round(dt, 2)
-            out[f"stream_join_p{parts}_events_per_s"] = int(n_events / dt)
+            section(f"stream_join_p{parts}", _stream_join(parts))
         os.environ.pop("SPARK_GRAFT_STATE_PARTITIONS", None)
         spark.conf.set(
             "spark.sql.shuffle.partitions", os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -150,22 +166,28 @@ def main(n_events: int = 10_000_000, doc_mult: int = 20) -> None:
         # --- real P6 decode throughput at n_docs ------------------------------
         from redis_dataflow_realtime_analytics_spark.operators import multimodal
 
-        t0 = time.perf_counter()
-        multimodal.decode_features(
-            multimodal.with_image_blob(spark, sf_dir), fake=False
-        ).write.mode("overwrite").format("noop").save()
-        dt = time.perf_counter() - t0
-        out["p6_decode_s"] = round(dt, 2)
-        out["p6_decode_docs_per_s"] = int(n_docs / dt)
+        def _p6() -> None:
+            t0 = time.perf_counter()
+            multimodal.decode_features(
+                multimodal.with_image_blob(spark, sf_dir), fake=False
+            ).write.mode("overwrite").format("noop").save()
+            dt = time.perf_counter() - t0
+            out["p6_decode_s"] = round(dt, 2)
+            out["p6_decode_docs_per_s"] = int(n_docs / dt)
+
+        section("p6_decode", _p6)
 
         # --- LSH candidates -> exact verify -> components at n_docs ----------
-        t0 = time.perf_counter()
-        dedup.lsh_components(spark, sf_dir).write.mode("overwrite").format(
-            "noop"
-        ).save()
-        dt = time.perf_counter() - t0
-        out["lsh_components_s"] = round(dt, 2)
-        out["lsh_components_docs_per_s"] = int(n_docs / dt)
+        def _lsh() -> None:
+            t0 = time.perf_counter()
+            dedup.lsh_components(spark, sf_dir).write.mode("overwrite").format(
+                "noop"
+            ).save()
+            dt = time.perf_counter() - t0
+            out["lsh_components_s"] = round(dt, 2)
+            out["lsh_components_docs_per_s"] = int(n_docs / dt)
+
+        section("lsh_components", _lsh)
 
     out["n_events"] = n_events
     print(json.dumps(out))
