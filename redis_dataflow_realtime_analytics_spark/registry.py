@@ -835,13 +835,41 @@ q(
     lambda s, d: multimodal.resize_images(multimodal.with_blob(s, d), fake=True),
 )
 # REAL nearest-neighbor resize of the P6 blobs (decode → index-sample →
-# re-encode valid P6). Rows-only: the binary output is asserted
-# byte-exact against an independent decode in tests/test_multimodal.py.
+# re-encode valid P6), SQL-oracled BYTE-EXACT: DuckDB re-derives the
+# payload hex stream, computes the same nearest-neighbor source index per
+# target pixel, and reassembles the full resized blob — the driver's
+# value-hash covers every output byte of an actual image resize.
 q(
     "multimodal_resize",
     lambda s, d: multimodal.resize_images(
         multimodal.with_image_blob(s, d), width=32, height=32, fake=False
     ),
+    r"""WITH img AS (
+  SELECT doc_id,
+         CAST(doc_id % 24 + 8 AS INTEGER) AS w,
+         CAST((doc_id * 7) % 16 + 8 AS INTEGER) AS h,
+         sha256(CAST(doc_id AS VARCHAR) || text) AS hx
+  FROM documents
+), geom AS (
+  SELECT doc_id, w, h, w*h*3 AS n_pay,
+         substring(repeat(hx, CAST(ceil((w*h*3) / 32.0) AS INTEGER)), 1, w*h*3*2) AS ph
+  FROM img
+), px AS (
+  SELECT doc_id, w, h, n_pay, ph, ty, tx, c,
+         ((CAST(floor(ty * h / 32) AS INTEGER) * w
+           + CAST(floor(tx * w / 32) AS INTEGER)) * 3 + c) AS bidx
+  FROM geom,
+       LATERAL unnest(generate_series(0, 31)) t1(ty),
+       LATERAL unnest(generate_series(0, 31)) t2(tx),
+       LATERAL unnest(generate_series(0, 2)) t3(c)
+)
+SELECT doc_id,
+       encode('P6 32 32 255' || chr(10)) ||
+         unhex(string_agg(substring(ph, 2*bidx+1, 2), '' ORDER BY ty, tx, c)) AS content,
+       CAST(length('P6 ' || w || ' ' || h || ' 255') + 1 + n_pay AS INTEGER) AS n_bytes,
+       w AS width, h AS height,
+       32 AS target_width, 32 AS target_height
+FROM px GROUP BY doc_id, w, h, n_pay, ph""",
 )
 
 q(
@@ -1626,15 +1654,16 @@ _PRIORITY = [
     "sample_topk_per_language",
     "corpus_upsample_by_language",
     "corpus_mix_report",
-    # multimodal (oracled) never checked — incl. the REAL P6 decode, new r3
+    # multimodal (oracled) never checked — incl. the REAL P6 codec, new r3
     "multimodal_blob_stats",
     "multimodal_frame_sample_offsets",
     "multimodal_decode_features",
-    # --- rows-only high-value keys (driver rows-only check; the dropped
-    # ones — minhash/simhash pairs, ann_lsh, kmeans, theta overlap — are
-    # bounded by recall/determinism/error-band pytest gates instead) ---
+    "multimodal_resize",
+    # --- rows-only high-value key (driver rows-only check; the other
+    # rows-only keys — minhash/simhash pairs, ann ivf/lsh, kmeans, theta
+    # overlap — are bounded by recall/determinism/error-band pytest
+    # gates instead) ---
     "dedup_lsh_components",
-    "ann_ivf_topk",
 ]
 
 
