@@ -27,7 +27,7 @@ tests/test_dedup.py with planted near-duplicates.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..tables import load, spread
@@ -286,6 +286,70 @@ def minhash_lsh_candidates(docs: DataFrame) -> DataFrame:
             F.col("b.doc_id").alias("doc_b"),
         )
         .distinct()
+    )
+
+
+def incremental_neardup_candidates(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.5
+) -> DataFrame:
+    """Near-dup twin of :func:`incremental_new_docs`: flag INCOMING docs
+    (``doc_id % 10 = 0``) whose MinHash signature shares an LSH band
+    bucket with an EXISTING doc and whose estimated Jaccard ≥
+    ``threshold`` — the per-ingest-batch near-dup check against a
+    persisted signature index. Output: one row per flagged incoming doc —
+    (doc_id, neardup_of, est_jaccard) with the best (highest estimate,
+    smallest id) existing match.
+
+    Scale: the band join touches only (band, bucket) groups the incoming
+    batch occupies — with the corpus's banded signatures stored bucketed,
+    per-batch cost is O(batch × bucket occupancy), never O(corpus²).
+    Rows-only (xxhash64 signatures are engine-specific); planted-replica
+    recall asserted in tests.
+    """
+    docs = _spread(load(spark, sf_dir, "documents"))
+    sig = minhash_signatures(docs)
+    band_cols = [
+        F.xxhash64(
+            F.lit(b), *[F.col(f"h{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
+        ).alias(f"band{b}")
+        for b in range(N_BANDS)
+    ]
+    banded = sig.select("doc_id", *band_cols).select(
+        "doc_id",
+        F.posexplode(F.array(*[F.col(f"band{b}") for b in range(N_BANDS)])).alias(
+            "band", "bucket"
+        ),
+    )
+    inc = banded.where(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id"), "band", "bucket"
+    )
+    ex = banded.where(F.col("doc_id") % 10 != 0).select(
+        F.col("doc_id").alias("neardup_of"), "band", "bucket"
+    )
+    cands = inc.join(ex, ["band", "bucket"]).select("doc_id", "neardup_of").distinct()
+    a = sig.select(F.col("doc_id"), *[F.col(f"h{i}").alias(f"a{i}") for i in range(N_HASHES)])
+    b = sig.select(
+        F.col("doc_id").alias("neardup_of"),
+        *[F.col(f"h{i}").alias(f"b{i}") for i in range(N_HASHES)],
+    )
+    est = (
+        sum(
+            F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+            for i in range(N_HASHES)
+        )
+        / float(N_HASHES)
+    )
+    scored = (
+        cands.join(a, "doc_id")
+        .join(b, "neardup_of")
+        .withColumn("est_jaccard", est)
+        .where(F.col("est_jaccard") >= threshold)
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("est_jaccard"), "neardup_of")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "neardup_of", "est_jaccard")
     )
 
 

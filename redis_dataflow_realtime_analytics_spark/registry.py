@@ -586,6 +586,13 @@ q(
     dedup.ngram_jaccard_pairs,
     dedup.oracle_ngram_jaccard_pairs(),
 )
+# Near-dup twin of the incremental batch-vs-corpus check (LSH band join
+# against the persisted signature index) — rows-only (xxhash64), planted-
+# replica recall asserted in tests.
+q(
+    "dedup_incremental_neardup",
+    lambda s, d: dedup.incremental_neardup_candidates(s, d),
+)
 # Hash-family dedup ops are engine-specific (xxhash64) → rows-only checks;
 # recall/precision vs exact Jaccard is asserted in tests/test_dedup.py.
 q("dedup_minhash_neardup_pairs", dedup.minhash_neardup_pairs)

@@ -191,3 +191,17 @@ def test_lsh_components_match_exact_on_planted_dups(spark, corpus):
         for r in dedup.lsh_components(spark, corpus).collect()
     }
     assert lsh == exact
+
+
+def test_incremental_neardup_flags_planted_replicas(spark, corpus):
+    # incoming = doc_id % 10 == 0 -> docs 0..50 step 10; in the planted
+    # corpus every one of them is a base, an exact copy, or a near copy,
+    # so each must be flagged against the existing corpus
+    out = {r.doc_id: r for r in dedup.incremental_neardup_candidates(spark, corpus).collect()}
+    assert set(out) == {0, 10, 20, 30, 40, 50}
+    for r in out.values():
+        assert r.neardup_of % 10 != 0          # matched an EXISTING doc
+        assert 0.5 <= r.est_jaccard <= 1.0
+    # exact-copy pairs estimate Jaccard 1.0
+    for doc_id in (0, 10, 40):  # 0=base w/ exact dup 1; 10,40 are exact copies
+        assert out[doc_id].est_jaccard == 1.0
