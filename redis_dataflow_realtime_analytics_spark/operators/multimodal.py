@@ -6,13 +6,14 @@ Arrow-batched ``mapInPandas`` decode stage — is real and tested.
 
 The codec story has two tiers:
 
-* **Real codec (binary PPM "P6")**: :func:`with_image_blob` synthesizes
-  genuine P6 raster images (ASCII header + raw RGB bytes — a public
-  Netpbm format any image tool can open) with pure Catalyst expressions;
-  ``decode_features(fake=False)`` is a real pure-numpy P6 decoder (header
-  parse, payload validation, per-channel statistics) and
+* **Real codecs (binary Netpbm: "P6" RGB pixmap + "P5" graymap)**:
+  :func:`with_image_blob` / :func:`with_gray_blob` synthesize genuine
+  raster images (ASCII header + raw bytes — public Netpbm formats any
+  image tool can open) with pure Catalyst expressions;
+  ``decode_features(fake=False)`` is a real pure-numpy Netpbm decoder
+  (header parse, payload validation, per-channel statistics) and
   ``resize_images(fake=False)`` a real nearest-neighbor resampler that
-  re-emits valid P6 bytes. No external image libraries needed.
+  re-emits valid Netpbm bytes. No external image libraries needed.
 * **Stubbed codecs (everything else)**: blobs whose magic bytes aren't a
   supported format raise ``NotImplementedError`` inside the UDF — the
   marked extension point where PIL/ffmpeg/torchaudio would plug in.
@@ -44,8 +45,8 @@ from pyspark.sql import functions as F
 
 from ..tables import load
 
-# The decode/resize closures reference module-level helpers (_parse_p6 /
-# _encode_p6). Python workers don't inherit a driver-side sys.path patch,
+# The decode/resize closures reference module-level helpers (_parse_pnm /
+# _encode_pnm). Python workers don't inherit a driver-side sys.path patch,
 # so if the engine package was imported off-path (e.g. the driver harness
 # inserts /root/repo at runtime and runs from another cwd), by-REFERENCE
 # pickling would make every executor fail to re-import this module.
@@ -61,8 +62,8 @@ except Exception:  # noqa: BLE001 - best-effort; --py-files covers the rest
     pass
 
 #: Output schema of the decode/feature-extract stage. ``channel_means`` is
-#: populated by the real P6 decoder (one mean per channel); the fake
-#: byte-level path leaves it NULL.
+#: populated by the real Netpbm decoder (one mean per channel: 3 for P6,
+#: 1 for P5); the fake byte-level path leaves it NULL.
 FEATURE_SCHEMA = (
     "doc_id bigint, n_bytes int, width int, height int, n_channels int, "
     "mean_byte double, channel_means array<double>"
@@ -134,10 +135,50 @@ def with_image_blob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _parse_p6(blob: bytes) -> tuple[int, int, np.ndarray]:
-    """Parse a binary-PPM P6 blob → (width, height, HxWx3 uint8 array).
+def with_gray_blob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attach a genuine binary-PGM ("P5") grayscale blob to each document.
 
-    Minimal, strict decoder for the P6 subset this pipeline emits
+    Same Catalyst-only synthesis as :func:`with_image_blob` but
+    single-channel: ``w*h`` payload bytes from the repeated SHA-256
+    stream of (doc_id || text), prefixed with a valid ``P5 <w> <h>
+    255\\n`` header. Exercises the second real codec tier (grayscale)
+    through the identical ``mapInPandas`` decode stage.
+    """
+    docs = load(spark, sf_dir, "documents")
+    w = (F.col("doc_id") % 24 + 8).cast("int")
+    h = ((F.col("doc_id") * 7) % 16 + 8).cast("int")
+    n_payload = w * h
+    reps = F.ceil(n_payload / F.lit(32)).cast("int")
+    payload = F.unhex(
+        F.substring(
+            F.repeat(F.sha2(F.concat(F.col("doc_id").cast("string"), F.col("text")), 256), reps),
+            1,
+            n_payload * 2,
+        )
+    )
+    header = F.encode(
+        F.concat_ws(" ", F.lit("P5"), w.cast("string"), h.cast("string"), F.lit("255\n")),
+        "UTF-8",
+    )
+    content = F.concat(header, payload)
+    return docs.select(
+        "doc_id",
+        "source",
+        content.alias("content"),
+        F.struct(
+            F.lit("image/x-portable-graymap").alias("mime"),
+            F.octet_length(content).alias("n_bytes"),
+            w.alias("width"),
+            h.alias("height"),
+        ).alias("meta"),
+    )
+
+
+def _parse_pnm(blob: bytes) -> tuple[int, int, np.ndarray]:
+    """Parse a binary-Netpbm blob (P5 graymap or P6 pixmap) →
+    (width, height, HxWxC uint8 array) with C = 1 (P5) or 3 (P6).
+
+    Minimal, strict decoder for the Netpbm subset this pipeline emits
     (single-space separators, maxval 255). Raises ValueError on any
     malformed header or payload-length mismatch.
     """
@@ -145,19 +186,21 @@ def _parse_p6(blob: bytes) -> tuple[int, int, np.ndarray]:
 
     # Strict header match (NOT whitespace split — payload bytes may
     # themselves be whitespace and must not be consumed as separators).
-    m = re.match(rb"^P6 (\d+) (\d+) 255\n", blob[:32])
+    m = re.match(rb"^P([56]) (\d+) (\d+) 255\n", blob[:32])
     if not m:
-        raise ValueError("not a supported P6 ppm")
-    w, h = int(m.group(1)), int(m.group(2))
+        raise ValueError("not a supported P5/P6 netpbm")
+    channels = 3 if m.group(1) == b"6" else 1
+    w, h = int(m.group(2)), int(m.group(3))
     payload = blob[m.end():]
-    if len(payload) != w * h * 3:
-        raise ValueError(f"payload {len(payload)} != {w}*{h}*3")
-    return w, h, np.frombuffer(payload, dtype=np.uint8).reshape(h, w, 3)
+    if len(payload) != w * h * channels:
+        raise ValueError(f"payload {len(payload)} != {w}*{h}*{channels}")
+    return w, h, np.frombuffer(payload, dtype=np.uint8).reshape(h, w, channels)
 
 
-def _encode_p6(img: np.ndarray) -> bytes:
-    h, w = img.shape[:2]
-    return b"P6 %d %d 255\n" % (w, h) + img.astype(np.uint8).tobytes()
+def _encode_pnm(img: np.ndarray) -> bytes:
+    h, w, c = img.shape
+    magic = b"P6" if c == 3 else b"P5"
+    return b"%s %d %d 255\n" % (magic, w, h) + img.astype(np.uint8).tobytes()
 
 
 def blob_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -213,12 +256,13 @@ def decode_features(blobs: DataFrame, fake: bool = False) -> DataFrame:
                                    "n_channels", "mean_byte", "channel_means")}
             for doc_id, blob in zip(pdf["doc_id"], content):
                 blob = bytes(blob)
-                if not blob.startswith(b"P6"):
+                if not (blob.startswith(b"P6") or blob.startswith(b"P5")):
                     raise NotImplementedError(
-                        "only binary-PPM (P6) decode is implemented; "
-                        "plug PIL/torchaudio/ffmpeg here for other codecs"
+                        "only binary-Netpbm (P5 graymap / P6 pixmap) decode "
+                        "is implemented; plug PIL/torchaudio/ffmpeg here for "
+                        "other codecs"
                     )
-                w, h, img = _parse_p6(blob)
+                w, h, img = _parse_pnm(blob)
                 out["doc_id"].append(doc_id)
                 out["n_bytes"].append(len(blob))
                 out["width"].append(w)
@@ -283,19 +327,19 @@ def resize_images(
                                    "height", "target_width", "target_height")}
             for doc_id, blob in zip(pdf["doc_id"], pdf["content"]):
                 blob = bytes(blob)
-                if not blob.startswith(b"P6"):
+                if not (blob.startswith(b"P6") or blob.startswith(b"P5")):
                     raise NotImplementedError(
-                        "only binary-PPM (P6) resize is implemented; "
+                        "only binary-Netpbm (P5/P6) resize is implemented; "
                         "plug PIL.Image.resize / torchvision here"
                     )
-                w, h, img = _parse_p6(blob)
+                w, h, img = _parse_pnm(blob)
                 # nearest-neighbor: sample source pixel centers on the
                 # target grid (the classical index map)
                 rows = (np.arange(height) * h) // height
                 cols = (np.arange(width) * w) // width
                 resized = img[rows][:, cols]
                 out["doc_id"].append(doc_id)
-                out["content"].append(_encode_p6(resized))
+                out["content"].append(_encode_pnm(resized))
                 out["n_bytes"].append(len(blob))
                 out["width"].append(w)
                 out["height"].append(h)

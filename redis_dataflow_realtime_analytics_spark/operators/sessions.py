@@ -237,6 +237,14 @@ def funnel_conversion_by_experiment(
     scan (same as-of pattern as :func:`asof_last_click_before_error`; no
     quadratic pair join, one shuffle keyed by (user_id, experiment_id)),
     then an exact-distinct rollup per experiment.
+
+    Boundary semantics: the horizon is CLOSED at both ends — an error at
+    exactly the click timestamp (gap 0, click ordered first by event_id)
+    counts as converted, matching the as-of operator. The streaming twin
+    ``stream_click_error_join`` uses a strict ``error_ts > click_ts``
+    lower bound (an open interval is the natural stream-stream join
+    predicate), so the two deliberately diverge on boundary-equal events;
+    the SQL oracle is in lockstep with THIS closed-interval definition.
     """
     ev = _ev(spark, sf_dir).select("event_id", "user_id", "experiment_id", "ts", "variant")
     w = (

@@ -343,6 +343,10 @@ def kmeans_embedding_centroids(
     """
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
 
+    # Seed selection assumes a reasonably dense id space: every stride-th
+    # vec_id. If ids are sparse/offset (fewer than k hits), widen to the
+    # first k by id — still a filter + bounded limit, never a global
+    # row_number over the corpus.
     stride = max(emb.count() // k, 1)
     init = (
         emb.where(F.col("vec_id") % F.lit(stride) == 0)
@@ -350,6 +354,9 @@ def kmeans_embedding_centroids(
         .limit(k)
         .collect()
     )
+    if len(init) < k:
+        init = emb.orderBy("vec_id").limit(k).collect()
+    assert len(init) == k, f"need >= {k} vectors to seed kmeans, got {len(init)}"
     centroids: list[list[float]] = [list(map(float, r.embedding)) for r in init]
 
     def assigned_df() -> DataFrame:

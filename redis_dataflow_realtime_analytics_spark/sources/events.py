@@ -137,10 +137,23 @@ _EVENTS_PARQUET_SCHEMA = T.StructType(
 )
 
 
-#: Cache of probed physical ts-encodings keyed by path, so replay harnesses
-#: that build several streams over the same fixture (e.g. the stream-stream
-#: interval join reads the source twice) pay the schema-probe batch read once.
-_PROBED_NANOS: dict[str, bool] = {}
+#: Cache of probed physical ts-encodings, so replay harnesses that build
+#: several streams over the same fixture (e.g. the stream-stream interval
+#: join reads the source twice) pay the schema-probe batch read once. Keyed
+#: on (path, mtime_ns) — not path alone — so a harness that rewrites the
+#: same fixture path with a different ts encoding in-process invalidates
+#: the entry instead of silently reusing a stale schema (rewriting a file
+#: or adding files to a directory both bump mtime).
+_PROBED_NANOS: dict[tuple[str, int], bool] = {}
+
+
+def _probe_key(path: str) -> tuple[str, int]:
+    import os
+
+    try:
+        return (path, os.stat(path).st_mtime_ns)
+    except OSError:  # globs/remote URIs: fall back to path-only keying
+        return (path, -1)
 
 
 def read_events_stream(spark: SparkSession, path: str, max_files_per_trigger: int = 1) -> DataFrame:
@@ -160,9 +173,10 @@ def read_events_stream(spark: SparkSession, path: str, max_files_per_trigger: in
     import os
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    if path not in _PROBED_NANOS:
-        _PROBED_NANOS[path] = dict(spark.read.parquet(path).dtypes).get("ts") == "bigint"
-    nanos = _PROBED_NANOS[path]
+    key = _probe_key(path)
+    if key not in _PROBED_NANOS:
+        _PROBED_NANOS[key] = dict(spark.read.parquet(path).dtypes).get("ts") == "bigint"
+    nanos = _PROBED_NANOS[key]
     schema = _EVENTS_PARQUET_SCHEMA if nanos else EVENTS_TABLE_SCHEMA
     reader = spark.readStream.schema(schema).option(
         "maxFilesPerTrigger", max_files_per_trigger

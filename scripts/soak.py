@@ -73,6 +73,90 @@ def main(n_events: int = 10_000_000, doc_mult: int = 20) -> None:
             out[f"{name}_s"] = round(dt, 2)
             out[f"{name}_events_per_s"] = int(n_events / dt)
 
+        # --- sketch error bands at n_events (Theta overlap + KLL quantiles) --
+        # The registry's theta/KLL keys are rows-only (sketch estimates have
+        # no exact SQL oracle); their error-band claims are gated by pytest
+        # at test SF. These sections back the same claims at soak scale:
+        # estimate vs exact, max relative error recorded.
+        def _theta_overlap() -> None:
+            t0 = time.perf_counter()
+            sk = ev.groupBy("variant").agg(F.theta_sketch_agg("user_id").alias("sk"))
+            est = (
+                sk.alias("a")
+                .join(sk.alias("b"), F.col("a.variant") < F.col("b.variant"))
+                .select(
+                    F.col("a.variant").alias("va"),
+                    F.col("b.variant").alias("vb"),
+                    F.theta_sketch_estimate(
+                        F.theta_intersection(F.col("a.sk"), F.col("b.sk"))
+                    ).alias("est"),
+                )
+            ).collect()
+            out["theta_overlap_s"] = round(time.perf_counter() - t0, 2)
+            du = ev.select("variant", "user_id").distinct()
+            exact = {
+                (r.va, r.vb): r.n
+                for r in du.alias("a")
+                .join(
+                    du.alias("b"),
+                    (F.col("a.user_id") == F.col("b.user_id"))
+                    & (F.col("a.variant") < F.col("b.variant")),
+                )
+                .groupBy(
+                    F.col("a.variant").alias("va"), F.col("b.variant").alias("vb")
+                )
+                .agg(F.count("*").alias("n"))
+                .collect()
+            }
+            errs = [
+                abs(r.est - exact.get((r.va, r.vb), 0)) / max(exact.get((r.va, r.vb), 0), 1)
+                for r in est
+            ]
+            out["theta_overlap_pairs"] = len(est)
+            out["theta_overlap_max_rel_err"] = round(max(errs), 4) if errs else None
+
+        section("theta_overlap", _theta_overlap)
+
+        def _kll_quantiles() -> None:
+            # synthetic value column (generator events carry none): uniform
+            # doubles derived from uid — rank error ≈ value error, so KLL's
+            # published ~1.7% rank-error bound is directly checkable.
+            vev = ev.withColumn(
+                "value", (F.pmod(F.xxhash64("user_id", "ts"), F.lit(100000)) / 1000.0)
+            )
+            t0 = time.perf_counter()
+            est = (
+                vev.groupBy("variant")
+                .agg(F.kll_sketch_agg_double(F.col("value")).alias("sk"))
+                .select(
+                    "variant",
+                    F.kll_sketch_get_quantile_double("sk", F.lit(0.5)).alias("p50"),
+                    F.kll_sketch_get_quantile_double("sk", F.lit(0.9)).alias("p90"),
+                    F.kll_sketch_get_quantile_double("sk", F.lit(0.99)).alias("p99"),
+                )
+                .collect()
+            )
+            out["kll_quantiles_s"] = round(time.perf_counter() - t0, 2)
+            exact = {
+                r.variant: r
+                for r in vev.groupBy("variant")
+                .agg(
+                    F.expr("percentile(value, 0.5)").alias("p50"),
+                    F.expr("percentile(value, 0.9)").alias("p90"),
+                    F.expr("percentile(value, 0.99)").alias("p99"),
+                )
+                .collect()
+            }
+            errs = [
+                abs(getattr(r, q) - getattr(exact[r.variant], q))
+                / max(abs(getattr(exact[r.variant], q)), 1e-9)
+                for r in est
+                for q in ("p50", "p90", "p99")
+            ]
+            out["kll_quantiles_max_rel_err"] = round(max(errs), 4) if errs else None
+
+        section("kll_quantiles", _kll_quantiles)
+
         # --- streaming interval join at n_events (state-partition sizing) ---
         # Same watermarked stream-stream join shape as stream_click_error_join,
         # replayed over the generated events; run at two state-partition

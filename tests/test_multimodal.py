@@ -45,7 +45,7 @@ def test_image_blob_is_valid_p6(spark):
     blobs = multimodal.with_image_blob(spark, SF_SMOKE)
     for r in blobs.limit(10).collect():
         blob = bytes(r.content)
-        w, h, img = multimodal._parse_p6(blob)
+        w, h, img = multimodal._parse_pnm(blob)
         assert (w, h) == (r.meta.width, r.meta.height)
         assert r.meta.n_bytes == len(blob)
         assert img.shape == (h, w, 3)
@@ -61,7 +61,7 @@ def test_real_p6_decode_matches_independent_decode(spark):
     feats = multimodal.decode_features(blobs, fake=False).collect()
     assert len(feats) == len(raw)
     for r in feats[:50]:
-        w, h, img = multimodal._parse_p6(raw[r.doc_id])
+        w, h, img = multimodal._parse_pnm(raw[r.doc_id])
         assert (r.width, r.height, r.n_channels) == (w, h, 3)
         assert r.mean_byte == img.mean()
         assert r.channel_means == [float(x) for x in img.mean(axis=(0, 1))]
@@ -75,12 +75,48 @@ def test_real_p6_resize_is_exact_nearest_neighbor(spark):
     out = multimodal.resize_images(blobs, width=16, height=8, fake=False).collect()
     assert len(out) == len(raw)
     for r in out:
-        w, h, img = multimodal._parse_p6(raw[r.doc_id])
+        w, h, img = multimodal._parse_pnm(raw[r.doc_id])
         assert (r.width, r.height) == (w, h)
-        w2, h2, resized = multimodal._parse_p6(bytes(r.content))
+        w2, h2, resized = multimodal._parse_pnm(bytes(r.content))
         assert (w2, h2) == (16, 8)
         rows = (np.arange(8) * h) // 8
         cols = (np.arange(16) * w) // 16
+        assert (resized == img[rows][:, cols]).all()
+
+
+def test_gray_blob_is_valid_p5_and_decodes(spark):
+    blobs = multimodal.with_gray_blob(spark, SF_SMOKE)
+    raw = {r.doc_id: bytes(r.content) for r in blobs.limit(20).collect()}
+    for doc_id, blob in raw.items():
+        assert blob.startswith(b"P5 ")
+        w, h, img = multimodal._parse_pnm(blob)
+        assert img.shape == (h, w, 1)
+        assert w == doc_id % 24 + 8 and h == (doc_id * 7) % 16 + 8
+    feats = multimodal.decode_features(blobs, fake=False).collect()
+    assert len(feats) == blobs.count()
+    by_id = {r.doc_id: r for r in feats}
+    for doc_id, blob in raw.items():
+        r = by_id[doc_id]
+        _, _, img = multimodal._parse_pnm(blob)
+        assert r.n_channels == 1
+        assert r.mean_byte == img.mean()
+        assert r.channel_means == [float(img.mean())]
+
+
+def test_real_p5_resize_roundtrips_as_p5(spark):
+    import numpy as np
+
+    blobs = multimodal.with_gray_blob(spark, SF_SMOKE).limit(10)
+    raw = {r.doc_id: bytes(r.content) for r in blobs.collect()}
+    out = multimodal.resize_images(blobs, width=12, height=6, fake=False).collect()
+    assert len(out) == len(raw)
+    for r in out:
+        w, h, img = multimodal._parse_pnm(raw[r.doc_id])
+        w2, h2, resized = multimodal._parse_pnm(bytes(r.content))
+        assert (w2, h2) == (12, 6)
+        assert resized.shape == (6, 12, 1)
+        rows = (np.arange(6) * h) // 6
+        cols = (np.arange(12) * w) // 12
         assert (resized == img[rows][:, cols]).all()
 
 

@@ -25,6 +25,36 @@ def test_query_matches_oracle(spark, name):
     compare(df, registry.ORACLE[name], SF_SMOKE)
 
 
+def test_oracled_output_schemas_are_driver_hashable(spark):
+    """Every SQL-oracled key must emit only scalar, pandas-hashable columns.
+
+    The driver's correctness gate canonicalizes results with pandas
+    ``sort_values``/``factorize``, which raises ``TypeError: unhashable
+    type`` on list/bytearray cells. This failure class has occurred three
+    times (r1 ``w4_user_sets_per_variant`` array; r3
+    ``multimodal_decode_features`` array<double> and ``multimodal_resize``
+    binary) — this guard ends it: project arrays to scalars (or
+    ``array_join``) and binaries to ``hex()`` at the registration layer.
+
+    Schema inspection only — no job runs for batch keys (the plan is
+    lazy); the handful of streaming callables do execute, same as the
+    oracle-compare test above.
+    """
+    from pyspark.sql.types import ArrayType, BinaryType, MapType, StructType
+
+    bad: dict[str, list[str]] = {}
+    for name in registry.ORACLE:
+        df = registry.QUERIES[name](spark, SF_SMOKE)
+        offenders = [
+            f"{f.name}:{f.dataType.simpleString()}"
+            for f in df.schema.fields
+            if isinstance(f.dataType, (ArrayType, BinaryType, MapType, StructType))
+        ]
+        if offenders:
+            bad[name] = offenders
+    assert not bad, f"driver-unhashable output columns in oracled keys: {bad}"
+
+
 @pytest.mark.parametrize("name", sorted(set(registry.QUERIES) - set(registry.ORACLE)))
 def test_unoracled_query_runs(spark, name):
     df = registry.QUERIES[name](spark, SF_SMOKE)
@@ -50,8 +80,19 @@ def test_priority_window_covers_every_unchecked_oracled_key():
     assert n <= 50, "priority block exceeds the driver's 50-key budget"
 
     root = pathlib.Path(__file__).resolve().parent.parent
+    # Pinned to the COMMITTED round artifacts (not a glob): an untracked
+    # CORRECTNESS_r*.json in the working tree must not flip this test's
+    # outcome for the same commit. Extend the list when a round's file is
+    # committed alongside the window rotation that consumes it.
+    green_rounds = [
+        "CORRECTNESS_r01.json",
+        "CORRECTNESS_r02.json",
+        "CORRECTNESS_r03.json",
+    ]
     green: set[str] = set()
-    for f in sorted(root.glob("CORRECTNESS_r*.json")):
+    for fname in green_rounds:
+        f = root / fname
+        assert f.exists(), f"pinned round artifact missing: {fname}"
         rec = json.loads(f.read_text())
         green |= {k for k, v in rec.items() if v.get("hash_match")}
     never_green = [k for k in registry.ORACLE if k not in green]
