@@ -59,6 +59,9 @@ HEADLINE = [
     "q21_suppliers_kept_waiting",
     "chunk_documents",
     "train_corpus_pipeline",
+    # new in r4: real-codec audio decode + eval-leakage decontamination
+    "multimodal_decode_audio",
+    "dedup_decontamination",
 ]
 
 

@@ -243,6 +243,91 @@ JOIN sizes sb ON sb.doc_id = doc_b
 WHERE n_common / (sa.n + sb.n - n_common) >= {threshold}"""
 
 
+# --- Decontamination (benchmark n-gram overlap) ------------------------------
+#: Shingle width for decontamination — longer than the dedup width
+#: (NGRAM_K=3): eval-set contamination checks key on long verbatim
+#: n-grams, not topical overlap.
+DECON_K = 5
+
+#: Every ``benchmark_mod``-th doc_id stands in for the held-out eval set.
+DECON_MOD = 20
+
+
+def decontamination_hits(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = DECON_K,
+    benchmark_mod: int = DECON_MOD,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Training-corpus decontamination: flag corpus documents sharing any
+    k-token shingle with a held-out benchmark set — the standard
+    eval-leakage check every LLM data pipeline runs before training.
+
+    The benchmark set is the ``doc_id % benchmark_mod == 0`` slice (a
+    deterministic stand-in for an external eval suite; swap in a real
+    benchmark table at ingest). Output: one row per contaminated corpus
+    doc — (doc_id, n_shared_shingles, n_benchmark_docs_hit).
+
+    Plan shape (100 TB): shingle inverted index on the CORPUS side joined
+    against the benchmark side's (much smaller) shingle set — an equi-join
+    on the shingle string that AQE broadcasts when the benchmark set fits
+    (typical: eval suites are MBs vs corpus TBs). Cost scales with corpus
+    size × benchmark shingle hit-rate, never corpus². ``max_shingle_df``
+    is the same stop-shingle guard as :func:`ngram_jaccard_pairs` —
+    ubiquitous shingles ("in the middle of the") carry no contamination
+    signal and dominate the join if left in.
+    """
+    docs = _spread(load(spark, sf_dir, "documents"))
+    is_bench = F.col("doc_id") % benchmark_mod == 0
+    corpus_sh = docs.where(~is_bench).select(
+        "doc_id", F.explode(_shingle_array(k)).alias("shingle")
+    )
+    bench_sh = docs.where(is_bench).select(
+        F.col("doc_id").alias("bench_doc_id"),
+        F.explode(_shingle_array(k)).alias("shingle"),
+    )
+    if max_shingle_df is not None:
+        rare = (
+            bench_sh.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .where(F.col("df") <= max_shingle_df)
+            .select("shingle")
+        )
+        bench_sh = bench_sh.join(rare, "shingle", "left_semi")
+    return (
+        corpus_sh.join(bench_sh, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count_distinct("shingle").alias("n_shared_shingles"),
+            F.count_distinct("bench_doc_id").alias("n_benchmark_docs_hit"),
+        )
+    )
+
+
+def oracle_decontamination_hits(k: int = DECON_K, benchmark_mod: int = DECON_MOD) -> str:
+    """DuckDB twin of :func:`decontamination_hits`."""
+    toks = f"string_split_regex(trim(text), '{TOKEN_SQL}')"
+    return f"""WITH pos AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(1, greatest(len(toks) - {k - 1}, 1))) AS i
+  FROM (SELECT doc_id, {toks} AS toks FROM documents) d
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(toks[i : i + {k - 1}], ' ') AS shingle
+  FROM pos
+),
+corpus AS (SELECT * FROM sh WHERE doc_id % {benchmark_mod} <> 0),
+bench AS (SELECT doc_id AS bench_doc_id, shingle FROM sh
+          WHERE doc_id % {benchmark_mod} = 0)
+SELECT c.doc_id,
+       count(DISTINCT c.shingle) AS n_shared_shingles,
+       count(DISTINCT b.bench_doc_id) AS n_benchmark_docs_hit
+FROM corpus c JOIN bench b USING (shingle)
+GROUP BY c.doc_id"""
+
+
 # --- MinHash + LSH -----------------------------------------------------------
 def minhash_signatures(docs: DataFrame) -> DataFrame:
     """32-permutation MinHash signature per doc over 3-token shingles.

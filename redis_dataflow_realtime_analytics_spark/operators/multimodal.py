@@ -174,6 +174,135 @@ def with_gray_blob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _le_hex(col: F.Column, n_bytes: int) -> F.Column:
+    """Hex string of an int column encoded little-endian in ``n_bytes``
+    bytes — pure Catalyst (lpad(hex) + byte-pair reversal), used to build
+    binary RIFF/WAV headers declaratively."""
+    h = F.lpad(F.lower(F.hex(col)), 2 * n_bytes, "0")
+    pairs = [F.substring(h, 2 * i - 1, 2) for i in range(n_bytes, 0, -1)]
+    return F.concat(*pairs)
+
+
+def with_audio_blob(spark: SparkSession, sf_dir: str, sample_rate: int = 8000) -> DataFrame:
+    """Attach a genuine RIFF/WAV (PCM s16le mono) audio blob to each document.
+
+    The full 44-byte canonical WAV header (RIFF chunk, fmt chunk with
+    PCM/mono/16-bit fields, data chunk) is assembled hex-wise with
+    Catalyst expressions and the sample payload is the repeated SHA-256
+    stream of (doc_id || text) — ``n_samples = doc_id % 480 + 160``
+    signed 16-bit little-endian samples. The result is a VALID .wav file
+    any audio tool can open, so ``decode_audio_features`` exercises a
+    real (pure-numpy) audio codec. Third real codec tier next to the
+    Netpbm P6/P5 images.
+    """
+    docs = load(spark, sf_dir, "documents")
+    n_samples = (F.col("doc_id") % 480 + 160).cast("int")
+    data_size = n_samples * 2
+    reps = F.ceil(data_size / F.lit(32)).cast("int")
+    payload_hex = F.substring(
+        F.repeat(F.sha2(F.concat(F.col("doc_id").cast("string"), F.col("text")), 256), reps),
+        1,
+        data_size * 2,
+    )
+    byte_rate = sample_rate * 2  # mono s16le
+    header_hex = F.concat(
+        F.lit("52494646"),                       # "RIFF"
+        _le_hex(data_size + 36, 4),              # chunk size
+        F.lit("57415645"),                       # "WAVE"
+        F.lit("666d7420"),                       # "fmt "
+        F.lit("10000000"),                       # fmt chunk size 16 (LE)
+        F.lit("0100"),                           # audio format 1 = PCM (LE)
+        F.lit("0100"),                           # channels 1 (LE)
+        _le_hex(F.lit(sample_rate), 4),          # sample rate
+        _le_hex(F.lit(byte_rate), 4),            # byte rate
+        F.lit("0200"),                           # block align 2 (LE)
+        F.lit("1000"),                           # bits per sample 16 (LE)
+        F.lit("64617461"),                       # "data"
+        _le_hex(data_size, 4),                   # data size
+    )
+    content = F.unhex(F.concat(header_hex, payload_hex))
+    return docs.select(
+        "doc_id",
+        "source",
+        content.alias("content"),
+        F.struct(
+            F.lit("audio/wav").alias("mime"),
+            F.octet_length(content).alias("n_bytes"),
+            F.lit(sample_rate).alias("sample_rate"),
+            n_samples.alias("n_samples"),
+        ).alias("meta"),
+    )
+
+
+def _parse_wav(blob: bytes) -> tuple[int, np.ndarray]:
+    """Parse a RIFF/WAV (PCM s16le mono, canonical 44-byte header) blob →
+    (sample_rate, int16 sample array). Strict: raises ValueError on any
+    header field outside the PCM-mono-16-bit subset this pipeline emits."""
+    import struct
+
+    if len(blob) < 44 or blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE blob")
+    if blob[12:16] != b"fmt " or struct.unpack("<I", blob[16:20])[0] != 16:
+        raise ValueError("unsupported fmt chunk")
+    fmt, channels, rate, _byte_rate, block, bits = struct.unpack("<HHIIHH", blob[20:36])
+    if (fmt, channels, block, bits) != (1, 1, 2, 16):
+        raise ValueError("only PCM mono s16le supported")
+    if blob[36:40] != b"data":
+        raise ValueError("missing data chunk")
+    (data_size,) = struct.unpack("<I", blob[40:44])
+    payload = blob[44:]
+    if len(payload) != data_size or data_size % 2:
+        raise ValueError(f"payload {len(payload)} != declared {data_size}")
+    return rate, np.frombuffer(payload, dtype="<i2")
+
+
+#: Output schema of the audio decode stage. Aggregates are EXACT integers
+#: (sum of |sample|, sum of sample², peak) so the SQL oracle can re-derive
+#: them bit-exactly; float features (rms etc.) derive downstream.
+AUDIO_FEATURE_SCHEMA = (
+    "doc_id bigint, n_bytes int, sample_rate int, n_samples int, "
+    "peak_abs int, sum_abs bigint, sum_sq bigint"
+)
+
+
+def decode_audio_features(blobs: DataFrame) -> DataFrame:
+    """Decode WAV blobs → exact sample statistics via Arrow-batched
+    ``mapInPandas`` — the audio leg of the real-codec tier.
+
+    Pure-numpy RIFF/PCM parse (:func:`_parse_wav`), then integer
+    aggregates over the int16 samples: peak absolute amplitude, sum of
+    absolute amplitudes, sum of squares (energy). All exact int64 — the
+    SQL oracle re-derives the same numbers from the synthesized byte
+    stream, making this a hash-gated differential test of a real audio
+    decode path. Non-RIFF blobs raise ``NotImplementedError`` (the
+    extension point where ffmpeg/torchaudio would plug in).
+    """
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "n_bytes", "sample_rate", "n_samples",
+                                   "peak_abs", "sum_abs", "sum_sq")}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["content"]):
+                blob = bytes(blob)
+                if not blob.startswith(b"RIFF"):
+                    raise NotImplementedError(
+                        "only RIFF/WAV (PCM s16le mono) decode is implemented; "
+                        "plug ffmpeg/torchaudio here for other audio codecs"
+                    )
+                rate, samples = _parse_wav(blob)
+                s64 = samples.astype(np.int64)
+                out["doc_id"].append(doc_id)
+                out["n_bytes"].append(len(blob))
+                out["sample_rate"].append(rate)
+                out["n_samples"].append(len(samples))
+                out["peak_abs"].append(int(np.abs(s64).max()) if len(s64) else 0)
+                out["sum_abs"].append(int(np.abs(s64).sum()))
+                out["sum_sq"].append(int((s64 * s64).sum()))
+            yield pd.DataFrame(out)
+
+    return blobs.mapInPandas(_decode, schema=AUDIO_FEATURE_SCHEMA)
+
+
 def _parse_pnm(blob: bytes) -> tuple[int, int, np.ndarray]:
     """Parse a binary-Netpbm blob (P5 graymap or P6 pixmap) →
     (width, height, HxWxC uint8 array) with C = 1 (P5) or 3 (P6).

@@ -587,6 +587,13 @@ q(
     dedup.ngram_jaccard_pairs,
     dedup.oracle_ngram_jaccard_pairs(),
 )
+# Decontamination (r4): corpus docs sharing any 5-token shingle with the
+# held-out benchmark slice — the eval-leakage gate of a training pipeline.
+q(
+    "dedup_decontamination",
+    dedup.decontamination_hits,
+    dedup.oracle_decontamination_hits(),
+)
 # Near-dup twin of the incremental batch-vs-corpus check (LSH band join
 # against the persisted signature index) — rows-only (xxhash64), planted-
 # replica recall asserted in tests.
@@ -770,6 +777,44 @@ SELECT doc_id,
        avg(byte) AS mean_byte,
        avg(byte) AS mean_gray
 FROM b GROUP BY doc_id, w, h, n_pay""",
+)
+# Third real codec (r4): RIFF/WAV PCM s16le mono audio — the header is
+# assembled byte-for-byte with Catalyst expressions, the pure-numpy
+# decoder parses it strictly, and every output aggregate is an EXACT
+# int64 over the decoded samples so DuckDB can re-derive the identical
+# numbers from the synthesized byte stream. A hash-gated differential
+# test of a real audio decode path.
+q(
+    "multimodal_decode_audio",
+    lambda s, d: multimodal.decode_audio_features(multimodal.with_audio_blob(s, d)),
+    r"""WITH a AS (
+  SELECT doc_id, CAST(doc_id % 480 + 160 AS INTEGER) AS n_samples,
+         sha256(CAST(doc_id AS VARCHAR) || text) AS hx
+  FROM documents
+), g AS (
+  SELECT doc_id, n_samples, n_samples*2 AS ds,
+         substring(repeat(hx, CAST(ceil((n_samples*2) / 32.0) AS INTEGER)), 1, n_samples*4) AS ph
+  FROM a
+), s AS (
+  SELECT doc_id, n_samples, ds, i,
+         (strpos('0123456789abcdef', substring(ph, 4*i-3, 1)) - 1) * 16
+         + (strpos('0123456789abcdef', substring(ph, 4*i-2, 1)) - 1) AS lo,
+         (strpos('0123456789abcdef', substring(ph, 4*i-1, 1)) - 1) * 16
+         + (strpos('0123456789abcdef', substring(ph, 4*i, 1)) - 1) AS hi
+  FROM g, LATERAL unnest(generate_series(1, n_samples)) AS t(i)
+), v AS (
+  SELECT doc_id, n_samples, ds,
+         (lo + 256*hi) - CASE WHEN lo + 256*hi >= 32768 THEN 65536 ELSE 0 END AS val
+  FROM s
+)
+SELECT doc_id,
+       CAST(44 + ds AS INTEGER) AS n_bytes,
+       8000 AS sample_rate,
+       n_samples,
+       CAST(max(abs(val)) AS INTEGER) AS peak_abs,
+       CAST(sum(abs(val)) AS BIGINT) AS sum_abs,
+       CAST(sum(val*val) AS BIGINT) AS sum_sq
+FROM v GROUP BY doc_id, n_samples, ds""",
 )
 
 
@@ -1674,7 +1719,8 @@ FROM topk t JOIN documents dd ON dd.doc_id = t.neighbor_id""",
 # Rows-only keys are excluded from the window entirely: the driver can
 # only record `err: no_oracle` for them (r3 lesson — a wasted slot);
 # their gates are the recall/determinism/error-band pytest suites.
-# This rotation reorders and adds multimodal_decode_gray; every existing
+# This rotation reorders and adds the r4 keys (multimodal_decode_gray,
+# multimodal_decode_audio, dedup_decontamination); every existing
 # (query, oracle) pairing is unchanged.
 # ---------------------------------------------------------------------------
 _PRIORITY = [
@@ -1682,8 +1728,10 @@ _PRIORITY = [
     "corpus_mix_report",
     "multimodal_decode_features",
     "multimodal_resize",
-    # --- 2. new this round: second real codec (P5 graymap) ---
+    # --- 2. new this round: P5 graymap + WAV audio codecs, decontamination ---
     "multimodal_decode_gray",
+    "multimodal_decode_audio",
+    "dedup_decontamination",
     # --- 3. re-checks: last green predates operator source change ---
     # dedup.py changed 4x in r3 (incremental near-dup, CC init fold, ...)
     "dedup_exact_groups",
@@ -1740,8 +1788,6 @@ _PRIORITY = [
     "q18_large_volume_customers",
     "q21_suppliers_kept_waiting",
     "top_orders_by_value",
-    "user_event_features",
-    "monthly_order_revenue",
 ]
 
 

@@ -205,3 +205,19 @@ def test_incremental_neardup_flags_planted_replicas(spark, corpus):
     # exact-copy pairs estimate Jaccard 1.0
     for doc_id in (0, 10, 40):  # 0=base w/ exact dup 1; 10,40 are exact copies
         assert out[doc_id].est_jaccard == 1.0
+
+
+def test_decontamination_flags_planted_leakage(spark, corpus):
+    """benchmark slice = doc_id % 20 == 0 -> {0, 20, 40}. In the planted
+    corpus those are: base 0 (exact copy 1, near copy 2), near-copy 20
+    (of base 18, exact copy 19), exact-copy 40 (of base 39, near copy 41).
+    All six counterparts share long verbatim shingles with the benchmark
+    slice and must be flagged."""
+    out = {r.doc_id: r for r in dedup.decontamination_hits(spark, corpus).collect()}
+    planted = {1, 2, 18, 19, 39, 41}
+    assert planted <= set(out), f"missing planted leaks: {planted - set(out)}"
+    # copies of a benchmark doc share (almost) the whole shingle set:
+    # exact copies all 36 distinct 5-gram shingles, near copies all but <=5
+    for doc_id in planted:
+        assert out[doc_id].n_shared_shingles >= 25
+        assert out[doc_id].n_benchmark_docs_hit >= 1

@@ -233,3 +233,25 @@ def test_funnel_conversion_no_pair_join(spark):
     p = plans.plan_string(sessions.funnel_conversion_by_experiment(spark, SF_SMOKE))
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
     assert "Window" in p, p
+
+
+def test_decontamination_is_equi_join_with_pruned_scans(spark):
+    # corpus x benchmark contamination check must be a hash equi-join on
+    # the shingle (inverted index), never a pair join; the doc_id % mod
+    # split predicates must reach both parquet scans.
+    from redis_dataflow_realtime_analytics_spark.operators import dedup
+
+    df = dedup.decontamination_hits(spark, SF_SMOKE)
+    p = plans.plan_string(df)
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+    # both sides project only (doc_id, text) out of the documents scan
+    assert set(plans.read_schema_columns(df)) <= {"doc_id", "text"}, p
+
+
+def test_audio_decode_is_shuffle_free(spark):
+    # decode is mapInPandas over the scan partitioning - embarrassingly
+    # parallel, any Exchange would mean an accidental repartition.
+    from redis_dataflow_realtime_analytics_spark.operators import multimodal
+
+    df = multimodal.decode_audio_features(multimodal.with_audio_blob(spark, SF_SMOKE))
+    assert plans.count_exchanges(df) == 0, plans.plan_string(df)
