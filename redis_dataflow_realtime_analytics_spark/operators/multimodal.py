@@ -303,6 +303,55 @@ def decode_audio_features(blobs: DataFrame) -> DataFrame:
     return blobs.mapInPandas(_decode, schema=AUDIO_FEATURE_SCHEMA)
 
 
+#: Output schema of the audio resample stage: new blob + old/new geometry.
+AUDIO_RESAMPLE_SCHEMA = (
+    "doc_id bigint, content binary, n_samples_in int, n_samples_out int, "
+    "sample_rate_in int, sample_rate_out int"
+)
+
+
+def resample_audio(blobs: DataFrame, factor: int = 2) -> DataFrame:
+    """Integer-decimation resample of WAV blobs (keep every ``factor``-th
+    sample, divide the sample rate) via Arrow-batched ``mapInPandas`` —
+    the audio twin of the image nearest-neighbor resize: decode →
+    index-sample → re-encode a VALID WAV. No shuffle; linear in
+    executors. Anti-alias filtering is a deliberate non-goal at this
+    tier (decimation is the exact, oracle-checkable core; a windowed-sinc
+    path would plug in at the same extension point as other codecs).
+    """
+
+    def _resample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "content", "n_samples_in",
+                                   "n_samples_out", "sample_rate_in", "sample_rate_out")}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["content"]):
+                blob = bytes(blob)
+                if not blob.startswith(b"RIFF"):
+                    raise NotImplementedError(
+                        "only RIFF/WAV (PCM s16le mono) resample is implemented"
+                    )
+                rate, samples = _parse_wav(blob)
+                kept = samples[::factor]
+                new_rate = rate // factor
+                ds = len(kept) * 2
+                header = (
+                    b"RIFF" + struct.pack("<I", ds + 36) + b"WAVEfmt "
+                    + struct.pack("<IHHIIHH", 16, 1, 1, new_rate, new_rate * 2, 2, 16)
+                    + b"data" + struct.pack("<I", ds)
+                )
+                out["doc_id"].append(doc_id)
+                out["content"].append(header + kept.tobytes())
+                out["n_samples_in"].append(len(samples))
+                out["n_samples_out"].append(len(kept))
+                out["sample_rate_in"].append(rate)
+                out["sample_rate_out"].append(new_rate)
+            yield pd.DataFrame(out)
+
+    return blobs.mapInPandas(_resample, schema=AUDIO_RESAMPLE_SCHEMA)
+
+
 def _parse_pnm(blob: bytes) -> tuple[int, int, np.ndarray]:
     """Parse a binary-Netpbm blob (P5 graymap or P6 pixmap) →
     (width, height, HxWxC uint8 array) with C = 1 (P5) or 3 (P6).

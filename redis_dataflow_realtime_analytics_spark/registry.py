@@ -816,6 +816,52 @@ SELECT doc_id,
        CAST(sum(val*val) AS BIGINT) AS sum_sq
 FROM v GROUP BY doc_id, n_samples, ds""",
 )
+# Audio resample (r4): decimation by 2, byte-exact oracle — DuckDB
+# re-derives the kept samples AND reassembles the full output WAV
+# (rebuilt header with halved rates + decimated payload) hex-for-hex;
+# projected as content_hex for the driver hasher (binary is unhashable).
+q(
+    "multimodal_resample_audio",
+    lambda s, d: multimodal.resample_audio(multimodal.with_audio_blob(s, d), factor=2)
+    .select(
+        "doc_id",
+        F.hex("content").alias("content_hex"),
+        "n_samples_in",
+        "n_samples_out",
+        "sample_rate_in",
+        "sample_rate_out",
+    ),
+    r"""WITH a AS (
+  SELECT doc_id, CAST(doc_id % 480 + 160 AS INTEGER) AS n_in,
+         sha256(CAST(doc_id AS VARCHAR) || text) AS hx
+  FROM documents
+), g AS (
+  SELECT doc_id, n_in, CAST((n_in + 1) // 2 AS INTEGER) AS n_out,
+         substring(repeat(hx, CAST(ceil((n_in*2) / 32.0) AS INTEGER)), 1, n_in*4) AS ph
+  FROM a
+), sel AS (
+  SELECT doc_id, n_in, n_out, j,
+         substring(ph, 4*(2*j-1)-3, 4) AS shex
+  FROM g, LATERAL unnest(generate_series(1, n_out)) AS t(j)
+), agg AS (
+  SELECT doc_id, n_in, n_out, string_agg(shex, '' ORDER BY j) AS payload_hex
+  FROM sel GROUP BY 1, 2, 3
+), le AS (
+  SELECT doc_id, n_in, n_out, payload_hex,
+         printf('%08x', n_out*2 + 36) AS cs, printf('%08x', n_out*2) AS ds
+  FROM agg
+)
+SELECT doc_id,
+       upper('52494646'
+         || substring(cs,7,2) || substring(cs,5,2) || substring(cs,3,2) || substring(cs,1,2)
+         || '57415645666d74201000000001000100a00f0000401f000002001000'
+         || '64617461'
+         || substring(ds,7,2) || substring(ds,5,2) || substring(ds,3,2) || substring(ds,1,2)
+         || payload_hex) AS content_hex,
+       n_in AS n_samples_in, n_out AS n_samples_out,
+       8000 AS sample_rate_in, 4000 AS sample_rate_out
+FROM le""",
+)
 
 
 # ---------------------------------------------------------------------------
@@ -1731,6 +1777,7 @@ _PRIORITY = [
     # --- 2. new this round: P5 graymap + WAV audio codecs, decontamination ---
     "multimodal_decode_gray",
     "multimodal_decode_audio",
+    "multimodal_resample_audio",
     "dedup_decontamination",
     # --- 3. re-checks: last green predates operator source change ---
     # dedup.py changed 4x in r3 (incremental near-dup, CC init fold, ...)
