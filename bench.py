@@ -59,8 +59,9 @@ HEADLINE = [
     "q21_suppliers_kept_waiting",
     "chunk_documents",
     "train_corpus_pipeline",
-    # new in r4: real-codec audio decode + eval-leakage decontamination
+    # new in r4: real-codec audio/video stages + eval-leakage decontamination
     "multimodal_decode_audio",
+    "multimodal_sample_video_frames",
     "dedup_decontamination",
 ]
 

@@ -352,6 +352,124 @@ def resample_audio(blobs: DataFrame, factor: int = 2) -> DataFrame:
     return blobs.mapInPandas(_resample, schema=AUDIO_RESAMPLE_SCHEMA)
 
 
+#: Fixed Y4M geometry (the header stays a compile-time constant; per-doc
+#: variation comes from frame count and frame content).
+Y4M_W, Y4M_H = 16, 8
+Y4M_HEADER = b"YUV4MPEG2 W16 H8 F25:1 Ip A1:1 C444\n"
+Y4M_FRAME_BYTES = 3 * Y4M_W * Y4M_H  # C444: full-resolution Y, U, V planes
+
+
+def with_video_blob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attach a genuine YUV4MPEG2 ("Y4M") video blob to each document.
+
+    Y4M is the public uncompressed video interchange format (mplayer /
+    ffmpeg): an ASCII stream header, then per frame an ASCII ``FRAME\\n``
+    marker followed by raw planar YUV bytes (C444 = full-resolution
+    Y,U,V planes). Synthesis is Catalyst-only: ``n_frames = doc_id % 8
+    + 2`` frames of 16×8, each frame's 384 plane bytes drawn from the
+    repeated SHA-256 stream of (doc_id || text). The result is a VALID
+    video file any Y4M-aware tool can play, so the frame sampler
+    exercises a real container parse + frame seek + plane decomposition.
+    """
+    docs = load(spark, sf_dir, "documents")
+    n_frames = (F.col("doc_id") % 8 + 2).cast("int")
+    total_payload = n_frames * Y4M_FRAME_BYTES
+    reps = F.ceil(total_payload / F.lit(32)).cast("int")
+    stream_hex = F.substring(
+        F.repeat(F.sha2(F.concat(F.col("doc_id").cast("string"), F.col("text")), 256), reps),
+        1,
+        total_payload * 2,
+    )
+    frame_marker_hex = b"FRAME\n".hex()  # "4652414d450a"
+    frames_hex = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), n_frames - 1),
+            lambda f: F.concat(
+                F.lit(frame_marker_hex),
+                F.substring(stream_hex, f * Y4M_FRAME_BYTES * 2 + 1, Y4M_FRAME_BYTES * 2),
+            ),
+        ),
+        "",
+    )
+    content = F.concat(F.lit(Y4M_HEADER), F.unhex(frames_hex))
+    return docs.select(
+        "doc_id",
+        "source",
+        content.alias("content"),
+        F.struct(
+            F.lit("video/x-yuv4mpeg").alias("mime"),
+            F.octet_length(content).alias("n_bytes"),
+            F.lit(Y4M_W).alias("width"),
+            F.lit(Y4M_H).alias("height"),
+            n_frames.alias("n_frames"),
+        ).alias("meta"),
+    )
+
+
+def _parse_y4m(blob: bytes) -> np.ndarray:
+    """Parse a Y4M (C444, 16×8) blob → (n_frames, 3, H, W) uint8 array.
+
+    Strict for the subset this pipeline emits: fixed header, every frame
+    prefixed by ``FRAME\\n``, full-length planar payload. Raises
+    ValueError on any malformed marker or truncated frame."""
+    if not blob.startswith(Y4M_HEADER):
+        raise ValueError("not a supported YUV4MPEG2 stream")
+    body = blob[len(Y4M_HEADER):]
+    step = 6 + Y4M_FRAME_BYTES
+    if len(body) % step:
+        raise ValueError(f"body {len(body)} not a multiple of frame step {step}")
+    frames = []
+    for off in range(0, len(body), step):
+        if body[off:off + 6] != b"FRAME\n":
+            raise ValueError(f"missing FRAME marker at offset {off}")
+        raw = np.frombuffer(body[off + 6:off + step], dtype=np.uint8)
+        frames.append(raw.reshape(3, Y4M_H, Y4M_W))
+    return np.stack(frames) if frames else np.empty((0, 3, Y4M_H, Y4M_W), np.uint8)
+
+
+#: Output schema of the video frame sampler: one row per sampled frame,
+#: EXACT integer plane sums (oracle-checkable bit-for-bit).
+VIDEO_FRAME_SCHEMA = (
+    "doc_id bigint, frame_index int, n_frames int, "
+    "sum_y bigint, sum_u bigint, sum_v bigint"
+)
+
+
+def sample_video_frames(blobs: DataFrame, every: int = 2) -> DataFrame:
+    """Real frame sampling over the video column: parse the Y4M container,
+    seek every ``every``-th frame, and emit exact per-plane byte sums —
+    the decode-side half of the metadata-only
+    :func:`frame_sample_offsets` plan. Arrow-batched ``mapInPandas``, no
+    shuffle; at scale only the sampled frames' bytes are ever touched
+    after the container offsets are known (a columnar media store would
+    push the seek into the reader)."""
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "frame_index", "n_frames",
+                                   "sum_y", "sum_u", "sum_v")}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["content"]):
+                blob = bytes(blob)
+                if not blob.startswith(b"YUV4MPEG2"):
+                    raise NotImplementedError(
+                        "only YUV4MPEG2 (C444) parsing is implemented; "
+                        "plug ffmpeg/pyav here for compressed containers"
+                    )
+                frames = _parse_y4m(blob)
+                n = len(frames)
+                for idx in range(0, n, every):
+                    planes = frames[idx].astype(np.int64)
+                    out["doc_id"].append(doc_id)
+                    out["frame_index"].append(idx)
+                    out["n_frames"].append(n)
+                    out["sum_y"].append(int(planes[0].sum()))
+                    out["sum_u"].append(int(planes[1].sum()))
+                    out["sum_v"].append(int(planes[2].sum()))
+            yield pd.DataFrame(out)
+
+    return blobs.mapInPandas(_sample, schema=VIDEO_FRAME_SCHEMA)
+
+
 def _parse_pnm(blob: bytes) -> tuple[int, int, np.ndarray]:
     """Parse a binary-Netpbm blob (P5 graymap or P6 pixmap) →
     (width, height, HxWxC uint8 array) with C = 1 (P5) or 3 (P6).

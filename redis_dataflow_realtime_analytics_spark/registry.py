@@ -862,6 +862,38 @@ SELECT doc_id,
        8000 AS sample_rate_in, 4000 AS sample_rate_out
 FROM le""",
 )
+# Video tier (r4): YUV4MPEG2 (Y4M) container — Catalyst-synthesized
+# multi-frame uncompressed video, REAL container parse + frame seek +
+# plane decomposition in numpy; sampled frames' per-plane byte sums are
+# exact int64, re-derived by DuckDB from the same byte stream.
+q(
+    "multimodal_sample_video_frames",
+    lambda s, d: multimodal.sample_video_frames(multimodal.with_video_blob(s, d), every=2),
+    r"""WITH a AS (
+  SELECT doc_id, CAST(doc_id % 8 + 2 AS INTEGER) AS n_frames,
+         sha256(CAST(doc_id AS VARCHAR) || text) AS hx
+  FROM documents
+), g AS (
+  SELECT doc_id, n_frames,
+         substring(repeat(hx, CAST(ceil((n_frames*384) / 32.0) AS INTEGER)), 1, n_frames*768) AS ph
+  FROM a
+), fr AS (
+  SELECT doc_id, n_frames, ph, f
+  FROM g, LATERAL unnest(generate_series(0, n_frames - 1, 2)) AS t(f)
+), b AS (
+  SELECT doc_id, n_frames, f, j,
+         (strpos('0123456789abcdef', substring(ph, 2*(f*384+j)-1, 1)) - 1) * 16
+         + (strpos('0123456789abcdef', substring(ph, 2*(f*384+j), 1)) - 1) AS byte
+  FROM fr, LATERAL unnest(generate_series(1, 384)) AS u(j)
+)
+SELECT doc_id,
+       CAST(f AS INTEGER) AS frame_index,
+       n_frames,
+       CAST(sum(CASE WHEN j <= 128 THEN byte END) AS BIGINT) AS sum_y,
+       CAST(sum(CASE WHEN j > 128 AND j <= 256 THEN byte END) AS BIGINT) AS sum_u,
+       CAST(sum(CASE WHEN j > 256 THEN byte END) AS BIGINT) AS sum_v
+FROM b GROUP BY doc_id, f, n_frames""",
+)
 
 
 # ---------------------------------------------------------------------------
@@ -1766,8 +1798,18 @@ FROM topk t JOIN documents dd ON dd.doc_id = t.neighbor_id""",
 # only record `err: no_oracle` for them (r3 lesson — a wasted slot);
 # their gates are the recall/determinism/error-band pytest suites.
 # This rotation reorders and adds the r4 keys (multimodal_decode_gray,
-# multimodal_decode_audio, dedup_decontamination); every existing
+# multimodal_decode_audio, multimodal_resample_audio,
+# multimodal_sample_video_frames, dedup_decontamination); every existing
 # (query, oracle) pairing is unchanged.
+# R5 POOL (stale keys that did not fit this window — rotate them in next
+# round, plus anything whose source changes in r4+): the remaining
+# relational re-checks (q2/q3/q4/q5/q6/q13, cube/rollup/pivot/unpivot,
+# set-op keys, top_orders_per_customer, running_revenue_per_supplier,
+# top_orders_by_value, user_event_features, monthly_order_revenue,
+# order_scalar_projections, priciest_parts_per_brand,
+# returnflag_discount_profile, customers_with/without_orders,
+# customer_keys_*, active_entity_keys_union, ev_grouping_sets/cube) and
+# the r1-green text_quality_score twin keys if text.py changes again.
 # ---------------------------------------------------------------------------
 _PRIORITY = [
     # --- 1. fixed this round (r3's three red rows) ---
@@ -1778,6 +1820,7 @@ _PRIORITY = [
     "multimodal_decode_gray",
     "multimodal_decode_audio",
     "multimodal_resample_audio",
+    "multimodal_sample_video_frames",
     "dedup_decontamination",
     # --- 3. re-checks: last green predates operator source change ---
     # dedup.py changed 4x in r3 (incremental near-dup, CC init fold, ...)
@@ -1834,7 +1877,6 @@ _PRIORITY = [
     "q1_pricing_summary",
     "q18_large_volume_customers",
     "q21_suppliers_kept_waiting",
-    "top_orders_by_value",
 ]
 
 

@@ -172,6 +172,30 @@ def test_audio_resample_is_exact_decimation(spark):
         assert wf.getframerate() == rate // 2
 
 
+def test_video_blob_is_valid_y4m_and_sampler_matches(spark):
+    import numpy as np
+
+    blobs = multimodal.with_video_blob(spark, SF_SMOKE)
+    raw = {r.doc_id: bytes(r.content) for r in blobs.limit(20).collect()}
+    for doc_id, blob in raw.items():
+        assert blob.startswith(b"YUV4MPEG2 W16 H8 ")
+        frames = multimodal._parse_y4m(blob)
+        assert frames.shape == (doc_id % 8 + 2, 3, 8, 16)
+    sampled = [
+        r for r in multimodal.sample_video_frames(blobs, every=2).collect()
+        if r.doc_id in raw
+    ]
+    assert sampled
+    for r in sampled:
+        frames = multimodal._parse_y4m(raw[r.doc_id])
+        assert r.frame_index % 2 == 0 and r.n_frames == len(frames)
+        planes = frames[r.frame_index].astype(np.int64)
+        assert (r.sum_y, r.sum_u, r.sum_v) == tuple(int(p.sum()) for p in planes)
+    # every even frame of every doc appears exactly once
+    expected = {(d, f) for d, b in raw.items() for f in range(0, d % 8 + 2, 2)}
+    assert {(r.doc_id, r.frame_index) for r in sampled} == expected
+
+
 def test_wav_decode_rejects_non_riff(spark):
     from py4j.protocol import Py4JJavaError
     from pyspark.errors import PythonException

@@ -255,3 +255,10 @@ def test_audio_decode_is_shuffle_free(spark):
 
     df = multimodal.decode_audio_features(multimodal.with_audio_blob(spark, SF_SMOKE))
     assert plans.count_exchanges(df) == 0, plans.plan_string(df)
+
+
+def test_video_frame_sampler_is_shuffle_free(spark):
+    from redis_dataflow_realtime_analytics_spark.operators import multimodal
+
+    df = multimodal.sample_video_frames(multimodal.with_video_blob(spark, SF_SMOKE))
+    assert plans.count_exchanges(df) == 0, plans.plan_string(df)
