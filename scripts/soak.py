@@ -78,6 +78,13 @@ def main(n_events: int = 10_000_000, doc_mult: int = 20) -> None:
         # no exact SQL oracle); their error-band claims are gated by pytest
         # at test SF. These sections back the same claims at soak scale:
         # estimate vs exact, max relative error recorded.
+        # Above this, the EXACT verification joins (distinct pair self-join,
+        # exact percentiles) thrash the single local JVM's heap under 32
+        # concurrent tasks; the sketch paths themselves still run and time.
+        # Error bands are a property of sketch size, not input size, so the
+        # ≤cap runs carry the estimate-vs-exact evidence.
+        exact_verify = n_events <= 15_000_000
+
         def _theta_overlap() -> None:
             t0 = time.perf_counter()
             sk = ev.groupBy("variant").agg(F.theta_sketch_agg("user_id").alias("sk"))
@@ -93,6 +100,10 @@ def main(n_events: int = 10_000_000, doc_mult: int = 20) -> None:
                 )
             ).collect()
             out["theta_overlap_s"] = round(time.perf_counter() - t0, 2)
+            out["theta_overlap_pairs"] = len(est)
+            if not exact_verify:
+                out["theta_overlap_max_rel_err"] = "skipped (exact join > heap cap)"
+                return
             du = ev.select("variant", "user_id").distinct()
             exact = {
                 (r.va, r.vb): r.n
@@ -112,7 +123,6 @@ def main(n_events: int = 10_000_000, doc_mult: int = 20) -> None:
                 abs(r.est - exact.get((r.va, r.vb), 0)) / max(exact.get((r.va, r.vb), 0), 1)
                 for r in est
             ]
-            out["theta_overlap_pairs"] = len(est)
             out["theta_overlap_max_rel_err"] = round(max(errs), 4) if errs else None
 
         section("theta_overlap", _theta_overlap)
@@ -137,6 +147,9 @@ def main(n_events: int = 10_000_000, doc_mult: int = 20) -> None:
                 .collect()
             )
             out["kll_quantiles_s"] = round(time.perf_counter() - t0, 2)
+            if not exact_verify:
+                out["kll_quantiles_max_rel_err"] = "skipped (exact percentile > heap cap)"
+                return
             exact = {
                 r.variant: r
                 for r in vev.groupBy("variant")
