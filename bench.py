@@ -63,6 +63,10 @@ HEADLINE = [
     "multimodal_decode_audio",
     "multimodal_sample_video_frames",
     "dedup_decontamination",
+    # new in r4 (cont.): span-level dedup, int8 compressed ANN, repetition filters
+    "dedup_duplicate_spans",
+    "ann_topk_int8",
+    "text_repetition_signals",
 ]
 
 

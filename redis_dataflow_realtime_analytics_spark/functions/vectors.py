@@ -59,9 +59,48 @@ def cosine(dot_col: str, n2_a: str, n2_b: str) -> Column:
     )
 
 
+# --- int8 scalar quantization (compressed-ANN path) --------------------------
+def vec_maxabs(col: str) -> Column:
+    """Per-vector max |component| as double — the int8 scale denominator.
+    Max over exact doubles is associative and engine-portable."""
+    return F.expr(
+        f"aggregate({col}, CAST(0 AS DOUBLE), (a, v) -> greatest(a, abs(CAST(v AS DOUBLE))))"
+    )
+
+
+def quantize_int8(col: str, maxabs_col: str) -> Column:
+    """array<float> → int8-range array<bigint>: round-half-up of
+    ``x · 127/max|x|`` — classic per-vector scalar quantization (4→1 byte
+    per component; 32× smaller than the float64 working form, the memory
+    lever that keeps a 100 TB embedding corpus scannable).
+
+    ``floor(x·s + 0.5)`` is used instead of ``round`` because engines
+    disagree on round-half semantics while floor is universally
+    IEEE-exact; every double op here (cast, mul, add) is correctly
+    rounded, so the quantized ints — and hence all downstream integer
+    dots — are bit-identical across Spark, DuckDB, and numpy.
+
+    ``maxabs_col`` must be a plain column (see :func:`vec_maxabs`) so the
+    scale is computed once per vector, not once per component.
+    """
+    return F.expr(
+        f"transform({col}, x -> CAST(floor(CAST(x AS DOUBLE) * "
+        f"(CAST(127 AS DOUBLE) / greatest({maxabs_col}, 1e-30)) + 0.5) AS BIGINT))"
+    )
+
+
 # --- DuckDB oracle twins -----------------------------------------------------
 def oracle_quantize(col: str) -> str:
     return f"list_transform({col}, x -> CAST(floor(CAST(x AS DOUBLE) * {SCALE}) AS BIGINT))"
+
+
+def oracle_quantize_int8(col: str) -> str:
+    """DuckDB twin of :func:`quantize_int8` (scale inlined via list_max)."""
+    return (
+        f"list_transform({col}, x -> CAST(floor(CAST(x AS DOUBLE) * "
+        f"(CAST(127 AS DOUBLE) / greatest(list_max(list_transform({col}, "
+        f"v -> abs(CAST(v AS DOUBLE)))), 1e-30)) + 0.5) AS BIGINT))"
+    )
 
 
 def oracle_qdot(x: str, y: str) -> str:

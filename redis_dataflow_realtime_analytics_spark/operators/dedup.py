@@ -328,6 +328,74 @@ FROM corpus c JOIN bench b USING (shingle)
 GROUP BY c.doc_id"""
 
 
+# --- Exact duplicate spans (substring-level dedup) ---------------------------
+#: Token window width for span-level dedup. Lee et al. 2021 ("Deduplicating
+#: Training Data Makes Language Models Better") use 50-BPE-token substrings
+#: via a suffix array; hashed fixed-width token windows are the standard
+#: distributed approximation (recall loss only for duplicates shorter than
+#: the window). 8 words here so the tiny synthetic docs produce spans.
+SPAN_K = 8
+
+
+def duplicate_spans(spark: SparkSession, sf_dir: str, k: int = SPAN_K) -> DataFrame:
+    """Substring-level duplicate inventory: for each document, how much of
+    it re-occurs verbatim elsewhere in the corpus — (doc_id, n_spans,
+    n_dup_spans, dup_span_frac) over sliding ``k``-token windows.
+
+    Exact-dedup (:func:`exact_dedup_groups`) only removes whole-document
+    copies; training corpora lose most duplicated TEXT to partial overlaps
+    (quotes, boilerplate headers, syndicated paragraphs). This is the
+    span-level measure used to drive substring dedup à la Lee et al. 2021.
+
+    Plan shape (100 TB): windows are map-side expressions (same sliding
+    slice as the shingle family); each (doc, window) is reduced to a
+    128-bit ``md5`` key, so the two shuffles — the span-frequency groupBy
+    and the span→doc join — carry 16-byte uniform keys, never the window
+    text. Cost is O(total tokens), not corpus²; boilerplate heavy-hitter
+    spans behave like stop-shingles and can be df-capped exactly as in
+    :func:`ngram_jaccard_pairs` if a corpus needs it.
+    """
+    docs = _spread(load(spark, sf_dir, "documents"))
+    # _shingle_array is array_distinct → (doc_id, h) pairs are unique, so
+    # the per-span count below equals the number of DOCS containing it.
+    spans = docs.select("doc_id", F.explode(_shingle_array(k)).alias("span")).select(
+        "doc_id", F.md5("span").alias("h")
+    )
+    span_df = spans.groupBy("h").agg(F.count("*").alias("nd"))
+    dup = F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0))
+    return (
+        spans.join(span_df, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            dup.cast("bigint").alias("n_dup_spans"),
+            (dup.cast("double") / F.count("*")).alias("dup_span_frac"),
+        )
+    )
+
+
+def oracle_duplicate_spans(k: int = SPAN_K) -> str:
+    """DuckDB twin of :func:`duplicate_spans`."""
+    toks = f"string_split_regex(trim(text), '{TOKEN_SQL}')"
+    return f"""WITH pos AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(1, greatest(len(toks) - {k - 1}, 1))) AS i
+  FROM (SELECT doc_id, {toks} AS toks FROM documents) d
+),
+sh AS (
+  SELECT DISTINCT doc_id, md5(array_to_string(toks[i : i + {k - 1}], ' ')) AS h
+  FROM pos
+),
+c AS (SELECT h, count(*) AS nd FROM sh GROUP BY 1)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_spans,
+       CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+       CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+         AS dup_span_frac
+FROM sh JOIN c USING (h)
+GROUP BY doc_id"""
+
+
 # --- MinHash + LSH -----------------------------------------------------------
 def minhash_signatures(docs: DataFrame) -> DataFrame:
     """32-permutation MinHash signature per doc over 3-token shingles.

@@ -70,6 +70,46 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFr
     )
 
 
+def ann_topk_int8(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+    """Compressed ANN: brute-force cosine top-k over per-vector int8
+    scalar-quantized embeddings — the memory-bound scale path (1 byte per
+    component, 32× smaller than float64 working form; at 100 TB of
+    embeddings this is the difference between scanning 3 TB and 100 TB).
+
+    Scores are ``dot8 / (‖a‖₈·‖b‖₈)`` computed entirely from the
+    quantized ints — the per-vector scale factors cancel, so no
+    dequantization step exists and the result is deterministic (exact
+    int64 dot, IEEE sqrt/divide). Ranking ties break on neighbor_id.
+    Same broadcast-queries/stream-corpus plan as
+    :func:`ann_topk_bruteforce`; recall vs that exact baseline is
+    asserted in tests/test_similarity.py.
+
+    Output: (query_id, neighbor_id, approx_cosine, rank).
+    """
+    emb = (
+        load(spark, sf_dir, "embeddings")
+        .withColumn("ma", V.vec_maxabs("embedding"))
+        .select("vec_id", V.quantize_int8("embedding", "ma").alias("q8"))
+        .withColumn("n2", V.qdot("q8", "q8"))
+    )
+    q = emb.where(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("q8").alias("q_q8"),
+        F.col("n2").alias("q_n2"),
+    )
+    scored = (
+        emb.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .withColumn("dot", V.qdot("q8", "q_q8"))
+        .withColumn("approx_cosine", V.cosine("dot", "n2", "q_n2"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("approx_cosine"), "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "approx_cosine", "rank")
+    )
+
+
 def embedding_neardup_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.45) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (vec_id_a < vec_id_b,
     cosine ≥ threshold) — the dedup-by-embedding primitive.

@@ -473,6 +473,131 @@ def normalize_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals per document: the fraction
+    of the token stream consumed by the single most frequent bigram
+    (``top_bigram_frac``), the fraction of trigram occurrences whose gram
+    repeats within the document (``dup_trigram_frac``), and the distinct-
+    token ratio — the standard filters for boilerplate / degenerate /
+    looping text in a pre-training corpus (Rae et al. 2021, §A1.1).
+
+    Plan: tokenize once, synthesize 2- and 3-grams as ONE prefixed array
+    (``"2:w1 w2"`` / ``"3:w1 w2 w3"``) so a single explode + one
+    (doc_id, gram) count shuffle serves both gram sizes; the per-doc
+    rollup re-shuffles only (doc_id, 4 longs). Both shuffles carry
+    map-side partial aggregates; keys are uniformly distributed (doc_id
+    crossed with gram text), so no skew at any corpus size. Fractions are
+    int/int double divisions — IEEE-exact, oracle-checkable bit-exactly.
+
+    The reference has no document-quality surface (north-star extension);
+    tokenization is shared with :func:`top_bigrams` (lowercased trimmed
+    whitespace split).
+    """
+    docs = spread(load(spark, sf_dir, "documents"))
+    tokd = docs.select(
+        "doc_id", F.expr(f"split(trim(lower(text)), '{TOKEN_EXPR}')").alias("t")
+    )
+    # sequence(1, 0) yields a DESCENDING [1, 0] — guard short docs to an
+    # empty array (same footgun as top_bigrams).
+    grams = tokd.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "concat("
+                "CASE WHEN size(t) >= 2 THEN transform(sequence(1, size(t) - 1), "
+                "  i -> concat('2:', concat_ws(' ', slice(t, i, 2)))) ELSE array() END, "
+                "CASE WHEN size(t) >= 3 THEN transform(sequence(1, size(t) - 2), "
+                "  i -> concat('3:', concat_ws(' ', slice(t, i, 3)))) ELSE array() END)"
+            )
+        ).alias("g"),
+    )
+    counts = grams.groupBy("doc_id", "g").agg(F.count("g").alias("cnt"))
+    is2 = F.col("g").startswith("2:")
+    is3 = F.col("g").startswith("3:")
+    per_doc = counts.groupBy("doc_id").agg(
+        F.coalesce(F.sum(F.when(is2, F.col("cnt"))), F.lit(0)).alias("n_bigrams"),
+        F.coalesce(F.max(F.when(is2, F.col("cnt"))), F.lit(0)).alias("top_bigram_count"),
+        F.coalesce(F.sum(F.when(is3, F.col("cnt"))), F.lit(0)).alias("n_trigrams"),
+        F.coalesce(
+            F.sum(F.when(is3 & (F.col("cnt") > 1), F.col("cnt"))), F.lit(0)
+        ).alias("dup_trigram_occurrences"),
+    )
+    stats = tokd.select(
+        "doc_id",
+        F.size("t").cast("bigint").alias("n_tokens"),
+        (F.size(F.array_distinct("t")).cast("double") / F.size("t")).alias(
+            "distinct_token_ratio"
+        ),
+    )
+    return stats.join(per_doc, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        "distinct_token_ratio",
+        "n_bigrams",
+        "top_bigram_count",
+        F.when(
+            F.col("n_bigrams") > 0,
+            F.col("top_bigram_count").cast("double") / F.col("n_bigrams"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("top_bigram_frac"),
+        "n_trigrams",
+        F.when(
+            F.col("n_trigrams") > 0,
+            F.col("dup_trigram_occurrences").cast("double") / F.col("n_trigrams"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_trigram_frac"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        "distinct_token_ratio",
+        F.col("n_bigrams").cast("bigint").alias("n_bigrams"),
+        F.col("top_bigram_count").cast("bigint").alias("top_bigram_count"),
+        "top_bigram_frac",
+        F.col("n_trigrams").cast("bigint").alias("n_trigrams"),
+        "dup_trigram_frac",
+    )
+
+
+def oracle_repetition_signals() -> str:
+    return f"""WITH t AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '{TOKEN_SQL}') AS tk
+  FROM documents),
+g AS (
+  SELECT doc_id, unnest(list_concat(
+    CASE WHEN len(tk) >= 2 THEN
+      list_transform(generate_series(1, len(tk) - 1),
+                     i -> '2:' || array_to_string(tk[i : i + 1], ' '))
+    ELSE [] END,
+    CASE WHEN len(tk) >= 3 THEN
+      list_transform(generate_series(1, len(tk) - 2),
+                     i -> '3:' || array_to_string(tk[i : i + 2], ' '))
+    ELSE [] END)) AS gm
+  FROM t),
+c AS (SELECT doc_id, gm, count(*) AS cnt FROM g GROUP BY 1, 2),
+a AS (
+  SELECT doc_id,
+    CAST(coalesce(sum(CASE WHEN gm LIKE '2:%' THEN cnt END), 0) AS BIGINT) AS n_bigrams,
+    CAST(coalesce(max(CASE WHEN gm LIKE '2:%' THEN cnt END), 0) AS BIGINT) AS top_bigram_count,
+    CAST(coalesce(sum(CASE WHEN gm LIKE '3:%' THEN cnt END), 0) AS BIGINT) AS n_trigrams,
+    CAST(coalesce(sum(CASE WHEN gm LIKE '3:%' AND cnt > 1 THEN cnt END), 0) AS BIGINT) AS dup3
+  FROM c GROUP BY 1)
+SELECT t.doc_id,
+  CAST(len(tk) AS BIGINT) AS n_tokens,
+  CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) AS distinct_token_ratio,
+  a.n_bigrams,
+  a.top_bigram_count,
+  CASE WHEN a.n_bigrams > 0
+       THEN CAST(a.top_bigram_count AS DOUBLE) / a.n_bigrams ELSE 0.0 END
+    AS top_bigram_frac,
+  a.n_trigrams,
+  CASE WHEN a.n_trigrams > 0
+       THEN CAST(a.dup3 AS DOUBLE) / a.n_trigrams ELSE 0.0 END
+    AS dup_trigram_frac
+FROM t JOIN a USING (doc_id)"""
+
+
 def oracle_normalize_mask() -> str:
     email = EMAIL_RE
     longnum = LONGNUM_RE

@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .functions.numeric import oracle_davg, oracle_dsum
-from .functions.vectors import oracle_qdot, oracle_quantize
+from .functions.vectors import oracle_qdot, oracle_quantize, oracle_quantize_int8
 from .operators import (
     dedup,
     metrics,
@@ -542,6 +542,10 @@ q("text_quality_score", text.quality_score, text.oracle_quality_score())
 q("text_lang_id", text.lang_id, text.oracle_lang_id())
 q("text_fingerprints", text.fingerprints, text.oracle_fingerprints())
 q("text_normalize_mask", text.normalize_mask, text.oracle_normalize_mask())
+# Gopher-style repetition filters (top-bigram fraction, duplicated-trigram
+# fraction, distinct-token ratio) — one prefixed-gram explode serves both
+# gram sizes; fractions are int/int doubles, bit-exact vs the oracle.
+q("text_repetition_signals", text.repetition_signals, text.oracle_repetition_signals())
 # Vocabulary building (tokenizer-training precursor): top-V types +
 # cumulative token-stream coverage.
 q(
@@ -594,6 +598,13 @@ q(
     dedup.decontamination_hits,
     dedup.oracle_decontamination_hits(),
 )
+# Substring-level duplicate inventory (Lee et al. 2021 shape): md5'd
+# sliding k-token windows → per-doc duplicated-span fraction.
+q(
+    "dedup_duplicate_spans",
+    dedup.duplicate_spans,
+    dedup.oracle_duplicate_spans(),
+)
 # Near-dup twin of the incremental batch-vs-corpus check (LSH band join
 # against the persisted signature index) — rows-only (xxhash64), planted-
 # replica recall asserted in tests.
@@ -638,6 +649,36 @@ c AS (SELECT d.query_id, d.neighbor_id,
 SELECT query_id, neighbor_id, cosine,
        CAST(row_number() OVER (PARTITION BY query_id
             ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
+FROM c QUALIFY rank <= 10""",
+)
+# Compressed-ANN path: int8 scalar-quantized brute force. floor(x·s + 0.5)
+# quantization and the scale-cancelling int-dot cosine are bit-exact across
+# engines, so unlike IVF/LSH this approximate index is fully SQL-oracled;
+# recall vs the exact baseline is additionally asserted in tests.
+_ORACLE_NORMS8 = f"""e AS (SELECT vec_id, {oracle_quantize_int8('embedding')} AS qv FROM embeddings),
+n AS (
+  SELECT vec_id, {oracle_qdot('x', 'x')} AS n2
+  FROM (SELECT vec_id, unnest(qv) AS x FROM e) GROUP BY vec_id
+)"""
+q(
+    "ann_topk_int8",
+    similarity.ann_topk_int8,
+    f"""WITH {_ORACLE_NORMS8},
+q AS (SELECT vec_id AS query_id, qv AS qq FROM e
+      WHERE vec_id % {similarity.QUERY_MOD} = 0),
+p AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+             unnest(list_zip(q.qq, e.qv)) AS z
+      FROM q JOIN e ON e.vec_id <> q.query_id),
+d AS (SELECT query_id, neighbor_id, {oracle_qdot('z[1]', 'z[2]')} AS dot
+      FROM p GROUP BY 1, 2),
+c AS (SELECT d.query_id, d.neighbor_id,
+             {_ORACLE_COS.format(d='d.dot', a='nq.n2', b='nn.n2')} AS approx_cosine
+      FROM d
+      JOIN n nq ON nq.vec_id = d.query_id
+      JOIN n nn ON nn.vec_id = d.neighbor_id)
+SELECT query_id, neighbor_id, approx_cosine,
+       CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY approx_cosine DESC, neighbor_id) AS INTEGER) AS rank
 FROM c QUALIFY rank <= 10""",
 )
 q(
@@ -1822,7 +1863,16 @@ _PRIORITY = [
     "multimodal_resample_audio",
     "multimodal_sample_video_frames",
     "dedup_decontamination",
+    # --- 2b. new this session: repetition filters, span dedup, int8 ANN ---
+    "text_repetition_signals",
+    "dedup_duplicate_spans",
+    "ann_topk_int8",
     # --- 3. re-checks: last green predates operator source change ---
+    # (To fit 2b under the 50-key cap, three ever-green re-checks with
+    # redundant r3 coverage were rotated to the r5 pool: r1_time_axis and
+    # r2_visits_timeseries_last10 — the same axis/read path as the r3-green
+    # r2b/r4b twins — and sliding_visits, whose streaming twin
+    # stream_sliding_visits stays below.)
     # dedup.py changed 4x in r3 (incremental near-dup, CC init fold, ...)
     "dedup_exact_groups",
     "dedup_ngram_jaccard_pairs",
@@ -1844,13 +1894,10 @@ _PRIORITY = [
     # sessions.py changed in r3 (funnel added alongside user_sessions)
     "user_sessions",
     # timeseries.py changed in r3 (ts normalization)
-    "r1_time_axis",
     "r2_visits_timeseries",
-    "r2_visits_timeseries_last10",
     "r3_users_timeseries",
     "r4_experiments_timeseries",
     "r5_variant_overlap",
-    "sliding_visits",
     # streaming/pipeline.py changed in r3 (state-partition sizing) and all
     # stream keys read through events.py, whose ts probing changed in r3+r4
     "stream_visits_per_minute",

@@ -260,6 +260,34 @@ def main(n_events: int = 10_000_000, doc_mult: int = 20) -> None:
             out[f"{name}_s"] = round(dt, 2)
             out[f"{name}_docs_per_s"] = int(n_docs / dt)
 
+        # --- substring-level span dedup + int8 ANN at soak scale --------------
+        def _spans() -> None:
+            t0 = time.perf_counter()
+            dedup.duplicate_spans(spark, sf_dir).write.mode("overwrite").format(
+                "noop"
+            ).save()
+            dt = time.perf_counter() - t0
+            out["duplicate_spans_s"] = round(dt, 2)
+            out["duplicate_spans_docs_per_s"] = int(n_docs / dt)
+
+        section("duplicate_spans", _spans)
+
+        def _int8() -> None:
+            from redis_dataflow_realtime_analytics_spark.operators import similarity
+
+            t0 = time.perf_counter()
+            similarity.ann_topk_int8(spark, "/root/testdata/sf0.1").write.mode(
+                "overwrite"
+            ).format("noop").save()
+            out["ann_int8_s"] = round(time.perf_counter() - t0, 2)
+            t0 = time.perf_counter()
+            similarity.ann_topk_bruteforce(spark, "/root/testdata/sf0.1").write.mode(
+                "overwrite"
+            ).format("noop").save()
+            out["ann_exact_s"] = round(time.perf_counter() - t0, 2)
+
+        section("ann_int8_vs_exact", _int8)
+
         # --- real P6 decode throughput at n_docs ------------------------------
         from redis_dataflow_realtime_analytics_spark.operators import multimodal
 

@@ -207,6 +207,21 @@ def test_incremental_neardup_flags_planted_replicas(spark, corpus):
         assert out[doc_id].est_jaccard == 1.0
 
 
+def test_duplicate_spans_on_planted_corpus(spark, corpus):
+    """In the planted corpus every base doc has an exact copy, so base and
+    copy have dup_span_frac == 1.0; the near-copy (one token changed) keeps
+    every window NOT covering the changed token, so its frac sits strictly
+    between 0 and 1 (40 tokens, window 8 ⇒ at most 8 of 33 windows die)."""
+    rows = {r.doc_id: r for r in dedup.duplicate_spans(spark, corpus).collect()}
+    assert len(rows) == 60
+    for base in range(0, 60, 3):
+        assert rows[base].dup_span_frac == 1.0, f"doc {base} (base)"
+        assert rows[base + 1].dup_span_frac == 1.0, f"doc {base + 1} (copy)"
+        near = rows[base + 2]
+        assert 0.0 < near.dup_span_frac < 1.0, f"doc {base + 2} (near)"
+        assert near.n_dup_spans + 8 >= near.n_spans, f"doc {base + 2} lost too many"
+
+
 def test_decontamination_flags_planted_leakage(spark, corpus):
     """benchmark slice = doc_id % 20 == 0 -> {0, 20, 40}. In the planted
     corpus those are: base 0 (exact copy 1, near copy 2), near-copy 20

@@ -42,6 +42,19 @@ def test_ivf_recall_vs_bruteforce(spark):
     assert mean_recall >= 0.3, f"IVF mean recall {mean_recall}"
 
 
+def test_int8_recall_vs_bruteforce(spark):
+    """int8 scalar quantization keeps near-exact ranking: per-vector scale
+    with 7-bit mantissa loses ~0.4% per component, so top-10 recall vs the
+    exact fixed-point baseline should be near 1 (far above IVF/LSH, which
+    trade recall for scan fraction — int8 trades only memory)."""
+    exact = _topk_sets(similarity.ann_topk_bruteforce(spark, SF_SMOKE, k=10))
+    q8 = _topk_sets(similarity.ann_topk_int8(spark, SF_SMOKE, k=10))
+    assert set(q8) == set(exact)
+    recalls = [len(exact[q] & q8[q]) / 10 for q in exact]
+    assert sum(recalls) / len(recalls) >= 0.9, f"int8 mean recall {recalls}"
+    assert min(recalls) >= 0.7, f"int8 min recall {recalls}"
+
+
 def test_neardup_pairs_symmetric_threshold(spark):
     df = similarity.embedding_neardup_pairs(spark, SF_SMOKE, threshold=0.4)
     for r in df.collect():

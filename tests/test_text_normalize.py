@@ -12,6 +12,35 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 from redis_dataflow_realtime_analytics_spark.operators import text  # noqa: E402
 
 
+def test_repetition_signals_flag_planted_loops(spark, tmp_path):
+    """The synthetic corpus barely repeats trigrams, so plant real
+    degenerate text: a looping doc must score high on both repetition
+    signals, clean text near zero, and the frac algebra must hold."""
+    loop = "buy now " * 20  # 40 tokens of one repeated bigram
+    clean = "the quick brown fox jumps over a lazy dog near the river bank today"
+    half = "alpha beta gamma delta " * 3 + "epsilon zeta eta theta iota kappa"
+    rows = [(1, loop.strip(), "en", "s", 1), (2, clean, "en", "s", 1), (3, half, "en", "s", 1)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+
+    got = {r.doc_id: r for r in text.repetition_signals(spark, str(tmp_path)).collect()}
+    # doc 1: "buy now buy now ..." — every trigram occurs many times; the
+    # top bigram ("buy now") covers 20 of 39 bigram slots
+    assert got[1].dup_trigram_frac == 1.0
+    assert got[1].top_bigram_frac > 0.5
+    assert got[1].distinct_token_ratio == 2 / 40
+    # doc 2: no repeated bigrams/trigrams at all
+    assert got[2].dup_trigram_frac == 0.0
+    assert got[2].top_bigram_count == 1
+    # doc 3: partially looping — strictly between the two
+    assert got[1].dup_trigram_frac > got[3].dup_trigram_frac > got[2].dup_trigram_frac
+    for r in got.values():
+        assert r.n_bigrams == r.n_tokens - 1
+        assert r.n_trigrams == r.n_tokens - 2
+        assert 0.0 <= r.top_bigram_frac <= 1.0 and 0.0 <= r.dup_trigram_frac <= 1.0
+
+
 def test_sequential_mask_counts_and_vertical_tab_parity(spark, tmp_path):
     """Round-1 ADVICE regressions: (a) digit runs inside URLs must not count
     toward n_longnums (counts are taken on the progressively-masked text);
