@@ -67,6 +67,9 @@ HEADLINE = [
     "dedup_duplicate_spans",
     "ann_topk_int8",
     "text_repetition_signals",
+    # new in r4 (cont. 2): bloom-pruned decontamination, ES weighted sampling
+    "dedup_decontamination_bloom",
+    "sample_documents_weighted",
 ]
 
 

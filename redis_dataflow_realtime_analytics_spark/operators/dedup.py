@@ -328,6 +328,109 @@ FROM corpus c JOIN bench b USING (shingle)
 GROUP BY c.doc_id"""
 
 
+#: Bloom filter geometry for :func:`decontamination_hits_bloom` — bits and
+#: hash count. Size ``m`` at ~20+ bits per distinct benchmark shingle for a
+#: sub-1% false-positive rate with 3 hashes: 2^22 bits (512 KB bitmap,
+#: ≤65k int64 words — a trivial broadcast) covers ~200k benchmark
+#: shingles; a 100M-shingle eval suite wants 2^31 (256 MB — still far
+#: smaller than broadcasting the shingle strings). Only words with set
+#: bits materialize, so a sparsely-filled bitmap broadcasts sparsely.
+BLOOM_M_BITS = 1 << 22
+BLOOM_N_HASHES = 3
+
+
+def _bloom_word_bit(seed: int, m_bits: int):
+    """(word index, bit mask) expressions for hash ``seed`` of the
+    ``shingle`` column in an ``m_bits``-bit Bloom bitmap stored as 64-bit
+    words. SQL expressions because ``F.shiftleft`` only takes a literal
+    shift amount; build and probe share this helper, so the bit layout is
+    consistent by construction."""
+    pos = f"pmod(xxhash64(CAST({seed} AS INT), shingle), CAST({m_bits} AS BIGINT))"
+    word = F.expr(f"{pos} DIV 64")
+    mask = F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(pmod({pos}, 64) AS INT))")
+    return word, mask
+
+
+def decontamination_hits_bloom(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = DECON_K,
+    benchmark_mod: int = DECON_MOD,
+    m_bits: int = BLOOM_M_BITS,
+    n_hashes: int = BLOOM_N_HASHES,
+) -> DataFrame:
+    """Bloom-pruned decontamination — identical output to
+    :func:`decontamination_hits` (same oracle), different plan: the
+    benchmark shingle set is compressed into an ``m_bits``-bit Bloom
+    bitmap (``m_bits/64`` rows of 64-bit words, built with ``xxhash64``
+    and ``bit_or`` — no driver round-trip), and corpus shingles pass
+    ``n_hashes`` chained broadcast probes against it BEFORE the exact
+    string equi-join. False positives survive the probe but die in the
+    exact join, so the result is exactly the exact-join result.
+
+    Why this matters at 100 TB: the exact plan broadcasts every benchmark
+    shingle *string* into the corpus-side join (~100s of MB for a large
+    eval suite); here the broadcast is a 16 KB–16 MB bitmap and ~99% of
+    corpus shingles are eliminated in-scan by integer hashing, shrinking
+    the string join's probe side by the corpus hit-rate. This is the
+    engine-level runtime-filter (Bloom join pruning) pattern, spelled out
+    declaratively since Spark exposes no public ``bloom_filter_agg``.
+    """
+    docs = _spread(load(spark, sf_dir, "documents"))
+    is_bench = F.col("doc_id") % benchmark_mod == 0
+    corpus_sh = docs.where(~is_bench).select(
+        "doc_id", F.explode(_shingle_array(k)).alias("shingle")
+    )
+    bench_sh = docs.where(is_bench).select(
+        F.col("doc_id").alias("bench_doc_id"),
+        F.explode(_shingle_array(k)).alias("shingle"),
+    )
+
+    # Build: distinct benchmark shingles -> n_hashes (word, mask) pairs ->
+    # bit_or-folded bitmap words. Map-side partial bit_or collapses to
+    # <= m_bits/64 rows before the (tiny) shuffle.
+    probes = []
+    for seed in range(n_hashes):
+        word, mask = _bloom_word_bit(seed, m_bits)
+        probes.append(F.struct(word.alias("word"), mask.alias("mask")))
+    # localCheckpoint materializes the (<= m_bits/64 row) bitmap ONCE —
+    # the three probe joins below would otherwise each recompute the
+    # benchmark shingle explode. This is the "build the runtime filter,
+    # then reuse it" step a production engine does implicitly.
+    bitmap = (
+        bench_sh.select(F.explode(F.array(*probes)).alias("p"))
+        .groupBy(F.col("p.word").alias("word"))
+        .agg(F.bit_or("p.mask").alias("bits"))
+        .localCheckpoint()
+    )
+
+    # Probe: n_hashes chained broadcast joins — corpus side never shuffles;
+    # a missing word row means "no bit set", so inner join + mask test.
+    cand = corpus_sh
+    for seed in range(n_hashes):
+        word, mask = _bloom_word_bit(seed, m_bits)
+        bm = F.broadcast(
+            bitmap.withColumnRenamed("word", f"w{seed}").withColumnRenamed(
+                "bits", f"bits{seed}"
+            )
+        )
+        cand = (
+            cand.withColumn(f"probe{seed}", word)
+            .join(bm, F.col(f"probe{seed}") == F.col(f"w{seed}"))
+            .where(F.col(f"bits{seed}").bitwiseAND(mask) != 0)
+            .drop(f"probe{seed}", f"w{seed}", f"bits{seed}")
+        )
+
+    return (
+        cand.join(bench_sh, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count_distinct("shingle").alias("n_shared_shingles"),
+            F.count_distinct("bench_doc_id").alias("n_benchmark_docs_hit"),
+        )
+    )
+
+
 # --- Exact duplicate spans (substring-level dedup) ---------------------------
 #: Token window width for span-level dedup. Lee et al. 2021 ("Deduplicating
 #: Training Data Makes Language Models Better") use 50-BPE-token substrings

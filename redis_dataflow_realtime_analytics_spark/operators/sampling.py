@@ -225,3 +225,121 @@ def pack_documents(spark: SparkSession, sf_dir: str, max_tokens: int = 512) -> D
         F.col("n_tokens").cast("bigint").alias("n_tokens"),
         F.floor(tokens_before / F.lit(max_tokens)).alias("pack_id"),
     )
+
+
+#: Hex digits of md5 used as the uniform draw for weighted sampling.
+#: 13 hex digits = 52 bits — the full significand of an IEEE double, so
+#: ``(v + 1) / 16**13`` is exact in both engines and lies in (0, 1].
+_U_HEX = 13
+
+
+def _uniform_01(key: F.Column) -> F.Column:
+    """Deterministic uniform draw in (0, 1] from md5(key) — the same
+    engine-portable trick as :func:`_hash_bucket`, widened to 52 bits."""
+    v = F.conv(F.substring(F.md5(key.cast("string")), 1, _U_HEX), 16, 10).cast("double")
+    return (v + F.lit(1.0)) / F.lit(float(16**_U_HEX))
+
+
+def weighted_sample_documents(
+    spark: SparkSession, sf_dir: str, k: int = 100
+) -> DataFrame:
+    """Weighted sampling without replacement — ``k`` documents drawn with
+    probability proportional to length (``n_chars``), the "sample long/
+    high-quality docs preferentially" training-mix move.
+
+    Uses the Efraimidis–Spirakis exponential-key scheme: each doc gets
+    ``key = ln(u) / w`` for a uniform ``u`` (equivalent to ranking by
+    ``u^(1/w)``); the ``k`` largest keys are exactly a weight-proportional
+    sample without replacement. ``u`` comes from md5(doc_id), so the draw
+    is deterministic, partition-invariant, and reproducible across engines
+    — the oracle recomputes the identical sample in DuckDB.
+
+    Scale: no shuffle for the keys (row-local projection); the global
+    top-k compiles to ``TakeOrderedAndProject`` — per-partition heaps of
+    ``k`` rows merged on the driver, never a global sort. At 100 TB this
+    is the one sampling scheme where rejection/threshold tricks don't
+    apply (weights are unbounded); per-partition heaps keep it one pass.
+    """
+    docs = load(spark, sf_dir, "documents")
+    w = F.greatest(F.col("n_chars"), F.lit(1)).cast("double")
+    key = F.log(_uniform_01(F.col("doc_id"))) / w
+    return (
+        docs.select("doc_id", "lang", "source", "n_chars", key.alias("es_key"))
+        .orderBy(F.desc("es_key"), "doc_id")
+        .limit(k)
+        .select("doc_id", "lang", "source", "n_chars")
+    )
+
+
+def oracle_weighted_sample(k: int = 100) -> str:
+    """DuckDB twin of :func:`weighted_sample_documents` (same md5 draw;
+    hex → bigint via DuckDB's ``'0x…'::BIGINT`` parse)."""
+    u = (
+        f"(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, {_U_HEX})) AS BIGINT)"
+        f" + 1.0) / {float(16**_U_HEX)!r}"
+    )
+    return f"""SELECT doc_id, lang, source, n_chars
+FROM (
+  SELECT doc_id, lang, source, n_chars,
+         ln({u}) / greatest(n_chars, 1) AS es_key
+  FROM documents
+  ORDER BY es_key DESC, doc_id
+  LIMIT {k})"""
+
+
+def temperature_mix(
+    spark: SparkSession, sf_dir: str, alpha: float = 0.3
+) -> DataFrame:
+    """Temperature-smoothed language mixture (the mT5/XLM-R sampling rule):
+    natural share ``p_l`` = language's fraction of corpus characters;
+    smoothed share ``q_l ∝ p_l^alpha``. ``alpha < 1`` upsamples
+    low-resource languages toward uniform; the ``upsample_factor`` column
+    (``q_l / p_l``) is the epochs-per-language multiplier that
+    :func:`upsample_by_language` hard-codes — here it is *derived from the
+    corpus* instead.
+
+    Scale: one aggregation shuffle to language grain (map-side partials
+    collapse to |languages| rows), then two 1-row broadcasts for the
+    denominators. Cost is the scan; everything after is O(|languages|).
+    """
+    docs = load(spark, sf_dir, "documents")
+    g = docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
+    tot = g.agg(F.sum("total_chars").cast("double").alias("corpus_chars"))
+    p = g.join(F.broadcast(tot)).withColumn(
+        "natural_share", F.col("total_chars") / F.col("corpus_chars")
+    )
+    z = p.agg(F.sum(F.pow("natural_share", F.lit(alpha))).alias("z"))
+    return (
+        p.join(F.broadcast(z))
+        .select(
+            "lang",
+            "n_docs",
+            "total_chars",
+            "natural_share",
+            (F.pow("natural_share", F.lit(alpha)) / F.col("z")).alias("smoothed_share"),
+            (
+                F.pow("natural_share", F.lit(alpha)) / F.col("z") / F.col("natural_share")
+            ).alias("upsample_factor"),
+        )
+    )
+
+
+def oracle_temperature_mix(alpha: float = 0.3) -> str:
+    """DuckDB twin of :func:`temperature_mix`."""
+    return f"""WITH g AS (
+  SELECT lang, count(*) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS total_chars
+  FROM documents GROUP BY 1
+), p AS (
+  SELECT *, total_chars / (SELECT CAST(sum(total_chars) AS DOUBLE) FROM g) AS natural_share
+  FROM g
+)
+SELECT lang, n_docs, total_chars, natural_share,
+       pow(natural_share, {alpha}) / (SELECT sum(pow(natural_share, {alpha})) FROM p)
+         AS smoothed_share,
+       pow(natural_share, {alpha}) / (SELECT sum(pow(natural_share, {alpha})) FROM p)
+         / natural_share AS upsample_factor
+FROM p"""

@@ -598,6 +598,15 @@ q(
     dedup.decontamination_hits,
     dedup.oracle_decontamination_hits(),
 )
+# Bloom-pruned scale twin (r4): benchmark shingles compressed to a 16 KB
+# bitmap, corpus shingles pre-filtered by 3 chained broadcast probes before
+# the exact string join. Bloom false positives die in the exact join, so
+# the output — and the oracle — are IDENTICAL to dedup_decontamination.
+q(
+    "dedup_decontamination_bloom",
+    dedup.decontamination_hits_bloom,
+    dedup.oracle_decontamination_hits(),
+)
 # Substring-level duplicate inventory (Lee et al. 2021 shape): md5'd
 # sliding k-token windows → per-doc duplicated-span fraction.
 q(
@@ -977,6 +986,26 @@ q(
     _stream_store_variant_uniques,
     f"""{EV_CTE}
 SELECT variant, count(DISTINCT user_id) AS unique_users FROM ev GROUP BY 1""",
+)
+
+
+def _stream_enriched_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming import pipeline as sp
+    from .tables import load
+
+    return sp.stream_enriched_events(
+        spark, f"{sf_dir}/events.parquet", load(spark, sf_dir, "customer")
+    )
+
+
+# Stream-static dimension join (stateless broadcast enrichment per
+# micro-batch) — same oracle as the batch twin events_enriched_with_customer.
+q(
+    "stream_enriched_events",
+    _stream_enriched_events,
+    f"""{EV_CTE}
+SELECT event_id, e.user_id, ts, variant, c_nationkey, c_mktsegment
+FROM ev e LEFT JOIN customer c ON e.user_id = c.c_custkey""",
 )
 
 
@@ -1425,6 +1454,21 @@ q(
     sampling.topk_per_stratum,
     sampling.oracle_topk_per_stratum(),
 )
+# Weight-proportional sampling without replacement (Efraimidis–Spirakis
+# exponential keys over a deterministic md5 draw; global top-k compiles to
+# TakeOrderedAndProject — per-partition heaps, never a full sort).
+q(
+    "sample_documents_weighted",
+    sampling.weighted_sample_documents,
+    sampling.oracle_weighted_sample(),
+)
+# Temperature-smoothed language mixture (mT5/XLM-R sampling rule): derives
+# the epochs-per-language multipliers upsample_by_language hard-codes.
+q(
+    "corpus_temperature_mix",
+    sampling.temperature_mix,
+    sampling.oracle_temperature_mix(),
+)
 q(
     "chunk_documents",
     sampling.chunk_documents,
@@ -1867,6 +1911,17 @@ _PRIORITY = [
     "text_repetition_signals",
     "dedup_duplicate_spans",
     "ann_topk_int8",
+    # --- 2c. new this session (cont.): bloom-pruned decontamination,
+    # weighted sampling, temperature mixture, stream-static enrichment.
+    # (To stay under the 50-key cap, four re-checks whose code paths are
+    # already covered by keys that remain in the window rotated to the r5
+    # pool: w5/w7/w9 — the same _ev read + groupBy shape as the retained
+    # w1/w2/w3/w11 legs — and q18, whose relational.py change was
+    # perf-only and is covered by the retained q1/q21 heavy scans.)
+    "dedup_decontamination_bloom",
+    "sample_documents_weighted",
+    "corpus_temperature_mix",
+    "stream_enriched_events",
     # --- 3. re-checks: last green predates operator source change ---
     # (To fit 2b under the 50-key cap, three ever-green re-checks with
     # redundant r3 coverage were rotated to the r5 pool: r1_time_axis and
@@ -1913,16 +1968,12 @@ _PRIORITY = [
     "w3_uniques_per_variant",
     "w3_uniques_per_variant_salted",
     "w4_user_sets_per_variant",
-    "w5_uniques_per_experiment",
-    "w7_experiments_per_minute",
-    "w9_variants_per_minute",
     "w11_uniques_per_minute",
     "ev_grouping_sets_uniques",
     "ev_cube_uniques",
     # relational.py r3 change was perf-only (input-split spread) — re-check
     # the heavy-scan keys it most affects; the rest rotate through in r5
     "q1_pricing_summary",
-    "q18_large_volume_customers",
     "q21_suppliers_kept_waiting",
 ]
 

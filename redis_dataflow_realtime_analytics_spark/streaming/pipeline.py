@@ -303,6 +303,32 @@ def stream_click_error_join(
     return _replay_to_memory_append(spark, joined, "ssjoin")
 
 
+def stream_enriched_events(
+    spark: SparkSession,
+    events_path: str,
+    customer: DataFrame,
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """Stream-static dimension enrichment: the event *stream* left-joined
+    to the static ``customer`` dimension — the canonical streaming lookup
+    join (Structured Streaming re-plans the static side per micro-batch,
+    so a slowly-refreshed dimension table is picked up between batches).
+
+    Reuses the batch operator verbatim
+    (``operators.timeseries.events_enriched_with_customer``) — the same
+    declarative plan runs in both modes, which IS the stream/batch parity
+    argument: one broadcast hash join per micro-batch, zero stream-side
+    shuffle, no state store at all (stream-static left joins are
+    stateless). Oracle: the batch twin's SQL.
+    """
+    from ..operators.timeseries import events_enriched_with_customer
+
+    ev = normalize_events(read_events_stream(spark, events_path, max_files_per_trigger))
+    return _replay_to_memory_append(
+        spark, events_enriched_with_customer(ev, customer), "enrich"
+    )
+
+
 # ---------------------------------------------------------------------------
 # foreachBatch mergeable-partials store
 # ---------------------------------------------------------------------------

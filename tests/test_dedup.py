@@ -236,3 +236,33 @@ def test_decontamination_flags_planted_leakage(spark, corpus):
     for doc_id in planted:
         assert out[doc_id].n_shared_shingles >= 25
         assert out[doc_id].n_benchmark_docs_hit >= 1
+
+
+def test_bloom_decontamination_equals_exact(spark, corpus):
+    """The Bloom probe only PRUNES — false positives die in the exact
+    string join — so the bloom twin's output must equal the exact
+    operator's row-for-row (they share one oracle in the registry)."""
+    exact = {
+        (r.doc_id, r.n_shared_shingles, r.n_benchmark_docs_hit)
+        for r in dedup.decontamination_hits(spark, corpus).collect()
+    }
+    bloom = {
+        (r.doc_id, r.n_shared_shingles, r.n_benchmark_docs_hit)
+        for r in dedup.decontamination_hits_bloom(spark, corpus).collect()
+    }
+    assert bloom == exact
+
+
+def test_bloom_decontamination_tiny_filter_still_exact(spark, corpus):
+    """Even a deliberately saturated bitmap (64 bits, 1 hash — high false-
+    positive rate) must not change the result: the exact join is the
+    correctness gate, the Bloom stage only affects how much work reaches
+    it."""
+    exact = {r.doc_id for r in dedup.decontamination_hits(spark, corpus).collect()}
+    bloom = {
+        r.doc_id
+        for r in dedup.decontamination_hits_bloom(
+            spark, corpus, m_bits=64, n_hashes=1
+        ).collect()
+    }
+    assert bloom == exact

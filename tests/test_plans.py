@@ -262,3 +262,26 @@ def test_video_frame_sampler_is_shuffle_free(spark):
 
     df = multimodal.sample_video_frames(multimodal.with_video_blob(spark, SF_SMOKE))
     assert plans.count_exchanges(df) == 0, plans.plan_string(df)
+
+
+def test_bloom_decontamination_probes_are_broadcast(spark):
+    # every Bloom probe is a broadcast hash join of the tiny bitmap — the
+    # corpus side must never shuffle before the final aggregation, and no
+    # pair join may appear anywhere.
+    from redis_dataflow_realtime_analytics_spark.operators import dedup
+
+    df = dedup.decontamination_hits_bloom(spark, SF_SMOKE)
+    p = plans.plan_string(df)
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+    assert p.count("BroadcastHashJoin") >= dedup.BLOOM_N_HASHES, p
+
+
+def test_weighted_sample_is_takeordered_not_global_sort(spark):
+    # the ES top-k must compile to TakeOrderedAndProject (per-partition
+    # heaps + driver merge of k rows), never a full Sort + Exchange.
+    from redis_dataflow_realtime_analytics_spark.operators import sampling
+
+    df = sampling.weighted_sample_documents(spark, SF_SMOKE, k=30)
+    p = plans.plan_string(df)
+    assert "TakeOrderedAndProject" in p, p
+    assert plans.count_exchanges(df) == 0, p

@@ -103,3 +103,56 @@ def test_pack_deterministic_under_repartition(spark):
     b_df = sampling.pack_documents(spark, SF_SMOKE)
     b = sorted(map(tuple, b_df.repartition(7).collect()))
     assert a == b
+
+
+def test_weighted_sample_deterministic_and_biased_toward_weight(spark):
+    """ES sampling is reproducible (same md5 draw every run) and
+    weight-proportional: the length-weighted sample's mean n_chars must
+    exceed the unweighted population mean."""
+    a = sampling.weighted_sample_documents(spark, SF_SMOKE, k=30).collect()
+    b = sampling.weighted_sample_documents(spark, SF_SMOKE, k=30).collect()
+    assert [r.doc_id for r in a] == [r.doc_id for r in b]
+    assert len(a) == 30
+    pop_mean = (
+        load(spark, SF_SMOKE, "documents").agg(F.avg("n_chars")).collect()[0][0]
+    )
+    sample_mean = sum(r.n_chars for r in a) / len(a)
+    assert sample_mean > pop_mean
+
+
+def test_weighted_sample_membership_matches_brute_force(spark):
+    """The top-k by ES key computed via TakeOrderedAndProject must equal a
+    driver-side brute-force recomputation of the same formula."""
+    import math
+
+    docs = load(spark, SF_SMOKE, "documents").select("doc_id", "n_chars").collect()
+    import hashlib
+
+    def es_key(doc_id, n_chars):
+        h = hashlib.md5(str(doc_id).encode()).hexdigest()[:13]
+        u = (int(h, 16) + 1.0) / 16**13
+        return math.log(u) / max(n_chars, 1)
+
+    want = {
+        d.doc_id
+        for d in sorted(docs, key=lambda d: (-es_key(d.doc_id, d.n_chars), d.doc_id))[:30]
+    }
+    got = {
+        r.doc_id for r in sampling.weighted_sample_documents(spark, SF_SMOKE, k=30).collect()
+    }
+    assert got == want
+
+
+def test_temperature_mix_invariants(spark):
+    """Shares are distributions; alpha < 1 pulls toward uniform, so the
+    largest language is downweighted (factor < 1) and the smallest is
+    upweighted (factor > 1). alpha == 1 is the identity mix."""
+    rows = sampling.temperature_mix(spark, SF_SMOKE, alpha=0.3).collect()
+    assert abs(sum(r.natural_share for r in rows) - 1.0) < 1e-9
+    assert abs(sum(r.smoothed_share for r in rows) - 1.0) < 1e-9
+    biggest = max(rows, key=lambda r: r.natural_share)
+    smallest = min(rows, key=lambda r: r.natural_share)
+    assert biggest.upsample_factor < 1.0 < smallest.upsample_factor
+    ident = sampling.temperature_mix(spark, SF_SMOKE, alpha=1.0).collect()
+    for r in ident:
+        assert abs(r.upsample_factor - 1.0) < 1e-9

@@ -146,3 +146,28 @@ def test_sketch_store_batch_replay_is_idempotent(spark, tmp_path):
         a = sorted(map(tuple, reader(spark, once).collect()))
         b = sorted(map(tuple, reader(spark, replayed).collect()))
         assert a == b, f"{reader.__name__} changed under replay"
+
+
+def test_stream_static_enrichment_matches_batch(spark, multi_file_events):
+    """Stream-static broadcast left join must equal the batch twin on the
+    same data (the join is stateless — every micro-batch is enriched
+    independently), and must keep events with no matching customer."""
+    from redis_dataflow_realtime_analytics_spark.operators.timeseries import (
+        events_enriched_with_customer,
+    )
+    from redis_dataflow_realtime_analytics_spark.tables import load
+
+    customer = load(spark, SF_SMOKE, "customer")
+    got = {
+        tuple(r)
+        for r in sp.stream_enriched_events(spark, multi_file_events, customer).collect()
+    }
+    want = {
+        tuple(r)
+        for r in events_enriched_with_customer(
+            normalize_events(read_events(spark, SF_SMOKE)), customer
+        ).collect()
+    }
+    assert got == want
+    # enrichment never drops events
+    assert len(got) == read_events(spark, SF_SMOKE).count()
