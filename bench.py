@@ -70,6 +70,9 @@ HEADLINE = [
     # new in r4 (cont. 2): bloom-pruned decontamination, ES weighted sampling
     "dedup_decontamination_bloom",
     "sample_documents_weighted",
+    # new in r4 (cont. 3): star-rounds clustering + BMP container decode
+    "dedup_connected_components_star",
+    "multimodal_decode_bmp",
 ]
 
 

@@ -790,6 +790,102 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
     raise RuntimeError(f"connected_components did not converge in {max_iter} iterations")
 
 
+def _star_edges_sig(edges: DataFrame) -> tuple[int, int]:
+    """(count, xxhash64 xor) fingerprint of an edge set — one action; a
+    64-bit xor collision between consecutive DIFFERENT edge sets is
+    negligible (edges are distinct rows), so equal fingerprints mean the
+    alternation reached its fixed point."""
+    row = edges.agg(
+        F.count("*").alias("n"),
+        F.coalesce(F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)).alias("h"),
+    ).first()
+    return row["n"], row["h"]
+
+
+def connected_components_star(edges: DataFrame, max_iter: int = 50) -> DataFrame:
+    """Connected components via alternating large-star/small-star rounds
+    (Kiveris et al. 2014, "Connected Components in MapReduce and Beyond")
+    — the adversarial-topology alternative to min-label propagation
+    (:func:`connected_components`): converges in O(log² n) rounds on ANY
+    graph, including the long-chain/high-diameter graphs where label
+    propagation needs O(diameter) rounds. Same output contract:
+    ``(doc_id, component_id)`` with component_id = min reachable id, so
+    the two implementations share one SQL oracle.
+
+    large-star: every node links its strictly-larger neighbors to the
+    minimum of its closed neighborhood (halves tall structures);
+    small-star: every node links its ≤-neighbors and itself to their
+    minimum (flattens into stars). Both are one groupBy + one equi-join —
+    shuffle keyed by node id — and strictly shrink the potential function,
+    so the edge multiset reaches a star forest whose centers are the
+    component minima. Per round: two shuffles + one fingerprint action;
+    ``localCheckpoint`` truncates lineage (use ``checkpoint`` + a
+    checkpoint dir on a cluster).
+
+    Deterministic: min() over int64 ids only — same guarantees as the
+    propagation variant.
+    """
+    e = (
+        edges.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev_sig = _star_edges_sig(e)
+    for _ in range(max_iter):
+        # large-star
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("nbr_min"))
+            .select("u", F.least("u", "nbr_min").alias("m"))
+        )
+        e = (
+            sym.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star (on edges directed child=greater -> parent=smaller)
+        d = e.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).distinct()
+        mins = d.groupBy("u").agg(F.min("v").alias("m"))
+        e = (
+            d.join(mins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(mins.select(F.col("u"), F.col("m").alias("v")))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+        sig = _star_edges_sig(e)  # materializes the checkpoint too
+        if sig == prev_sig:
+            # star forest: u = member, v = component min; add the centers
+            roots = e.select(F.col("v").alias("u"), F.col("v"))
+            return (
+                e.union(roots)
+                .distinct()
+                .select(
+                    F.col("u").alias("doc_id"), F.col("v").alias("component_id")
+                )
+            )
+        prev_sig = sig
+    raise RuntimeError(f"connected_components_star did not converge in {max_iter} rounds")
+
+
+def neardup_components_star(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.5
+) -> DataFrame:
+    """:func:`neardup_components` computed by the large-star/small-star
+    rounds instead of min-label propagation — same SQL-oracled edge set
+    (:func:`ngram_jaccard_pairs`), same output, same oracle; registered
+    separately so the driver gates BOTH clustering algorithms."""
+    edges = ngram_jaccard_pairs(spark, sf_dir, threshold=threshold)
+    return connected_components_star(edges)
+
+
 def neardup_components(
     spark: SparkSession, sf_dir: str, threshold: float = 0.5
 ) -> DataFrame:

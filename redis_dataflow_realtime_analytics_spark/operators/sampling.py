@@ -287,6 +287,91 @@ FROM (
   LIMIT {k})"""
 
 
+def weighted_sample_per_language(
+    spark: SparkSession, sf_dir: str, k: int = 20
+) -> DataFrame:
+    """Per-stratum weighted sampling: for every language, the ``k``
+    documents drawn weight-proportionally (Efraimidis–Spirakis keys, same
+    deterministic md5 draw as :func:`weighted_sample_documents`) — the
+    "exactly 10k docs per language, long docs preferred" assembly move
+    combining :func:`topk_per_stratum`'s budget with ES weighting.
+
+    Scale: one shuffle keyed by the stratum column; Spark's
+    WindowGroupLimit pushes the rank limit into each partition, so only
+    ~k rows per stratum survive to the sort."""
+    docs = load(spark, sf_dir, "documents")
+    w = F.greatest(F.col("n_chars"), F.lit(1)).cast("double")
+    key = F.log(_uniform_01(F.col("doc_id"))) / w
+    win = Window.partitionBy("lang").orderBy(F.desc("es_key"), "doc_id")
+    return (
+        docs.select("doc_id", "lang", "n_chars", key.alias("es_key"))
+        .withColumn("rk", F.row_number().over(win))
+        .where(F.col("rk") <= k)
+        .select("lang", "doc_id", "n_chars", F.col("rk").cast("int").alias("rk"))
+    )
+
+
+def oracle_weighted_sample_per_language(k: int = 20) -> str:
+    """DuckDB twin of :func:`weighted_sample_per_language`."""
+    u = (
+        f"(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, {_U_HEX})) AS BIGINT)"
+        f" + 1.0) / {float(16**_U_HEX)!r}"
+    )
+    return f"""SELECT lang, doc_id, n_chars, CAST(rk AS INTEGER) AS rk
+FROM (
+  SELECT lang, doc_id, n_chars,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY ln({u}) / greatest(n_chars, 1) DESC, doc_id) AS rk
+  FROM documents)
+WHERE rk <= {k}"""
+
+
+def length_clip_filter(
+    spark: SparkSession, sf_dir: str, lo: float = 0.05, hi: float = 0.95
+) -> DataFrame:
+    """Distribution-derived quality gate: keep documents whose length sits
+    within the per-language [p5, p95] band — the Gopher-style length
+    outlier filter with thresholds DERIVED from the corpus rather than
+    hard-coded. ``percentile_disc`` picks actual data values (no
+    interpolation), so the thresholds — and therefore the kept set — are
+    bit-identical across engines and partitionings.
+
+    Plan: one aggregation to |languages| threshold rows, broadcast back
+    into a row-local filter — the "compute the rule, then apply it in one
+    scan" shape every derived-threshold filter should compile to.
+    """
+    docs = load(spark, sf_dir, "documents")
+    # percentile_disc returns DOUBLE in Spark even over bigint input; the
+    # picked values are actual n_chars data values, so the bigint cast is
+    # lossless and keeps both engines' output types identical.
+    bounds = docs.groupBy("lang").agg(
+        F.expr(f"percentile_disc({lo}) WITHIN GROUP (ORDER BY n_chars)")
+        .cast("bigint")
+        .alias("p_lo"),
+        F.expr(f"percentile_disc({hi}) WITHIN GROUP (ORDER BY n_chars)")
+        .cast("bigint")
+        .alias("p_hi"),
+    )
+    return (
+        docs.join(F.broadcast(bounds), "lang")
+        .where(F.col("n_chars").between(F.col("p_lo"), F.col("p_hi")))
+        .select("doc_id", "lang", "n_chars", "p_lo", "p_hi")
+    )
+
+
+def oracle_length_clip_filter(lo: float = 0.05, hi: float = 0.95) -> str:
+    """DuckDB twin of :func:`length_clip_filter`."""
+    return f"""WITH bounds AS (
+  SELECT lang,
+         CAST(quantile_disc(n_chars, {lo}) AS BIGINT) AS p_lo,
+         CAST(quantile_disc(n_chars, {hi}) AS BIGINT) AS p_hi
+  FROM documents GROUP BY 1)
+SELECT doc_id, d.lang, n_chars, p_lo, p_hi
+FROM documents d JOIN bounds b ON d.lang = b.lang
+WHERE n_chars BETWEEN p_lo AND p_hi"""
+
+
 def temperature_mix(
     spark: SparkSession, sf_dir: str, alpha: float = 0.3
 ) -> DataFrame:

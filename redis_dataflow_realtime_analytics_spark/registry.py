@@ -828,6 +828,46 @@ SELECT doc_id,
        avg(byte) AS mean_gray
 FROM b GROUP BY doc_id, w, h, n_pay""",
 )
+# Windows BMP (BITMAPINFOHEADER, 24-bit BI_RGB) — the first codec with
+# non-trivial container math: little-endian header fields, bottom-up row
+# order, per-row 4-byte padding (non-zero for 75% of the synthesized
+# geometries). first_px_* is the TOP-LEFT pixel after the un-flip, so a
+# decoder that skips the row flip or the stride hash-fails; the oracle
+# re-derives every feature from the unpadded hash stream.
+q(
+    "multimodal_decode_bmp",
+    lambda s, d: multimodal.decode_bmp_features(multimodal.with_bmp_blob(s, d)),
+    r"""WITH img AS (
+  SELECT doc_id,
+         CAST(doc_id % 24 + 8 AS INTEGER) AS w,
+         CAST((doc_id * 7) % 16 + 8 AS INTEGER) AS h,
+         sha256(CAST(doc_id AS VARCHAR) || text) AS hx
+  FROM documents
+), geom AS (
+  SELECT doc_id, w, h, w*h*3 AS n_pay,
+         CAST((4 - (w*3) % 4) % 4 AS INTEGER) AS pad,
+         substring(repeat(hx, CAST(ceil((w*h*3) / 32.0) AS INTEGER)), 1, w*h*3*2) AS ph
+  FROM img
+), b AS (
+  SELECT doc_id, w, h, pad, i,
+         (strpos('0123456789abcdef', substring(ph, 2*i-1, 1)) - 1) * 16
+         + (strpos('0123456789abcdef', substring(ph, 2*i, 1)) - 1) AS byte,
+         (i - 1) % 3 AS ch,
+         i - (h-1)*w*3 AS fp_off
+  FROM geom, LATERAL unnest(generate_series(1, n_pay)) AS t(i)
+)
+SELECT doc_id,
+       CAST(54 + (w*3 + pad) * h AS INTEGER) AS n_bytes,
+       w AS width, h AS height, pad AS row_pad,
+       avg(byte) AS mean_byte,
+       avg(CASE WHEN ch=0 THEN byte END) AS mean_b,
+       avg(CASE WHEN ch=1 THEN byte END) AS mean_g,
+       avg(CASE WHEN ch=2 THEN byte END) AS mean_r,
+       CAST(max(CASE WHEN fp_off=1 THEN byte END) AS INTEGER) AS first_px_b,
+       CAST(max(CASE WHEN fp_off=2 THEN byte END) AS INTEGER) AS first_px_g,
+       CAST(max(CASE WHEN fp_off=3 THEN byte END) AS INTEGER) AS first_px_r
+FROM b GROUP BY doc_id, w, h, pad""",
+)
 # Third real codec (r4): RIFF/WAV PCM s16le mono audio — the header is
 # assembled byte-for-byte with Catalyst expressions, the pure-numpy
 # decoder parses it strictly, and every output aggregate is an EXACT
@@ -1462,6 +1502,20 @@ q(
     sampling.weighted_sample_documents,
     sampling.oracle_weighted_sample(),
 )
+# Per-stratum variant: exactly-k weight-proportional docs per language
+# (WindowGroupLimit prunes to ~k rows per stratum before the sort).
+q(
+    "sample_weighted_per_language",
+    sampling.weighted_sample_per_language,
+    sampling.oracle_weighted_sample_per_language(),
+)
+# Distribution-derived length gate: per-language [p5, p95] percentile_disc
+# bounds broadcast back into a row-local filter.
+q(
+    "corpus_length_clip",
+    sampling.length_clip_filter,
+    sampling.oracle_length_clip_filter(),
+)
 # Temperature-smoothed language mixture (mT5/XLM-R sampling rule): derives
 # the epochs-per-language multipliers upsample_by_language hard-codes.
 q(
@@ -1612,6 +1666,14 @@ q(
 q(
     "dedup_connected_components",
     dedup.neardup_components,
+    dedup.oracle_neardup_components(),
+)
+# The same clustering by large-star/small-star alternation (Kiveris et al.
+# 2014) — O(log² n) rounds on ANY topology vs propagation's O(diameter);
+# identical output contract, so it shares the recursive-CTE oracle.
+q(
+    "dedup_connected_components_star",
+    dedup.neardup_components_star,
     dedup.oracle_neardup_components(),
 )
 q(
@@ -1882,19 +1944,23 @@ FROM topk t JOIN documents dd ON dd.doc_id = t.neighbor_id""",
 # Rows-only keys are excluded from the window entirely: the driver can
 # only record `err: no_oracle` for them (r3 lesson — a wasted slot);
 # their gates are the recall/determinism/error-band pytest suites.
-# This rotation reorders and adds the r4 keys (multimodal_decode_gray,
-# multimodal_decode_audio, multimodal_resample_audio,
-# multimodal_sample_video_frames, dedup_decontamination); every existing
-# (query, oracle) pairing is unchanged.
+# This rotation reorders and adds the r4 keys (sections 2–2e below: the
+# gray/audio/video/BMP codecs, decontamination + bloom twin, span dedup,
+# int8 ANN, repetition filters, weighted/temperature/length-clip sampling,
+# stream-static enrichment, star-rounds CC); every PRE-EXISTING
+# (query, oracle) pairing is unchanged — new keys add pairings.
 # R5 POOL (stale keys that did not fit this window — rotate them in next
-# round, plus anything whose source changes in r4+): the remaining
+# round, plus anything whose source changes in r5): the remaining
 # relational re-checks (q2/q3/q4/q5/q6/q13, cube/rollup/pivot/unpivot,
 # set-op keys, top_orders_per_customer, running_revenue_per_supplier,
 # top_orders_by_value, user_event_features, monthly_order_revenue,
 # order_scalar_projections, priciest_parts_per_brand,
 # returnflag_discount_profile, customers_with/without_orders,
-# customer_keys_*, active_entity_keys_union, ev_grouping_sets/cube) and
-# the r1-green text_quality_score twin keys if text.py changes again.
+# customer_keys_*, active_entity_keys_union), the re-checks rotated out
+# late-r4 to fit the new keys (w5/w7/w9, q18, r2/r4 timeseries,
+# ev_cube_uniques, text_normalize_mask, r1_time_axis,
+# r2_visits_timeseries_last10, sliding_visits), and the r1-green
+# text_quality_score twin keys if text.py changes again.
 # ---------------------------------------------------------------------------
 _PRIORITY = [
     # --- 1. fixed this round (r3's three red rows) ---
@@ -1922,6 +1988,20 @@ _PRIORITY = [
     "sample_documents_weighted",
     "corpus_temperature_mix",
     "stream_enriched_events",
+    # --- 2d. new this session (cont. 2): star-rounds CC, per-language
+    # weighted sampling, derived-threshold length gate. Rotated to the r5
+    # pool in exchange: r2_visits_timeseries + r4_experiments_timeseries
+    # (the r3-green r2b/r4b twins cover the identical axis/read path) and
+    # ev_cube_uniques (ev_grouping_sets_uniques remains — same multi-grain
+    # shape over the same _ev read).
+    "dedup_connected_components_star",
+    "sample_weighted_per_language",
+    "corpus_length_clip",
+    # --- 2e. new this session (cont. 3): BMP codec (little-endian header,
+    # bottom-up rows, stride padding). Rotated out in exchange:
+    # text_normalize_mask (text.py coverage stays via the six other text
+    # keys in the window).
+    "multimodal_decode_bmp",
     # --- 3. re-checks: last green predates operator source change ---
     # (To fit 2b under the 50-key cap, three ever-green re-checks with
     # redundant r3 coverage were rotated to the r5 pool: r1_time_axis and
@@ -1936,7 +2016,6 @@ _PRIORITY = [
     "text_token_stats",
     "text_fingerprints",
     "text_lang_id",
-    "text_normalize_mask",
     "text_tfidf_top_terms",
     # sampling.py changed in r3 (exact-k stratum sampling added)
     "sample_documents_hash",
@@ -1949,9 +2028,7 @@ _PRIORITY = [
     # sessions.py changed in r3 (funnel added alongside user_sessions)
     "user_sessions",
     # timeseries.py changed in r3 (ts normalization)
-    "r2_visits_timeseries",
     "r3_users_timeseries",
-    "r4_experiments_timeseries",
     "r5_variant_overlap",
     # streaming/pipeline.py changed in r3 (state-partition sizing) and all
     # stream keys read through events.py, whose ts probing changed in r3+r4
@@ -1970,7 +2047,6 @@ _PRIORITY = [
     "w4_user_sets_per_variant",
     "w11_uniques_per_minute",
     "ev_grouping_sets_uniques",
-    "ev_cube_uniques",
     # relational.py r3 change was perf-only (input-split spread) — re-check
     # the heavy-scan keys it most affects; the rest rotate through in r5
     "q1_pricing_summary",

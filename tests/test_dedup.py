@@ -266,3 +266,36 @@ def test_bloom_decontamination_tiny_filter_still_exact(spark, corpus):
         ).collect()
     }
     assert bloom == exact
+
+
+def test_star_components_equal_propagation_on_corpus(spark, corpus):
+    """Large-star/small-star and min-label propagation must produce the
+    identical (doc_id, component_id) labeling on the planted corpus —
+    they share one SQL oracle in the registry."""
+    a = {
+        (r.doc_id, r.component_id)
+        for r in dedup.neardup_components(spark, corpus).collect()
+    }
+    b = {
+        (r.doc_id, r.component_id)
+        for r in dedup.neardup_components_star(spark, corpus).collect()
+    }
+    assert a == b
+
+
+def test_star_components_on_adversarial_long_chain(spark):
+    """A 64-node path graph has diameter 63 — the topology where label
+    propagation needs ~diameter rounds. The star alternation must label
+    every node with the chain minimum in its O(log^2) round budget, plus
+    handle a second component and reversed edge order."""
+    chain = [(i, i + 1) for i in range(63)]
+    other = [(100, 101), (101, 102)]
+    edges = spark.createDataFrame(
+        [(b, a) for a, b in chain] + other, ["doc_a", "doc_b"]
+    )
+    got = {
+        (r.doc_id, r.component_id)
+        for r in dedup.connected_components_star(edges).collect()
+    }
+    want = {(i, 0) for i in range(64)} | {(i, 100) for i in (100, 101, 102)}
+    assert got == want

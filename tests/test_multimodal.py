@@ -237,3 +237,53 @@ def test_resize_real_path_raises(spark):
     df = multimodal.resize_images(multimodal.with_blob(spark, SF_SMOKE), fake=False)
     with pytest.raises((PythonException, Py4JJavaError)):
         df.collect()
+
+
+def test_bmp_blob_is_valid_and_round_trips(spark):
+    """The synthesized blob is a well-formed 24-bit BI_RGB BMP: magic,
+    header fields, stride-padded bottom-up payload; the strict parser
+    recovers the advertised geometry and the file size matches the
+    header's own size field."""
+    rows = multimodal.with_bmp_blob(spark, SF_SMOKE).limit(20).collect()
+    assert rows
+    pads = set()
+    for r in rows:
+        blob = bytes(r.content)
+        assert blob[:2] == b"BM"
+        assert int.from_bytes(blob[2:6], "little") == len(blob)
+        w, h, px = multimodal._parse_bmp(blob)
+        assert (w, h) == (r.meta.width, r.meta.height)
+        assert px.shape == (h, w, 3)
+        pads.add((4 - (3 * w) % 4) % 4)
+    # the doc_id-derived geometry must exercise non-zero padding
+    assert pads - {0}
+
+
+def test_bmp_decoder_unflips_bottom_up_rows(spark):
+    """first_px_* must be the TOP-LEFT pixel, i.e. the FIRST 3 bytes of
+    the LAST stored row — recomputed here from the raw blob, independent
+    of the decoder's own numpy path."""
+    feats = {
+        r.doc_id: r
+        for r in multimodal.decode_bmp_features(
+            multimodal.with_bmp_blob(spark, SF_SMOKE).limit(10)
+        ).collect()
+    }
+    for r in multimodal.with_bmp_blob(spark, SF_SMOKE).limit(10).collect():
+        blob = bytes(r.content)
+        w, h = r.meta.width, r.meta.height
+        stride = (3 * w + 3) // 4 * 4
+        last_row_off = 54 + (h - 1) * stride
+        b, g, rr = blob[last_row_off : last_row_off + 3]
+        f = feats[r.doc_id]
+        assert (f.first_px_b, f.first_px_g, f.first_px_r) == (b, g, rr)
+        assert f.row_pad == stride - 3 * w
+
+
+def test_bmp_decoder_rejects_other_formats(spark):
+    import pytest as _pytest
+
+    blobs = multimodal.with_blob(spark, SF_SMOKE).limit(1)
+    with _pytest.raises(Exception) as ei:
+        multimodal.decode_bmp_features(blobs).collect()
+    assert "NotImplementedError" in str(ei.value) or "only BI_RGB" in str(ei.value)

@@ -285,3 +285,10 @@ def test_weighted_sample_is_takeordered_not_global_sort(spark):
     p = plans.plan_string(df)
     assert "TakeOrderedAndProject" in p, p
     assert plans.count_exchanges(df) == 0, p
+
+
+def test_bmp_decode_is_shuffle_free(spark):
+    from redis_dataflow_realtime_analytics_spark.operators import multimodal
+
+    df = multimodal.decode_bmp_features(multimodal.with_bmp_blob(spark, SF_SMOKE))
+    assert plans.count_exchanges(df) == 0, plans.plan_string(df)

@@ -156,3 +156,43 @@ def test_temperature_mix_invariants(spark):
     ident = sampling.temperature_mix(spark, SF_SMOKE, alpha=1.0).collect()
     for r in ident:
         assert abs(r.upsample_factor - 1.0) < 1e-9
+
+
+def test_weighted_per_language_budget_and_determinism(spark):
+    """Exactly k docs per language (or the whole stratum if smaller),
+    reproducible across runs."""
+    k = 10
+    a = sampling.weighted_sample_per_language(spark, SF_SMOKE, k=k).collect()
+    b = sampling.weighted_sample_per_language(spark, SF_SMOKE, k=k).collect()
+    assert {(r.lang, r.doc_id) for r in a} == {(r.lang, r.doc_id) for r in b}
+    sizes = {}
+    for r in a:
+        sizes[r.lang] = sizes.get(r.lang, 0) + 1
+    strata = {
+        r.lang: r.n
+        for r in load(spark, SF_SMOKE, "documents").groupBy("lang").agg(
+            F.count("*").alias("n")
+        ).collect()
+    }
+    for lang, n in sizes.items():
+        assert n == min(k, strata[lang])
+
+
+def test_length_clip_bounds_are_data_values_and_band_holds(spark):
+    """Every kept doc sits inside its language's [p5, p95] band; the
+    bounds themselves are actual n_chars values from that language; and
+    the filter keeps roughly 90% of each language."""
+    docs = load(spark, SF_SMOKE, "documents")
+    kept = sampling.length_clip_filter(spark, SF_SMOKE).collect()
+    by_lang_vals = {
+        r.lang: set(r.vals)
+        for r in docs.groupBy("lang").agg(
+            F.collect_set("n_chars").alias("vals")
+        ).collect()
+    }
+    for r in kept:
+        assert r.p_lo <= r.n_chars <= r.p_hi
+        assert r.n_chars in by_lang_vals[r.lang]
+        assert r.p_lo in by_lang_vals[r.lang] and r.p_hi in by_lang_vals[r.lang]
+    total = docs.count()
+    assert 0.8 * total <= len(kept) <= total
