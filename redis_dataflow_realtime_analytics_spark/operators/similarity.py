@@ -540,3 +540,82 @@ def similar_documents_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk.join(F.broadcast(docs), "neighbor_id").select(
         "query_id", "neighbor_id", "cosine", "rank", "neighbor_lang", "neighbor_source"
     )
+
+
+def embedding_outlier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding quality gate: cosine of every vector to its label's
+    centroid — the standard "flag mislabeled / low-quality embeddings"
+    filter (low cosine = the vector sits far from its cluster's mass).
+
+    Exactness discipline: vectors quantize once to int64
+    (``functions.vectors``); the centroid is represented by the per-
+    dimension integer SUM vector (never the rational mean), so
+    ``cos(x, mean) == cos(x, sum)`` holds identically and every dot is an
+    exact int64 (|v·s| ≤ 2^55 per term, ≤2^61 over 1024 dims). Only the
+    centroid's squared norm needs the DECIMAL(38,0) accumulator (sums of
+    ~2^64 products). Result: bit-identical doubles at any partitioning —
+    SQL-oracled, unlike a float ``avg(array)`` centroid.
+
+    Plan: one (label, dim) aggregation builds the k×d centroid table
+    (map-side partials), re-assembled into k ordered arrays and BROADCAST;
+    the scoring pass is then a row-local ``zip_with`` dot inside codegen —
+    no shuffle of the vector table at all. At 100 TB of embeddings the
+    only data-sized exchange is the centroid partial aggregation.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.select("vec_id", "label", V.quantize("embedding").alias("qv"))
+    pos = q.select(
+        "label", F.posexplode("qv").alias("pos", "v")
+    )
+    cent = pos.groupBy("label", "pos").agg(F.sum("v").alias("s"))
+    sv = cent.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "s"))), lambda x: x["s"]
+        ).alias("sv")
+    )
+    ns2 = cent.groupBy("label").agg(
+        F.sum(F.col("s").cast("decimal(38,0)") * F.col("s")).alias("ns2")
+    )
+    dot_xs = F.expr(
+        "aggregate(zip_with(qv, sv, (x, y) -> x * y), CAST(0 AS BIGINT), (a, v) -> a + v)"
+    )
+    return (
+        q.join(F.broadcast(sv), "label")
+        .join(F.broadcast(ns2), "label")
+        .select(
+            "vec_id",
+            "label",
+            (
+                dot_xs.cast("double")
+                / (
+                    F.sqrt(V.qnorm2("qv").cast("double"))
+                    * F.sqrt(F.col("ns2").cast("double"))
+                )
+            ).alias("cos_centroid"),
+        )
+    )
+
+
+def oracle_embedding_outliers() -> str:
+    """DuckDB twin of :func:`embedding_outlier_scores` — identical integer
+    centroid-sum formulation over the unnested quantized vectors."""
+    qv = V.oracle_quantize("embedding")
+    return f"""WITH q AS (
+  SELECT vec_id, label, {qv} AS qv FROM embeddings
+), pos AS (
+  SELECT vec_id, label, i, qv[i] AS v
+  FROM q, LATERAL unnest(generate_series(1, len(qv))) t(i)
+), cent AS (
+  SELECT label, i, CAST(sum(v) AS BIGINT) AS s FROM pos GROUP BY 1, 2
+), ns2 AS (
+  SELECT label, sum(CAST(s AS DECIMAL(38,0)) * s) AS ns2 FROM cent GROUP BY 1
+), dots AS (
+  SELECT p.vec_id, p.label,
+         CAST(sum(p.v * c.s) AS BIGINT) AS dot_xs,
+         CAST(sum(p.v * p.v) AS BIGINT) AS nx2
+  FROM pos p JOIN cent c USING (label, i) GROUP BY 1, 2
+)
+SELECT d.vec_id, d.label,
+       CAST(dot_xs AS DOUBLE) / (sqrt(CAST(nx2 AS DOUBLE)) * sqrt(CAST(ns2 AS DOUBLE)))
+         AS cos_centroid
+FROM dots d JOIN ns2 USING (label)"""

@@ -1924,6 +1924,26 @@ SELECT t.query_id, t.neighbor_id, t.cosine, t.rank,
 FROM topk t JOIN documents dd ON dd.doc_id = t.neighbor_id""",
 )
 
+# Column-level table profile (Deequ/dbt-style ingest gate) in ONE pass:
+# multi-distinct via a single Expand + shuffle, stack-unpivoted; the HLL
+# twin replaces the distincts with mergeable sketch partials at scale.
+q(
+    "profile_documents",
+    relational.profile_documents,
+    relational.oracle_profile_documents(),
+)
+q("profile_documents_approx", relational.profile_documents_approx)
+
+# Embedding quality gate: cosine of every vector to its label centroid —
+# the integer centroid-SUM formulation keeps it exact (cos(x, mean) ==
+# cos(x, sum)); the scoring pass is a broadcast zip_with, no vector-table
+# shuffle.
+q(
+    "embedding_outlier_scores",
+    similarity.embedding_outlier_scores,
+    similarity.oracle_embedding_outliers(),
+)
+
 
 # ---------------------------------------------------------------------------
 # Key ordering. The driver's correctness gate walks ``queries()`` in
@@ -1957,7 +1977,7 @@ FROM topk t JOIN documents dd ON dd.doc_id = t.neighbor_id""",
 # order_scalar_projections, priciest_parts_per_brand,
 # returnflag_discount_profile, customers_with/without_orders,
 # customer_keys_*, active_entity_keys_union), the re-checks rotated out
-# late-r4 to fit the new keys (w5/w7/w9, q18, r2/r4 timeseries,
+# late-r4 to fit the new keys (w5/w7/w9, q18, q21, r2/r4 timeseries,
 # ev_cube_uniques, text_normalize_mask, r1_time_axis,
 # r2_visits_timeseries_last10, sliding_visits), and the r1-green
 # text_quality_score twin keys if text.py changes again.
@@ -2002,6 +2022,16 @@ _PRIORITY = [
     # text_normalize_mask (text.py coverage stays via the six other text
     # keys in the window).
     "multimodal_decode_bmp",
+    # --- 2f. new this session (cont. 4): embedding outlier gate (integer
+    # centroid-sum cosine). Rotated out: q21_suppliers_kept_waiting
+    # (relational.py's r3 change was perf-only; q1 remains as the
+    # heavy-scan re-check).
+    "embedding_outlier_scores",
+    # --- 2g. new this session (cont. 5): one-pass table profile. Rotated
+    # out: w2_uniques_per_experiment_variant_minute (the events.py re-check
+    # duty is already carried by w1/w3/w4/w11 and six stream keys in the
+    # window; w2's own oracle has been green since r1/r2).
+    "profile_documents",
     # --- 3. re-checks: last green predates operator source change ---
     # (To fit 2b under the 50-key cap, three ever-green re-checks with
     # redundant r3 coverage were rotated to the r5 pool: r1_time_axis and
@@ -2041,7 +2071,6 @@ _PRIORITY = [
     # metrics legs read through events.py (ts normalized at source in r3,
     # probe-cache keying changed in r4)
     "w1_visits_per_minute",
-    "w2_uniques_per_experiment_variant_minute",
     "w3_uniques_per_variant",
     "w3_uniques_per_variant_salted",
     "w4_user_sets_per_variant",
@@ -2050,7 +2079,6 @@ _PRIORITY = [
     # relational.py r3 change was perf-only (input-split spread) — re-check
     # the heavy-scan keys it most affects; the rest rotate through in r5
     "q1_pricing_summary",
-    "q21_suppliers_kept_waiting",
 ]
 
 

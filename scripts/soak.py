@@ -314,6 +314,85 @@ def main(n_events: int = 10_000_000, doc_mult: int = 20) -> None:
 
         section("lsh_components", _lsh)
 
+        # --- bloom-pruned vs exact decontamination at n_docs ------------------
+        # The exact plan broadcasts benchmark shingle STRINGS; the bloom twin
+        # broadcasts a bitmap and pre-filters corpus shingles by integer
+        # hashing. Also records the prune ratio (corpus shingles surviving
+        # the probes / total) — the number that decides the 100 TB win.
+        def _bloom_decon() -> None:
+            t0 = time.perf_counter()
+            dedup.decontamination_hits(spark, sf_dir).write.mode("overwrite").format(
+                "noop"
+            ).save()
+            out["decon_exact_s"] = round(time.perf_counter() - t0, 2)
+            t0 = time.perf_counter()
+            dedup.decontamination_hits_bloom(spark, sf_dir).write.mode(
+                "overwrite"
+            ).format("noop").save()
+            out["decon_bloom_s"] = round(time.perf_counter() - t0, 2)
+            # prune ratio on the same corpus
+            from redis_dataflow_realtime_analytics_spark.tables import load, spread
+
+            docs_df = spread(load(spark, sf_dir, "documents"))
+            is_bench = F.col("doc_id") % dedup.DECON_MOD == 0
+            corpus_sh = docs_df.where(~is_bench).select(
+                F.explode(dedup._shingle_array(dedup.DECON_K)).alias("shingle")
+            )
+            total = corpus_sh.count()
+            bench_sh = docs_df.where(is_bench).select(
+                F.explode(dedup._shingle_array(dedup.DECON_K)).alias("shingle")
+            )
+            probes = []
+            for seed in range(dedup.BLOOM_N_HASHES):
+                word, mask = dedup._bloom_word_bit(seed, dedup.BLOOM_M_BITS)
+                probes.append(F.struct(word.alias("word"), mask.alias("mask")))
+            bitmap = (
+                bench_sh.select(F.explode(F.array(*probes)).alias("p"))
+                .groupBy(F.col("p.word").alias("word"))
+                .agg(F.bit_or("p.mask").alias("bits"))
+                .localCheckpoint()
+            )
+            cand = corpus_sh
+            for seed in range(dedup.BLOOM_N_HASHES):
+                word, mask = dedup._bloom_word_bit(seed, dedup.BLOOM_M_BITS)
+                bm = F.broadcast(
+                    bitmap.withColumnRenamed("word", f"w{seed}").withColumnRenamed(
+                        "bits", f"bits{seed}"
+                    )
+                )
+                cand = (
+                    cand.withColumn(f"p{seed}", word)
+                    .join(bm, F.col(f"p{seed}") == F.col(f"w{seed}"))
+                    .where(F.col(f"bits{seed}").bitwiseAND(mask) != 0)
+                    .drop(f"p{seed}", f"w{seed}", f"bits{seed}")
+                )
+            surviving = cand.count()
+            out["decon_corpus_shingles"] = total
+            out["decon_bloom_survivors"] = surviving
+            out["decon_bloom_prune_ratio"] = round(1 - surviving / total, 4)
+
+        section("bloom_decontamination", _bloom_decon)
+
+        # --- star-rounds CC vs propagation CC on the soak pair graph ----------
+        def _star_cc() -> None:
+            edges = dedup.lsh_exact_jaccard_pairs(spark, sf_dir).select(
+                "doc_a", "doc_b"
+            ).localCheckpoint()
+            t0 = time.perf_counter()
+            a = dedup.connected_components(edges)
+            na = a.count()
+            out["cc_propagation_s"] = round(time.perf_counter() - t0, 2)
+            t0 = time.perf_counter()
+            b = dedup.connected_components_star(edges)
+            nb = b.count()
+            out["cc_star_s"] = round(time.perf_counter() - t0, 2)
+            out["cc_nodes"] = na
+            out["cc_star_equal"] = bool(
+                na == nb and a.exceptAll(b).limit(1).count() == 0
+            )
+
+        section("star_cc", _star_cc)
+
     out["n_events"] = n_events
     print(json.dumps(out))
 

@@ -75,3 +75,24 @@ def test_unigram_scores_rank_gibberish_below_common_text(spark):
     # a doc made of the corpus's most common tokens must outscore the
     # corpus minimum (sanity that the LM orders fluency at all)
     assert max(scores.values()) > min(scores.values())
+
+
+def test_profile_exact_and_approx_agree(spark):
+    """The approx profile's HLL estimates must sit within the lgK=14
+    error band of the exact distinct counts, with identical
+    n_rows/n_nulls/min/max columns."""
+    from redis_dataflow_realtime_analytics_spark.operators import relational
+
+    exact = {r.column_name: r for r in relational.profile_documents(spark, SF_SMOKE).collect()}
+    approx = {
+        r.column_name: r
+        for r in relational.profile_documents_approx(spark, SF_SMOKE).collect()
+    }
+    assert set(exact) == set(approx) == {"doc_id", "text", "lang", "source", "n_chars"}
+    for c, e in exact.items():
+        a = approx[c]
+        assert (a.n_rows, a.n_nulls, a.min_value, a.max_value) == (
+            e.n_rows, e.n_nulls, e.min_value, e.max_value,
+        )
+        assert abs(a.n_distinct_est - e.n_distinct) <= max(3, 0.03 * e.n_distinct)
+        assert e.n_nulls == 0 and e.n_rows > 0

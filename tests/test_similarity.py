@@ -152,3 +152,24 @@ def test_trained_ivf_recall_within_band_of_sampled(spark):
         recall_sampled,
     )
     assert recall_trained > 0.6
+
+
+def test_outlier_scores_cluster_members_score_high(spark):
+    """Vectors share their label's cluster structure (the generator keys
+    clusters by label), so the median cosine-to-centroid must be clearly
+    positive, every score sits in [-1, 1], and the scoring is
+    deterministic across runs and repartitionings."""
+    from redis_dataflow_realtime_analytics_spark.tables import load
+
+    out = similarity.embedding_outlier_scores(spark, SF_SMOKE)
+    rows = out.collect()
+    assert len(rows) == load(spark, SF_SMOKE, "embeddings").count()
+    scores = sorted(r.cos_centroid for r in rows)
+    assert all(-1.0 - 1e-9 <= s <= 1.0 + 1e-9 for s in scores)
+    # cluster mass pulls members toward their centroid: clearly positive
+    # median (random directions in 64-d would center on ~0). The smoke
+    # fixture has only ~5 vectors/label, so the pull is modest.
+    assert scores[len(scores) // 2] > 0.05
+    again = {r.vec_id: r.cos_centroid for r in out.collect()}
+    for r in rows:
+        assert again[r.vec_id] == r.cos_centroid
