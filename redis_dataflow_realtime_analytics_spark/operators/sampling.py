@@ -428,3 +428,78 @@ SELECT lang, n_docs, total_chars, natural_share,
        pow(natural_share, {alpha}) / (SELECT sum(pow(natural_share, {alpha})) FROM p)
          / natural_share AS upsample_factor
 FROM p"""
+
+
+def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~80/10/10 train/val/test assignment by md5(doc_id)
+    bucket — the split every training pipeline needs to be REPRODUCIBLE:
+    a document's split never changes under repartitioning, re-runs,
+    engine swaps, or corpus growth (new docs hash into splits at the same
+    rates without moving old ones — the property a random split lacks).
+
+    Thresholds on the 256-bucket hex prefix: < 0xcd (205) → train
+    (80.1%), < 0xe6 (230) → val (9.8%), else test (10.2%). Row-local
+    projection, no shuffle."""
+    docs = load(spark, sf_dir, "documents")
+    b = _hash_bucket(F.col("doc_id"))
+    return docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.when(b < "cd", "train").when(b < "e6", "val").otherwise("test").alias("split"),
+    )
+
+
+def oracle_train_val_test_split() -> str:
+    return """SELECT doc_id, lang, source,
+       CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
+            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+            ELSE 'test' END AS split
+FROM documents"""
+
+
+def chunk_documents_overlap(
+    spark: SparkSession, sf_dir: str, width: int = 400, stride: int = 300
+) -> DataFrame:
+    """Sliding-window chunking with overlap (the retrieval/RAG chunker):
+    chunk ``i`` covers characters ``[i*stride, i*stride + width)``, so
+    consecutive chunks share ``width - stride`` characters and no content
+    can fall on a hard boundary (the failure mode of
+    :func:`chunk_documents`' disjoint windows). Same narrow row-explosion
+    plan — no shuffle, output volume is the only cost (inflated by
+    ``width/stride``)."""
+    docs = load(spark, sf_dir, "documents")
+    # last chunk index = ceil((n_chars - width) / stride): the final window
+    # may be short but every character is covered (floor would leave a
+    # tail of up to stride-1 chars out of every document).
+    n_chunks = F.ceil(
+        F.greatest(F.col("n_chars") - width, F.lit(0)) / F.lit(float(stride))
+    ).cast("bigint")
+    return (
+        docs.select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0).cast("bigint"), n_chunks)).alias("chunk_idx"),
+            "text",
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.expr(
+                f"substr(text, CAST(chunk_idx * {stride} + 1 AS INT), {width})"
+            ).alias("chunk_text"),
+        )
+        .withColumn("chunk_len", F.length("chunk_text"))
+        .drop("text")
+    )
+
+
+def oracle_chunk_documents_overlap(width: int = 400, stride: int = 300) -> str:
+    return f"""WITH ex AS (
+  SELECT doc_id, text,
+         unnest(generate_series(0,
+           CAST(ceil(greatest(n_chars - {width}, 0) / {float(stride)}) AS BIGINT))) AS chunk_idx
+  FROM documents)
+SELECT doc_id, chunk_idx,
+       substr(text, CAST(chunk_idx*{stride}+1 AS INT), {width}) AS chunk_text,
+       length(substr(text, CAST(chunk_idx*{stride}+1 AS INT), {width})) AS chunk_len
+FROM ex"""

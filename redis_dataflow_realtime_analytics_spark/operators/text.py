@@ -432,6 +432,79 @@ FROM terms JOIN freq USING (token) CROSS JOIN tot
 GROUP BY doc_id"""
 
 
+def bigram_logprob_scores(
+    spark: SparkSession, sf_dir: str, alpha: float = 0.5
+) -> DataFrame:
+    """Per-document mean bigram log-probability under the corpus's own
+    add-α-smoothed bigram LM — the second-order perplexity-proxy filter
+    (:func:`unigram_logprob_scores` scores token frequency; this scores
+    token ORDER, so shuffled/templated text that fools the unigram gate
+    scores low here). ``P(w2|w1) = (c(w1,w2)+α) / (ctx(w1)+α·V)`` with
+    ``ctx(w1)`` = occurrences of w1 as a bigram context and ``V`` the
+    corpus vocabulary size. Output: (doc_id, n_bigrams, avg_logp).
+
+    Plan: bigram pairs are a row-local array transform (no shuffle to
+    build), then two count aggregations and a frequency join back to the
+    pair stream (AQE broadcasts while the bigram table fits; at web scale
+    it is a shuffle join on the uniform pair key) + a 1-row broadcast for
+    V. Decimal-sum mean keeps the per-doc score order-independent and
+    engine-portable — same discipline as the unigram scorer.
+    """
+    docs = spread(load(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id", F.split(F.trim(F.lower(F.col("text"))), TOKEN_RE).alias("toks")
+    ).where(F.size("toks") >= 2)
+    pairs = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1), "
+                "i -> struct(element_at(toks, i) AS w1, element_at(toks, i + 1) AS w2))"
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.w1", "p.w2")
+    c12 = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    ctx = pairs.groupBy("w1").agg(F.count("*").alias("c1"))
+    vocab = (
+        docs.select(F.explode(F.split(F.trim(F.lower(F.col("text"))), TOKEN_RE)).alias("t"))
+        .agg(F.count_distinct("t").alias("v"))
+    )
+    logp = F.log(
+        (F.col("c12") + F.lit(alpha)) / (F.col("c1") + F.lit(alpha) * F.col("v"))
+    )
+    return (
+        pairs.join(c12, ["w1", "w2"])
+        .join(ctx, "w1")
+        .join(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            (
+                F.sum(logp.cast("decimal(38,12)")).cast("double") / F.count("*")
+            ).alias("avg_logp"),
+        )
+    )
+
+
+def oracle_bigram_logprob_scores(alpha: float = 0.5) -> str:
+    return f"""WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '{TOKEN_SQL}') AS t
+  FROM documents),
+pairs AS (
+  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+  FROM toks, LATERAL unnest(generate_series(1, len(t) - 1)) u(i)
+  WHERE len(t) >= 2),
+c12 AS (SELECT w1, w2, count(*) AS c12 FROM pairs GROUP BY 1, 2),
+ctx AS (SELECT w1, count(*) AS c1 FROM pairs GROUP BY 1),
+v AS (SELECT count(DISTINCT token) AS v
+      FROM (SELECT unnest(t) AS token FROM toks))
+SELECT doc_id, count(*) AS n_bigrams,
+       CAST(SUM(CAST(ln((c12 + {alpha}) / (c1 + {alpha} * v)) AS DECIMAL(38,12)))
+            AS DOUBLE) / count(*) AS avg_logp
+FROM pairs JOIN c12 USING (w1, w2) JOIN ctx USING (w1) CROSS JOIN v
+GROUP BY doc_id"""
+
+
 #: Masking patterns for :func:`normalize_mask` — whitespace spelled as an
 #: explicit class (see ``WS``/``WS_SQL``); everything else is in the regex
 #: subset Java and RE2 interpret identically, so the oracle is bit-exact.

@@ -560,6 +560,13 @@ q(
     text.unigram_logprob_scores,
     text.oracle_unigram_logprob_scores(),
 )
+# Second-order twin: mean ADD-α-SMOOTHED BIGRAM log-prob — scores token
+# order, catching shuffled/templated text the unigram gate passes.
+q(
+    "text_bigram_logprob_scores",
+    text.bigram_logprob_scores,
+    text.oracle_bigram_logprob_scores(),
+)
 
 # ---------------------------------------------------------------------------
 # Deduplication (north-star: exact, n-gram Jaccard, MinHash LSH, SimHash)
@@ -1516,6 +1523,20 @@ q(
     sampling.length_clip_filter,
     sampling.oracle_length_clip_filter(),
 )
+# Reproducible ~80/10/10 split — assignment is a pure function of doc_id,
+# so it survives repartitioning, re-runs, and corpus growth.
+q(
+    "corpus_train_val_test_split",
+    sampling.train_val_test_split,
+    sampling.oracle_train_val_test_split(),
+)
+# RAG-style sliding-window chunking (width 400, stride 300 — consecutive
+# chunks share 100 chars so no content falls on a hard boundary).
+q(
+    "chunk_documents_overlap",
+    sampling.chunk_documents_overlap,
+    sampling.oracle_chunk_documents_overlap(),
+)
 # Temperature-smoothed language mixture (mT5/XLM-R sampling rule): derives
 # the epochs-per-language multipliers upsample_by_language hard-codes.
 q(
@@ -2032,6 +2053,17 @@ _PRIORITY = [
     # duty is already carried by w1/w3/w4/w11 and six stream keys in the
     # window; w2's own oracle has been green since r1/r2).
     "profile_documents",
+    # --- 2h. new this session (cont. 6): reproducible split + overlap
+    # chunking. Rotated out: stream_sliding_visits (pipeline.py re-check
+    # duty stays with five other stream keys) and text_quality_score
+    # (text.py re-check duty stays with token_stats/fingerprints/lang_id/
+    # tfidf).
+    "corpus_train_val_test_split",
+    "chunk_documents_overlap",
+    # --- 2i. new this session (cont. 7): bigram-LM quality scorer.
+    # Rotated out: user_sessions (sessions.py re-check duty stays with
+    # stream_user_sessions, which exercises the same session_window).
+    "text_bigram_logprob_scores",
     # --- 3. re-checks: last green predates operator source change ---
     # (To fit 2b under the 50-key cap, three ever-green re-checks with
     # redundant r3 coverage were rotated to the r5 pool: r1_time_axis and
@@ -2042,7 +2074,6 @@ _PRIORITY = [
     "dedup_exact_groups",
     "dedup_ngram_jaccard_pairs",
     # text.py changed in r3 (input-split spread, pre-tokenize, new ops)
-    "text_quality_score",
     "text_token_stats",
     "text_fingerprints",
     "text_lang_id",
@@ -2055,15 +2086,12 @@ _PRIORITY = [
     # similarity.py changed in r3 (ts normalization) AND r4 (seed-init guard)
     "ann_topk_bruteforce",
     "similar_documents_report",
-    # sessions.py changed in r3 (funnel added alongside user_sessions)
-    "user_sessions",
     # timeseries.py changed in r3 (ts normalization)
     "r3_users_timeseries",
     "r5_variant_overlap",
     # streaming/pipeline.py changed in r3 (state-partition sizing) and all
     # stream keys read through events.py, whose ts probing changed in r3+r4
     "stream_visits_per_minute",
-    "stream_sliding_visits",
     "stream_deduped_visits",
     "stream_user_sessions",
     "stream_uniques_per_ev_minute",

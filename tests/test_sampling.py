@@ -196,3 +196,46 @@ def test_length_clip_bounds_are_data_values_and_band_holds(spark):
         assert r.p_lo in by_lang_vals[r.lang] and r.p_hi in by_lang_vals[r.lang]
     total = docs.count()
     assert 0.8 * total <= len(kept) <= total
+
+
+def test_split_is_stable_and_roughly_80_10_10(spark):
+    """Split assignment is a pure function of doc_id (identical across
+    runs and repartitionings) and the fractions sit near 80/10/10."""
+    a = {r.doc_id: r.split for r in sampling.train_val_test_split(spark, SF_SMOKE).collect()}
+    docs = load(spark, SF_SMOKE, "documents")
+    b = {
+        r.doc_id: r.split
+        for r in sampling.train_val_test_split(spark, SF_SMOKE)
+        .repartition(7)
+        .collect()
+    }
+    assert a == b
+    n = len(a)
+    frac = {s: sum(1 for v in a.values() if v == s) / n for s in ("train", "val", "test")}
+    assert 0.7 < frac["train"] < 0.9
+    assert 0.03 < frac["val"] < 0.2
+    assert 0.03 < frac["test"] < 0.2
+    assert abs(sum(frac.values()) - 1.0) < 1e-9
+
+
+def test_overlap_chunks_cover_text_with_stride_overlap(spark):
+    """Consecutive chunks overlap by width - stride chars; chunk 0 starts
+    at char 1; every character of the document appears in some chunk."""
+    width, stride = 400, 300
+    docs = {r.doc_id: r.text for r in load(spark, SF_SMOKE, "documents").collect()}
+    out = sampling.chunk_documents_overlap(spark, SF_SMOKE, width, stride).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, chunks in by_doc.items():
+        text = docs[doc_id]
+        chunks.sort(key=lambda r: r.chunk_idx)
+        rebuilt = set()
+        for r in chunks:
+            start = r.chunk_idx * stride
+            assert r.chunk_text == text[start : start + width]
+            rebuilt.update(range(start, start + len(r.chunk_text)))
+        assert rebuilt == set(range(len(text)))
+        if len(chunks) > 1:
+            # genuine overlap between consecutive chunks
+            assert chunks[0].chunk_len == width

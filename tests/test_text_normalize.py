@@ -95,3 +95,24 @@ def test_normalize_masks_urls_emails_numbers(spark, tmp_path):
     assert got[3].clean_text == "plain text only"
     assert (got[3].n_urls, got[3].n_emails, got[3].n_longnums) == (0, 0, 0)
     assert all(r.clean_chars == len(r.clean_text) for r in got.values())
+
+
+def test_bigram_lm_penalizes_scrambled_word_order(spark, tmp_path):
+    """Docs sharing a consistent bigram structure score high; a doc with
+    the IDENTICAL unigram distribution but scrambled order must score
+    strictly lower — the property that separates the bigram gate from
+    the unigram gate."""
+    from redis_dataflow_realtime_analytics_spark.operators import text as T
+
+    pattern = "alpha beta gamma delta " * 10
+    scrambled = "beta delta alpha gamma gamma alpha delta beta " * 5
+    rows = [(i, pattern.strip(), "en", "web", len(pattern)) for i in range(20)]
+    rows.append((99, scrambled.strip(), "en", "web", len(scrambled)))
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source", "n_chars"])
+    d = tmp_path / "bigram_sf"
+    df.write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    out = {r.doc_id: r for r in T.bigram_logprob_scores(spark, str(d)).collect()}
+    assert out[0].n_bigrams == 39  # 40 tokens -> 39 bigrams
+    pattern_score = out[0].avg_logp
+    assert all(out[i].avg_logp == pattern_score for i in range(20))
+    assert out[99].avg_logp < pattern_score
