@@ -619,3 +619,90 @@ SELECT d.vec_id, d.label,
        CAST(dot_xs AS DOUBLE) / (sqrt(CAST(nx2 AS DOUBLE)) * sqrt(CAST(ns2 AS DOUBLE)))
          AS cos_centroid
 FROM dots d JOIN ns2 USING (label)"""
+
+
+def centroid_pairwise_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cosine between per-label embedding centroids — the
+    cluster-geometry report behind mixture design and label-quality
+    review (two labels whose centroids sit at cosine ≈ 1 are candidates
+    for merging; a label near-orthogonal to all others is isolated).
+
+    Exactness discipline (same as :func:`embedding_outlier_scores`): the
+    centroid is the per-dimension integer SUM vector of the 2^20-quantized
+    components, never the rational mean — cos(mean_a, mean_b) ==
+    cos(sum_a, sum_b) identically. Sums of sums overflow int64
+    (|s| ≤ n·2²³, so |s_a·s_b| can pass 2⁶³ already at ~2²⁰ vectors per
+    label), so BOTH the pairwise dot and the squared norms accumulate in
+    DECIMAL(38,0); the int64 fast path is only safe for the per-dimension
+    sums themselves (holds to ~2⁴⁰ vectors/label — beyond any real corpus).
+
+    Plan: one (label, pos) aggregation with map-side partials is the only
+    exchange that sees data-sized input; the pairwise stage self-joins the
+    k·d centroid table on ``pos`` (output k²·d rows, independent of corpus
+    size) and reduces to k² scalars. Nothing here grows with row count, so
+    the shape is unchanged at 100 TB.
+
+    The reference has no vector surface (north-star extension).
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    pos = emb.select(
+        "label", F.posexplode(V.quantize("embedding")).alias("pos", "v")
+    )
+    cent = pos.groupBy("label", "pos").agg(F.sum("v").alias("s"))
+    ns2 = cent.groupBy("label").agg(
+        F.sum(F.col("s").cast("decimal(38,0)") * F.col("s")).alias("ns2")
+    )
+    a, b = cent.alias("a"), cent.alias("b")
+    dots = (
+        a.join(b, "pos")
+        .where(F.col("a.label") < F.col("b.label"))
+        .groupBy(F.col("a.label").alias("label_a"), F.col("b.label").alias("label_b"))
+        .agg(
+            F.sum(F.col("a.s").cast("decimal(38,0)") * F.col("b.s")).alias("dot_ab")
+        )
+    )
+    na = ns2.select(F.col("label").alias("label_a"), F.col("ns2").alias("na2"))
+    nb = ns2.select(F.col("label").alias("label_b"), F.col("ns2").alias("nb2"))
+    return (
+        dots.join(F.broadcast(na), "label_a")
+        .join(F.broadcast(nb), "label_b")
+        .select(
+            "label_a",
+            "label_b",
+            (
+                F.col("dot_ab").cast("double")
+                / (
+                    F.sqrt(F.col("na2").cast("double"))
+                    * F.sqrt(F.col("nb2").cast("double"))
+                )
+            ).alias("cos_centroids"),
+        )
+    )
+
+
+def oracle_centroid_pairwise_cosine() -> str:
+    """DuckDB twin of :func:`centroid_pairwise_cosine` — identical integer
+    centroid-sum formulation with DECIMAL(38,0) pairwise accumulators."""
+    qv = V.oracle_quantize("embedding")
+    return f"""WITH q AS (
+  SELECT label, {qv} AS qv FROM embeddings
+), pos AS (
+  SELECT label, i, qv[i] AS v
+  FROM q, LATERAL unnest(generate_series(1, len(qv))) t(i)
+), cent AS (
+  SELECT label, i, CAST(sum(v) AS BIGINT) AS s FROM pos GROUP BY 1, 2
+), ns2 AS (
+  SELECT label, sum(CAST(s AS DECIMAL(38,0)) * s) AS ns2 FROM cent GROUP BY 1
+), dots AS (
+  SELECT a.label AS label_a, b.label AS label_b,
+         sum(CAST(a.s AS DECIMAL(38,0)) * b.s) AS dot_ab
+  FROM cent a JOIN cent b USING (i)
+  WHERE a.label < b.label GROUP BY 1, 2
+)
+SELECT label_a, label_b,
+       CAST(dot_ab AS DOUBLE)
+         / (sqrt(CAST(na.ns2 AS DOUBLE)) * sqrt(CAST(nb.ns2 AS DOUBLE)))
+         AS cos_centroids
+FROM dots
+JOIN ns2 na ON na.label = dots.label_a
+JOIN ns2 nb ON nb.label = dots.label_b"""

@@ -690,3 +690,175 @@ SELECT doc_id,
   CAST(len(regexp_extract_all(url_masked, '{email}')) AS BIGINT) AS n_emails,
   CAST(len(regexp_extract_all(email_masked, '{longnum}')) AS BIGINT) AS n_longnums
 FROM staged2"""
+
+
+def vocab_overlap_between_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary overlap (token-set Jaccard) between document
+    sources — the standard corpus-mixing diagnostic: two sources with
+    near-identical vocabularies are redundant in a data mixture, and a
+    source whose vocabulary overlaps nothing is a likely encoding/quality
+    problem.
+
+    Plan: explode to (source, token), collapse to the DISTINCT vocabulary
+    (a partial-aggregating shuffle over vocabulary-sized — not corpus-
+    sized — data), then self-join the vocab table on ``token``. Each token
+    contributes at most |sources|² pair rows, so the join output is
+    O(vocab · s²) with s = #sources (tiny); per-source vocab sizes are an
+    s-row table, broadcast to both ends of the final projection. No stage
+    ever materializes corpus-sized intermediates, so the shape holds at
+    100 TB. Jaccard is an int/int double division — IEEE-exact and
+    SQL-oracled bit-exactly.
+
+    The reference has no corpus surface (north-star extension);
+    tokenization is shared with :func:`top_bigrams`.
+    """
+    docs = spread(load(spark, sf_dir, "documents"))
+    vocab = (
+        docs.select(
+            "source",
+            F.explode(F.expr(f"split(trim(lower(text)), '{TOKEN_EXPR}')")).alias("tok"),
+        )
+        .where(F.col("tok") != "")
+        .distinct()
+    )
+    sizes = vocab.groupBy("source").agg(F.count("*").alias("vocab"))
+    a, b = vocab.alias("a"), vocab.alias("b")
+    inter = (
+        a.join(b, "tok")
+        .where(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b")
+        )
+        .agg(F.count("*").alias("n_shared"))
+    )
+    sa = sizes.select(F.col("source").alias("source_a"), F.col("vocab").alias("vocab_a"))
+    sb = sizes.select(F.col("source").alias("source_b"), F.col("vocab").alias("vocab_b"))
+    return (
+        inter.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "vocab_a",
+            "vocab_b",
+            "n_shared",
+            (
+                F.col("n_shared").cast("double")
+                / (F.col("vocab_a") + F.col("vocab_b") - F.col("n_shared"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+def oracle_vocab_overlap() -> str:
+    return f"""WITH vocab AS (
+  SELECT DISTINCT source, tok
+  FROM (SELECT source,
+               unnest(string_split_regex(trim(lower(text)), '{TOKEN_SQL}')) AS tok
+        FROM documents)
+  WHERE tok <> ''),
+sizes AS (SELECT source, count(*) AS vocab FROM vocab GROUP BY 1),
+inter AS (
+  SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared
+  FROM vocab a JOIN vocab b USING (tok)
+  WHERE a.source < b.source GROUP BY 1, 2)
+SELECT source_a, source_b,
+       CAST(sa.vocab AS BIGINT) AS vocab_a,
+       CAST(sb.vocab AS BIGINT) AS vocab_b,
+       CAST(n_shared AS BIGINT) AS n_shared,
+       CAST(n_shared AS DOUBLE) / (sa.vocab + sb.vocab - n_shared) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.source = inter.source_a
+JOIN sizes sb ON sb.source = inter.source_b"""
+
+
+#: Zipf fit: ranks past this depth are dropped before the log-log OLS —
+#: the head of the frequency curve is where the Zipf exponent lives, and
+#: the cap bounds the per-source float summation (≤256 terms) so the
+#: slope is stable to far below the 1e-6 comparison grain.
+ZIPF_TOP_RANKS = 256
+
+
+def zipf_slope_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit per source: OLS slope/intercept of ln(term frequency)
+    against ln(frequency rank) over each source's top-256 terms. Natural
+    text follows slope ≈ −1; a much flatter slope flags templated or
+    machine-generated sources, a much steeper one flags degenerate
+    repetition — a cheap whole-source quality gate for mixture design.
+
+    Plan: (source, term) counts shuffle once with map-side partials
+    (vocabulary-sized, uniformly keyed). Hapax terms (count 1) are
+    dropped BEFORE the per-source ranking window — at web scale the
+    hapax tail is the majority of the vocabulary, so the single-partition
+    window each source pays only sees the surviving head, and the window
+    itself is cut to ``ZIPF_TOP_RANKS`` rows. The OLS closed form
+    ``(n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)`` runs as one tiny aggregation.
+    Rank ties are broken by term text so both engines rank identically.
+
+    The reference has no corpus surface (north-star extension).
+    """
+    docs = spread(load(spark, sf_dir, "documents"))
+    counts = (
+        docs.select(
+            "source",
+            F.explode(F.expr(f"split(trim(lower(text)), '{TOKEN_EXPR}')")).alias("term"),
+        )
+        .where(F.col("term") != "")
+        .groupBy("source", "term")
+        .agg(F.count("*").alias("cnt"))
+        .where(F.col("cnt") > 1)
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("cnt"), F.asc("term"))
+    ranked = (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= ZIPF_TOP_RANKS)
+        .select(
+            "source",
+            F.log(F.col("rank").cast("double")).alias("x"),
+            F.log(F.col("cnt").cast("double")).alias("y"),
+        )
+    )
+    agg = ranked.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_terms"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slope = (F.col("n_terms") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n_terms") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return agg.select(
+        "source",
+        "n_terms",
+        slope.alias("zipf_slope"),
+        ((F.col("sy") - slope * F.col("sx")) / F.col("n_terms")).alias("zipf_intercept"),
+    )
+
+
+def oracle_zipf_slope() -> str:
+    return f"""WITH counts AS (
+  SELECT source, term, count(*) AS cnt
+  FROM (SELECT source,
+               unnest(string_split_regex(trim(lower(text)), '{TOKEN_SQL}')) AS term
+        FROM documents)
+  WHERE term <> ''
+  GROUP BY 1, 2
+  HAVING count(*) > 1),
+ranked AS (
+  SELECT source,
+         ln(CAST(row_number() OVER (PARTITION BY source
+                                    ORDER BY cnt DESC, term) AS DOUBLE)) AS x,
+         ln(CAST(cnt AS DOUBLE)) AS y
+  FROM counts
+  QUALIFY row_number() OVER (PARTITION BY source ORDER BY cnt DESC, term)
+          <= {ZIPF_TOP_RANKS}),
+agg AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_terms,
+         sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx
+  FROM ranked GROUP BY 1)
+SELECT source, n_terms,
+       (n_terms * sxy - sx * sy) / (n_terms * sxx - sx * sx) AS zipf_slope,
+       (sy - (n_terms * sxy - sx * sy) / (n_terms * sxx - sx * sx) * sx) / n_terms
+         AS zipf_intercept
+FROM agg"""

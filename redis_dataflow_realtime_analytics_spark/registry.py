@@ -1965,6 +1965,29 @@ q(
     similarity.oracle_embedding_outliers(),
 )
 
+# Cluster-geometry report: pairwise cosine between per-label integer-SUM
+# centroids — k²·d pairwise stage, independent of corpus size; only the
+# (label, pos) partial aggregation sees data-sized input.
+q(
+    "embedding_centroid_cosines",
+    similarity.centroid_pairwise_cosine,
+    similarity.oracle_centroid_pairwise_cosine(),
+)
+
+# Corpus-mixing diagnostics over the documents table: pairwise source
+# vocabulary Jaccard (vocabulary-sized self-join, never corpus-sized) and
+# a per-source Zipf log-log OLS fit (hapax-pruned, top-256-capped window).
+q(
+    "vocab_overlap_sources",
+    text.vocab_overlap_between_sources,
+    text.oracle_vocab_overlap(),
+)
+q(
+    "zipf_slope_by_source",
+    text.zipf_slope_by_source,
+    text.oracle_zipf_slope(),
+)
+
 
 # ---------------------------------------------------------------------------
 # Key ordering. The driver's correctness gate walks ``queries()`` in
@@ -2064,6 +2087,17 @@ _PRIORITY = [
     # Rotated out: user_sessions (sessions.py re-check duty stays with
     # stream_user_sessions, which exercises the same session_window).
     "text_bigram_logprob_scores",
+    # --- 2j. new this session (cont. 8): centroid pairwise cosine,
+    # source-vocabulary Jaccard, per-source Zipf fit. Rotated to the r5
+    # pool in exchange: text_fingerprints (text.py re-check duty stays
+    # with token_stats/lang_id/tfidf plus the two new text keys, which
+    # exercise the same shared tokenization), w3_uniques_per_variant_salted
+    # (the unsalted w3 leg stays — same read + agg path, the salt is
+    # plan-shape only), and stream_uniques_per_ev_minute (pipeline.py
+    # re-check duty stays with four other stream keys in the window).
+    "embedding_centroid_cosines",
+    "vocab_overlap_sources",
+    "zipf_slope_by_source",
     # --- 3. re-checks: last green predates operator source change ---
     # (To fit 2b under the 50-key cap, three ever-green re-checks with
     # redundant r3 coverage were rotated to the r5 pool: r1_time_axis and
@@ -2075,7 +2109,6 @@ _PRIORITY = [
     "dedup_ngram_jaccard_pairs",
     # text.py changed in r3 (input-split spread, pre-tokenize, new ops)
     "text_token_stats",
-    "text_fingerprints",
     "text_lang_id",
     "text_tfidf_top_terms",
     # sampling.py changed in r3 (exact-k stratum sampling added)
@@ -2094,13 +2127,11 @@ _PRIORITY = [
     "stream_visits_per_minute",
     "stream_deduped_visits",
     "stream_user_sessions",
-    "stream_uniques_per_ev_minute",
     "stream_stateful_uniques_per_variant",
     # metrics legs read through events.py (ts normalized at source in r3,
     # probe-cache keying changed in r4)
     "w1_visits_per_minute",
     "w3_uniques_per_variant",
-    "w3_uniques_per_variant_salted",
     "w4_user_sets_per_variant",
     "w11_uniques_per_minute",
     "ev_grouping_sets_uniques",

@@ -292,3 +292,31 @@ def test_bmp_decode_is_shuffle_free(spark):
 
     df = multimodal.decode_bmp_features(multimodal.with_bmp_blob(spark, SF_SMOKE))
     assert plans.count_exchanges(df) == 0, plans.plan_string(df)
+
+
+def test_centroid_cosine_broadcasts_norms_and_prunes_vec_id(spark):
+    # the k-row norm tables must broadcast, and the scan must not read
+    # vec_id (only label + embedding feed the centroid aggregation)
+    df = similarity.centroid_pairwise_cosine(spark, SF_SMOKE)
+    p = plans.plan_string(df)
+    assert p.count("BroadcastHashJoin") >= 2, p
+    assert "vec_id" not in plans.read_schema_columns(df)
+
+
+def test_vocab_overlap_broadcasts_size_tables(spark):
+    from redis_dataflow_realtime_analytics_spark.operators import text
+
+    df = text.vocab_overlap_between_sources(spark, SF_SMOKE)
+    p = plans.plan_string(df)
+    # two per-source size lookups broadcast; the vocab self-join may
+    # shuffle (vocabulary-sized) but must never cross-product
+    assert p.count("BroadcastHashJoin") >= 2, p
+    assert "CartesianProduct" not in p, p
+
+
+def test_zipf_scan_prunes_to_source_and_text(spark):
+    from redis_dataflow_realtime_analytics_spark.operators import text
+
+    df = text.zipf_slope_by_source(spark, SF_SMOKE)
+    cols = plans.read_schema_columns(df)
+    assert "doc_id" not in cols and "n_chars" not in cols, cols
