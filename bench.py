@@ -73,6 +73,10 @@ HEADLINE = [
     # new in r4 (cont. 3): star-rounds clustering + BMP container decode
     "dedup_connected_components_star",
     "multimodal_decode_bmp",
+    # new in r4 (cont. 4): outer interval join + corpus-mixing diagnostics
+    "stream_click_error_left_join",
+    "vocab_overlap_sources",
+    "zipf_slope_by_source",
 ]
 
 

@@ -1674,6 +1674,31 @@ FROM ev c JOIN ev e
  AND e.ts > c.ts AND e.ts <= c.ts + INTERVAL 5 MINUTE""",
 )
 
+
+def _stream_click_error_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming import pipeline
+
+    return pipeline.stream_click_error_left_join(spark, f"{sf_dir}/events.parquet")
+
+
+# LEFT OUTER watermarked interval join — the strictly harder semantics
+# (a NULL row only emits once the watermark proves no match can still
+# arrive, so the replay is capped by watermark-heartbeat files; see
+# pipeline._heartbeat_replay_dir). Oracled against the batch LEFT JOIN.
+q(
+    "stream_click_error_left_join",
+    _stream_click_error_left_join,
+    f"""{EV_CTE}
+SELECT c.user_id, c.event_id AS click_id, e.event_id AS error_id,
+       c.ts AS click_ts, e.ts AS error_ts,
+       epoch_us(e.ts) - epoch_us(c.ts) AS gap_us
+FROM ev c LEFT JOIN ev e
+  ON c.user_id = e.user_id
+ AND e.variant = 'error'
+ AND e.ts > c.ts AND e.ts <= c.ts + INTERVAL 5 MINUTE
+WHERE c.variant = 'click'""",
+)
+
 # Stop-shingle-capped Jaccard — the 100 TB scale path (precision-preserving
 # subset of the exact result; subset/ordering asserted in tests/test_dedup.py).
 q(
@@ -2098,6 +2123,11 @@ _PRIORITY = [
     "embedding_centroid_cosines",
     "vocab_overlap_sources",
     "zipf_slope_by_source",
+    # --- 2k. new this session (cont. 9): left-outer watermarked interval
+    # join (heartbeat-flushed replay). Rotated out: w4_user_sets_per_variant
+    # (metrics.py re-check duty stays with w1/w3/w11; w4's collect_set leg
+    # has been green since r2 and metrics.py is unchanged this round).
+    "stream_click_error_left_join",
     # --- 3. re-checks: last green predates operator source change ---
     # (To fit 2b under the 50-key cap, three ever-green re-checks with
     # redundant r3 coverage were rotated to the r5 pool: r1_time_axis and
@@ -2132,7 +2162,6 @@ _PRIORITY = [
     # probe-cache keying changed in r4)
     "w1_visits_per_minute",
     "w3_uniques_per_variant",
-    "w4_user_sets_per_variant",
     "w11_uniques_per_minute",
     "ev_grouping_sets_uniques",
     # relational.py r3 change was perf-only (input-split spread) — re-check

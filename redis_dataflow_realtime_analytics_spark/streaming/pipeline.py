@@ -432,3 +432,152 @@ def read_uniques_per_variant_exact(spark: SparkSession, store_dir: str) -> DataF
         .groupBy("variant")
         .agg(F.count_distinct("user_id").alias("unique_users"))
     )
+
+
+#: Replay-dir cache for the outer-join heartbeat harness, keyed on the
+#: source file's (path, mtime) so a rewritten fixture invalidates
+#: (same rule the events schema probe follows — round-3 ADVICE).
+_OUTER_REPLAY_DIRS: dict[tuple[str, float], str] = {}
+
+
+def _heartbeat_replay_dir(events_path: str, n_chunks: int = 3) -> str:
+    """Materialize the events fixture as a time-ordered multi-file replay
+    plus two far-future WATERMARK-HEARTBEAT files.
+
+    Outer stream-stream joins only emit their NULL (unmatched) rows when
+    the watermark passes a buffered row's last possible match time — and a
+    watermark advanced in batch N takes effect in batch N+1. A replay that
+    simply ends therefore leaves every tail row stuck in the state store
+    and the outer results incomplete. The production analogue is a source
+    that keeps ticking; the replay analogue built here is two heartbeat
+    files (one click + one error each, ``user_id = -1``, a day past the
+    data, strictly increasing): the first advances both sides' watermarks
+    past all real data, the second triggers the batch that evicts-and-
+    emits every remaining unmatched row. Heartbeats are filtered out of
+    the join output by ``user_id >= 0``.
+
+    Chunks are split in event-time order with strictly increasing file
+    mtimes so the file source (which orders micro-batches by modification
+    time) replays them as a monotone stream — no artificial lateness, so
+    stream output equals the batch left join exactly.
+    """
+    import tempfile
+    import time as _time
+    from datetime import timedelta
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    key = (events_path, os.stat(events_path).st_mtime)
+    if key in _OUTER_REPLAY_DIRS:
+        return _OUTER_REPLAY_DIRS[key]
+
+    tbl = pq.read_table(events_path)
+    tbl = tbl.take(pc.sort_indices(tbl, sort_keys=[("ts", "ascending")]))
+    out = tempfile.mkdtemp(prefix="ssjoin_outer_replay_")
+    n = tbl.num_rows
+    step = max(1, (n + n_chunks - 1) // n_chunks)
+    paths = []
+    for i in range(0, n, step):
+        p = os.path.join(out, f"chunk_{i // step:04d}.parquet")
+        pq.write_table(tbl.slice(i, step), p)
+        paths.append(p)
+
+    last_ts = tbl.column("ts")[-1].as_py()
+    for j in range(2):
+        hb = [
+            {
+                "event_id": -1 - 2 * j - k,
+                "ts": last_ts + timedelta(days=1, minutes=j),
+                "user_id": -1,
+                "event_type": variant,
+                "value": 0.0,
+                "props": "{}",
+            }
+            for k, variant in enumerate(("click", "error"))
+        ]
+        p = os.path.join(out, f"heartbeat_{j}.parquet")
+        pq.write_table(pa.Table.from_pylist(hb, schema=tbl.schema), p)
+        paths.append(p)
+
+    # file source orders by modification time — pin a strictly increasing
+    # sequence (2 s apart: coarser-grained filesystems still distinguish)
+    base = _time.time() - 2 * len(paths)
+    for i, p in enumerate(paths):
+        os.utime(p, (base + 2 * i, base + 2 * i))
+
+    _OUTER_REPLAY_DIRS[key] = out
+    return out
+
+
+def stream_click_error_left_join(
+    spark: SparkSession, events_path: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER interval join: every click
+    paired with each error by the same user within the 5 minutes after it,
+    AND every click with no such error as a NULL row — the attribution
+    join that also has to account for the non-converting majority.
+
+    The inner twin (:func:`stream_click_error_join`) emits matches as both
+    sides arrive; the outer semantics are strictly harder — a NULL row can
+    only be declared once the WATERMARK proves no matching error can still
+    arrive, so unmatched clicks are held in the state store and emitted on
+    eviction. State stays bounded by rate × (watermark + interval) exactly
+    as in the inner case. The replay feeds a time-ordered multi-file
+    stream capped by two heartbeat files (see :func:`_heartbeat_replay_dir`)
+    so that eviction actually runs before the replay stops; in production
+    the source ticking forward plays that role.
+
+    Oracle: the identical batch LEFT JOIN — stream/batch parity for the
+    outer interval-join semantics.
+    """
+    replay_dir = _heartbeat_replay_dir(events_path)
+    ev = normalize_events(
+        read_events_stream(spark, replay_dir, max_files_per_trigger)
+    )
+    clicks = (
+        ev.where(F.col("variant") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("click_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", WATERMARK)
+    )
+    errors = (
+        ev.where(F.col("variant") == "error")
+        .select(
+            F.col("event_id").alias("error_id"),
+            F.col("user_id").alias("error_user"),
+            F.col("ts").alias("error_ts"),
+        )
+        .withWatermark("error_ts", WATERMARK)
+    )
+    joined = clicks.join(
+        errors,
+        F.expr(
+            "click_user = error_user AND "
+            "error_ts > click_ts AND "
+            "error_ts <= click_ts + interval 5 minutes"
+        ),
+        "leftOuter",
+    ).select(
+        F.col("click_user").alias("user_id"),
+        "click_id",
+        "error_id",
+        "click_ts",
+        "error_ts",
+        (F.unix_micros("error_ts") - F.unix_micros("click_ts")).alias("gap_us"),
+    )
+    # The heartbeat filter must run on the MATERIALIZED output, not inside
+    # the streaming plan: as a streaming-side filter Catalyst pushes
+    # ``user_id >= 0`` below the join and through the click-side
+    # EventTimeWatermark node, so the heartbeat clicks never advance the
+    # click-side watermark — the join's global watermark (min of both
+    # sides) then stalls at the last REAL click and withholds exactly that
+    # click's NULL row (reproduced; the error side kept advancing, which
+    # made the bug a single-row discrepancy).
+    return _replay_to_memory_append(spark, joined, "ssjoin_outer").where(
+        F.col("user_id") >= 0
+    )

@@ -171,3 +171,24 @@ def test_stream_static_enrichment_matches_batch(spark, multi_file_events):
     assert got == want
     # enrichment never drops events
     assert len(got) == read_events(spark, SF_SMOKE).count()
+
+
+def test_stream_left_outer_join_matches_batch_twin(spark):
+    """LEFT OUTER interval join parity: the streaming result (heartbeat-
+    flushed replay) must equal the batch LEFT JOIN row-for-row — including
+    one NULL row per never-converting click, the part inner joins skip.
+    The single-row watermark-stall regression this guards: a heartbeat
+    filter pushed below the click-side watermark node withholds exactly
+    the LAST real click's NULL row."""
+    from redis_dataflow_realtime_analytics_spark import registry
+
+    from .oracle import compare
+
+    out = sp.stream_click_error_left_join(spark, f"{SF_SMOKE}/events.parquet")
+    compare(out, registry.ORACLE["stream_click_error_left_join"], SF_SMOKE)
+    # no heartbeat rows leak, and every unmatched click carries full NULLs
+    rows = out.collect()
+    assert all(r.user_id >= 0 for r in rows)
+    for r in rows:
+        if r.error_id is None:
+            assert r.error_ts is None and r.gap_us is None
