@@ -542,6 +542,40 @@ def similar_documents_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _label_centroid_sums(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Shared exactness core of the label-centroid family: per-(label, pos)
+    integer centroid SUMS (``cent``: label, pos, s) and per-label
+    DECIMAL(38,0) squared norms (``ns2``: label, ns2).
+
+    The integer-SUM centroid (never the rational mean — cosines agree
+    identically) and the decimal norm accumulator are the two invariants
+    BOTH :func:`embedding_outlier_scores` and
+    :func:`centroid_pairwise_cosine` — and their DuckDB oracles
+    (``_ORACLE_CENTROID_CTES``) — must share bit-for-bit; keeping them in
+    one place keeps a future precision fix from drifting the twins apart.
+    """
+    pos = emb.select("label", F.posexplode(V.quantize("embedding")).alias("pos", "v"))
+    cent = pos.groupBy("label", "pos").agg(F.sum("v").alias("s"))
+    ns2 = cent.groupBy("label").agg(
+        F.sum(F.col("s").cast("decimal(38,0)") * F.col("s")).alias("ns2")
+    )
+    return cent, ns2
+
+
+#: DuckDB twin of :func:`_label_centroid_sums` — q/pos/cent/ns2 CTEs shared
+#: by both centroid-family oracles (pos keeps vec_id for the outlier dots).
+_ORACLE_CENTROID_CTES = """q AS (
+  SELECT vec_id, label, {qv} AS qv FROM embeddings
+), pos AS (
+  SELECT vec_id, label, i, qv[i] AS v
+  FROM q, LATERAL unnest(generate_series(1, len(qv))) t(i)
+), cent AS (
+  SELECT label, i, CAST(sum(v) AS BIGINT) AS s FROM pos GROUP BY 1, 2
+), ns2 AS (
+  SELECT label, sum(CAST(s AS DECIMAL(38,0)) * s) AS ns2 FROM cent GROUP BY 1
+)"""
+
+
 def embedding_outlier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding quality gate: cosine of every vector to its label's
     centroid — the standard "flag mislabeled / low-quality embeddings"
@@ -564,17 +598,11 @@ def embedding_outlier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = load(spark, sf_dir, "embeddings")
     q = emb.select("vec_id", "label", V.quantize("embedding").alias("qv"))
-    pos = q.select(
-        "label", F.posexplode("qv").alias("pos", "v")
-    )
-    cent = pos.groupBy("label", "pos").agg(F.sum("v").alias("s"))
+    cent, ns2 = _label_centroid_sums(emb)
     sv = cent.groupBy("label").agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("pos", "s"))), lambda x: x["s"]
         ).alias("sv")
-    )
-    ns2 = cent.groupBy("label").agg(
-        F.sum(F.col("s").cast("decimal(38,0)") * F.col("s")).alias("ns2")
     )
     dot_xs = F.expr(
         "aggregate(zip_with(qv, sv, (x, y) -> x * y), CAST(0 AS BIGINT), (a, v) -> a + v)"
@@ -599,17 +627,8 @@ def embedding_outlier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 def oracle_embedding_outliers() -> str:
     """DuckDB twin of :func:`embedding_outlier_scores` — identical integer
     centroid-sum formulation over the unnested quantized vectors."""
-    qv = V.oracle_quantize("embedding")
-    return f"""WITH q AS (
-  SELECT vec_id, label, {qv} AS qv FROM embeddings
-), pos AS (
-  SELECT vec_id, label, i, qv[i] AS v
-  FROM q, LATERAL unnest(generate_series(1, len(qv))) t(i)
-), cent AS (
-  SELECT label, i, CAST(sum(v) AS BIGINT) AS s FROM pos GROUP BY 1, 2
-), ns2 AS (
-  SELECT label, sum(CAST(s AS DECIMAL(38,0)) * s) AS ns2 FROM cent GROUP BY 1
-), dots AS (
+    ctes = _ORACLE_CENTROID_CTES.format(qv=V.oracle_quantize("embedding"))
+    return f"""WITH {ctes}, dots AS (
   SELECT p.vec_id, p.label,
          CAST(sum(p.v * c.s) AS BIGINT) AS dot_xs,
          CAST(sum(p.v * p.v) AS BIGINT) AS nx2
@@ -645,13 +664,7 @@ def centroid_pairwise_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     The reference has no vector surface (north-star extension).
     """
     emb = load(spark, sf_dir, "embeddings")
-    pos = emb.select(
-        "label", F.posexplode(V.quantize("embedding")).alias("pos", "v")
-    )
-    cent = pos.groupBy("label", "pos").agg(F.sum("v").alias("s"))
-    ns2 = cent.groupBy("label").agg(
-        F.sum(F.col("s").cast("decimal(38,0)") * F.col("s")).alias("ns2")
-    )
+    cent, ns2 = _label_centroid_sums(emb)
     a, b = cent.alias("a"), cent.alias("b")
     dots = (
         a.join(b, "pos")
@@ -681,19 +694,10 @@ def centroid_pairwise_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def oracle_centroid_pairwise_cosine() -> str:
-    """DuckDB twin of :func:`centroid_pairwise_cosine` — identical integer
-    centroid-sum formulation with DECIMAL(38,0) pairwise accumulators."""
-    qv = V.oracle_quantize("embedding")
-    return f"""WITH q AS (
-  SELECT label, {qv} AS qv FROM embeddings
-), pos AS (
-  SELECT label, i, qv[i] AS v
-  FROM q, LATERAL unnest(generate_series(1, len(qv))) t(i)
-), cent AS (
-  SELECT label, i, CAST(sum(v) AS BIGINT) AS s FROM pos GROUP BY 1, 2
-), ns2 AS (
-  SELECT label, sum(CAST(s AS DECIMAL(38,0)) * s) AS ns2 FROM cent GROUP BY 1
-), dots AS (
+    """DuckDB twin of :func:`centroid_pairwise_cosine` — the shared
+    centroid CTEs plus DECIMAL(38,0) pairwise accumulators."""
+    ctes = _ORACLE_CENTROID_CTES.format(qv=V.oracle_quantize("embedding"))
+    return f"""WITH {ctes}, dots AS (
   SELECT a.label AS label_a, b.label AS label_b,
          sum(CAST(a.s AS DECIMAL(38,0)) * b.s) AS dot_ab
   FROM cent a JOIN cent b USING (i)

@@ -733,9 +733,15 @@ def vocab_overlap_between_sources(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     sa = sizes.select(F.col("source").alias("source_a"), F.col("vocab").alias("vocab_a"))
     sb = sizes.select(F.col("source").alias("source_b"), F.col("vocab").alias("vocab_b"))
+    # EVERY unordered source pair appears in the output — a fully disjoint
+    # (e.g. mojibake) source is the operator's headline finding, so its
+    # pairs must show up as jaccard = 0, not vanish from the inner join.
+    # The pair grid is the s²-row cross of the tiny sizes table (broadcast
+    # nested-loop, corpus-size-independent), left-joined to intersections.
+    pairs = sa.join(F.broadcast(sb), F.col("source_a") < F.col("source_b"))
     return (
-        inter.join(F.broadcast(sa), "source_a")
-        .join(F.broadcast(sb), "source_b")
+        pairs.join(inter, ["source_a", "source_b"], "left")
+        .withColumn("n_shared", F.coalesce(F.col("n_shared"), F.lit(0)))
         .select(
             "source_a",
             "source_b",
@@ -761,15 +767,19 @@ sizes AS (SELECT source, count(*) AS vocab FROM vocab GROUP BY 1),
 inter AS (
   SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared
   FROM vocab a JOIN vocab b USING (tok)
-  WHERE a.source < b.source GROUP BY 1, 2)
-SELECT source_a, source_b,
-       CAST(sa.vocab AS BIGINT) AS vocab_a,
-       CAST(sb.vocab AS BIGINT) AS vocab_b,
-       CAST(n_shared AS BIGINT) AS n_shared,
-       CAST(n_shared AS DOUBLE) / (sa.vocab + sb.vocab - n_shared) AS jaccard
-FROM inter
-JOIN sizes sa ON sa.source = inter.source_a
-JOIN sizes sb ON sb.source = inter.source_b"""
+  WHERE a.source < b.source GROUP BY 1, 2),
+pairs AS (
+  SELECT sa.source AS source_a, sb.source AS source_b,
+         sa.vocab AS vocab_a, sb.vocab AS vocab_b
+  FROM sizes sa JOIN sizes sb ON sa.source < sb.source)
+SELECT p.source_a, p.source_b,
+       CAST(p.vocab_a AS BIGINT) AS vocab_a,
+       CAST(p.vocab_b AS BIGINT) AS vocab_b,
+       CAST(coalesce(i.n_shared, 0) AS BIGINT) AS n_shared,
+       CAST(coalesce(i.n_shared, 0) AS DOUBLE)
+         / (p.vocab_a + p.vocab_b - coalesce(i.n_shared, 0)) AS jaccard
+FROM pairs p
+LEFT JOIN inter i ON i.source_a = p.source_a AND i.source_b = p.source_b"""
 
 
 #: Zipf fit: ranks past this depth are dropped before the log-log OLS —
@@ -824,7 +834,10 @@ def zipf_slope_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("y").alias("sy"),
         F.sum(F.col("x") * F.col("y")).alias("sxy"),
         F.sum(F.col("x") * F.col("x")).alias("sxx"),
-    )
+    # a single ranked term makes the OLS denominator exactly 0 (0/0 is
+    # engine-dependent: Spark NaN vs DuckDB error) — drop degenerate
+    # sources on BOTH sides instead
+    ).where(F.col("n_terms") >= 2)
     slope = (F.col("n_terms") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
         F.col("n_terms") * F.col("sxx") - F.col("sx") * F.col("sx")
     )
@@ -856,7 +869,8 @@ ranked AS (
 agg AS (
   SELECT source, CAST(count(*) AS BIGINT) AS n_terms,
          sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx
-  FROM ranked GROUP BY 1)
+  FROM ranked GROUP BY 1
+  HAVING count(*) >= 2)
 SELECT source, n_terms,
        (n_terms * sxy - sx * sy) / (n_terms * sxx - sx * sx) AS zipf_slope,
        (sy - (n_terms * sxy - sx * sy) / (n_terms * sxx - sx * sx) * sx) / n_terms

@@ -435,9 +435,10 @@ def read_uniques_per_variant_exact(spark: SparkSession, store_dir: str) -> DataF
 
 
 #: Replay-dir cache for the outer-join heartbeat harness, keyed on the
-#: source file's (path, mtime) so a rewritten fixture invalidates
-#: (same rule the events schema probe follows — round-3 ADVICE).
-_OUTER_REPLAY_DIRS: dict[tuple[str, float], str] = {}
+#: source file's (path, mtime_ns) — nanosecond mtime, the same rule the
+#: events schema probe follows (round-3 ADVICE), so an in-process fixture
+#: rewrite reliably invalidates.
+_OUTER_REPLAY_DIRS: dict[tuple[str, int], str] = {}
 
 
 def _heartbeat_replay_dir(events_path: str, n_chunks: int = 3) -> str:
@@ -461,6 +462,7 @@ def _heartbeat_replay_dir(events_path: str, n_chunks: int = 3) -> str:
     time) replays them as a monotone stream — no artificial lateness, so
     stream output equals the batch left join exactly.
     """
+    import hashlib
     import tempfile
     import time as _time
     from datetime import timedelta
@@ -469,13 +471,25 @@ def _heartbeat_replay_dir(events_path: str, n_chunks: int = 3) -> str:
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
-    key = (events_path, os.stat(events_path).st_mtime)
+    key = (events_path, os.stat(events_path).st_mtime_ns)
     if key in _OUTER_REPLAY_DIRS:
         return _OUTER_REPLAY_DIRS[key]
 
+    # Deterministic location derived from the cache key: repeated
+    # invocations (bench's n=3, the driver's per-round run, test reruns)
+    # REUSE one materialization per fixture version instead of leaking a
+    # fresh tempdir each call; the _COMPLETE marker is written last so a
+    # half-built dir from an interrupted run is rebuilt, not trusted.
+    tag = hashlib.md5(f"{events_path}:{key[1]}:{n_chunks}".encode()).hexdigest()[:16]
+    out = os.path.join(tempfile.gettempdir(), f"ssjoin_outer_replay_{tag}")
+    marker = os.path.join(out, "_COMPLETE")
+    if os.path.isfile(marker):
+        _OUTER_REPLAY_DIRS[key] = out
+        return out
+
     tbl = pq.read_table(events_path)
     tbl = tbl.take(pc.sort_indices(tbl, sort_keys=[("ts", "ascending")]))
-    out = tempfile.mkdtemp(prefix="ssjoin_outer_replay_")
+    os.makedirs(out, exist_ok=True)
     n = tbl.num_rows
     step = max(1, (n + n_chunks - 1) // n_chunks)
     paths = []
@@ -507,6 +521,10 @@ def _heartbeat_replay_dir(events_path: str, n_chunks: int = 3) -> str:
     for i, p in enumerate(paths):
         os.utime(p, (base + 2 * i, base + 2 * i))
 
+    # leading underscore: Spark's file listings skip `_`/`.`-prefixed
+    # paths (the _SUCCESS convention), so the marker never joins the scan
+    with open(marker, "w") as fh:
+        fh.write("ok\n")
     _OUTER_REPLAY_DIRS[key] = out
     return out
 

@@ -53,8 +53,12 @@ def test_vocab_overlap_identical_and_disjoint_sources(spark, tmp_path):
     }
     assert got[("sA", "sB")].jaccard == 1.0
     assert got[("sA", "sB")].n_shared == 3
-    assert ("sA", "sC") not in got  # zero-intersection pairs drop out
-    assert ("sB", "sC") not in got
+    # zero-intersection pairs are the headline finding — they must appear
+    # with jaccard 0, not vanish from the output
+    assert got[("sA", "sC")].jaccard == 0.0
+    assert got[("sA", "sC")].n_shared == 0
+    assert got[("sB", "sC")].jaccard == 0.0
+    assert len(got) == 3  # the full pair grid over 3 sources
 
 
 def test_zipf_slope_matches_oracle(spark):
@@ -90,10 +94,22 @@ def test_zipf_slope_on_planted_power_law(spark, tmp_path):
 
 
 def test_zipf_slope_deterministic_under_repartition(spark):
-    a = {r.source: r.zipf_slope for r in text.zipf_slope_by_source(spark, SF_SMOKE).collect()}
-    b = {
-        r.source: r.zipf_slope
-        for r in text.zipf_slope_by_source(spark, SF_SMOKE).collect()
-    }
+    """The slope must not depend on partition-local float summation order:
+    force genuinely different partitionings via shuffle-partition counts."""
+    orig = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "2")
+        a = {
+            r.source: r.zipf_slope
+            for r in text.zipf_slope_by_source(spark, SF_SMOKE).collect()
+        }
+        spark.conf.set("spark.sql.shuffle.partitions", "17")
+        b = {
+            r.source: r.zipf_slope
+            for r in text.zipf_slope_by_source(spark, SF_SMOKE).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", orig)
+    assert set(a) == set(b)
     for s in a:
         assert abs(a[s] - b[s]) < 1e-9, s
