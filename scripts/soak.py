@@ -393,6 +393,123 @@ def main(n_events: int = 10_000_000, doc_mult: int = 20) -> None:
 
         section("star_cc", _star_cc)
 
+        # --- LEFT OUTER stream-stream join at n_events ------------------------
+        # The outer variant's extra cost over the inner join is eviction:
+        # every unmatched click is held in the state store until the
+        # watermark proves no match can arrive, then emitted as a NULL row.
+        # Two far-future heartbeat files appended to the replay dir force
+        # that final eviction (registry harness rule); the section records
+        # wall time AND the state rows left after the last batch — the
+        # bounded-state claim is that eviction drains the real rows and
+        # only the ≤4 heartbeat rows remain.
+        def _outer_join() -> None:
+            import shutil
+
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            replay = f"{tmp}/outer_replay"
+            shutil.copytree(ev_path, replay)
+            agg = spark.read.parquet(ev_path).agg(F.max("timestamp")).first()
+            last_ts = agg[0]
+            from datetime import timedelta
+
+            # uid is a STRING in the generator's schema (reference parity)
+            hb_schema = pa.schema(
+                [
+                    ("uid", pa.string()),
+                    ("experiment_id", pa.string()),
+                    ("variant", pa.string()),
+                    ("timestamp", pa.timestamp("us")),
+                ]
+            )
+            base = time.time()
+            for j in range(2):
+                hb = [
+                    {
+                        "uid": "heartbeat",
+                        "experiment_id": "hb",
+                        "variant": v,
+                        "timestamp": last_ts + timedelta(days=1, minutes=j),
+                    }
+                    for v in ("default", "2")
+                ]
+                p = f"{replay}/zz_heartbeat_{j}.parquet"
+                pq.write_table(pa.Table.from_pylist(hb, schema=hb_schema), p)
+                os.utime(p, (base + 2 * j, base + 2 * j))
+
+            os.environ["SPARK_GRAFT_STATE_PARTITIONS"] = "8"
+            spark.conf.set("spark.sql.shuffle.partitions", "8")
+            sev = spark.readStream.schema(gen_schema).parquet(replay)
+            clicks = (
+                sev.where(F.col("variant").isin("default", "1"))
+                .select(
+                    F.col("uid").alias("click_user"),
+                    F.col("timestamp").alias("click_ts"),
+                )
+                .withWatermark("click_ts", "10 minutes")
+            )
+            errors = (
+                sev.where(F.col("variant").isin("2", "3"))
+                .select(
+                    F.col("uid").alias("error_user"),
+                    F.col("timestamp").alias("error_ts"),
+                )
+                .withWatermark("error_ts", "10 minutes")
+            )
+            joined = clicks.join(
+                errors,
+                F.expr(
+                    "click_user = error_user AND error_ts > click_ts "
+                    "AND error_ts <= click_ts + interval 5 minutes"
+                ),
+                "leftOuter",
+            )
+            t0 = time.perf_counter()
+            q = (
+                joined.writeStream.format("noop")
+                .option("checkpointLocation", f"{tmp}/ck_{_uuid.uuid4().hex}")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            dt = time.perf_counter() - t0
+            out["stream_outer_join_s"] = round(dt, 2)
+            out["stream_outer_join_events_per_s"] = int(n_events / dt)
+            prog = q.lastProgress
+            if prog and prog.get("stateOperators"):
+                out["stream_outer_join_state_rows_after_flush"] = prog[
+                    "stateOperators"
+                ][0]["numRowsTotal"]
+            os.environ.pop("SPARK_GRAFT_STATE_PARTITIONS", None)
+            spark.conf.set(
+                "spark.sql.shuffle.partitions",
+                os.environ.get("SPARK_GRAFT_CPUS", "32"),
+            )
+
+        section("stream_outer_join", _outer_join)
+
+        # --- corpus-mixing diagnostics at n_docs ------------------------------
+        def _mix_diag() -> None:
+            from redis_dataflow_realtime_analytics_spark.operators import text
+
+            t0 = time.perf_counter()
+            text.vocab_overlap_between_sources(spark, sf_dir).write.mode(
+                "overwrite"
+            ).format("noop").save()
+            dt = time.perf_counter() - t0
+            out["vocab_overlap_s"] = round(dt, 2)
+            out["vocab_overlap_docs_per_s"] = int(n_docs / dt)
+            t0 = time.perf_counter()
+            text.zipf_slope_by_source(spark, sf_dir).write.mode("overwrite").format(
+                "noop"
+            ).save()
+            dt = time.perf_counter() - t0
+            out["zipf_slope_s"] = round(dt, 2)
+            out["zipf_slope_docs_per_s"] = int(n_docs / dt)
+
+        section("mix_diagnostics", _mix_diag)
+
     out["n_events"] = n_events
     print(json.dumps(out))
 
