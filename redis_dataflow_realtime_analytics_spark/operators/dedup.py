@@ -984,3 +984,37 @@ def lsh_exact_jaccard_pairs(
         .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+def cluster_size_histogram(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.5
+) -> DataFrame:
+    """Distribution of near-dup cluster sizes — the dedup QA report every
+    corpus pipeline prints before dropping documents (a single giant
+    cluster usually means a boilerplate template, not true duplication,
+    and deserves eyeballing rather than blind removal).
+
+    Output: (cluster_size, n_clusters, n_docs) over the SQL-oracled
+    transitive clusters of :func:`neardup_components`, so the whole
+    chain — shingles → pairs → components → histogram — stays
+    differential-testable. Two tiny aggregations on top of the component
+    labels; all-int output, bit-exact.
+    """
+    comp = neardup_components(spark, sf_dir, threshold=threshold)
+    sizes = comp.groupBy("component_id").agg(F.count("*").alias("cluster_size"))
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(
+            F.count("*").alias("n_clusters"),
+            F.sum("cluster_size").alias("n_docs"),
+        )
+    )
+
+
+def oracle_cluster_size_histogram(threshold: float = 0.5) -> str:
+    comp = oracle_neardup_components(threshold)
+    return f"""WITH comp AS ({comp}),
+sizes AS (SELECT component_id, count(*) AS cluster_size FROM comp GROUP BY 1)
+SELECT cluster_size, count(*) AS n_clusters,
+       CAST(sum(cluster_size) AS BIGINT) AS n_docs
+FROM sizes GROUP BY 1"""

@@ -503,3 +503,47 @@ SELECT doc_id, chunk_idx,
        substr(text, CAST(chunk_idx*{stride}+1 AS INT), {width}) AS chunk_text,
        length(substr(text, CAST(chunk_idx*{stride}+1 AS INT), {width})) AS chunk_len
 FROM ex"""
+
+
+def length_decile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document-length decile profile — the length-distribution
+    audit used to pick chunking widths and length-filter bounds per
+    source (web scrapes and reference text have very different tails).
+
+    Output: (source, decile 1..10, n_docs, min_chars, max_chars,
+    sum_chars) — all exact ints.
+
+    ``ntile`` is the standard SQL decile; the window orders by
+    (n_chars, doc_id) so ties are broken deterministically and both
+    engines assign identical bucket membership. Scale: the window
+    partitions by source — at 100 TB, per-source ntile would be replaced
+    by the two-pass approx-quantile cut (see ``length_clip_filter``), but
+    the decile *report* here is exact and runs on the per-source sorted
+    run, parallel across sources.
+    """
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    return (
+        docs.withColumn("decile", F.ntile(10).over(w).cast("int"))
+        .groupBy("source", "decile")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+    )
+
+
+def oracle_length_decile_profile() -> str:
+    return """WITH d AS (
+  SELECT source, n_chars,
+         CAST(ntile(10) OVER (PARTITION BY source ORDER BY n_chars, doc_id)
+           AS INTEGER) AS decile
+  FROM documents)
+SELECT source, decile, count(*) AS n_docs,
+       min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM d GROUP BY 1, 2"""

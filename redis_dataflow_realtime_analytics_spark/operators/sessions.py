@@ -318,3 +318,44 @@ SELECT event_id, user_id, ts,
                     RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW)
             AS DOUBLE) AS rolling_value
 FROM ev"""
+
+
+def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic cohort-retention matrix over the event stream: users are
+    cohorted by the UTC day of their first event; each cell counts how
+    many of a cohort's users were active again ``day_offset`` days later.
+
+    Output: (cohort_day date, day_offset int, active_users bigint) —
+    day_offset 0 is the cohort size itself.
+
+    Plan: per-user first-day aggregate (shuffle keyed by user_id), join
+    back to the per-(user, day) activity set on the same user_id key —
+    co-partitioned with the aggregate, so AQE reuses the exchange — then
+    a count-distinct per (cohort_day, offset). At 100 TB the first-touch
+    table is |users| rows (small side, broadcastable per AQE stats) and
+    every shuffle key is uniform (user_id / date pairs).
+    """
+    ev = _ev(spark, sf_dir)
+    days = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    first = days.groupBy("user_id").agg(F.min("d").alias("cohort_day"))
+    return (
+        days.join(first, "user_id")
+        .select(
+            "cohort_day",
+            F.datediff("d", "cohort_day").alias("day_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )
+
+
+def oracle_user_retention_cohorts(ev_cte: str) -> str:
+    return f"""{ev_cte},
+days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM ev),
+first AS (SELECT user_id, min(d) AS cohort_day FROM days GROUP BY 1)
+SELECT cohort_day,
+       CAST(datediff('day', cohort_day, d) AS INTEGER) AS day_offset,
+       count(DISTINCT user_id) AS active_users
+FROM days JOIN first USING (user_id)
+GROUP BY 1, 2"""

@@ -710,3 +710,49 @@ SELECT label_a, label_b,
 FROM dots
 JOIN ns2 na ON na.label = dots.label_a
 JOIN ns2 nb ON nb.label = dots.label_b"""
+
+
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension distribution profile of the embedding corpus — the
+    feature-normalization / dead-dimension audit every embedding pipeline
+    runs before training or indexing (a dimension with ~zero variance is
+    wasted index width; a wildly off-center one breaks cosine pruning).
+
+    Output: (dim, n_vecs, sum_q, min_q, max_q, n_pos) over the fixed-point
+    quantized components — ALL exact int64, so the check is bit-exact and
+    the aggregation is order-independent by construction (no float sums).
+
+    Plan: one ``posexplode`` + one groupBy(dim) — the shuffle key is the
+    dimension index (uniform, cardinality = vector width), and partial
+    aggregation reduces map output to O(width) per task regardless of
+    corpus size. At 100 TB this is a single pass with O(width) state.
+    """
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", V.quantize("embedding").alias("qvec")
+    )
+    return (
+        emb.select(F.posexplode("qvec").alias("dim", "q"))
+        .groupBy("dim")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.sum("q").alias("sum_q"),
+            F.min("q").alias("min_q"),
+            F.max("q").alias("max_q"),
+            F.sum(F.when(F.col("q") > 0, 1).otherwise(0)).alias("n_pos"),
+        )
+    )
+
+
+def oracle_embedding_dim_stats() -> str:
+    qv = V.oracle_quantize("embedding")
+    return f"""WITH e AS (SELECT vec_id, {qv} AS qv FROM embeddings),
+x AS (
+  SELECT unnest(list_zip(qv, generate_series(0, len(qv) - 1))) AS z
+  FROM e)
+SELECT CAST(z[2] AS INTEGER) AS dim,
+       count(*) AS n_vecs,
+       CAST(sum(z[1]) AS BIGINT) AS sum_q,
+       min(z[1]) AS min_q,
+       max(z[1]) AS max_q,
+       CAST(sum(CASE WHEN z[1] > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+FROM x GROUP BY 1"""

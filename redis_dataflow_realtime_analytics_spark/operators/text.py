@@ -876,3 +876,119 @@ SELECT source, n_terms,
        (sy - (n_terms * sxy - sx * sy) / (n_terms * sxx - sx * sx) * sx) / n_terms
          AS zipf_intercept
 FROM agg"""
+
+
+def token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token Shannon entropy (nats) and type-token ratio —
+    two classic lexical-diversity quality gates for training-data
+    filtering: near-zero entropy flags boilerplate/keyword-stuffed spam,
+    low TTR flags repetitive machine-generated text.
+
+    Output: (doc_id, n_tokens, n_types, type_token_ratio, entropy).
+
+    Entropy is computed as ``ln(n) - sum(c*ln(c))/n`` over per-doc token
+    counts c — one explode + two keyed aggregations, all inside codegen.
+    Determinism: the float ``c*ln(c)`` terms go through the decimal-sum
+    convention (functions.numeric) so the per-doc sum is
+    order-independent; the outer ln/div/sub are single IEEE ops on
+    identical inputs. Scale: the shuffle key is (doc_id, token) — uniform
+    by construction; partial aggregation collapses repeated tokens
+    map-side, so reducer input is O(types), not O(tokens).
+    """
+    docs = spread(load(spark, sf_dir, "documents"))
+    counts = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.trim(F.lower(F.col("text"))), TOKEN_RE)).alias("token"),
+        )
+        .where(F.col("token") != "")
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("c"))
+    )
+    clnc = F.col("c").cast("double") * F.log(F.col("c").cast("double"))
+    per_doc = counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count("*").alias("n_types"),
+        F.sum(clnc.cast("decimal(38,12)")).cast("double").alias("sum_clnc"),
+    )
+    n = F.col("n_tokens").cast("double")
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        "n_types",
+        (F.col("n_types").cast("double") / n).alias("type_token_ratio"),
+        (F.log(n) - F.col("sum_clnc") / n).alias("entropy"),
+    )
+
+
+def oracle_token_entropy() -> str:
+    return f"""WITH counts AS (
+  SELECT doc_id, token, count(*) AS c
+  FROM (SELECT doc_id,
+               unnest(string_split_regex(trim(lower(text)), '{TOKEN_SQL}')) AS token
+        FROM documents)
+  WHERE token <> ''
+  GROUP BY 1, 2),
+per_doc AS (
+  SELECT doc_id, sum(c) AS n_tokens, count(*) AS n_types,
+         CAST(sum(CAST(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))
+                       AS DECIMAL(38,12))) AS DOUBLE) AS sum_clnc
+  FROM counts GROUP BY 1)
+SELECT doc_id, n_tokens, n_types,
+       CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS type_token_ratio,
+       ln(CAST(n_tokens AS DOUBLE)) - sum_clnc / CAST(n_tokens AS DOUBLE)
+         AS entropy
+FROM per_doc"""
+
+
+def sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document sentence segmentation stats — mean sentence length is
+    a standard fluency signal (wall-of-text and fragment spam both sit in
+    the tails). Sentences are maximal segments between ``[.!?]`` runs with
+    at least one token after trimming.
+
+    Output: (doc_id, n_sentences, n_sentence_tokens, avg_sentence_tokens).
+
+    Pure per-row higher-order array expressions (split / filter /
+    transform / aggregate) — no shuffle at all; scales embarrassingly.
+    """
+    docs = load(spark, sf_dir, "documents")
+    segs = F.expr(r"filter(split(text, '[.!?]+'), s -> trim(s) != '')")
+    tok_counts = F.expr(
+        f"transform(filter(split(text, '[.!?]+'), s -> trim(s) != ''), "
+        f"s -> size(split(trim(s), '{TOKEN_EXPR}')))"
+    )
+    n_sent = F.size(segs)
+    n_tok = F.expr(
+        f"aggregate(transform(filter(split(text, '[.!?]+'), s -> trim(s) != ''), "
+        f"s -> size(split(trim(s), '{TOKEN_EXPR}'))), 0, (a, v) -> a + v)"
+    )
+    return docs.select(
+        "doc_id",
+        n_sent.cast("int").alias("n_sentences"),
+        n_tok.cast("int").alias("n_sentence_tokens"),
+        F.when(
+            n_sent > 0, n_tok.cast("double") / n_sent.cast("double")
+        ).alias("avg_sentence_tokens"),
+    )
+
+
+def oracle_sentence_stats() -> str:
+    return f"""WITH s AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '[.!?]+'),
+                     s -> trim(s) <> '') AS segs
+  FROM documents),
+t AS (
+  SELECT doc_id,
+         CAST(len(segs) AS INTEGER) AS n_sentences,
+         CAST(list_sum(list_transform(segs,
+              s -> len(string_split_regex(trim(s), '{TOKEN_SQL}'))))
+           AS INTEGER) AS n_sentence_tokens
+  FROM s)
+SELECT doc_id, n_sentences,
+       COALESCE(n_sentence_tokens, 0) AS n_sentence_tokens,
+       CASE WHEN n_sentences > 0
+            THEN CAST(n_sentence_tokens AS DOUBLE) / n_sentences END
+         AS avg_sentence_tokens
+FROM t"""

@@ -567,6 +567,11 @@ q(
     text.bigram_logprob_scores,
     text.oracle_bigram_logprob_scores(),
 )
+# Lexical-diversity gates: per-doc token Shannon entropy + type-token
+# ratio (decimal-summed c·ln c terms — order-independent float path).
+q("text_token_entropy", text.token_entropy, text.oracle_token_entropy())
+# Sentence segmentation stats — pure per-row higher-order array exprs.
+q("text_sentence_stats", text.sentence_stats, text.oracle_sentence_stats())
 
 # ---------------------------------------------------------------------------
 # Deduplication (north-star: exact, n-gram Jaccard, MinHash LSH, SimHash)
@@ -1523,6 +1528,12 @@ q(
     sampling.length_clip_filter,
     sampling.oracle_length_clip_filter(),
 )
+# Per-source length-decile profile (ntile with deterministic tie-break).
+q(
+    "corpus_length_deciles",
+    sampling.length_decile_profile,
+    sampling.oracle_length_decile_profile(),
+)
 # Reproducible ~80/10/10 split — assignment is a pure function of doc_id,
 # so it survives repartitioning, re-runs, and corpus growth.
 q(
@@ -1615,6 +1626,13 @@ q(
     "funnel_conversion_by_experiment",
     sessions.funnel_conversion_by_experiment,
     sessions.oracle_funnel_conversion_by_experiment(EV_CTE),
+)
+# Cohort-retention matrix: users cohorted by first-event day, cells count
+# returning users per day offset — the canonical product-analytics rollup.
+q(
+    "user_retention_cohorts",
+    sessions.user_retention_cohorts,
+    sessions.oracle_user_retention_cohorts(EV_CTE),
 )
 
 
@@ -1726,6 +1744,12 @@ q(
     "dedup_neardup_survivors",
     dedup.neardup_survivors,
     dedup.oracle_neardup_survivors(),
+)
+# Dedup QA report: cluster-size histogram over the oracled components.
+q(
+    "dedup_cluster_size_histogram",
+    dedup.cluster_size_histogram,
+    dedup.oracle_cluster_size_histogram(),
 )
 
 # The production 100 TB pipeline: LSH candidates -> exact verify -> cluster
@@ -1990,6 +2014,14 @@ q(
     similarity.oracle_embedding_outliers(),
 )
 
+# Per-dimension embedding profile: all-int64 fixed-point stats — the
+# feature-normalization / dead-dimension audit; O(width) aggregate state.
+q(
+    "embedding_dim_stats",
+    similarity.embedding_dim_stats,
+    similarity.oracle_embedding_dim_stats(),
+)
+
 # Cluster-geometry report: pairwise cosine between per-label integer-SUM
 # centroids — k²·d pairwise stage, independent of corpus size; only the
 # (label, pos) partial aggregation sees data-sized input.
@@ -2128,6 +2160,27 @@ _PRIORITY = [
     # (metrics.py re-check duty stays with w1/w3/w11; w4's collect_set leg
     # has been green since r2 and metrics.py is unchanged this round).
     "stream_click_error_left_join",
+    # --- 2l. new this session (cont. 10): lexical-diversity gates
+    # (token entropy + TTR, sentence stats), per-dimension embedding
+    # profile, dedup cluster-size histogram, per-source length deciles.
+    # Rotated to the r5 pool in exchange, coverage carried as noted:
+    # text_token_stats (same trim/lower/split tokenization re-exercised by
+    # text_token_entropy), dedup_ngram_jaccard_pairs (re-run transitively
+    # inside dedup_cluster_size_histogram's component chain),
+    # sample_documents_hash (the md5-threshold draw is the first stage of
+    # train_corpus_pipeline, which stays), similar_documents_report
+    # (composition of ann_topk_bruteforce — which stays — plus a plain
+    # broadcast join), and ev_grouping_sets_uniques (the events.py
+    # re-check duty stays with w1/w3/w11 + four stream keys).
+    "text_token_entropy",
+    "text_sentence_stats",
+    "embedding_dim_stats",
+    "dedup_cluster_size_histogram",
+    "corpus_length_deciles",
+    # --- 2m. cohort-retention matrix over the event stream. Rotated out
+    # in exchange: chunk_documents (the same splitter is re-exercised by
+    # chunk_documents_overlap, which stays in section 2h).
+    "user_retention_cohorts",
     # --- 3. re-checks: last green predates operator source change ---
     # (To fit 2b under the 50-key cap, three ever-green re-checks with
     # redundant r3 coverage were rotated to the r5 pool: r1_time_axis and
@@ -2136,19 +2189,14 @@ _PRIORITY = [
     # stream_sliding_visits stays below.)
     # dedup.py changed 4x in r3 (incremental near-dup, CC init fold, ...)
     "dedup_exact_groups",
-    "dedup_ngram_jaccard_pairs",
     # text.py changed in r3 (input-split spread, pre-tokenize, new ops)
-    "text_token_stats",
     "text_lang_id",
     "text_tfidf_top_terms",
     # sampling.py changed in r3 (exact-k stratum sampling added)
-    "sample_documents_hash",
-    "chunk_documents",
     "pack_documents_512",
     "train_corpus_pipeline",
     # similarity.py changed in r3 (ts normalization) AND r4 (seed-init guard)
     "ann_topk_bruteforce",
-    "similar_documents_report",
     # timeseries.py changed in r3 (ts normalization)
     "r3_users_timeseries",
     "r5_variant_overlap",
@@ -2163,7 +2211,6 @@ _PRIORITY = [
     "w1_visits_per_minute",
     "w3_uniques_per_variant",
     "w11_uniques_per_minute",
-    "ev_grouping_sets_uniques",
     # relational.py r3 change was perf-only (input-split spread) — re-check
     # the heavy-scan keys it most affects; the rest rotate through in r5
     "q1_pricing_summary",
