@@ -77,6 +77,12 @@ HEADLINE = [
     "stream_click_error_left_join",
     "vocab_overlap_sources",
     "zipf_slope_by_source",
+    # new in r4 (cont. 5): diversity gates, assembled filter stack,
+    # collocations, retention, dimension profile
+    "corpus_quality_gate",
+    "text_collocations_pmi",
+    "user_retention_cohorts",
+    "embedding_dim_stats",
 ]
 
 

@@ -756,3 +756,65 @@ SELECT CAST(z[2] AS INTEGER) AS dim,
        max(z[1]) AS max_q,
        CAST(sum(CASE WHEN z[1] > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
 FROM x GROUP BY 1"""
+
+
+def embedding_top_component(
+    spark: SparkSession, sf_dir: str, iters: int = 8
+) -> DataFrame:
+    """Dominant principal direction of the (uncentered) embedding
+    second-moment matrix via distributed power iteration — the first step
+    of PCA whitening / spectral outlier screening on an embedding corpus.
+
+    Output: (dim int, component double, eigenvalue double) — the unit
+    dominant eigenvector of X'X (over the fixed-point components) and its
+    Rayleigh-quotient eigenvalue, both deterministic at any parallelism.
+
+    Plan per iteration (the only data-sized work): broadcast the current
+    d-vector as a literal, one scan computing s_i = x_i·v row-local, then
+    posexplode(x_i · s_i) → groupBy(dim) decimal-sum — shuffle state is
+    O(d), driver traffic is d doubles/iteration. The corpus frame is
+    cached once; iterations re-use it. At 100 TB this is the classic
+    one-pass-per-iteration distributed power method: no d×d matrix is
+    ever materialized, so width can grow to 10⁴+ without memory pressure.
+    Determinism: per-dim sums go through DECIMAL(38,6) accumulation
+    (functions.numeric convention); driver-side normalization is plain
+    IEEE on identical doubles — bit-identical under repartitioning
+    (test-gated).
+    """
+    import math
+
+    emb = (
+        load(spark, sf_dir, "embeddings")
+        .select(V.quantize("embedding").alias("qvec"))
+        .persist()
+    )
+    try:
+        d = len(emb.first().qvec)
+        v = [1.0 / math.sqrt(d)] * d
+        eigenvalue = 0.0
+        for _ in range(iters):
+            vlit = F.array(*[F.lit(x) for x in v])
+            s = F.expr(
+                "aggregate(zip_with(qvec, v, (q, c) -> CAST(q AS DOUBLE) * c), "
+                "CAST(0.0 AS DOUBLE), (a, x) -> a + x)"
+            )
+            sums = (
+                emb.withColumn("v", vlit)
+                .select(F.posexplode(F.expr("transform(qvec, q -> CAST(q AS DOUBLE))")).alias("dim", "x"), s.alias("s"))
+                .groupBy("dim")
+                .agg(F.sum((F.col("x") * F.col("s")).cast("decimal(38,6)")).cast("double").alias("w"))
+                .collect()
+            )
+            w = [0.0] * d
+            for r in sums:
+                w[r.dim] = r.w
+            # Rayleigh quotient λ = v·(X'X v) = v·w (before normalization)
+            eigenvalue = sum(vi * wi for vi, wi in zip(v, w))
+            norm = math.sqrt(sum(x * x for x in w))
+            v = [x / norm for x in w]
+    finally:
+        emb.unpersist()
+    return spark.createDataFrame(
+        [(i, v[i], eigenvalue) for i in range(d)],
+        "dim int, component double, eigenvalue double",
+    )

@@ -992,3 +992,165 @@ SELECT doc_id, n_sentences,
             THEN CAST(n_sentence_tokens AS DOUBLE) / n_sentences END
          AS avg_sentence_tokens
 FROM t"""
+
+
+def collocations_pmi(
+    spark: SparkSession, sf_dir: str, k: int = 50, min_count: int = 5
+) -> DataFrame:
+    """Collocation mining (word2phrase precursor): the ``k`` most frequent
+    token bigrams with their pointwise mutual information —
+    ``PMI = ln(p(ab) / (p(a)·p(b)))`` under corpus unigram/bigram
+    frequencies. High-PMI entries are multi-word units worth merging
+    before tokenizer training; frequent low-PMI entries are syntactic
+    glue.
+
+    Membership and ordering are decided by INTEGER counts (desc) with a
+    bigram-string tie-break — float ulps cannot flip the top-k (the same
+    rule as :func:`tfidf_top_terms`); PMI is carried as a value column.
+
+    Plan: one tokenize pass feeds both gram counts; two count shuffles
+    (token / bigram keys, both uniform with map-side partials), the two
+    1-row totals broadcast, and the unigram joins hit the k-row top-k
+    frame (AQE broadcasts). Output: (bigram, n, pmi).
+    """
+    docs = spread(load(spark, sf_dir, "documents"))
+    toks = docs.select(
+        F.explode(F.expr(f"split(trim(lower(text)), '{TOKEN_EXPR}')")).alias("w")
+    ).where(F.col("w") != "")
+    uni = toks.groupBy("w").agg(F.count("*").alias("cw"))
+    n1 = toks.agg(F.count("*").alias("n1"))
+
+    bigram_arr = F.expr(
+        f"CASE WHEN size(filter(split(trim(lower(text)), '{TOKEN_EXPR}'), x -> x != '')) >= 2 THEN "
+        f"transform(sequence(1, size(filter(split(trim(lower(text)), '{TOKEN_EXPR}'), x -> x != '')) - 1), "
+        f"i -> concat_ws(' ', slice(filter(split(trim(lower(text)), '{TOKEN_EXPR}'), x -> x != ''), i, 2))) "
+        "ELSE array() END"
+    )
+    bg = docs.select(F.explode(bigram_arr).alias("bigram"))
+    n2 = bg.agg(F.count("*").alias("n2"))
+    top = (
+        bg.groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") >= min_count)
+        .orderBy(F.desc("n"), "bigram")
+        .limit(k)
+    )
+    a = F.element_at(F.split("bigram", " "), 1)
+    b = F.element_at(F.split("bigram", " "), 2)
+    ua = uni.select(F.col("w").alias("wa"), F.col("cw").alias("ca"))
+    ub = uni.select(F.col("w").alias("wb"), F.col("cw").alias("cb"))
+    return (
+        top.withColumn("wa", a)
+        .withColumn("wb", b)
+        .join(ua, "wa")
+        .join(ub, "wb")
+        .join(F.broadcast(n1))
+        .join(F.broadcast(n2))
+        .select(
+            "bigram",
+            "n",
+            F.log(
+                (F.col("n").cast("double") / F.col("n2"))
+                / (
+                    (F.col("ca").cast("double") / F.col("n1"))
+                    * (F.col("cb").cast("double") / F.col("n1"))
+                )
+            ).alias("pmi"),
+        )
+    )
+
+
+def oracle_collocations_pmi(k: int = 50, min_count: int = 5) -> str:
+    return f"""WITH toks AS (
+  SELECT unnest(string_split_regex(trim(lower(text)), '{TOKEN_SQL}')) AS w
+  FROM documents),
+tk AS (SELECT w FROM toks WHERE w <> ''),
+uni AS (SELECT w, count(*) AS cw FROM tk GROUP BY 1),
+n1 AS (SELECT count(*) AS n1 FROM tk),
+ta AS (SELECT list_filter(string_split_regex(trim(lower(text)), '{TOKEN_SQL}'),
+                          x -> x <> '') AS t
+       FROM documents),
+bg AS (
+  SELECT array_to_string(t[i : i + 1], ' ') AS bigram
+  FROM (SELECT t, unnest(generate_series(1, greatest(len(t) - 1, 1))) AS i FROM ta)
+  WHERE len(t) >= 2),
+n2 AS (SELECT count(*) AS n2 FROM bg),
+top AS (
+  SELECT bigram, count(*) AS n FROM bg GROUP BY 1
+  HAVING count(*) >= {min_count}
+  ORDER BY n DESC, bigram LIMIT {k})
+SELECT bigram, n,
+       ln((CAST(n AS DOUBLE) / n2)
+          / ((CAST(ua.cw AS DOUBLE) / n1) * (CAST(ub.cw AS DOUBLE) / n1))) AS pmi
+FROM top
+JOIN uni ua ON ua.w = string_split(bigram, ' ')[1]
+JOIN uni ub ON ub.w = string_split(bigram, ' ')[2]
+CROSS JOIN n1 CROSS JOIN n2"""
+
+
+#: corpus_quality_gate thresholds — calibrated on the sf0.01 fixture so
+#: each gate actually rejects a non-trivial slice (see test_round4c_ops).
+GATE_MIN_QUALITY = 0.55
+GATE_MIN_ENTROPY = 2.0
+GATE_MAX_TOP_BIGRAM_FRAC = 0.20
+GATE_MAX_DUP_TRIGRAM_FRAC = 0.50
+
+
+def corpus_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The assembled filter stack: every per-doc quality signal this
+    module computes, joined into one verdict row per document with an
+    explicit boolean per gate — the audit table a data curator reads to
+    see WHY a document was dropped (opaque combined scores hide exactly
+    the information that matters when tuning thresholds).
+
+    Output: (doc_id, quality, entropy, top_bigram_frac, dup_trigram_frac,
+    pass_quality, pass_entropy, pass_repetition, keep).
+
+    Plan: three doc_id-keyed aggregates joined on doc_id — co-partitioned
+    equi-joins (the exchanges share the key, so AQE lines them up with no
+    extra re-shuffle); each signal is itself one scan + one shuffle. The
+    signal set shares one tokenization convention, so a fused single-scan
+    variant is possible, but the composition keeps each signal's oracle
+    shared and its plan individually gated — and the join cost is three
+    |docs|-row frames, trivial next to the gram explodes inside.
+    """
+    q = quality_score(spark, sf_dir).select("doc_id", "quality")
+    e = token_entropy(spark, sf_dir).select("doc_id", "entropy")
+    r = repetition_signals(spark, sf_dir).select(
+        "doc_id", "top_bigram_frac", "dup_trigram_frac"
+    )
+    pass_quality = F.col("quality") >= GATE_MIN_QUALITY
+    pass_entropy = F.col("entropy") >= GATE_MIN_ENTROPY
+    pass_repetition = (F.col("top_bigram_frac") <= GATE_MAX_TOP_BIGRAM_FRAC) & (
+        F.col("dup_trigram_frac") <= GATE_MAX_DUP_TRIGRAM_FRAC
+    )
+    return (
+        q.join(e, "doc_id")
+        .join(r, "doc_id")
+        .select(
+            "doc_id",
+            "quality",
+            "entropy",
+            "top_bigram_frac",
+            "dup_trigram_frac",
+            pass_quality.alias("pass_quality"),
+            pass_entropy.alias("pass_entropy"),
+            pass_repetition.alias("pass_repetition"),
+            (pass_quality & pass_entropy & pass_repetition).alias("keep"),
+        )
+    )
+
+
+def oracle_corpus_quality_gate() -> str:
+    return f"""WITH q AS ({oracle_quality_score()}),
+e AS ({oracle_token_entropy()}),
+r AS ({oracle_repetition_signals()})
+SELECT q.doc_id, q.quality, e.entropy, r.top_bigram_frac, r.dup_trigram_frac,
+       q.quality >= {GATE_MIN_QUALITY} AS pass_quality,
+       e.entropy >= {GATE_MIN_ENTROPY} AS pass_entropy,
+       (r.top_bigram_frac <= {GATE_MAX_TOP_BIGRAM_FRAC}
+        AND r.dup_trigram_frac <= {GATE_MAX_DUP_TRIGRAM_FRAC}) AS pass_repetition,
+       (q.quality >= {GATE_MIN_QUALITY} AND e.entropy >= {GATE_MIN_ENTROPY}
+        AND r.top_bigram_frac <= {GATE_MAX_TOP_BIGRAM_FRAC}
+        AND r.dup_trigram_frac <= {GATE_MAX_DUP_TRIGRAM_FRAC}) AS keep
+FROM q JOIN e ON e.doc_id = q.doc_id JOIN r ON r.doc_id = q.doc_id"""

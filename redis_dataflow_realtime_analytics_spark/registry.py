@@ -572,6 +572,12 @@ q(
 q("text_token_entropy", text.token_entropy, text.oracle_token_entropy())
 # Sentence segmentation stats — pure per-row higher-order array exprs.
 q("text_sentence_stats", text.sentence_stats, text.oracle_sentence_stats())
+# Collocation mining (word2phrase precursor): top-k bigrams by INTEGER
+# count (ulp-proof membership) with PMI carried as a value column.
+q("text_collocations_pmi", text.collocations_pmi, text.oracle_collocations_pmi())
+# The assembled filter stack: one verdict row per doc with a boolean per
+# gate (quality / entropy / repetition) — the curator's audit table.
+q("corpus_quality_gate", text.corpus_quality_gate, text.oracle_corpus_quality_gate())
 
 # ---------------------------------------------------------------------------
 # Deduplication (north-star: exact, n-gram Jaccard, MinHash LSH, SimHash)
@@ -2021,6 +2027,10 @@ q(
     similarity.embedding_dim_stats,
     similarity.oracle_embedding_dim_stats(),
 )
+# Distributed power iteration for the dominant principal direction —
+# iterative (one scan per iteration, O(d) shuffle state), rows-only like
+# kmeans; Rayleigh ascent/eigenpair residual/determinism test-gated.
+q("embedding_top_component", similarity.embedding_top_component)
 
 # Cluster-geometry report: pairwise cosine between per-label integer-SUM
 # centroids — k²·d pairwise stage, independent of corpus size; only the
@@ -2181,6 +2191,13 @@ _PRIORITY = [
     # in exchange: chunk_documents (the same splitter is re-exercised by
     # chunk_documents_overlap, which stays in section 2h).
     "user_retention_cohorts",
+    # --- 2n. collocation PMI + assembled quality gate. Rotated out in
+    # exchange: w3_uniques_per_variant and w11_uniques_per_minute —
+    # metrics.py is unchanged since their r1/r2 green rows; their only r4
+    # re-check duty was the events.py read path, which w1 (kept) and four
+    # stream keys already carry.
+    "text_collocations_pmi",
+    "corpus_quality_gate",
     # --- 3. re-checks: last green predates operator source change ---
     # (To fit 2b under the 50-key cap, three ever-green re-checks with
     # redundant r3 coverage were rotated to the r5 pool: r1_time_axis and
@@ -2209,8 +2226,6 @@ _PRIORITY = [
     # metrics legs read through events.py (ts normalized at source in r3,
     # probe-cache keying changed in r4)
     "w1_visits_per_minute",
-    "w3_uniques_per_variant",
-    "w11_uniques_per_minute",
     # relational.py r3 change was perf-only (input-split spread) — re-check
     # the heavy-scan keys it most affects; the rest rotate through in r5
     "q1_pricing_summary",

@@ -168,3 +168,97 @@ def test_retention_cohorts_planted(spark, tmp_path):
     assert got[("2024-01-01", 2)] == 1
     assert got[("2024-01-02", 0)] == 1
     assert ("2024-01-02", 1) not in got
+
+
+def test_collocations_pmi_matches_oracle(spark):
+    compare(
+        text.collocations_pmi(spark, SF_SMOKE),
+        text.oracle_collocations_pmi(),
+        SF_SMOKE,
+    )
+
+
+def test_collocations_pmi_planted(spark, tmp_path):
+    """A token pair that ONLY occurs together must out-PMI a pair of
+    independently frequent tokens."""
+    rows = [(i, "zig zag common common", "en", "s", 1) for i in range(10)]
+    rows += [(100 + i, "common alpha common beta", "en", "s", 1) for i in range(10)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+    got = {r.bigram: r for r in text.collocations_pmi(spark, str(tmp_path), k=50, min_count=5).collect()}
+    assert "zig zag" in got
+    # 'zig zag' is a perfect collocation; 'common common' pairs two
+    # high-frequency independent tokens
+    assert got["zig zag"].pmi > got["common common"].pmi
+
+
+def test_corpus_quality_gate_matches_oracle(spark):
+    compare(
+        text.corpus_quality_gate(spark, SF_SMOKE),
+        text.oracle_corpus_quality_gate(),
+        SF_SMOKE,
+    )
+
+
+def test_corpus_quality_gate_splits_and_localizes(spark):
+    """The calibrated thresholds must reject a non-trivial slice at
+    SF_SMOKE, and every keep verdict must equal the AND of its gates."""
+    rows = text.corpus_quality_gate(spark, SF_SMOKE).collect()
+    kept = sum(r.keep for r in rows)
+    assert 0 < kept < len(rows)
+    for r in rows:
+        assert r.keep == (r.pass_quality and r.pass_entropy and r.pass_repetition)
+
+
+def test_embedding_top_component_planted_axis(spark, tmp_path):
+    """Vectors concentrated along dimension 2 -> dominant component
+    aligns with axis 2 and the eigenvalue dwarfs the off-axis energy."""
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(200):
+        v = [rng.uniform(-0.05, 0.05) for _ in range(8)]
+        v[2] = rng.uniform(0.8, 1.0) * (1 if i % 2 else -1)  # dominant axis
+        rows.append((i, [float(x) for x in v], 0))
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(f"{tmp_path}/embeddings.parquet")
+    comp = similarity.embedding_top_component(spark, str(tmp_path)).collect()
+    by_dim = {r.dim: r.component for r in comp}
+    assert abs(by_dim[2]) > 0.99  # aligned with the planted axis
+    assert all(abs(by_dim[d]) < 0.1 for d in by_dim if d != 2)
+    assert comp[0].eigenvalue > 0
+
+
+def test_embedding_top_component_deterministic(spark):
+    a = similarity.embedding_top_component(spark, SF_SMOKE, iters=4).collect()
+    b = similarity.embedding_top_component(spark, SF_SMOKE, iters=4).collect()
+    assert a == b
+
+
+def test_embedding_top_component_rayleigh_residual(spark):
+    """v must be (near-)eigen: X'X v ≈ λ v after the iteration budget —
+    checked via one more explicit multiply in numpy."""
+    import numpy as np
+
+    from redis_dataflow_realtime_analytics_spark.tables import load
+
+    # generous iteration budget: convergence rate is (λ2/λ1)^t and the
+    # fixture's spectrum is fairly flat
+    comp = similarity.embedding_top_component(spark, SF_SMOKE, iters=30).collect()
+    v = np.array([r.component for r in sorted(comp, key=lambda r: r.dim)])
+    lam = comp[0].eigenvalue
+    emb = np.array(
+        [
+            r.embedding
+            for r in load(spark, SF_SMOKE, "embeddings").select("embedding").collect()
+        ],
+        dtype=np.float64,
+    )
+    q = np.floor(emb * (1 << 20))  # the operator's fixed-point quantization
+    w = q.T @ (q @ v)
+    cos = w @ v / (np.linalg.norm(w) * np.linalg.norm(v))
+    assert cos > 0.9995  # direction converged
+    assert abs(lam - v @ w) / lam < 0.02  # Rayleigh quotient consistent
