@@ -1008,7 +1008,9 @@ def collocations_pmi(
     bigram-string tie-break — float ulps cannot flip the top-k (the same
     rule as :func:`tfidf_top_terms`); PMI is carried as a value column.
 
-    Plan: one tokenize pass feeds both gram counts; two count shuffles
+    Plan: TWO scans of the text column total (token explode, bigram
+    explode) — the stream totals n1/n2 re-aggregate the (much smaller)
+    count frames instead of rescanning the corpus; two count shuffles
     (token / bigram keys, both uniform with map-side partials), the two
     1-row totals broadcast, and the unigram joins hit the k-row top-k
     frame (AQE broadcasts). Output: (bigram, n, pmi).
@@ -1018,7 +1020,7 @@ def collocations_pmi(
         F.explode(F.expr(f"split(trim(lower(text)), '{TOKEN_EXPR}')")).alias("w")
     ).where(F.col("w") != "")
     uni = toks.groupBy("w").agg(F.count("*").alias("cw"))
-    n1 = toks.agg(F.count("*").alias("n1"))
+    n1 = uni.agg(F.sum("cw").alias("n1"))
 
     bigram_arr = F.expr(
         f"CASE WHEN size(filter(split(trim(lower(text)), '{TOKEN_EXPR}'), x -> x != '')) >= 2 THEN "
@@ -1026,12 +1028,14 @@ def collocations_pmi(
         f"i -> concat_ws(' ', slice(filter(split(trim(lower(text)), '{TOKEN_EXPR}'), x -> x != ''), i, 2))) "
         "ELSE array() END"
     )
-    bg = docs.select(F.explode(bigram_arr).alias("bigram"))
-    n2 = bg.agg(F.count("*").alias("n2"))
-    top = (
-        bg.groupBy("bigram")
+    bgc = (
+        docs.select(F.explode(bigram_arr).alias("bigram"))
+        .groupBy("bigram")
         .agg(F.count("*").alias("n"))
-        .where(F.col("n") >= min_count)
+    )
+    n2 = bgc.agg(F.sum("n").alias("n2"))
+    top = (
+        bgc.where(F.col("n") >= min_count)
         .orderBy(F.desc("n"), "bigram")
         .limit(k)
     )

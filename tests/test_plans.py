@@ -320,3 +320,47 @@ def test_zipf_scan_prunes_to_source_and_text(spark):
     df = text.zipf_slope_by_source(spark, SF_SMOKE)
     cols = plans.read_schema_columns(df)
     assert "doc_id" not in cols and "n_chars" not in cols, cols
+
+
+def test_collocations_topk_avoids_global_sort_and_reuses_exchanges(spark):
+    from redis_dataflow_realtime_analytics_spark.operators import text
+
+    df = text.collocations_pmi(spark, SF_SMOKE)
+    p = plans.plan_string(df)
+    assert "TakeOrderedAndProject" in p, p  # k-row heaps, never a full sort
+    # totals/joins must REUSE the two explode exchanges at runtime (AQE
+    # inserts the reuse nodes in the adaptive final plan, post-execution)
+    df.collect()
+    final = plans.plan_string(df)
+    assert "ReusedExchange" in final, final
+
+
+def test_sentence_stats_is_shuffle_free(spark):
+    from redis_dataflow_realtime_analytics_spark.operators import text
+
+    assert plans.count_exchanges(text.sentence_stats(spark, SF_SMOKE)) == 0
+
+
+def test_embedding_dim_stats_single_shuffle_pruned_scan(spark):
+    from redis_dataflow_realtime_analytics_spark.operators import similarity
+
+    df = similarity.embedding_dim_stats(spark, SF_SMOKE)
+    assert plans.count_exchanges(df) == 1  # the O(width) dim groupBy only
+    assert plans.read_schema_columns(df) == ["embedding"]
+
+
+def test_length_deciles_one_exchange_one_sort(spark):
+    from redis_dataflow_realtime_analytics_spark.operators import sampling
+
+    df = sampling.length_decile_profile(spark, SF_SMOKE)
+    p = plans.plan_string(df)
+    assert plans.count_exchanges(df) == 1  # partitionBy(source) only
+    assert p.count("Sort ") == 1, p  # the per-source window sort
+
+
+def test_retention_scan_reads_only_ts_and_user(spark):
+    from redis_dataflow_realtime_analytics_spark.operators import sessions
+
+    df = sessions.user_retention_cohorts(spark, SF_SMOKE)
+    cols = set(plans.read_schema_columns(df))
+    assert cols <= {"ts", "user_id"}, cols
