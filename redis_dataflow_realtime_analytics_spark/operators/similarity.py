@@ -769,11 +769,15 @@ def embedding_top_component(
     dominant eigenvector of X'X (over the fixed-point components) and its
     Rayleigh-quotient eigenvalue, both deterministic at any parallelism.
 
-    Plan per iteration (the only data-sized work): broadcast the current
-    d-vector as a literal, one scan computing s_i = x_i·v row-local, then
-    posexplode(x_i · s_i) → groupBy(dim) decimal-sum — shuffle state is
-    O(d), driver traffic is d doubles/iteration. The corpus frame is
-    cached once; iterations re-use it. At 100 TB this is the classic
+    Plan per iteration (the only data-sized work): the current d-vector
+    ships as a broadcast ONE-ROW frame (not a literal — a literal array
+    changes the generated code every iteration and the whole-stage
+    codegen recompile, ~0.5-1 s/iteration, would dominate small runs;
+    the crossJoin keeps one compiled plan for every iteration), one scan
+    computing s_i = x_i·v row-local, then posexplode(x_i · s_i) →
+    groupBy(dim) decimal-sum — shuffle state is O(d), driver traffic is
+    d doubles/iteration. The corpus frame is spread + cached once;
+    iterations re-use it. At 100 TB this is the classic
     one-pass-per-iteration distributed power method: no d×d matrix is
     ever materialized, so width can grow to 10⁴+ without memory pressure.
     Determinism: per-dim sums go through DECIMAL(38,6) accumulation
@@ -783,8 +787,10 @@ def embedding_top_component(
     """
     import math
 
+    from ..tables import spread
+
     emb = (
-        load(spark, sf_dir, "embeddings")
+        spread(load(spark, sf_dir, "embeddings"))
         .select(V.quantize("embedding").alias("qvec"))
         .persist()
     )
@@ -792,14 +798,14 @@ def embedding_top_component(
         d = len(emb.first().qvec)
         v = [1.0 / math.sqrt(d)] * d
         eigenvalue = 0.0
+        s = F.expr(
+            "aggregate(zip_with(qvec, v, (q, c) -> CAST(q AS DOUBLE) * c), "
+            "CAST(0.0 AS DOUBLE), (a, x) -> a + x)"
+        )
         for _ in range(iters):
-            vlit = F.array(*[F.lit(x) for x in v])
-            s = F.expr(
-                "aggregate(zip_with(qvec, v, (q, c) -> CAST(q AS DOUBLE) * c), "
-                "CAST(0.0 AS DOUBLE), (a, x) -> a + x)"
-            )
+            v_df = spark.createDataFrame([(v,)], "v array<double>")
             sums = (
-                emb.withColumn("v", vlit)
+                emb.crossJoin(F.broadcast(v_df))
                 .select(F.posexplode(F.expr("transform(qvec, q -> CAST(q AS DOUBLE))")).alias("dim", "x"), s.alias("s"))
                 .groupBy("dim")
                 .agg(F.sum((F.col("x") * F.col("s")).cast("decimal(38,6)")).cast("double").alias("w"))

@@ -78,14 +78,14 @@ def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Heuristic document quality: length, punctuation ratio, stopword
-    ratio combined into one [0,1]-ish score.
+def quality_projection(docs: DataFrame) -> DataFrame:
+    """Row-local quality-score projection over any frame with
+    (doc_id, text) — shared by the batch operator and its streaming twin
+    (stateless, so it drops into a streaming plan unchanged).
 
     score = 0.5·min(n_tokens,100)/100 + 0.3·(1 − punct_ratio)
           + 0.2·stopword_ratio
     """
-    docs = spread(load(spark, sf_dir, "documents"))
     docs = docs.select(
         "doc_id", "text", F.expr(f"split(trim(text), '{TOKEN_EXPR}')").alias("t")
     )
@@ -107,6 +107,12 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             + stop_ratio * 0.2
         ).alias("quality"),
     )
+
+
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document quality over the ``documents`` table — see
+    :func:`quality_projection` for the formula."""
+    return quality_projection(spread(load(spark, sf_dir, "documents")))
 
 
 def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:

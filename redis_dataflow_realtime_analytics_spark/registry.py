@@ -1039,6 +1039,23 @@ SELECT date_trunc('minute', ts) AS minute, count(*) AS visits
 FROM ev GROUP BY 1""",
 )
 q("stream_uniques_per_minute_approx", _stream_uniques_approx)
+
+
+# Streaming corpus ingestion: the stateless quality prefilter applied on
+# arrival (scan → project → filter, no state store); oracle = the batch
+# projection + threshold, proving stream/batch parity for the filter path.
+def _stream_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming import pipeline as sp
+
+    return sp.stream_quality_filtered_docs(spark, f"{sf_dir}/documents.parquet")
+
+
+q(
+    "stream_quality_filtered_docs",
+    _stream_quality_docs,
+    f"""SELECT * FROM ({text.oracle_quality_score()})
+WHERE quality >= {text.GATE_MIN_QUALITY}""",
+)
 q(
     "stream_store_uniques_per_variant",
     _stream_store_variant_uniques,
@@ -2198,6 +2215,13 @@ _PRIORITY = [
     # stream keys already carry.
     "text_collocations_pmi",
     "corpus_quality_gate",
+    # --- 2o. streaming quality prefilter (stateless ingest-path filter).
+    # Rotated out in exchange: stream_deduped_visits — pipeline.py re-check
+    # duty stays with stream_visits_per_minute, stream_user_sessions,
+    # stream_stateful_uniques_per_variant plus the five r4-new stream keys
+    # in sections 2c/2e/2k/2o; its dropDuplicatesWithinWatermark leg has
+    # been green since r1/r2 and is untouched this round.
+    "stream_quality_filtered_docs",
     # --- 3. re-checks: last green predates operator source change ---
     # (To fit 2b under the 50-key cap, three ever-green re-checks with
     # redundant r3 coverage were rotated to the r5 pool: r1_time_axis and
@@ -2220,7 +2244,6 @@ _PRIORITY = [
     # streaming/pipeline.py changed in r3 (state-partition sizing) and all
     # stream keys read through events.py, whose ts probing changed in r3+r4
     "stream_visits_per_minute",
-    "stream_deduped_visits",
     "stream_user_sessions",
     "stream_stateful_uniques_per_variant",
     # metrics legs read through events.py (ts normalized at source in r3,

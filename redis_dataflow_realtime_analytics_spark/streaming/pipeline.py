@@ -599,3 +599,32 @@ def stream_click_error_left_join(
     return _replay_to_memory_append(spark, joined, "ssjoin_outer").where(
         F.col("user_id") >= 0
     )
+
+
+def stream_quality_filtered_docs(spark: SparkSession, docs_path: str) -> DataFrame:
+    """Streaming corpus ingestion with the row-local quality prefilter —
+    documents arrive as an unbounded stream (file source ≙ an object-store
+    drop folder or Kafka topic of crawled docs) and only rows passing the
+    quality gate flow on to the (batch) dedup/mix stages downstream.
+
+    The projection is :func:`operators.text.quality_projection` — purely
+    stateless, so the streaming plan is scan → project → filter with no
+    state store, no watermark, and per-micro-batch cost O(batch). This is
+    the shape that matters at ingest scale: quality scoring happens once,
+    on arrival, instead of as a corpus-wide batch rescan.
+
+    Oracle: the identical batch projection + threshold — stream/batch
+    parity for the stateless filter path.
+    """
+    from ..operators.text import GATE_MIN_QUALITY, quality_projection
+
+    schema = spark.read.parquet(docs_path).schema
+    reader = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+    if os.path.isfile(docs_path):
+        reader = reader.option("pathGlobFilter", os.path.basename(docs_path))
+        path = os.path.dirname(docs_path)
+    else:
+        path = docs_path
+    docs = reader.parquet(path)
+    filtered = quality_projection(docs).where(F.col("quality") >= GATE_MIN_QUALITY)
+    return _replay_to_memory_append(spark, filtered, "qualdocs")

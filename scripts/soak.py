@@ -510,6 +510,55 @@ def main(n_events: int = 10_000_000, doc_mult: int = 20) -> None:
 
         section("mix_diagnostics", _mix_diag)
 
+        # --- quality-gate stack + collocations at n_docs ----------------------
+        # token_entropy is the heaviest new signal (one (doc_id, token)
+        # count shuffle); corpus_quality_gate composes three signal frames;
+        # collocations adds the bigram explode + integer top-k.
+        def _quality_gates() -> None:
+            from redis_dataflow_realtime_analytics_spark.operators import text
+
+            for nm, fn in {
+                "token_entropy": lambda: text.token_entropy(spark, sf_dir),
+                "quality_gate": lambda: text.corpus_quality_gate(spark, sf_dir),
+                "collocations_pmi": lambda: text.collocations_pmi(spark, sf_dir),
+            }.items():
+                t0 = time.perf_counter()
+                fn().write.mode("overwrite").format("noop").save()
+                dt = time.perf_counter() - t0
+                out[f"{nm}_s"] = round(dt, 2)
+                out[f"{nm}_docs_per_s"] = int(n_docs / dt)
+
+        section("quality_gates", _quality_gates)
+
+        # --- power iteration at replicated embedding scale --------------------
+        # Scale check for the O(width)-state-per-iteration claim: replicate
+        # sf0.1's embeddings doc_mult/4 x and time 4 iterations end to end.
+        def _power_iteration() -> None:
+            from redis_dataflow_realtime_analytics_spark.operators import similarity
+
+            emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+            rep = max(doc_mult // 4, 1)
+            big_emb = emb.crossJoin(
+                spark.range(rep).select(F.col("id").alias("rep"))
+            ).select(
+                (F.col("vec_id") * rep + F.col("rep")).alias("vec_id"),
+                "embedding",
+                "label",
+            )
+            emb_path = f"{tmp}/embeddings/embeddings.parquet"
+            big_emb.write.mode("overwrite").parquet(emb_path)
+            n_vecs = spark.read.parquet(emb_path).count()
+            t0 = time.perf_counter()
+            similarity.embedding_top_component(
+                spark, f"{tmp}/embeddings", iters=4
+            ).collect()
+            dt = time.perf_counter() - t0
+            out["power_iter_n_vecs"] = n_vecs
+            out["power_iter4_s"] = round(dt, 2)
+            out["power_iter_vecs_per_s_per_iter"] = int(n_vecs * 4 / dt)
+
+        section("power_iteration", _power_iteration)
+
     out["n_events"] = n_events
     print(json.dumps(out))
 

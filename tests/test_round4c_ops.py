@@ -262,3 +262,24 @@ def test_embedding_top_component_rayleigh_residual(spark):
     cos = w @ v / (np.linalg.norm(w) * np.linalg.norm(v))
     assert cos > 0.9995  # direction converged
     assert abs(lam - v @ w) / lam < 0.02  # Rayleigh quotient consistent
+
+
+def test_stream_quality_filter_matches_batch_oracle(spark):
+    from redis_dataflow_realtime_analytics_spark.registry import ORACLE, QUERIES
+
+    compare(
+        QUERIES["stream_quality_filtered_docs"](spark, SF_SMOKE),
+        ORACLE["stream_quality_filtered_docs"],
+        SF_SMOKE,
+    )
+
+
+def test_stream_quality_filter_is_strict_subset(spark):
+    from redis_dataflow_realtime_analytics_spark.registry import QUERIES
+
+    out = QUERIES["stream_quality_filtered_docs"](spark, SF_SMOKE)
+    batch = text.quality_score(spark, SF_SMOKE)
+    n_all = batch.count()
+    kept = out.count()
+    assert 0 < kept < n_all  # threshold actually filters
+    assert out.agg(F.min("quality")).first()[0] >= text.GATE_MIN_QUALITY
