@@ -540,6 +540,13 @@ q(
 q("text_token_stats", text.token_stats, text.oracle_token_stats())
 q("text_quality_score", text.quality_score, text.oracle_quality_score())
 q("text_lang_id", text.lang_id, text.oracle_lang_id())
+# Classifier-eval report: confusion matrix of the lang-ID heuristic vs the
+# ground-truth label (|langs|^2 cells, row-normalized recall).
+q(
+    "lang_confusion_matrix",
+    text.lang_confusion_matrix,
+    text.oracle_lang_confusion_matrix(),
+)
 q("text_fingerprints", text.fingerprints, text.oracle_fingerprints())
 q("text_normalize_mask", text.normalize_mask, text.oracle_normalize_mask())
 # Gopher-style repetition filters (top-bigram fraction, duplicated-trigram
@@ -2222,6 +2229,13 @@ _PRIORITY = [
     # in sections 2c/2e/2k/2o; its dropDuplicatesWithinWatermark leg has
     # been green since r1/r2 and is untouched this round.
     "stream_quality_filtered_docs",
+    # --- 2p. lang-ID confusion matrix (classifier-eval report). Rotated
+    # out in exchange: ann_topk_bruteforce — similarity.py's r4 changes
+    # (seed-init guard, power-iteration addition) do not touch the ANN
+    # scoring path, and embedding_dim_stats + embedding_outlier_scores +
+    # embedding_centroid_cosines in the window all exercise the same
+    # quantize/load path; its own key has been green since r1.
+    "lang_confusion_matrix",
     # --- 3. re-checks: last green predates operator source change ---
     # (To fit 2b under the 50-key cap, three ever-green re-checks with
     # redundant r3 coverage were rotated to the r5 pool: r1_time_axis and
@@ -2236,8 +2250,7 @@ _PRIORITY = [
     # sampling.py changed in r3 (exact-k stratum sampling added)
     "pack_documents_512",
     "train_corpus_pipeline",
-    # similarity.py changed in r3 (ts normalization) AND r4 (seed-init guard)
-    "ann_topk_bruteforce",
+    # similarity.py r4 changes are covered by the embedding_* keys above
     # timeseries.py changed in r3 (ts normalization)
     "r3_users_timeseries",
     "r5_variant_overlap",

@@ -283,3 +283,21 @@ def test_stream_quality_filter_is_strict_subset(spark):
     kept = out.count()
     assert 0 < kept < n_all  # threshold actually filters
     assert out.agg(F.min("quality")).first()[0] >= text.GATE_MIN_QUALITY
+
+
+def test_lang_confusion_matrix_matches_oracle(spark):
+    compare(
+        text.lang_confusion_matrix(spark, SF_SMOKE),
+        text.oracle_lang_confusion_matrix(),
+        SF_SMOKE,
+    )
+
+
+def test_lang_confusion_matrix_shares_sum_to_one(spark):
+    rows = text.lang_confusion_matrix(spark, SF_SMOKE).collect()
+    assert sum(r.n_docs for r in rows) == 500  # every doc lands in a cell
+    by_lang: dict[str, float] = {}
+    for r in rows:
+        by_lang[r.lang] = by_lang.get(r.lang, 0.0) + r.share_of_lang
+    for lang, s in by_lang.items():
+        assert abs(s - 1.0) < 1e-12, (lang, s)
