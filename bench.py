@@ -83,6 +83,9 @@ HEADLINE = [
     "text_collocations_pmi",
     "user_retention_cohorts",
     "embedding_dim_stats",
+    # new in r4 (cont. 6): semantic dedup clusters + the curated pipeline
+    "dedup_semantic_components",
+    "corpus_curated_pipeline",
 ]
 
 

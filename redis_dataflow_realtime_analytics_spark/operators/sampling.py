@@ -547,3 +547,50 @@ SELECT source, decile, count(*) AS n_docs,
        min(n_chars) AS min_chars, max(n_chars) AS max_chars,
        CAST(sum(n_chars) AS BIGINT) AS sum_chars
 FROM d GROUP BY 1, 2"""
+
+
+def curated_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production training-data assembly line, with the REAL gates:
+    per-gate quality verdict (quality / entropy / repetition) → exact
+    content dedup among the survivors (keep lowest doc_id per normalized
+    hash) → per-(source, lang) composition report. This is
+    :func:`train_corpus_pipeline`'s grown-up sibling — that one documents
+    the minimal shape (cheap filters + one dedup shuffle); this one runs
+    the assembled corpus-curation stack end to end.
+
+    Output: (source, lang, n_docs, total_chars).
+
+    Plan: the gate's gram shuffle dominates; the dedup groupBy keys on
+    md5 (uniform); every join is doc_id-keyed on |docs|-row frames. The
+    filter runs BEFORE the dedup shuffle, so only qualifying rows
+    shuffle — the same ordering the 100 TB pipeline wants.
+    """
+    from .text import corpus_quality_gate
+
+    docs = load(spark, sf_dir, "documents")
+    kept = corpus_quality_gate(spark, sf_dir).where(F.col("keep")).select("doc_id")
+    qualified = docs.join(kept, "doc_id")
+    survivors = (
+        qualified.groupBy(F.md5(F.col("text")).alias("content_hash"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    return (
+        qualified.join(survivors, "doc_id", "left_semi")
+        .groupBy("source", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+def oracle_curated_corpus_pipeline(gate_oracle: str) -> str:
+    return f"""WITH gate AS ({gate_oracle}),
+kept AS (SELECT d.* FROM documents d JOIN gate g ON g.doc_id = d.doc_id
+         WHERE g.keep),
+survivors AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5(text))
+SELECT source, lang, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM kept JOIN survivors USING (doc_id)
+GROUP BY 1, 2"""

@@ -824,3 +824,33 @@ def embedding_top_component(
         [(i, v[i], eigenvalue) for i in range(d)],
         "dim int, component double, eigenvalue double",
     )
+
+
+def semantic_components(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.45
+) -> DataFrame:
+    """Semantic duplicate clusters (the SemDeDup shape: Abbas et al. 2023):
+    embedding-cosine near-dup PAIRS → transitive closure → one component
+    label per clustered vector — exactly the pairs→clusters step the
+    textual dedup family runs, but over the embedding metric, so
+    paraphrases and near-translations cluster even when they share no
+    n-grams.
+
+    Output: (vec_id, component_id), component_id = min vec_id reachable.
+
+    The edge set is the SQL-oracled exact :func:`embedding_neardup_pairs`
+    (fixed-point int64 cosines), so the whole chain — pairs → clusters —
+    is differential-testable end to end; at 100 TB the edge stage swaps
+    for the LSH-bucketed twin (`embedding_neardup_pairs_lsh`) with the
+    identical downstream. Clustering is the shared driver-coordinated
+    min-label propagation (O(diameter) rounds, one node-keyed shuffle per
+    round).
+    """
+    from .dedup import connected_components
+
+    edges = embedding_neardup_pairs(spark, sf_dir, threshold=threshold).select(
+        F.col("vec_id_a").alias("doc_a"), F.col("vec_id_b").alias("doc_b")
+    )
+    return connected_components(edges).select(
+        F.col("doc_id").alias("vec_id"), "component_id"
+    )

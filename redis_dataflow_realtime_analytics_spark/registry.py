@@ -735,6 +735,34 @@ WHERE {_ORACLE_COS.format(d='d.dot', a='na.n2', b='nb.n2')} >= 0.45""",
 # brute-force baseline asserted in tests/test_similarity.py.
 q("ann_ivf_topk", similarity.ann_ivf_topk)
 
+# Semantic duplicate clusters (SemDeDup shape): the SQL-oracled exact
+# embedding near-dup pairs fed through the shared transitive closure —
+# the whole pairs→clusters chain differential-tested over the embedding
+# metric. (nodes/reach aliases avoid the e/n CTEs from the norms block.)
+q(
+    "dedup_semantic_components",
+    similarity.semantic_components,
+    f"""WITH RECURSIVE {_ORACLE_NORMS},
+p AS (SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+             unnest(list_zip(a.qv, b.qv)) AS z
+      FROM e a JOIN e b ON a.vec_id < b.vec_id),
+d AS (SELECT vec_id_a, vec_id_b, {oracle_qdot('z[1]', 'z[2]')} AS dot
+      FROM p GROUP BY 1, 2),
+pr AS (SELECT vec_id_a AS a, vec_id_b AS b
+       FROM d
+       JOIN n na ON na.vec_id = vec_id_a
+       JOIN n nb ON nb.vec_id = vec_id_b
+       WHERE {_ORACLE_COS.format(d='d.dot', a='na.n2', b='nb.n2')} >= 0.45),
+edges AS (SELECT a, b FROM pr UNION SELECT b, a FROM pr),
+nodes AS (SELECT DISTINCT a AS nn FROM edges),
+reach(nn, m) AS (
+  SELECT nn, nn FROM nodes
+  UNION
+  SELECT r.nn, e2.b FROM reach r JOIN edges e2 ON e2.a = r.m
+)
+SELECT nn AS vec_id, min(m) AS component_id FROM reach GROUP BY nn""",
+)
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing (binary columns + metadata; decode stage stubbed)
 # ---------------------------------------------------------------------------
@@ -1609,6 +1637,14 @@ FROM filt
 WHERE doc_id IN (SELECT doc_id FROM keep)
   AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '80'""",
 )
+# The grown-up sibling: quality-gate verdict → exact dedup among the
+# survivors → per-(source, lang) composition — the assembled curation
+# stack as one differential-tested pipeline.
+q(
+    "corpus_curated_pipeline",
+    sampling.curated_corpus_pipeline,
+    sampling.oracle_curated_corpus_pipeline(text.oracle_corpus_quality_gate()),
+)
 q(
     "corpus_upsample_by_language",
     sampling.upsample_by_language,
@@ -2236,20 +2272,26 @@ _PRIORITY = [
     # embedding_centroid_cosines in the window all exercise the same
     # quantize/load path; its own key has been green since r1.
     "lang_confusion_matrix",
+    # --- 2q. semantic duplicate clusters + curated-corpus pipeline.
+    # Rotated out in exchange: dedup_exact_groups (the md5-groupBy dedup
+    # path is re-exercised INSIDE corpus_curated_pipeline, and dedup.py's
+    # re-check duty is carried by dedup_cluster_size_histogram's full
+    # chain) and train_corpus_pipeline (a strict subset of the curated
+    # pipeline's shape — cheap filters + the same one-shuffle dedup).
+    "dedup_semantic_components",
+    "corpus_curated_pipeline",
     # --- 3. re-checks: last green predates operator source change ---
     # (To fit 2b under the 50-key cap, three ever-green re-checks with
     # redundant r3 coverage were rotated to the r5 pool: r1_time_axis and
     # r2_visits_timeseries_last10 — the same axis/read path as the r3-green
     # r2b/r4b twins — and sliding_visits, whose streaming twin
     # stream_sliding_visits stays below.)
-    # dedup.py changed 4x in r3 (incremental near-dup, CC init fold, ...)
-    "dedup_exact_groups",
+    # dedup.py re-check duty carried by dedup_cluster_size_histogram (2l)
     # text.py changed in r3 (input-split spread, pre-tokenize, new ops)
     "text_lang_id",
     "text_tfidf_top_terms",
     # sampling.py changed in r3 (exact-k stratum sampling added)
     "pack_documents_512",
-    "train_corpus_pipeline",
     # similarity.py r4 changes are covered by the embedding_* keys above
     # timeseries.py changed in r3 (ts normalization)
     "r3_users_timeseries",

@@ -301,3 +301,44 @@ def test_lang_confusion_matrix_shares_sum_to_one(spark):
         by_lang[r.lang] = by_lang.get(r.lang, 0.0) + r.share_of_lang
     for lang, s in by_lang.items():
         assert abs(s - 1.0) < 1e-12, (lang, s)
+
+
+def test_semantic_components_matches_oracle(spark):
+    from redis_dataflow_realtime_analytics_spark.registry import ORACLE
+
+    compare(
+        similarity.semantic_components(spark, SF_SMOKE),
+        ORACLE["dedup_semantic_components"],
+        SF_SMOKE,
+    )
+
+
+def test_semantic_components_cover_exactly_paired_vectors(spark):
+    comp = similarity.semantic_components(spark, SF_SMOKE)
+    pairs = similarity.embedding_neardup_pairs(spark, SF_SMOKE)
+    paired = (
+        pairs.selectExpr("vec_id_a AS v")
+        .union(pairs.selectExpr("vec_id_b AS v"))
+        .distinct()
+    )
+    assert comp.count() == paired.count()  # every paired vector, nothing else
+    assert comp.where("component_id > vec_id").count() == 0  # min-label law
+
+
+def test_curated_pipeline_matches_oracle(spark):
+    from redis_dataflow_realtime_analytics_spark.registry import ORACLE
+
+    compare(
+        sampling.curated_corpus_pipeline(spark, SF_SMOKE),
+        ORACLE["corpus_curated_pipeline"],
+        SF_SMOKE,
+    )
+
+
+def test_curated_pipeline_bounded_by_gate(spark):
+    """The curated corpus can never exceed the gate's keep count, and
+    dedup can only shrink it further."""
+    gate_kept = text.corpus_quality_gate(spark, SF_SMOKE).where("keep").count()
+    mix = sampling.curated_corpus_pipeline(spark, SF_SMOKE).collect()
+    curated = sum(r.n_docs for r in mix)
+    assert 0 < curated <= gate_kept
