@@ -1091,6 +1091,24 @@ q(
     f"""SELECT * FROM ({text.oracle_quality_score()})
 WHERE quality >= {text.GATE_MIN_QUALITY}""",
 )
+
+
+# Streaming incremental exact dedup: shipments anti-join the accumulated
+# content-hash index store (foreachBatch), appending only first-seen
+# hashes; doc_id-ascending shipments make first-seen == min(doc_id), so
+# the batch dedup is the exact oracle (stream/batch parity).
+def _stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming import pipeline as sp
+
+    return sp.stream_ingest_dedup(spark, f"{sf_dir}/documents.parquet")
+
+
+q(
+    "stream_ingest_dedup",
+    _stream_ingest_dedup,
+    """SELECT md5(text) AS content_hash, min(doc_id) AS doc_id
+FROM documents GROUP BY 1""",
+)
 q(
     "stream_store_uniques_per_variant",
     _stream_store_variant_uniques,
@@ -2280,6 +2298,13 @@ _PRIORITY = [
     # pipeline's shape — cheap filters + the same one-shuffle dedup).
     "dedup_semantic_components",
     "corpus_curated_pipeline",
+    # --- 2r. streaming incremental-dedup ingest (foreachBatch index
+    # store). Rotated out in exchange: stream_stateful_uniques_per_variant
+    # — stateful.py is untouched since its r3 green row; the
+    # applyInPandasWithState path keeps its pytest parity gate, and
+    # pipeline.py's re-check duty is carried by the six stream keys
+    # remaining in the window.
+    "stream_ingest_dedup",
     # --- 3. re-checks: last green predates operator source change ---
     # (To fit 2b under the 50-key cap, three ever-green re-checks with
     # redundant r3 coverage were rotated to the r5 pool: r1_time_axis and
@@ -2300,7 +2325,6 @@ _PRIORITY = [
     # stream keys read through events.py, whose ts probing changed in r3+r4
     "stream_visits_per_minute",
     "stream_user_sessions",
-    "stream_stateful_uniques_per_variant",
     # metrics legs read through events.py (ts normalized at source in r3,
     # probe-cache keying changed in r4)
     "w1_visits_per_minute",

@@ -628,3 +628,106 @@ def stream_quality_filtered_docs(spark: SparkSession, docs_path: str) -> DataFra
     docs = reader.parquet(path)
     filtered = quality_projection(docs).where(F.col("quality") >= GATE_MIN_QUALITY)
     return _replay_to_memory_append(spark, filtered, "qualdocs")
+
+
+_DOCS_REPLAY_DIRS: dict[tuple[str, int, int], str] = {}
+
+
+def _chunked_docs_replay_dir(docs_path: str, n_chunks: int = 3) -> str:
+    """Materialize the documents fixture as a doc_id-ordered multi-file
+    replay (one micro-batch per file) — the streaming analogue of a crawl
+    landing in an object-store drop folder one shipment at a time.
+
+    Chunks are doc_id-ascending with strictly increasing mtimes so the
+    file source replays them in order; a _COMPLETE marker guards against
+    trusting a half-built dir (same pattern as the events replay above).
+    """
+    import hashlib
+    import tempfile
+    import time as _time
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    key = (docs_path, os.stat(docs_path).st_mtime_ns, n_chunks)
+    if key in _DOCS_REPLAY_DIRS:
+        return _DOCS_REPLAY_DIRS[key]
+    tag = hashlib.md5(f"{docs_path}:{key[1]}:{n_chunks}".encode()).hexdigest()[:16]
+    out = os.path.join(tempfile.gettempdir(), f"docs_replay_{tag}")
+    marker = os.path.join(out, "_COMPLETE")
+    if os.path.isfile(marker):
+        _DOCS_REPLAY_DIRS[key] = out
+        return out
+
+    tbl = pq.read_table(docs_path)
+    tbl = tbl.take(pc.sort_indices(tbl, sort_keys=[("doc_id", "ascending")]))
+    os.makedirs(out, exist_ok=True)
+    n = tbl.num_rows
+    step = max(1, (n + n_chunks - 1) // n_chunks)
+    paths = []
+    for i in range(0, n, step):
+        p = os.path.join(out, f"chunk_{i // step:04d}.parquet")
+        pq.write_table(tbl.slice(i, step), p)
+        paths.append(p)
+    base = _time.time() - 2 * len(paths)
+    for i, p in enumerate(paths):
+        os.utime(p, (base + 2 * i, base + 2 * i))
+    with open(marker, "w") as fh:
+        fh.write("ok\n")
+    _DOCS_REPLAY_DIRS[key] = out
+    return out
+
+
+def stream_ingest_dedup(
+    spark: SparkSession, docs_path: str, n_chunks: int = 3
+) -> DataFrame:
+    """Streaming incremental exact dedup — the ingest-side twin of
+    ``dedup.incremental_new_docs``: documents arrive in shipments (one
+    micro-batch per file), each batch collapses its own duplicates, anti-
+    joins against the accumulated content-hash INDEX STORE, and appends
+    only first-seen hashes. The index doubles as the accepted-corpus
+    manifest, so dedup work per shipment is O(batch × index-probe), never
+    a corpus-wide rescan — the property that makes continuous ingest
+    affordable at 100 TB (the batch-mode corpus dedup is a one-off job;
+    THIS is what runs every hour afterwards).
+
+    Output: (content_hash, doc_id) for every accepted document.
+
+    Oracle: because shipments are doc_id-ascending, first-seen == lowest
+    doc_id, so the accepted set equals the batch ``min(doc_id) per
+    md5(text)`` dedup exactly — stream/batch parity for the incremental
+    index semantics.
+    """
+    import tempfile
+    import uuid
+
+    replay = _chunked_docs_replay_dir(docs_path, n_chunks)
+    schema = spark.read.parquet(docs_path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(replay)
+    )
+    index_dir = os.path.join(
+        tempfile.gettempdir(), f"ingest_index_{uuid.uuid4().hex[:12]}"
+    )
+
+    def ingest(batch: DataFrame, _batch_id: int) -> None:
+        b = (
+            batch.select(F.md5("text").alias("content_hash"), "doc_id")
+            .groupBy("content_hash")
+            .agg(F.min("doc_id").alias("doc_id"))
+        )
+        if os.path.isdir(index_dir):
+            idx = batch.sparkSession.read.parquet(index_dir).select("content_hash")
+            b = b.join(idx, "content_hash", "left_anti")
+        b.write.mode("append").parquet(index_dir)
+
+    q = (
+        stream.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", f"{index_dir}_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(index_dir)

@@ -342,3 +342,38 @@ def test_curated_pipeline_bounded_by_gate(spark):
     mix = sampling.curated_corpus_pipeline(spark, SF_SMOKE).collect()
     curated = sum(r.n_docs for r in mix)
     assert 0 < curated <= gate_kept
+
+
+def test_stream_ingest_dedup_matches_batch_oracle(spark):
+    from redis_dataflow_realtime_analytics_spark.registry import ORACLE, QUERIES
+
+    compare(
+        QUERIES["stream_ingest_dedup"](spark, SF_SMOKE),
+        ORACLE["stream_ingest_dedup"],
+        SF_SMOKE,
+    )
+
+
+def test_stream_ingest_dedup_planted_cross_batch_duplicates(spark, tmp_path):
+    """A duplicate arriving in a LATER shipment must be rejected by the
+    index probe (the cross-batch case the within-batch groupBy can't
+    catch). doc_ids 0..5 split into 3 doc_id-ordered shipments of 2; the
+    text of doc 0 recurs as docs 3 and 5."""
+    from redis_dataflow_realtime_analytics_spark.streaming import pipeline as sp
+
+    rows = [
+        (0, "original text", "en", "s", 1),
+        (1, "unique one", "en", "s", 1),
+        (2, "unique two", "en", "s", 1),
+        (3, "original text", "en", "s", 1),  # dup of 0, batch 2
+        (4, "unique three", "en", "s", 1),
+        (5, "original text", "en", "s", 1),  # dup of 0, batch 3
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+    got = sp.stream_ingest_dedup(
+        spark, f"{tmp_path}/documents.parquet", n_chunks=3
+    ).collect()
+    accepted = sorted(r.doc_id for r in got)
+    assert accepted == [0, 1, 2, 4]
