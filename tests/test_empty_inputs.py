@@ -77,3 +77,54 @@ def test_sessions_and_windows_empty(spark):
         ),
     ).where(F.col("variant") == "error")
     assert out.count() == 0
+
+
+def _empty_docs_dir(spark, tmp_path):
+    spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+    spark.createDataFrame(
+        [], "vec_id long, embedding array<float>, label int"
+    ).write.parquet(f"{tmp_path}/embeddings.parquet")
+    return str(tmp_path)
+
+
+def test_corpus_diagnostics_empty(spark, tmp_path):
+    """Every round-4 corpus diagnostic must return a schema-stable EMPTY
+    result on an empty corpus — the quiet-source case a scheduled
+    pipeline hits on a day with no new shipments."""
+    from redis_dataflow_realtime_analytics_spark.operators import (
+        dedup,
+        sampling,
+        similarity,
+        text,
+    )
+
+    d = _empty_docs_dir(spark, tmp_path)
+    for fn in (
+        text.token_entropy,
+        text.sentence_stats,
+        text.collocations_pmi,
+        text.corpus_quality_gate,
+        text.lang_confusion_matrix,
+        sampling.length_decile_profile,
+        sampling.curated_corpus_pipeline,
+        dedup.cluster_size_histogram,
+        similarity.embedding_dim_stats,
+        similarity.semantic_components,
+    ):
+        out = fn(spark, d)
+        assert out.count() == 0, fn.__name__
+        assert len(out.schema.fields) > 0, fn.__name__
+
+
+def test_retention_cohorts_empty(spark, tmp_path):
+    from redis_dataflow_realtime_analytics_spark.operators import sessions as sx
+
+    spark.createDataFrame(
+        [],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(f"{tmp_path}/events.parquet")
+    out = sx.user_retention_cohorts(spark, str(tmp_path))
+    assert out.count() == 0
