@@ -1,10 +1,13 @@
 """Text analysis over the ``documents`` table (north-star extension).
 
-Language-ID (stopword heuristic), quality scoring, token counting, and
-document fingerprinting — all pure Catalyst expressions (split /
-higher-order array functions / regexp / md5), no Python UDFs: the hot path
-stays inside whole-stage codegen and scales linearly with no shuffle
-(per-row projections only).
+Language-ID (stopword heuristic) + its confusion-matrix evaluation,
+quality scoring and the assembled per-gate quality verdict, token
+counting, lexical diversity (entropy/TTR), sentence stats, document
+fingerprinting, corpus bigrams / PMI collocations, tf-idf, vocabulary
+coverage, and n-gram LM scoring — all pure Catalyst expressions (split /
+higher-order array functions / regexp / md5), no Python UDFs: the hot
+paths stay inside whole-stage codegen; the only shuffles are keyed token/
+gram counts with map-side partial aggregation.
 
 Determinism: ratios are int/int double divisions (IEEE-exact), score
 formulas use only +,*,/ on those, and fingerprints are md5 — so every query

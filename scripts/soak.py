@@ -8,6 +8,11 @@ directly comparable with BASELINE.md.
 
 Usage:  python scripts/soak.py [n_events] [doc_multiplier]
 Prints one JSON line.
+
+Heap sizing: above ~15 M events set SPARK_DRIVER_MEMORY=48g — the
+streaming symmetric-hash-join state for a full-history replay plus the
+section sequence exceeds the 16 g default (observed OOM at 30 M; the
+session factory reads the env var before JVM start).
 """
 
 from __future__ import annotations
