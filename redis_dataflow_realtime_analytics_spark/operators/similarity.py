@@ -116,9 +116,17 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str, threshold: float =
 
     Brute force O(n²) pairs; at scale swap the pair join for the IVF
     bucketing below (pairs only within a bucket) or random-hyperplane LSH.
+
+    The stream side (a) is spread across all task slots first: the
+    non-equi pair join inherits ITS partitioning, and a small single-file
+    embeddings scan would otherwise run the whole O(n²) × O(dim) scoring
+    stage on 1-2 tasks (measured 32 s → 2.5 s at sf0.1 through
+    ``semantic_components``).
     """
+    from ..tables import spread
+
     emb = _quantized(spark, sf_dir)
-    a = emb.select(
+    a = spread(emb).select(
         F.col("vec_id").alias("vec_id_a"),
         F.col("qvec").alias("qa"),
         F.col("n2").alias("na"),
