@@ -359,3 +359,34 @@ SELECT cohort_day,
        count(DISTINCT user_id) AS active_users
 FROM days JOIN first USING (user_id)
 GROUP BY 1, 2"""
+
+
+def events_activity_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week × hour-of-day activity heatmap — the load-profile
+    report behind capacity planning and anomaly baselines (every
+    dashboard's "when are users here" panel).
+
+    Output: (day_of_week 1..7 Sunday=1, hour 0..23, n_events,
+    n_users) — all exact ints, one count shuffle over a ≤168-cell key
+    space with map-side partials.
+    """
+    ev = _ev(spark, sf_dir)
+    return (
+        ev.groupBy(
+            F.dayofweek("ts").alias("day_of_week"),
+            F.hour("ts").alias("hour"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+def oracle_events_activity_heatmap(ev_cte: str) -> str:
+    return f"""{ev_cte}
+SELECT CAST(dayofweek(ts) + 1 AS INTEGER) AS day_of_week,
+       CAST(hour(ts) AS INTEGER) AS hour,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users
+FROM ev GROUP BY 1, 2"""

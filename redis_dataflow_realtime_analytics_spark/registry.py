@@ -1718,6 +1718,12 @@ q(
     sessions.user_retention_cohorts,
     sessions.oracle_user_retention_cohorts(EV_CTE),
 )
+# Day-of-week × hour load profile (≤168 cells; capacity-planning report).
+q(
+    "events_activity_heatmap",
+    sessions.events_activity_heatmap,
+    sessions.oracle_events_activity_heatmap(EV_CTE),
+)
 
 
 def _stream_deduped_visits(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2305,6 +2311,11 @@ _PRIORITY = [
     # pipeline.py's re-check duty is carried by the six stream keys
     # remaining in the window.
     "stream_ingest_dedup",
+    # --- 2s. day-of-week × hour activity heatmap. Rotated out in
+    # exchange: r5_variant_overlap — timeseries.py is unchanged since its
+    # r1/r2 green rows beyond the r3 ts normalization that
+    # r3_users_timeseries (kept) re-checks on the same read path.
+    "events_activity_heatmap",
     # --- 3. re-checks: last green predates operator source change ---
     # (To fit 2b under the 50-key cap, three ever-green re-checks with
     # redundant r3 coverage were rotated to the r5 pool: r1_time_axis and
@@ -2320,7 +2331,6 @@ _PRIORITY = [
     # similarity.py r4 changes are covered by the embedding_* keys above
     # timeseries.py changed in r3 (ts normalization)
     "r3_users_timeseries",
-    "r5_variant_overlap",
     # streaming/pipeline.py changed in r3 (state-partition sizing) and all
     # stream keys read through events.py, whose ts probing changed in r3+r4
     "stream_visits_per_minute",

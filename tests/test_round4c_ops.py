@@ -377,3 +377,22 @@ def test_stream_ingest_dedup_planted_cross_batch_duplicates(spark, tmp_path):
     ).collect()
     accepted = sorted(r.doc_id for r in got)
     assert accepted == [0, 1, 2, 4]
+
+
+def test_activity_heatmap_matches_oracle(spark):
+    from redis_dataflow_realtime_analytics_spark.operators import sessions
+    from redis_dataflow_realtime_analytics_spark.registry import EV_CTE
+
+    compare(
+        sessions.events_activity_heatmap(spark, SF_SMOKE),
+        sessions.oracle_events_activity_heatmap(EV_CTE),
+        SF_SMOKE,
+    )
+
+
+def test_activity_heatmap_cell_domain(spark):
+    from redis_dataflow_realtime_analytics_spark.operators import sessions
+
+    rows = sessions.events_activity_heatmap(spark, SF_SMOKE).collect()
+    assert all(1 <= r.day_of_week <= 7 and 0 <= r.hour <= 23 for r in rows)
+    assert all(r.n_users <= r.n_events for r in rows)
