@@ -43,7 +43,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..tables import load
+from ..tables import load, spread
 
 # The decode/resize closures reference module-level helpers (_parse_pnm /
 # _encode_pnm). Python workers don't inherit a driver-side sys.path patch,
@@ -76,7 +76,7 @@ def with_blob(spark: SparkSession, sf_dir: str) -> DataFrame:
     Stands in for an image/audio blob column: ``content`` is the UTF-8
     encoding of the text (deterministic), ``meta`` is the typed metadata
     struct a real ingest would carry (mime type, byte length)."""
-    docs = load(spark, sf_dir, "documents")
+    docs = spread(load(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         "source",
@@ -103,7 +103,7 @@ def with_image_blob(spark: SparkSession, sf_dir: str) -> DataFrame:
     and byte-size live in the typed ``meta`` struct so predicates prune
     before any decode touches payload bytes.
     """
-    docs = load(spark, sf_dir, "documents")
+    docs = spread(load(spark, sf_dir, "documents"))
     w = (F.col("doc_id") % 24 + 8).cast("int")
     h = ((F.col("doc_id") * 7) % 16 + 8).cast("int")
     n_payload = w * h * 3
@@ -144,7 +144,7 @@ def with_gray_blob(spark: SparkSession, sf_dir: str) -> DataFrame:
     255\\n`` header. Exercises the second real codec tier (grayscale)
     through the identical ``mapInPandas`` decode stage.
     """
-    docs = load(spark, sf_dir, "documents")
+    docs = spread(load(spark, sf_dir, "documents"))
     w = (F.col("doc_id") % 24 + 8).cast("int")
     h = ((F.col("doc_id") * 7) % 16 + 8).cast("int")
     n_payload = w * h
@@ -195,7 +195,7 @@ def with_audio_blob(spark: SparkSession, sf_dir: str, sample_rate: int = 8000) -
     real (pure-numpy) audio codec. Third real codec tier next to the
     Netpbm P6/P5 images.
     """
-    docs = load(spark, sf_dir, "documents")
+    docs = spread(load(spark, sf_dir, "documents"))
     n_samples = (F.col("doc_id") % 480 + 160).cast("int")
     data_size = n_samples * 2
     reps = F.ceil(data_size / F.lit(32)).cast("int")
@@ -371,7 +371,7 @@ def with_video_blob(spark: SparkSession, sf_dir: str) -> DataFrame:
     video file any Y4M-aware tool can play, so the frame sampler
     exercises a real container parse + frame seek + plane decomposition.
     """
-    docs = load(spark, sf_dir, "documents")
+    docs = spread(load(spark, sf_dir, "documents"))
     n_frames = (F.col("doc_id") % 8 + 2).cast("int")
     total_payload = n_frames * Y4M_FRAME_BYTES
     reps = F.ceil(total_payload / F.lit(32)).cast("int")
@@ -495,7 +495,7 @@ def with_bmp_blob(spark: SparkSession, sf_dir: str) -> DataFrame:
     a transform-over-sequence lambda is ~5x slower here). The result is a
     VALID .bmp file any image viewer opens.
     """
-    docs = load(spark, sf_dir, "documents")
+    docs = spread(load(spark, sf_dir, "documents"))
     base = (
         docs.select(
             "doc_id",
