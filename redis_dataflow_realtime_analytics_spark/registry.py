@@ -731,9 +731,56 @@ JOIN n na ON na.vec_id = vec_id_a
 JOIN n nb ON nb.vec_id = vec_id_b
 WHERE {_ORACLE_COS.format(d='d.dot', a='na.n2', b='nb.n2')} >= 0.45""",
 )
-# IVF is an approximate engine-specific plan → rows-only; recall vs the
-# brute-force baseline asserted in tests/test_similarity.py.
-q("ann_ivf_topk", similarity.ann_ivf_topk)
+# IVF is approximate vs brute force but fully DETERMINISTIC internally
+# (modulo-seeded centroids, exact int64 dots, explicit tie-breaks), so the
+# whole plan — assignment, probing, candidate top-k — is SQL-expressible
+# and hash-gated; recall vs the exact baseline stays asserted in
+# tests/test_similarity.py. (r4: converted from rows-only.)
+q(
+    "ann_ivf_topk",
+    similarity.ann_ivf_topk,
+    f"""WITH {_ORACLE_NORMS},
+ev AS (SELECT e.vec_id, e.qv, n.n2 FROM e JOIN n USING (vec_id)),
+cents AS (SELECT vec_id AS centroid_id, qv AS cqv, n2 AS cn2
+          FROM ev WHERE vec_id % {similarity.CENTROID_MOD} = 0),
+cp AS (SELECT v.vec_id, v.n2, c.centroid_id, c.cn2,
+              unnest(list_zip(v.qv, c.cqv)) AS z
+       FROM ev v CROSS JOIN cents c),
+cd AS (SELECT vec_id, centroid_id,
+              {oracle_qdot('z[1]', 'z[2]')} AS dot,
+              any_value(n2) AS n2, any_value(cn2) AS cn2
+       FROM cp GROUP BY 1, 2),
+cs AS (SELECT vec_id, centroid_id,
+              {_ORACLE_COS.format(d='dot', a='n2', b='cn2')} AS c_cos
+       FROM cd),
+assign AS (
+  SELECT vec_id, centroid_id AS bucket FROM cs
+  QUALIFY row_number() OVER (PARTITION BY vec_id
+                             ORDER BY c_cos DESC, centroid_id) = 1),
+probes AS (
+  SELECT vec_id AS query_id, centroid_id AS probe_bucket FROM cs
+  WHERE vec_id % {similarity.QUERY_MOD} = 0
+  QUALIFY row_number() OVER (PARTITION BY vec_id
+                             ORDER BY c_cos DESC, centroid_id) <= 3),
+pairs AS (
+  SELECT p.query_id, a.vec_id, unnest(list_zip(cv.qv, qv2.qv)) AS z
+  FROM probes p
+  JOIN assign a ON a.bucket = p.probe_bucket AND a.vec_id <> p.query_id
+  JOIN e cv ON cv.vec_id = a.vec_id
+  JOIN e qv2 ON qv2.vec_id = p.query_id),
+pd AS (SELECT query_id, vec_id, {oracle_qdot('z[1]', 'z[2]')} AS dot
+       FROM pairs GROUP BY 1, 2),
+ps AS (SELECT pd.query_id, pd.vec_id,
+              {_ORACLE_COS.format(d='pd.dot', a='na.n2', b='nb.n2')} AS cosine
+       FROM pd JOIN n na ON na.vec_id = pd.vec_id
+       JOIN n nb ON nb.vec_id = pd.query_id)
+SELECT query_id, vec_id AS neighbor_id, cosine,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, vec_id) AS INTEGER) AS rank
+FROM ps
+QUALIFY row_number() OVER (PARTITION BY query_id
+                           ORDER BY cosine DESC, vec_id) <= 10""",
+)
 
 # Semantic duplicate clusters (SemDeDup shape): the SQL-oracled exact
 # embedding near-dup pairs fed through the shared transitive closure —
@@ -2316,6 +2363,12 @@ _PRIORITY = [
     # r1/r2 green rows beyond the r3 ts normalization that
     # r3_users_timeseries (kept) re-checks on the same read path.
     "events_activity_heatmap",
+    # --- 2t. ann_ivf_topk converted rows-only → SQL-oracled (the IVF
+    # plan is deterministic end to end, so assignment/probing/top-k are
+    # now hash-gated, not just recall-tested). Rotated out in exchange:
+    # text_tfidf_top_terms — text.py's re-check duty is carried by the
+    # eight other text keys in the window sharing the same tokenization.
+    "ann_ivf_topk",
     # --- 3. re-checks: last green predates operator source change ---
     # (To fit 2b under the 50-key cap, three ever-green re-checks with
     # redundant r3 coverage were rotated to the r5 pool: r1_time_axis and
@@ -2325,7 +2378,6 @@ _PRIORITY = [
     # dedup.py re-check duty carried by dedup_cluster_size_histogram (2l)
     # text.py changed in r3 (input-split spread, pre-tokenize, new ops)
     "text_lang_id",
-    "text_tfidf_top_terms",
     # sampling.py changed in r3 (exact-k stratum sampling added)
     "pack_documents_512",
     # similarity.py r4 changes are covered by the embedding_* keys above
