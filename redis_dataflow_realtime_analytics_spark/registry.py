@@ -60,6 +60,12 @@ ORACLE: dict[str, str] = {}
 
 
 def q(name: str, fn: QueryFn, oracle: str | None = None) -> None:
+    # a dropped name argument would otherwise register a function OBJECT
+    # as the key and silently corrupt the catalog (bitten once in r4)
+    if not isinstance(name, str):
+        raise TypeError(f"registry key must be a str, got {type(name)}: {name!r}")
+    if not callable(fn):
+        raise TypeError(f"query fn for {name!r} is not callable: {type(fn)}")
     if name in QUERIES:
         raise ValueError(f"duplicate registry entry: {name}")
     QUERIES[name] = fn
@@ -1155,6 +1161,25 @@ q(
     _stream_ingest_dedup,
     """SELECT md5(text) AS content_hash, min(doc_id) AS doc_id
 FROM documents GROUP BY 1""",
+)
+
+
+# The fused production ingest: quality prefilter + incremental dedup in
+# ONE foreachBatch — rejected docs never cost an md5 or an index probe.
+def _stream_curated_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming import pipeline as sp
+
+    return sp.stream_curated_ingest(spark, f"{sf_dir}/documents.parquet")
+
+
+q(
+    "stream_curated_ingest",
+    _stream_curated_ingest,
+    f"""WITH q AS ({text.oracle_quality_score()})
+SELECT md5(d.text) AS content_hash, min(d.doc_id) AS doc_id
+FROM documents d JOIN q ON q.doc_id = d.doc_id
+WHERE q.quality >= {text.GATE_MIN_QUALITY}
+GROUP BY 1""",
 )
 q(
     "stream_store_uniques_per_variant",
@@ -2369,6 +2394,12 @@ _PRIORITY = [
     # text_tfidf_top_terms — text.py's re-check duty is carried by the
     # eight other text keys in the window sharing the same tokenization.
     "ann_ivf_topk",
+    # --- 2u. fused streaming curated ingest (quality gate + incremental
+    # dedup in one foreachBatch). Rotated out in exchange:
+    # pack_documents_512 — sampling.py's re-check duty is carried by the
+    # eight sampling keys in the window; the pack path itself is
+    # unchanged since its r1/r2 green rows.
+    "stream_curated_ingest",
     # --- 3. re-checks: last green predates operator source change ---
     # (To fit 2b under the 50-key cap, three ever-green re-checks with
     # redundant r3 coverage were rotated to the r5 pool: r1_time_axis and
@@ -2379,7 +2410,6 @@ _PRIORITY = [
     # text.py changed in r3 (input-split spread, pre-tokenize, new ops)
     "text_lang_id",
     # sampling.py changed in r3 (exact-k stratum sampling added)
-    "pack_documents_512",
     # similarity.py r4 changes are covered by the embedding_* keys above
     # timeseries.py changed in r3 (ts normalization)
     "r3_users_timeseries",

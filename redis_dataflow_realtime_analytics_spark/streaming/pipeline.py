@@ -731,3 +731,63 @@ def stream_ingest_dedup(
     )
     q.awaitTermination()
     return spark.read.parquet(index_dir)
+
+
+def stream_curated_ingest(
+    spark: SparkSession, docs_path: str, n_chunks: int = 3
+) -> DataFrame:
+    """The streaming CURATED ingest: each shipment passes the row-local
+    quality prefilter, collapses its own duplicates, anti-joins the
+    accumulated content-hash index, and appends — i.e.
+    :func:`stream_quality_filtered_docs` and :func:`stream_ingest_dedup`
+    fused into the one foreachBatch a production drop-folder pipeline
+    actually runs. Filtering happens BEFORE hashing, so rejected documents
+    never cost an md5 or an index probe.
+
+    Output: (content_hash, doc_id) for every accepted document.
+
+    Oracle: quality threshold + batch min-doc_id dedup (shipments are
+    doc_id-ascending, so first-seen == min) — stream/batch parity for the
+    composed pipeline.
+    """
+    import tempfile
+    import uuid
+
+    from ..operators.text import GATE_MIN_QUALITY, quality_projection
+
+    replay = _chunked_docs_replay_dir(docs_path, n_chunks)
+    schema = spark.read.parquet(docs_path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(replay)
+    )
+    index_dir = os.path.join(
+        tempfile.gettempdir(), f"curated_index_{uuid.uuid4().hex[:12]}"
+    )
+
+    def ingest(batch: DataFrame, _batch_id: int) -> None:
+        kept = (
+            quality_projection(batch)
+            .where(F.col("quality") >= GATE_MIN_QUALITY)
+            .select("doc_id")
+        )
+        b = (
+            batch.join(kept, "doc_id")
+            .select(F.md5("text").alias("content_hash"), "doc_id")
+            .groupBy("content_hash")
+            .agg(F.min("doc_id").alias("doc_id"))
+        )
+        if os.path.isdir(index_dir):
+            idx = batch.sparkSession.read.parquet(index_dir).select("content_hash")
+            b = b.join(idx, "content_hash", "left_anti")
+        b.write.mode("append").parquet(index_dir)
+
+    q = (
+        stream.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", f"{index_dir}_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(index_dir)

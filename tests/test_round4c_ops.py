@@ -427,3 +427,30 @@ def test_embedding_top_component_matches_numpy_eigh(spark):
     gap = w_exact[-2] / w_exact[-1]
     assert abs(v @ top) > 1.0 - 2.0 * gap**30  # alignment at the theory bound
     assert abs(lam - w_exact[-1]) / w_exact[-1] < 0.02
+
+
+def test_stream_curated_ingest_matches_batch_oracle(spark):
+    from redis_dataflow_realtime_analytics_spark.registry import ORACLE, QUERIES
+
+    compare(
+        QUERIES["stream_curated_ingest"](spark, SF_SMOKE),
+        ORACLE["stream_curated_ingest"],
+        SF_SMOKE,
+    )
+
+
+def test_stream_curated_ingest_is_gate_intersect_dedup(spark):
+    """The fused ingest must accept exactly: quality-passing docs that are
+    the first (lowest doc_id) of their content-hash group among
+    quality-passing docs."""
+    from redis_dataflow_realtime_analytics_spark.registry import QUERIES
+
+    got = {r.doc_id for r in QUERIES["stream_curated_ingest"](spark, SF_SMOKE).collect()}
+    kept = {
+        r.doc_id
+        for r in text.quality_score(spark, SF_SMOKE)
+        .where(F.col("quality") >= text.GATE_MIN_QUALITY)
+        .collect()
+    }
+    assert got <= kept  # never accepts a quality-rejected doc
+    assert len(got) > 0
