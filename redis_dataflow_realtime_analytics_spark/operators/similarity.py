@@ -862,3 +862,104 @@ def semantic_components(
     return connected_components(edges).select(
         F.col("doc_id").alias("vec_id"), "component_id"
     )
+
+
+def embedding_top_subspace(
+    spark: SparkSession, sf_dir: str, r: int = 4, iters: int = 12
+) -> DataFrame:
+    """Top-``r`` principal subspace of the uncentered embedding
+    second-moment matrix via distributed BLOCK power iteration
+    (orthogonal iteration): the multi-component generalization of
+    :func:`embedding_top_component`, and the actual PCA front-end — rank-r
+    whitening, spectral screening, low-rank compression all start here.
+
+    Output: (dim int, component_idx int, value double, eigenvalue double)
+    — r orthonormal columns (component_idx 0..r-1, ordered by descending
+    Rayleigh eigenvalue) in long form.
+
+    Plan per iteration: the current d×r block ships as a broadcast
+    ONE-ROW frame of r array columns (plan shape fixed ⇒ whole-stage
+    codegen compiled once, same lesson as the single-vector op); one
+    cached-corpus pass computes all r row-local projections s_j = x·v_j,
+    then a single posexplode + groupBy(dim) with r decimal-sum aggregates
+    yields W = X'X·V in one shuffle of O(d) state; the d×r QR
+    re-orthogonalization runs on the driver in numpy (d×r doubles — tiny).
+    At 100 TB: one corpus pass per iteration, driver traffic d×r doubles,
+    no d×d matrix ever forms. Determinism: decimal sums + a sign
+    convention on Q's columns (largest-|component| entry positive) make
+    the output bit-identical under any partitioning.
+    """
+    import math
+
+    import numpy as np
+
+    from ..tables import spread
+
+    emb = (
+        spread(load(spark, sf_dir, "embeddings"))
+        .select(V.quantize("embedding").alias("qvec"))
+        .persist()
+    )
+    try:
+        d = len(emb.first().qvec)
+        assert r <= d, f"r={r} exceeds vector width {d}"
+        # deterministic orthonormal init: identity columns
+        Vm = np.zeros((d, r))
+        for j in range(r):
+            Vm[j, j] = 1.0
+        eigs = [0.0] * r
+        s_cols = [
+            F.expr(
+                f"aggregate(zip_with(qvec, v{j}, (q, c) -> CAST(q AS DOUBLE) * c), "
+                "CAST(0.0 AS DOUBLE), (a, x) -> a + x)"
+            ).alias(f"s{j}")
+            for j in range(r)
+        ]
+        for _ in range(iters):
+            v_df = spark.createDataFrame(
+                [tuple([list(map(float, Vm[:, j])) for j in range(r)])],
+                ", ".join(f"v{j} array<double>" for j in range(r)),
+            )
+            sums = (
+                emb.crossJoin(F.broadcast(v_df))
+                .select(
+                    F.posexplode(
+                        F.expr("transform(qvec, q -> CAST(q AS DOUBLE))")
+                    ).alias("dim", "x"),
+                    *s_cols,
+                )
+                .groupBy("dim")
+                .agg(
+                    *[
+                        F.sum((F.col("x") * F.col(f"s{j}")).cast("decimal(38,6)"))
+                        .cast("double")
+                        .alias(f"w{j}")
+                        for j in range(r)
+                    ]
+                )
+                .collect()
+            )
+            W = np.zeros((d, r))
+            for row in sums:
+                for j in range(r):
+                    W[row.dim, j] = row[f"w{j}"]
+            # Rayleigh eigenvalues BEFORE re-orthogonalization: λ_j = v_j·w_j
+            eigs = [float(Vm[:, j] @ W[:, j]) for j in range(r)]
+            Q, _ = np.linalg.qr(W)
+            # sign convention: make each column's largest-|entry| positive
+            for j in range(r):
+                i = int(np.argmax(np.abs(Q[:, j])))
+                if Q[i, j] < 0:
+                    Q[:, j] = -Q[:, j]
+            Vm = Q
+    finally:
+        emb.unpersist()
+    order = sorted(range(r), key=lambda j: -eigs[j])
+    rows = [
+        (i, rank, float(Vm[i, j]), float(eigs[j]))
+        for rank, j in enumerate(order)
+        for i in range(d)
+    ]
+    return spark.createDataFrame(
+        rows, "dim int, component_idx int, value double, eigenvalue double"
+    )

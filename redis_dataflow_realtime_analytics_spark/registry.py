@@ -2187,6 +2187,11 @@ q(
 # iterative (one scan per iteration, O(d) shuffle state), rows-only like
 # kmeans; Rayleigh ascent/eigenpair residual/determinism test-gated.
 q("embedding_top_component", similarity.embedding_top_component)
+# Block (orthogonal) power iteration — the top-r PCA subspace; same
+# one-pass-per-iteration shape with a d×r driver-side QR. Rows-only like
+# the single-vector op; planted-axes, orthonormality, determinism, and
+# spectral-mass-vs-numpy tests gate it.
+q("embedding_top_subspace", similarity.embedding_top_subspace)
 
 # Cluster-geometry report: pairwise cosine between per-label integer-SUM
 # centroids — k²·d pairwise stage, independent of corpus size; only the

@@ -454,3 +454,66 @@ def test_stream_curated_ingest_is_gate_intersect_dedup(spark):
     }
     assert got <= kept  # never accepts a quality-rejected doc
     assert len(got) > 0
+
+
+def test_top_subspace_planted_two_axes(spark, tmp_path):
+    """Data concentrated on axes 1 and 5 (axis 1 stronger) -> the top-2
+    subspace recovers exactly those axes in eigenvalue order."""
+    import random
+
+    rng = random.Random(11)
+    rows = []
+    for i in range(300):
+        v = [rng.uniform(-0.02, 0.02) for _ in range(8)]
+        v[1] = rng.uniform(0.9, 1.0) * (1 if i % 2 else -1)
+        v[5] = rng.uniform(0.4, 0.5) * (1 if i % 3 else -1)
+        rows.append((i, [float(x) for x in v], 0))
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(f"{tmp_path}/embeddings.parquet")
+    out = similarity.embedding_top_subspace(spark, str(tmp_path), r=2, iters=15).collect()
+    comp = {}
+    for r in out:
+        comp.setdefault(r.component_idx, {})[r.dim] = r.value
+    assert abs(comp[0][1]) > 0.99  # strongest axis first
+    assert abs(comp[1][5]) > 0.99
+    eigs = sorted({r.component_idx: r.eigenvalue for r in out}.items())
+    assert eigs[0][1] > eigs[1][1] > 0
+
+
+def test_top_subspace_orthonormal_and_deterministic(spark):
+    import numpy as np
+
+    a = similarity.embedding_top_subspace(spark, SF_SMOKE, r=3, iters=6).collect()
+    b = similarity.embedding_top_subspace(spark, SF_SMOKE, r=3, iters=6).collect()
+    assert a == b  # bit-identical across runs
+    Vm = np.zeros((64, 3))
+    for r in a:
+        Vm[r.dim, r.component_idx] = r.value
+    gram = Vm.T @ Vm
+    assert np.allclose(gram, np.eye(3), atol=1e-12)  # orthonormal columns
+
+
+def test_top_subspace_captures_numpy_spectral_mass(spark):
+    """The captured Rayleigh mass must approach the exact top-r spectral
+    mass (subspace convergence is gap-limited on the flat fixture
+    spectrum, so gate the SUM of eigenvalues at 2%, not per-vector
+    alignment)."""
+    import numpy as np
+
+    from redis_dataflow_realtime_analytics_spark.tables import load
+
+    out = similarity.embedding_top_subspace(spark, SF_SMOKE, r=4, iters=20).collect()
+    got_mass = sum({r.component_idx: r.eigenvalue for r in out}.values())
+    emb = np.array(
+        [
+            r.embedding
+            for r in load(spark, SF_SMOKE, "embeddings").select("embedding").collect()
+        ],
+        dtype=np.float64,
+    )
+    q = np.floor(emb * (1 << 20))
+    w_exact = np.linalg.eigh(q.T @ q)[0]
+    exact_mass = float(w_exact[-4:].sum())
+    assert got_mass <= exact_mass * (1 + 1e-9)  # can never exceed the optimum
+    assert got_mass > exact_mass * 0.98
