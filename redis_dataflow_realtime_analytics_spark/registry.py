@@ -2253,6 +2253,17 @@ q(
 # ev_cube_uniques, text_normalize_mask, r1_time_axis,
 # r2_visits_timeseries_last10, sliding_visits), and the r1-green
 # text_quality_score twin keys if text.py changes again.
+# ALSO rotated out during the r4 continuation sessions (each with its
+# replacement coverage noted inline below; all were green when rotated,
+# every r4-session key was verified green at BOTH sf0.01 and sf0.1 by
+# scripts/driver_check.py before rotation): text_token_stats,
+# dedup_ngram_jaccard_pairs, sample_documents_hash,
+# similar_documents_report, ev_grouping_sets_uniques, chunk_documents,
+# w3/w11_uniques, r5_variant_overlap, stream_deduped_visits,
+# stream_stateful_uniques_per_variant, dedup_exact_groups,
+# train_corpus_pipeline, ann_topk_bruteforce, text_tfidf_top_terms,
+# pack_documents_512. Start the r5 window with these + the paragraph
+# above, front-loading whatever r5 changes first.
 # ---------------------------------------------------------------------------
 _PRIORITY = [
     # --- 1. fixed this round (r3's three red rows) ---
