@@ -86,6 +86,9 @@ HEADLINE = [
     # new in r4 (cont. 6): semantic dedup clusters + the curated pipeline
     "dedup_semantic_components",
     "corpus_curated_pipeline",
+    # new in r4 (cont. 7): the fused streaming curated ingest (replayed
+    # shipments through quality gate + index anti-join per micro-batch)
+    "stream_curated_ingest",
 ]
 
 

@@ -561,6 +561,11 @@ def main(n_events: int = 10_000_000, doc_mult: int = 20) -> None:
             out["power_iter_n_vecs"] = n_vecs
             out["power_iter4_s"] = round(dt, 2)
             out["power_iter_vecs_per_s_per_iter"] = int(n_vecs * 4 / dt)
+            t0 = time.perf_counter()
+            similarity.embedding_top_subspace(
+                spark, f"{tmp}/embeddings", r=4, iters=4
+            ).count()
+            out["block_iter4_r4_s"] = round(time.perf_counter() - t0, 2)
 
         section("power_iteration", _power_iteration)
 
