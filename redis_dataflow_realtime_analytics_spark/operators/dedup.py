@@ -1018,3 +1018,48 @@ sizes AS (SELECT component_id, count(*) AS cluster_size FROM comp GROUP BY 1)
 SELECT cluster_size, count(*) AS n_clusters,
        CAST(sum(cluster_size) AS BIGINT) AS n_docs
 FROM sizes GROUP BY 1"""
+
+
+def bow_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive exact dedup: documents hash by their SORTED token
+    multiset, so word-order shuffles — template engines emitting fields in
+    different orders, CSV-ish rows re-serialized, list markup reflowed —
+    collapse into one group even though byte-level exact dedup misses
+    them. Sits between exact dedup (order-sensitive) and n-gram Jaccard
+    (threshold-fuzzy) in the dedup ladder: still EXACT (multiset
+    equality), just order-free.
+
+    Output: (bow_hash, n_docs, keeper_doc_id) for every group with ≥2
+    members.
+
+    Plan: one md5-keyed groupBy — uniform 16-byte shuffle key with
+    map-side partials, the same scale shape as ``exact_dedup_groups``;
+    ``array_sort`` is per-row. Tokens sort by binary UTF-8 order in both
+    engines (UTF-8 byte order == code-point order), so the hash is
+    engine-portable.
+    """
+    docs = spread(load(spark, sf_dir, "documents"))
+    bow = F.md5(
+        F.concat_ws(
+            " ",
+            F.array_sort(F.expr(f"split(trim(lower(text)), '{TOKEN_EXPR}')")),
+        )
+    )
+    return (
+        docs.select("doc_id", bow.alias("bow_hash"))
+        .groupBy("bow_hash")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("keeper_doc_id"),
+        )
+        .where(F.col("n_docs") >= 2)
+    )
+
+
+def oracle_bow_dedup_groups() -> str:
+    return f"""SELECT md5(array_to_string(list_sort(
+           string_split_regex(trim(lower(text)), '{TOKEN_SQL}')), ' ')) AS bow_hash,
+       count(*) AS n_docs,
+       min(doc_id) AS keeper_doc_id
+FROM documents
+GROUP BY 1 HAVING count(*) >= 2"""

@@ -1913,6 +1913,9 @@ q(
     dedup.cluster_size_histogram,
     dedup.oracle_cluster_size_histogram(),
 )
+# Order-insensitive exact dedup: sorted-token-multiset hash — catches
+# word-order shuffles between exact dedup and n-gram Jaccard.
+q("dedup_bow_groups", dedup.bow_dedup_groups, dedup.oracle_bow_dedup_groups())
 
 # The production 100 TB pipeline: LSH candidates -> exact verify -> cluster
 # (quadratic stage never runs). Rows-only: edges depend on xxhash64 banding;
@@ -2416,6 +2419,12 @@ _PRIORITY = [
     # eight sampling keys in the window; the pack path itself is
     # unchanged since its r1/r2 green rows.
     "stream_curated_ingest",
+    # --- 2v. order-insensitive (bag-of-words) exact dedup. Rotated out
+    # in exchange: text_lang_id — lang_confusion_matrix (kept, section
+    # 2p) RUNS lang_id inside it and its oracle embeds oracle_lang_id as
+    # a CTE, so a green confusion row transitively re-checks the lang-ID
+    # path end to end.
+    "dedup_bow_groups",
     # --- 3. re-checks: last green predates operator source change ---
     # (To fit 2b under the 50-key cap, three ever-green re-checks with
     # redundant r3 coverage were rotated to the r5 pool: r1_time_axis and
@@ -2423,8 +2432,7 @@ _PRIORITY = [
     # r2b/r4b twins — and sliding_visits, whose streaming twin
     # stream_sliding_visits stays below.)
     # dedup.py re-check duty carried by dedup_cluster_size_histogram (2l)
-    # text.py changed in r3 (input-split spread, pre-tokenize, new ops)
-    "text_lang_id",
+    # text.py re-check duty carried by the in-window text keys (2l-2p)
     # sampling.py changed in r3 (exact-k stratum sampling added)
     # similarity.py r4 changes are covered by the embedding_* keys above
     # timeseries.py changed in r3 (ts normalization)

@@ -517,3 +517,33 @@ def test_top_subspace_captures_numpy_spectral_mass(spark):
     exact_mass = float(w_exact[-4:].sum())
     assert got_mass <= exact_mass * (1 + 1e-9)  # can never exceed the optimum
     assert got_mass > exact_mass * 0.98
+
+
+def test_bow_dedup_matches_oracle(spark):
+    compare(
+        dedup.bow_dedup_groups(spark, SF_SMOKE),
+        dedup.oracle_bow_dedup_groups(),
+        SF_SMOKE,
+    )
+
+
+def test_bow_dedup_catches_word_order_shuffle(spark, tmp_path):
+    """Two docs with the same token multiset in different orders group
+    together; a doc with one extra token does not."""
+    rows = [
+        (1, "alpha beta gamma", "en", "s", 1),
+        (2, "gamma alpha beta", "en", "s", 1),  # shuffle of 1
+        (3, "alpha beta gamma delta", "en", "s", 1),  # different multiset
+        (4, "Alpha Beta GAMMA", "en", "s", 1),  # case-folds into group 1
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+    got = dedup.bow_dedup_groups(spark, str(tmp_path)).collect()
+    assert len(got) == 1
+    assert got[0].n_docs == 3 and got[0].keeper_doc_id == 1
+    # normalized exact dedup groups the CASE pair (1, 4) but cannot see
+    # the order shuffle: its largest group stays at 2, while bow reaches 3
+    exact = dedup.exact_dedup_groups(spark, str(tmp_path))
+    exact_groups = exact.where(F.col("n_docs") >= 2).collect()
+    assert len(exact_groups) == 1 and exact_groups[0].n_docs == 2
