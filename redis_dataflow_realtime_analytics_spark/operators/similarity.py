@@ -963,3 +963,44 @@ def embedding_top_subspace(
     return spark.createDataFrame(
         rows, "dim int, component_idx int, value double, eigenvalue double"
     )
+
+
+def embedding_subspace_projection(
+    spark: SparkSession, sf_dir: str, r: int = 4, iters: int = 12
+) -> DataFrame:
+    """Rank-r PCA projection of the embedding corpus — the consumer of
+    :func:`embedding_top_subspace`: every vector reduced to its r
+    coordinates in the dominant principal subspace (low-rank compression,
+    visualization, spectral outlier screening).
+
+    Output: (vec_id, proj_0 .. proj_{r-1}) — scalar doubles, one row per
+    vector, coordinates ordered by descending eigenvalue.
+
+    Plan: the subspace fit runs first (one pass per iteration, O(d·r)
+    state); the projection pass is then a single scan with r row-local
+    zip_with dot products against the broadcast basis — no shuffle at
+    all, so the reduction step costs one corpus read at any scale.
+    Deterministic: the basis is bit-deterministic (sign convention +
+    decimal sums) and each coordinate is one IEEE dot on identical
+    doubles.
+    """
+    comp = embedding_top_subspace(spark, sf_dir, r=r, iters=iters).collect()
+    basis: dict[int, dict[int, float]] = {}
+    for row in comp:
+        basis.setdefault(row.component_idx, {})[row.dim] = row.value
+    d = max(max(c) for c in basis.values()) + 1
+    v_df = spark.createDataFrame(
+        [tuple([[basis[j][i] for i in range(d)] for j in range(r)])],
+        ", ".join(f"v{j} array<double>" for j in range(r)),
+    )
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", V.quantize("embedding").alias("qvec")
+    )
+    projs = [
+        F.expr(
+            f"aggregate(zip_with(qvec, v{j}, (q, c) -> CAST(q AS DOUBLE) * c), "
+            "CAST(0.0 AS DOUBLE), (a, x) -> a + x)"
+        ).alias(f"proj_{j}")
+        for j in range(r)
+    ]
+    return emb.crossJoin(F.broadcast(v_df)).select("vec_id", *projs)

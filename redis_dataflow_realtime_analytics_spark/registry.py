@@ -2195,6 +2195,10 @@ q("embedding_top_component", similarity.embedding_top_component)
 # the single-vector op; planted-axes, orthonormality, determinism, and
 # spectral-mass-vs-numpy tests gate it.
 q("embedding_top_subspace", similarity.embedding_top_subspace)
+# Its consumer: rank-r PCA coordinates per vector (shuffle-free
+# projection pass against the broadcast basis). Rows-only — the basis is
+# iterative; variance-ordering and norm-bound tests gate it.
+q("embedding_subspace_projection", similarity.embedding_subspace_projection)
 
 # Cluster-geometry report: pairwise cosine between per-label integer-SUM
 # centroids — k²·d pairwise stage, independent of corpus size; only the

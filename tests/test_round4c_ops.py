@@ -547,3 +547,38 @@ def test_bow_dedup_catches_word_order_shuffle(spark, tmp_path):
     exact = dedup.exact_dedup_groups(spark, str(tmp_path))
     exact_groups = exact.where(F.col("n_docs") >= 2).collect()
     assert len(exact_groups) == 1 and exact_groups[0].n_docs == 2
+
+
+def test_subspace_projection_variance_ordering_and_bounds(spark):
+    """Coordinate variances must be non-increasing (eigenvalue order) and
+    each projected norm can never exceed the full vector norm."""
+    import numpy as np
+
+    from redis_dataflow_realtime_analytics_spark.tables import load
+
+    out = similarity.embedding_subspace_projection(spark, SF_SMOKE, r=3, iters=15)
+    pdf = out.toPandas().sort_values("vec_id").reset_index(drop=True)
+    P = pdf[["proj_0", "proj_1", "proj_2"]].to_numpy()
+    # uncentered second moments along the basis are non-increasing
+    m = (P**2).mean(axis=0)
+    assert m[0] >= m[1] >= m[2] > 0
+    emb = np.array(
+        [
+            r.embedding
+            for r in load(spark, SF_SMOKE, "embeddings")
+            .orderBy("vec_id")
+            .select("embedding")
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+    q = np.floor(emb * (1 << 20))
+    norms = np.linalg.norm(q, axis=1)
+    proj_norms = np.linalg.norm(P, axis=1)
+    assert (proj_norms <= norms * (1 + 1e-9)).all()  # orthonormal basis bound
+
+
+def test_subspace_projection_deterministic(spark):
+    a = similarity.embedding_subspace_projection(spark, SF_SMOKE, r=2, iters=5).collect()
+    b = similarity.embedding_subspace_projection(spark, SF_SMOKE, r=2, iters=5).collect()
+    assert sorted(a) == sorted(b)
