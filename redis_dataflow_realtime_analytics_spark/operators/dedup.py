@@ -1063,3 +1063,87 @@ def oracle_bow_dedup_groups() -> str:
        min(doc_id) AS keeper_doc_id
 FROM documents
 GROUP BY 1 HAVING count(*) >= 2"""
+
+
+# --- Quality-canonical selection (keep BEST, not first) ---------------------
+def neardup_keep_best(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.5
+) -> DataFrame:
+    """Quality-canonical dedup keep-list: for every near-dup cluster keep
+    the HIGHEST-quality member (ties broken by min doc_id), plus every
+    unpaired document — the representative-selection step modern corpus
+    pipelines run instead of "keep first" (:func:`neardup_survivors`),
+    because inside a duplicate cluster the members differ in boilerplate,
+    truncation, and encoding damage even though their content matches.
+
+    Output: (doc_id, component_id, cluster_size, quality, reason) where
+    reason ∈ {'best_of_cluster', 'unique'}; unpaired docs carry their own
+    doc_id as component_id and cluster_size 1.
+
+    Plan: the SQL-oracled cluster labels (:func:`neardup_components`) join
+    the row-local quality projection on doc_id, then two small keyed aggs
+    over |clustered docs| rows — at 100 TB the joins are hash-keyed on
+    doc_id/component_id (uniform int64 keys, map-side partials), and the
+    unpaired leg is a left-anti join that AQE plans as broadcast once the
+    cluster side collapses to the (small) duplicate population.
+
+    Determinism: quality is the IEEE-exact int/int formula from
+    ``text.quality_projection`` (bit-identical per engine), so the
+    within-cluster argmax + min-doc_id tie-break is hash-checkable.
+    """
+    from .text import quality_projection
+
+    docs = _spread(load(spark, sf_dir, "documents"))
+    comp = neardup_components(spark, sf_dir, threshold=threshold)
+    q = quality_projection(docs).select("doc_id", "quality")
+    scored = comp.join(q, "doc_id")
+    best = scored.groupBy("component_id").agg(
+        F.max("quality").alias("best_q"),
+        F.count("*").alias("cluster_size"),
+    )
+    kept = (
+        scored.join(best, "component_id")
+        .where(F.col("quality") == F.col("best_q"))
+        .groupBy("component_id", "best_q", "cluster_size")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select(
+            "doc_id",
+            "component_id",
+            "cluster_size",
+            F.col("best_q").alias("quality"),
+            F.lit("best_of_cluster").alias("reason"),
+        )
+    )
+    unpaired = (
+        q.join(comp.select("doc_id"), "doc_id", "left_anti")
+        .select(
+            "doc_id",
+            F.col("doc_id").alias("component_id"),
+            F.lit(1).cast("long").alias("cluster_size"),
+            "quality",
+            F.lit("unique").alias("reason"),
+        )
+    )
+    return kept.unionByName(unpaired)
+
+
+def oracle_neardup_keep_best(comp_sql: str, quality_sql: str) -> str:
+    """DuckDB twin of :func:`neardup_keep_best` — cluster closure + the
+    quality projection, argmax by (quality, -doc_id) spelled as plain
+    max + equality + min so both engines execute the identical plan."""
+    return f"""WITH comp AS ({comp_sql}),
+q AS ({quality_sql}),
+scored AS (SELECT comp.doc_id, comp.component_id, q.quality
+           FROM comp JOIN q ON q.doc_id = comp.doc_id),
+best AS (SELECT component_id, max(quality) AS best_q,
+                count(*) AS cluster_size
+         FROM scored GROUP BY 1)
+SELECT min(s.doc_id) AS doc_id, s.component_id, b.cluster_size,
+       b.best_q AS quality, 'best_of_cluster' AS reason
+FROM scored s JOIN best b ON b.component_id = s.component_id
+WHERE s.quality = b.best_q
+GROUP BY s.component_id, b.cluster_size, b.best_q
+UNION ALL
+SELECT q.doc_id, q.doc_id AS component_id, CAST(1 AS BIGINT) AS cluster_size,
+       q.quality, 'unique' AS reason
+FROM q WHERE q.doc_id NOT IN (SELECT doc_id FROM comp)"""

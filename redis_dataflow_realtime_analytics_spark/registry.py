@@ -1907,6 +1907,16 @@ q(
     dedup.neardup_survivors,
     dedup.oracle_neardup_survivors(),
 )
+# Quality-canonical selection: keep the HIGHEST-quality member of each
+# cluster (not the first) — the representative-selection step; oracled by
+# composing the recursive component closure with the quality projection.
+q(
+    "dedup_keep_best_per_cluster",
+    dedup.neardup_keep_best,
+    dedup.oracle_neardup_keep_best(
+        dedup.oracle_neardup_components(), text.oracle_quality_score()
+    ),
+)
 # Dedup QA report: cluster-size histogram over the oracled components.
 q(
     "dedup_cluster_size_histogram",
@@ -2429,6 +2439,15 @@ _PRIORITY = [
     # a CTE, so a green confusion row transitively re-checks the lang-ID
     # path end to end.
     "dedup_bow_groups",
+    # --- 2w. quality-canonical keep-best-per-cluster (representative
+    # selection). Rotated out in exchange: w1_visits_per_minute —
+    # metrics.py is unchanged since its r1/r2 green rows, and the batch
+    # events read path it re-checked is carried by user_retention_cohorts
+    # (2m) + events_activity_heatmap (2s), which read through the same
+    # loader; keep_best itself transitively re-runs the full
+    # shingle → Jaccard pairs → components chain plus the quality
+    # projection, reinforcing the dedup.py/text.py coverage in-window.
+    "dedup_keep_best_per_cluster",
     # --- 3. re-checks: last green predates operator source change ---
     # (To fit 2b under the 50-key cap, three ever-green re-checks with
     # redundant r3 coverage were rotated to the r5 pool: r1_time_axis and
@@ -2446,8 +2465,9 @@ _PRIORITY = [
     "stream_visits_per_minute",
     "stream_user_sessions",
     # metrics legs read through events.py (ts normalized at source in r3,
-    # probe-cache keying changed in r4)
-    "w1_visits_per_minute",
+    # probe-cache keying changed in r4) — duty carried by
+    # user_retention_cohorts + events_activity_heatmap (same batch loader)
+    # and the stream keys (stream read path); see 2w for the w1 rotation.
     # relational.py r3 change was perf-only (input-split spread) — re-check
     # the heavy-scan keys it most affects; the rest rotate through in r5
     "q1_pricing_summary",

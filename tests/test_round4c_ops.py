@@ -582,3 +582,50 @@ def test_subspace_projection_deterministic(spark):
     a = similarity.embedding_subspace_projection(spark, SF_SMOKE, r=2, iters=5).collect()
     b = similarity.embedding_subspace_projection(spark, SF_SMOKE, r=2, iters=5).collect()
     assert sorted(a) == sorted(b)
+
+
+def test_keep_best_per_cluster_matches_oracle(spark):
+    compare(
+        dedup.neardup_keep_best(spark, SF_SMOKE),
+        dedup.oracle_neardup_keep_best(
+            dedup.oracle_neardup_components(), text.oracle_quality_score()
+        ),
+        SF_SMOKE,
+    )
+
+
+def test_keep_best_picks_quality_not_first(spark, tmp_path):
+    # Docs 1/2/3 are one near-dup cluster; doc 3 (HIGHER quality: more
+    # tokens, no punctuation noise) must be kept even though doc 1 has the
+    # smaller id — the exact case where keep-first and keep-best diverge.
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (1, base + " !!@@##", "en", "s", 1),  # punct-damaged copy
+        (2, base + " $$%%^^", "en", "s", 1),  # punct-damaged copy
+        (3, base + " iota kappa", "en", "s", 1),  # clean, longer
+        (9, "totally unrelated text with no shared shingles at all", "en", "s", 1),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+    got = {r.doc_id: r for r in dedup.neardup_keep_best(spark, str(tmp_path)).collect()}
+    assert set(got) == {3, 9}
+    assert got[3].reason == "best_of_cluster"
+    assert got[3].cluster_size == 3
+    assert got[3].component_id == 1  # canonical label stays min doc_id
+    assert got[9].reason == "unique"
+    assert got[9].cluster_size == 1
+
+
+def test_keep_best_covers_every_cluster_once(spark):
+    kept = dedup.neardup_keep_best(spark, SF_SMOKE)
+    comp = dedup.neardup_components(spark, SF_SMOKE)
+    n_clusters = comp.select("component_id").distinct().count()
+    n_unpaired = (
+        text.quality_score(spark, SF_SMOKE)
+        .join(comp.select("doc_id"), "doc_id", "left_anti")
+        .count()
+    )
+    by_reason = {r.reason: r.n for r in kept.groupBy("reason").agg(F.count("*").alias("n")).collect()}
+    assert by_reason.get("best_of_cluster", 0) == n_clusters
+    assert by_reason.get("unique", 0) == n_unpaired
