@@ -192,3 +192,118 @@ def all_grains(events: DataFrame) -> dict[str, DataFrame]:
         "uniques_per_minute": uniques_per_minute(events),
         "uniques_per_minute_approx": uniques_per_minute(events, exact=False),
     }
+
+
+# --- Heavy hitters (frequency sketch — the CMS leg of the sketch family) -----
+def heavy_hitter_users(events: DataFrame, phi: float = 0.0075) -> DataFrame:
+    """Exact support-threshold heavy hitters: users contributing at least
+    ``phi`` of all events — the formal HH(φ) definition (count ≥ φ·N),
+    the abuse/hot-key detection query every event pipeline runs.
+
+    Output: (user_id, n_events, share). Plan: one count shuffle keyed by
+    user_id (uniform int64, map-side partials) plus a broadcast one-row
+    total crossed in — no second pass over the events, no driver action.
+    """
+    counts = events.groupBy("user_id").agg(F.count("*").alias("n_events"))
+    total = events.agg(F.count("*").alias("_total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .where(F.col("n_events") >= F.col("_total") * phi)
+        .select(
+            "user_id",
+            "n_events",
+            (F.col("n_events").cast("double") / F.col("_total")).alias("share"),
+        )
+    )
+
+
+#: Count-min geometry for the sketch twin: depth 4 rows × width 2048
+#: buckets ⇒ ε = e/2048 ≈ 0.13% of N overestimate bound at δ = e⁻⁴.
+CMS_DEPTH = 4
+CMS_WIDTH = 2048
+
+
+def _cms_pairs(keyed: DataFrame, key: str, depth: int, width: int) -> DataFrame:
+    """(row_idx, bucket) pair per key occurrence per sketch row —
+    xxhash64(key, row_idx) is the i-th hash function, identical at build
+    and probe time so collisions line up by construction."""
+    return keyed.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row_idx"),
+                        F.pmod(F.xxhash64(F.col(key), F.lit(i)), F.lit(width)).alias(
+                            "bucket"
+                        ),
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("rb"),
+        F.col(key),
+    ).select(F.col("rb.row_idx").alias("row_idx"), F.col("rb.bucket").alias("bucket"), key)
+
+
+def cms_sketch(
+    events: DataFrame,
+    key: str = "user_id",
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Count-min sketch AS RELATIONAL STATE: (row_idx, bucket, cnt) —
+    depth × width bounded rows regardless of stream length, mergeable by
+    summing cnt per cell (partials-then-merge, like the HLL/Theta/KLL
+    store formats). The frequency-sketch leg of the sketch family:
+    HLL answers "how many distinct", Theta "how do sets overlap", KLL
+    "what quantile" — CMS answers "how often does THIS key occur" on the
+    same bounded-state contract.
+
+    Plan: one map-side explode (depth cells per event) into a
+    (row_idx, bucket)-keyed count — uniform keys, partial aggregation,
+    output ≤ depth·width rows however large the input.
+    """
+    return (
+        _cms_pairs(events.select(key), key, depth, width)
+        .groupBy("row_idx", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def heavy_hitter_users_cms(
+    events: DataFrame,
+    phi: float = 0.0075,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Heavy hitters answered FROM the count-min sketch: probe each
+    candidate key's depth cells, take the row-minimum as the estimate,
+    keep keys with estimate ≥ φ·N. CMS never underestimates, so recall
+    vs the exact :func:`heavy_hitter_users` is 1 by construction (no
+    false negatives); overestimates can only ADD candidates, and at
+    width 2048 the expected inflation is ≤ e/width of N per key
+    (Cormode & Muthukrishnan 2005).
+
+    Candidates here are the distinct keys (exact-verifiable batch shape);
+    in a streaming deployment the candidate set is the keys seen in the
+    current batch probed against the MERGED sketch state — same join.
+
+    Output: (user_id, est_count). Rows-only (xxhash64 bucketing is
+    engine-specific); the ≥-exact and recall-1 properties are asserted in
+    tests, with a width-16 variant forcing collisions to prove the probe
+    takes row minima rather than sums.
+    """
+    sketch = cms_sketch(events, "user_id", depth, width)
+    candidates = events.select("user_id").distinct()
+    probes = _cms_pairs(candidates, "user_id", depth, width)
+    est = (
+        probes.join(sketch, ["row_idx", "bucket"])
+        .groupBy("user_id")
+        .agg(F.min("cnt").alias("est_count"))
+    )
+    total = events.agg(F.count("*").alias("_total"))
+    return (
+        est.crossJoin(F.broadcast(total))
+        .where(F.col("est_count") >= F.col("_total") * phi)
+        .select("user_id", "est_count")
+    )

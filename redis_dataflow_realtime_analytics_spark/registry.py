@@ -1797,6 +1797,25 @@ q(
     sessions.oracle_events_activity_heatmap(EV_CTE),
 )
 
+# Heavy hitters — the frequency-sketch leg of the sketch family (HLL =
+# distincts, Theta = set overlap, KLL = quantiles, CMS = per-key counts).
+# Exact support-threshold HH(φ) is SQL-oracled; the count-min twin answers
+# the same question from depth×width bounded mergeable state (rows-only:
+# xxhash64 bucketing; ≥-exact + recall-1 properties in tests).
+q(
+    "events_heavy_hitter_users",
+    lambda s, d: metrics.heavy_hitter_users(_ev(s, d)),
+    f"""{EV_CTE}
+SELECT user_id, count(*) AS n_events,
+       CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM ev) AS share
+FROM ev GROUP BY user_id
+HAVING count(*) >= 0.0075 * (SELECT count(*) FROM ev)""",
+)
+q(
+    "events_heavy_hitter_users_cms",
+    lambda s, d: metrics.heavy_hitter_users_cms(_ev(s, d)),
+)
+
 
 def _stream_deduped_visits(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .streaming import pipeline
@@ -2448,6 +2467,14 @@ _PRIORITY = [
     # shingle → Jaccard pairs → components chain plus the quality
     # projection, reinforcing the dedup.py/text.py coverage in-window.
     "dedup_keep_best_per_cluster",
+    # --- 2x. exact support-threshold heavy hitters HH(φ) — the SQL-oracled
+    # twin of the new count-min sketch leg; also carries the events.py
+    # batch read re-check duty (reads through _ev). Rotated out in
+    # exchange: stream_visits_per_minute — its operator is unchanged since
+    # its r1/r2 green rows and pipeline.py + the stream read path are
+    # re-checked by the five r4-new stream keys in sections 2c/2k/2o/2r/2u
+    # plus stream_user_sessions.
+    "events_heavy_hitter_users",
     # --- 3. re-checks: last green predates operator source change ---
     # (To fit 2b under the 50-key cap, three ever-green re-checks with
     # redundant r3 coverage were rotated to the r5 pool: r1_time_axis and
@@ -2462,7 +2489,7 @@ _PRIORITY = [
     "r3_users_timeseries",
     # streaming/pipeline.py changed in r3 (state-partition sizing) and all
     # stream keys read through events.py, whose ts probing changed in r3+r4
-    "stream_visits_per_minute",
+    # — stream_visits_per_minute rotated out (see 2x); session-window leg:
     "stream_user_sessions",
     # metrics legs read through events.py (ts normalized at source in r3,
     # probe-cache keying changed in r4) — duty carried by

@@ -1,0 +1,96 @@
+"""Gates for the round-4 session-3 operators: quality-canonical keep-best
+selection (tests live in test_round4c_ops) and the count-min frequency
+sketch family — exact HH(φ) vs its oracle plus the CMS bound/recall/
+mergeability properties with a forced-collision geometry."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from redis_dataflow_realtime_analytics_spark.operators import metrics
+from redis_dataflow_realtime_analytics_spark.sources import (
+    normalize_events,
+    read_events,
+)
+
+from .conftest import SF_SMOKE
+from .oracle import compare
+
+
+def _ev(spark):
+    return normalize_events(read_events(spark, SF_SMOKE))
+
+
+def test_heavy_hitters_exact_matches_oracle(spark):
+    compare(
+        metrics.heavy_hitter_users(_ev(spark)),
+        """WITH ev AS (
+  SELECT event_id, ts, user_id, event_type AS variant,
+         json_extract_string(props, '$.k') AS experiment_id, value
+  FROM events
+)
+SELECT user_id, count(*) AS n_events,
+       CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM ev) AS share
+FROM ev GROUP BY user_id
+HAVING count(*) >= 0.0075 * (SELECT count(*) FROM ev)""",
+        SF_SMOKE,
+    )
+
+
+def test_cms_never_underestimates_and_recall_one(spark):
+    ev = _ev(spark)
+    exact = {r.user_id: r.n_events for r in
+             ev.groupBy("user_id").agg(F.count("*").alias("n_events")).collect()}
+    est = {r.user_id: r.est_count
+           for r in metrics.heavy_hitter_users_cms(ev, phi=0.0).collect()}
+    assert set(est) == set(exact)
+    for uid, true_n in exact.items():
+        assert est[uid] >= true_n, f"CMS underestimated user {uid}"
+    # recall 1 vs the exact HH set at the default threshold: every exact
+    # heavy hitter must survive the sketch-side filter
+    hh_exact = {r.user_id for r in metrics.heavy_hitter_users(ev).collect()}
+    hh_cms = {r.user_id for r in metrics.heavy_hitter_users_cms(ev).collect()}
+    assert hh_exact <= hh_cms
+
+
+def test_cms_forced_collisions_still_lower_bounded(spark):
+    # width 16 << 150 distinct users forces every row to collide; the
+    # probe must still take row MINIMA (never a sum), so estimates stay
+    # >= true counts and at least one strict overestimate appears.
+    ev = _ev(spark)
+    exact = {r.user_id: r.n_events for r in
+             ev.groupBy("user_id").agg(F.count("*").alias("n_events")).collect()}
+    est = {r.user_id: r.est_count
+           for r in metrics.heavy_hitter_users_cms(ev, phi=0.0, width=16).collect()}
+    assert all(est[u] >= n for u, n in exact.items())
+    assert any(est[u] > n for u, n in exact.items())
+
+
+def test_cms_sketch_is_mergeable(spark):
+    # sketch(first half) + sketch(second half), summed per cell, equals
+    # sketch(whole) — the partials-then-merge contract the streaming
+    # store relies on.
+    ev = _ev(spark).localCheckpoint(eager=True)
+    lo = ev.where(F.col("event_id") % 2 == 0)
+    hi = ev.where(F.col("event_id") % 2 == 1)
+    merged = (
+        metrics.cms_sketch(lo).unionByName(metrics.cms_sketch(hi))
+        .groupBy("row_idx", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    whole = metrics.cms_sketch(ev)
+    diff = merged.join(whole, ["row_idx", "bucket"], "full_outer").where(
+        merged["cnt"].isNull()
+        | whole["cnt"].isNull()
+        | (merged["cnt"] != whole["cnt"])
+    )
+    assert diff.count() == 0
+
+
+def test_cms_state_is_bounded(spark):
+    sketch = metrics.cms_sketch(_ev(spark), depth=4, width=64)
+    assert sketch.count() <= 4 * 64
+    rng = sketch.agg(
+        F.min("row_idx"), F.max("row_idx"), F.min("bucket"), F.max("bucket")
+    ).first()
+    assert rng[0] >= 0 and rng[1] <= 3 and rng[2] >= 0 and rng[3] <= 63
