@@ -89,6 +89,11 @@ HEADLINE = [
     # new in r4 (cont. 7): the fused streaming curated ingest (replayed
     # shipments through quality gate + index anti-join per micro-batch)
     "stream_curated_ingest",
+    # new in r4 (cont. 8): quality-canonical keep-best selection + the
+    # count-min heavy-hitter pair (exact twin and sketch probe)
+    "dedup_keep_best_per_cluster",
+    "events_heavy_hitter_users",
+    "events_heavy_hitter_users_cms",
 ]
 
 

@@ -1189,6 +1189,24 @@ SELECT variant, count(DISTINCT user_id) AS unique_users FROM ev GROUP BY 1""",
 )
 
 
+def _stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from .streaming import pipeline as sp
+
+    store = tempfile.mkdtemp(prefix="sketch_store_")
+    ckpt = tempfile.mkdtemp(prefix="sketch_ckpt_")
+    sp.run_sketch_ingest(spark, f"{sf_dir}/events.parquet", store, ckpt)
+    return sp.read_heavy_hitters(spark, store)
+
+
+# All-time heavy hitters from the streaming count-min family: per-batch
+# depth×width cell partials summed at read, probed with row minima.
+# Rows-only (xxhash64 bucketing); stream-vs-batch cell equality and the
+# batch twin's bounds are asserted in tests/test_round4d_ops.py.
+q("stream_heavy_hitter_users", _stream_heavy_hitters)
+
+
 def _stream_enriched_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .streaming import pipeline as sp
     from .tables import load

@@ -40,7 +40,7 @@ from contextlib import contextmanager
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.metrics import approx_uniques
+from ..operators.metrics import CMS_DEPTH, CMS_WIDTH, _cms_pairs, approx_uniques, cms_sketch
 from ..sources.events import normalize_events, read_events_stream
 
 WATERMARK = "10 minutes"
@@ -342,6 +342,7 @@ class SketchStoreWriter:
     * ``user_sketch_minute``  — (minute, sketch) HLL of user_id       (W11)
     * ``user_sketch_variant`` — (variant, sketch) HLL of user_id      (W3, all-time)
     * ``user_set_variant``    — (variant, user_id) distinct pairs     (W4, exact twin)
+    * ``user_cms``            — (row_idx, bucket, cnt) count-min cells (heavy hitters)
 
     Each family lands under ``store/<family>/batch_id=<n>`` via dynamic
     partition overwrite — replaying a batch overwrites its own partition,
@@ -365,6 +366,9 @@ class SketchStoreWriter:
                     F.hll_sketch_agg("user_id").alias("sketch")
                 ),
                 "user_set_variant": ev.select("variant", "user_id").distinct(),
+                # per-batch count-min cells — the frequency-sketch family:
+                # bounded depth×width partial, merged at read by summing
+                "user_cms": cms_sketch(ev, "user_id"),
             }
             for family, df in families.items():
                 (
@@ -431,6 +435,47 @@ def read_uniques_per_variant_exact(spark: SparkSession, store_dir: str) -> DataF
         spark.read.parquet(f"{store_dir}/user_set_variant")
         .groupBy("variant")
         .agg(F.count_distinct("user_id").alias("unique_users"))
+    )
+
+
+def read_heavy_hitters(
+    spark: SparkSession, store_dir: str, phi: float = 0.0075
+) -> DataFrame:
+    """All-time heavy hitters HH(φ) from the count-min family: sum the
+    per-batch cells into the full sketch (the CMS merge IS a per-cell
+    sum), probe the candidate keys from the distinct-pairs family with
+    row minima, keep estimates ≥ φ·N. N comes from row 0's cell sum —
+    every event increments exactly one bucket per row, so any single
+    row's total is the event count.
+
+    Merged state stays ≤ depth×width rows no matter how many batches the
+    stream has run — the bounded-state answer to "which keys are hot"
+    (the reference has no analogue; Redis would need a per-key INCRBY
+    whose keyspace grows with distinct users). Deterministic: the summed
+    cells equal the batch :func:`~..operators.metrics.cms_sketch` exactly
+    (asserted in tests), so estimates inherit the batch twin's bounds.
+    """
+    cells = (
+        spark.read.parquet(f"{store_dir}/user_cms")
+        .groupBy("row_idx", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    total = cells.where(F.col("row_idx") == 0).agg(F.sum("cnt").alias("_total"))
+    cands = (
+        spark.read.parquet(f"{store_dir}/user_set_variant")
+        .select("user_id")
+        .distinct()
+    )
+    probes = _cms_pairs(cands, "user_id", CMS_DEPTH, CMS_WIDTH)
+    est = (
+        probes.join(cells, ["row_idx", "bucket"])
+        .groupBy("user_id")
+        .agg(F.min("cnt").alias("est_count"))
+    )
+    return (
+        est.crossJoin(F.broadcast(total))
+        .where(F.col("est_count") >= F.col("_total") * phi)
+        .select("user_id", "est_count")
     )
 
 

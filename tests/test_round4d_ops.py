@@ -94,3 +94,28 @@ def test_cms_state_is_bounded(spark):
         F.min("row_idx"), F.max("row_idx"), F.min("bucket"), F.max("bucket")
     ).first()
     assert rng[0] >= 0 and rng[1] <= 3 and rng[2] >= 0 and rng[3] <= 63
+
+
+def test_stream_cms_store_equals_batch_sketch(spark, tmp_path):
+    # The summed per-batch count-min cells must equal the one-shot batch
+    # sketch EXACTLY (same xxhash64 cells, addition is associative) — the
+    # partials-then-merge contract for the frequency family.
+    from redis_dataflow_realtime_analytics_spark.streaming import pipeline as sp
+
+    store, ckpt = f"{tmp_path}/store", f"{tmp_path}/ckpt"
+    sp.run_sketch_ingest(spark, f"{SF_SMOKE}/events.parquet", store, ckpt)
+    merged = (
+        spark.read.parquet(f"{store}/user_cms")
+        .groupBy("row_idx", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    whole = metrics.cms_sketch(_ev(spark))
+    diff = merged.join(whole, ["row_idx", "bucket"], "full_outer").where(
+        merged["cnt"].isNull() | whole["cnt"].isNull() | (merged["cnt"] != whole["cnt"])
+    )
+    assert diff.count() == 0
+    # and the read-side HH answer equals the batch sketch twin
+    got = {(r.user_id, r.est_count) for r in sp.read_heavy_hitters(spark, store).collect()}
+    want = {(r.user_id, r.est_count)
+            for r in metrics.heavy_hitter_users_cms(_ev(spark)).collect()}
+    assert got == want
