@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..tables import load
+from ..tables import load, spread
 
 
 def _hash_bucket(key: F.Column) -> F.Column:
@@ -594,3 +594,75 @@ SELECT source, lang, count(*) AS n_docs,
        CAST(sum(n_chars) AS BIGINT) AS total_chars
 FROM kept JOIN survivors USING (doc_id)
 GROUP BY 1, 2"""
+
+
+# --- Corpus refresh (CDC latest-wins upsert) --------------------------------
+#: doc_id offset marking synthesized brand-new documents in the updates
+#: batch (far above any fixture id).
+UPSERT_NEW_OFFSET = 1_000_000
+
+
+def apply_corpus_updates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-wins snapshot refresh: merge an updates batch into the base
+    corpus — the MERGE/upsert step a recurring-crawl pipeline runs per
+    snapshot (re-crawled pages replace their previous version, newly
+    discovered pages append). The updates batch is synthesized
+    deterministically from the corpus itself (every 10th doc re-crawled
+    with amended text, every 25th spawning a new doc_id above
+    ``UPSERT_NEW_OFFSET``) so the merge semantics are oracle-checkable;
+    in production the batch is the crawler's delivery table.
+
+    Output: (doc_id, version, is_new, text_hash, n_chars_final).
+
+    Plan: union + one ``max_by``-keyed aggregation on doc_id — the
+    shuffle-on-primary-key upsert shape. At 100 TB the base side is a
+    bucketed table on doc_id and the merge co-locates with zero base
+    shuffle (or becomes a storage-layer MERGE INTO on Delta/Iceberg —
+    same logical plan); versions are monotone so latest-wins is
+    ``max_by(text, version)``, no window sort.
+    """
+    docs = spread(load(spark, sf_dir, "documents"))
+    base = docs.select("doc_id", "text", F.lit(0).alias("version"))
+    recrawled = docs.where(F.col("doc_id") % 10 == 0).select(
+        "doc_id",
+        F.concat(F.trim("text"), F.lit(" [recrawled]")).alias("text"),
+        F.lit(1).alias("version"),
+    )
+    discovered = docs.where(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + UPSERT_NEW_OFFSET).alias("doc_id"),
+        F.concat(F.lit("new "), F.col("text")).alias("text"),
+        F.lit(1).alias("version"),
+    )
+    merged = base.unionByName(recrawled).unionByName(discovered)
+    latest = merged.groupBy("doc_id").agg(
+        F.max("version").alias("version"),
+        F.max_by("text", "version").alias("text"),
+    )
+    return latest.select(
+        "doc_id",
+        "version",
+        (F.col("doc_id") >= UPSERT_NEW_OFFSET).alias("is_new"),
+        F.md5("text").alias("text_hash"),
+        F.length("text").alias("n_chars_final"),
+    )
+
+
+def oracle_apply_corpus_updates() -> str:
+    off = UPSERT_NEW_OFFSET
+    return f"""WITH base AS (
+  SELECT doc_id, text, 0 AS version FROM documents),
+upd AS (
+  SELECT doc_id, trim(text) || ' [recrawled]' AS text, 1 AS version
+  FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + {off} AS doc_id, 'new ' || text AS text, 1 AS version
+  FROM documents WHERE doc_id % 25 = 0),
+all_rows AS (SELECT * FROM base UNION ALL SELECT * FROM upd),
+latest AS (
+  SELECT doc_id, max(version) AS version, max_by(text, version) AS text
+  FROM all_rows GROUP BY doc_id)
+SELECT doc_id, CAST(version AS INTEGER) AS version,
+       doc_id >= {off} AS is_new,
+       md5(text) AS text_hash,
+       CAST(length(text) AS INTEGER) AS n_chars_final
+FROM latest"""

@@ -1753,6 +1753,14 @@ q(
     sampling.curated_corpus_pipeline,
     sampling.oracle_curated_corpus_pipeline(text.oracle_corpus_quality_gate()),
 )
+# CDC latest-wins upsert: re-crawled docs replace their prior version, newly
+# discovered docs append — union + one max_by-keyed agg on the primary key
+# (the MERGE INTO logical plan, bucketing co-locates at 100 TB).
+q(
+    "corpus_apply_updates",
+    sampling.apply_corpus_updates,
+    sampling.oracle_apply_corpus_updates(),
+)
 q(
     "corpus_upsample_by_language",
     sampling.upsample_by_language,
@@ -1814,6 +1822,29 @@ q(
     sessions.events_activity_heatmap,
     sessions.oracle_events_activity_heatmap(EV_CTE),
 )
+
+# Join/agg-key skew diagnostic: per-candidate-key hot-key report (top
+# share, p99/p50 count ratio) — the measurement that decides salting vs
+# AQE skew handling vs nothing before a 100 TB run; one map-side-partial
+# count shuffle per key, never concentrating rows.
+def _events_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.skew import key_skew_profile
+
+    return key_skew_profile(_ev(spark, sf_dir), ["user_id", "variant", "experiment_id"])
+
+
+def _oracle_events_skew_profile() -> str:
+    from .functions.skew import oracle_key_skew_profile
+
+    return oracle_key_skew_profile(
+        ["user_id", "variant", "experiment_id"],
+        """SELECT event_id, ts, user_id, event_type AS variant,
+         json_extract_string(props, '$.k') AS experiment_id, value
+  FROM events""",
+    )
+
+
+q("events_key_skew_profile", _events_skew_profile, _oracle_events_skew_profile())
 
 # Heavy hitters — the frequency-sketch leg of the sketch family (HLL =
 # distincts, Theta = set overlap, KLL = quantiles, CMS = per-key counts).
@@ -2493,6 +2524,16 @@ _PRIORITY = [
     # re-checked by the five r4-new stream keys in sections 2c/2k/2o/2r/2u
     # plus stream_user_sessions.
     "events_heavy_hitter_users",
+    # --- 2y. join/agg-key skew diagnostic + CDC latest-wins corpus upsert.
+    # Rotated out in exchange: r3_users_timeseries (timeseries.py's r3 ts
+    # normalization is re-checked by the r3-green r2b/r4b twins on the
+    # same read + axis path; the count_distinct leg's operator code is
+    # unchanged since its r1/r2 green rows) and stream_user_sessions
+    # (green since r2; sessions.py's r4 additions are gated in-window by
+    # user_retention_cohorts + events_activity_heatmap, and the streaming
+    # session-window leg keeps its stream/batch-parity pytest gate).
+    "events_key_skew_profile",
+    "corpus_apply_updates",
     # --- 3. re-checks: last green predates operator source change ---
     # (To fit 2b under the 50-key cap, three ever-green re-checks with
     # redundant r3 coverage were rotated to the r5 pool: r1_time_axis and
@@ -2503,12 +2544,13 @@ _PRIORITY = [
     # text.py re-check duty carried by the in-window text keys (2l-2p)
     # sampling.py changed in r3 (exact-k stratum sampling added)
     # similarity.py r4 changes are covered by the embedding_* keys above
-    # timeseries.py changed in r3 (ts normalization)
-    "r3_users_timeseries",
+    # timeseries.py r3 change re-checked by the r3-green r2b/r4b twins
+    # (r3_users_timeseries rotated out, see 2y)
     # streaming/pipeline.py changed in r3 (state-partition sizing) and all
     # stream keys read through events.py, whose ts probing changed in r3+r4
-    # — stream_visits_per_minute rotated out (see 2x); session-window leg:
-    "stream_user_sessions",
+    # — re-check duty carried by the six r4-new stream keys in-window
+    # (stream_visits_per_minute rotated out in 2x, stream_user_sessions
+    # in 2y).
     # metrics legs read through events.py (ts normalized at source in r3,
     # probe-cache keying changed in r4) — duty carried by
     # user_retention_cohorts + events_activity_heatmap (same batch loader)

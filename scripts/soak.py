@@ -175,6 +175,46 @@ def main(n_events: int = 10_000_000, doc_mult: int = 20) -> None:
 
         section("kll_quantiles", _kll_quantiles)
 
+        def _cms_heavy_hitters() -> None:
+            # Count-min at soak scale: build the depth×width cell state over
+            # all events, probe every distinct key, and (at ≤cap) check the
+            # Cormode-Muthukrishnan bound — max overestimate ≤ ε·N with
+            # ε = e/width — against exact per-key counts. Error is a
+            # property of the GEOMETRY, not the input size, so the bound
+            # holding at ~100× bench SF is the scale evidence the rows-only
+            # CMS keys cite.
+            from redis_dataflow_realtime_analytics_spark.operators.metrics import (
+                CMS_WIDTH,
+                cms_sketch,
+                heavy_hitter_users_cms,
+            )
+
+            t0 = time.perf_counter()
+            cms_sketch(ev).write.mode("overwrite").format("noop").save()
+            dt = time.perf_counter() - t0
+            out["cms_build_s"] = round(dt, 2)
+            out["cms_build_events_per_s"] = int(n_events / dt)
+            t0 = time.perf_counter()
+            hh = heavy_hitter_users_cms(ev, phi=0.0005)
+            out["cms_hh_rows"] = hh.count()
+            out["cms_probe_s"] = round(time.perf_counter() - t0, 2)
+            if exact_verify:
+                est = heavy_hitter_users_cms(ev, phi=0.0)
+                exact = ev.groupBy("user_id").agg(F.count("*").alias("true_n"))
+                over = (
+                    est.join(exact, "user_id")
+                    .agg(
+                        F.max(F.col("est_count") - F.col("true_n")).alias("max_over"),
+                        F.min(F.col("est_count") - F.col("true_n")).alias("min_over"),
+                    )
+                    .first()
+                )
+                out["cms_max_overestimate"] = int(over.max_over)
+                out["cms_min_overestimate"] = int(over.min_over)  # ≥0 = no underestimate
+                out["cms_eps_n_bound"] = int(2.718281828 / CMS_WIDTH * n_events)
+
+        section("cms_heavy_hitters", _cms_heavy_hitters)
+
         # --- streaming interval join at n_events (state-partition sizing) ---
         # Same watermarked stream-stream join shape as stream_click_error_join,
         # replayed over the generated events; run at two state-partition

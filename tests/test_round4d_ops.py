@@ -7,7 +7,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from redis_dataflow_realtime_analytics_spark.operators import metrics
+from redis_dataflow_realtime_analytics_spark.operators import metrics, sampling
 from redis_dataflow_realtime_analytics_spark.sources import (
     normalize_events,
     read_events,
@@ -119,3 +119,60 @@ def test_stream_cms_store_equals_batch_sketch(spark, tmp_path):
     want = {(r.user_id, r.est_count)
             for r in metrics.heavy_hitter_users_cms(_ev(spark)).collect()}
     assert got == want
+
+
+def test_key_skew_profile_matches_oracle(spark):
+    from redis_dataflow_realtime_analytics_spark.functions.skew import (
+        key_skew_profile,
+        oracle_key_skew_profile,
+    )
+
+    compare(
+        key_skew_profile(_ev(spark), ["user_id", "variant", "experiment_id"]),
+        oracle_key_skew_profile(
+            ["user_id", "variant", "experiment_id"],
+            """SELECT event_id, ts, user_id, event_type AS variant,
+         json_extract_string(props, '$.k') AS experiment_id, value
+  FROM events""",
+        ),
+        SF_SMOKE,
+    )
+
+
+def test_key_skew_profile_flags_hot_key(spark):
+    from redis_dataflow_realtime_analytics_spark.functions.skew import key_skew_profile
+
+    # 1000 rows on one key + 1 row on each of 9 others: the hot-key
+    # signature must dominate every statistic.
+    df = spark.range(1009).select(
+        F.when(F.col("id") < 1000, F.lit(0)).otherwise(F.col("id") - 999).alias("k")
+    )
+    r = key_skew_profile(df, ["k"]).first()
+    assert r.n_keys == 10 and r.n_rows == 1009
+    assert r.max_count == 1000
+    assert r.top_share > 0.99
+    assert r.skew_p99_p50 > 100
+
+
+def test_apply_corpus_updates_matches_oracle(spark):
+    compare(
+        sampling.apply_corpus_updates(spark, SF_SMOKE),
+        sampling.oracle_apply_corpus_updates(),
+        SF_SMOKE,
+    )
+
+
+def test_apply_corpus_updates_semantics(spark):
+    got = {r.doc_id: r for r in sampling.apply_corpus_updates(spark, SF_SMOKE).collect()}
+    base = {r.doc_id: r.text for r in
+            spark.read.parquet(f"{SF_SMOKE}/documents.parquet").collect()}
+    off = sampling.UPSERT_NEW_OFFSET
+    # every 10th doc carries the re-crawled version 1
+    assert got[10].version == 1 and not got[10].is_new
+    # untouched docs keep version 0 with the original hash
+    assert got[1].version == 0 and not got[1].is_new
+    # every 25th doc spawned a brand-new id above the offset
+    assert got[25 + off].version == 1 and got[25 + off].is_new
+    # row count = base + new docs (replacements collapse onto their id)
+    n_new = sum(1 for d in base if d % 25 == 0)
+    assert len(got) == len(base) + n_new
