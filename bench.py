@@ -94,6 +94,10 @@ HEADLINE = [
     "dedup_keep_best_per_cluster",
     "events_heavy_hitter_users",
     "events_heavy_hitter_users_cms",
+    # new in r4 (cont. 9): skew diagnostic, CDC upsert, PageRank centrality
+    "events_key_skew_profile",
+    "corpus_apply_updates",
+    "dedup_pagerank_centrality",
 ]
 
 

@@ -1147,3 +1147,105 @@ UNION ALL
 SELECT q.doc_id, q.doc_id AS component_id, CAST(1 AS BIGINT) AS cluster_size,
        q.quality, 'unique' AS reason
 FROM q WHERE q.doc_id NOT IN (SELECT doc_id FROM comp)"""
+
+
+# --- PageRank centrality over the near-dup graph ----------------------------
+def neardup_pagerank(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.5,
+    iters: int = 5,
+    damping: float = 0.85,
+) -> DataFrame:
+    """PageRank over the near-duplicate graph — a centrality score for
+    every doc that appears in at least one near-dup pair. Inside a
+    duplicate cluster the highest-PageRank member is the one most
+    connected to the rest: a structural canonical-selection signal that
+    complements the content-quality signal of :func:`neardup_keep_best`
+    (a hub shared by many variants beats a peripheral one even when
+    their quality scores tie).
+
+    Iterative fixpoint as a driver-coordinated Spark loop (the same shape
+    as :func:`connected_components`): per iteration one join (ranks onto
+    the edge list) + one keyed sum — both shuffles keyed by uniform int64
+    doc ids, partial aggregation map-side; ``localCheckpoint`` truncates
+    lineage so the plan stays O(1) across iterations. The edge list is
+    symmetric, so every node has out-degree ≥ 1 (no dangling mass) and
+    receives ≥ 1 contribution (inner joins are total).
+
+    Determinism (the reason this is SQL-oracled, unusually for float
+    fixpoints): neighbor sums go through the exact decimal accumulator
+    convention (``functions/numeric.py``) at DECIMAL(38,12) — addition is
+    order-independent, so the result is bit-identical at any
+    partitioning, and the oracle unrolls the same ``iters`` iterations as
+    chained CTEs with the identical arithmetic.
+
+    Output: (doc_id, rank) after ``iters`` iterations; ranks over the
+    graph's nodes sum to ≈ 1 (teleport mass included).
+    """
+    edges = ngram_jaccard_pairs(spark, sf_dir, threshold=threshold)
+    sym = (
+        edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .localCheckpoint(eager=True)
+    )
+    deg = sym.groupBy("src").agg(F.count("*").alias("deg"))
+    total = deg.agg(F.count("*").alias("_n"))
+    # (doc_id, deg, _n) — the static node frame every iteration reuses
+    nodes = deg.select(F.col("src").alias("doc_id"), "deg").crossJoin(
+        F.broadcast(total)
+    ).localCheckpoint(eager=True)
+    rank = nodes.select(
+        "doc_id", "deg", "_n", (F.lit(1.0) / F.col("_n")).alias("rank")
+    )
+    teleport = F.lit(1 - damping) / F.col("_n")
+    for _ in range(iters):
+        contrib = sym.join(
+            rank.select(F.col("doc_id").alias("src"), "deg", "rank"), "src"
+        ).select("dst", (F.col("rank") / F.col("deg")).alias("c"))
+        sums = contrib.groupBy("dst").agg(
+            F.sum(F.col("c").cast("decimal(38,12)")).cast("double").alias("s")
+        )
+        rank = (
+            nodes.join(sums, nodes["doc_id"] == sums["dst"])
+            .select(
+                "doc_id",
+                "deg",
+                "_n",
+                (teleport + F.lit(damping) * F.col("s")).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return rank.select("doc_id", "rank")
+
+
+def oracle_neardup_pagerank(
+    pairs_sql: str, iters: int = 5, damping: float = 0.85
+) -> str:
+    """DuckDB twin of :func:`neardup_pagerank` — the same iterations
+    unrolled as chained CTEs; damping constants embedded via ``repr`` so
+    both engines evaluate the identical doubles."""
+    d = repr(damping)
+    t = repr(1 - damping)
+    ctes = [
+        f"""pr AS ({pairs_sql}),
+sym AS (SELECT doc_a AS src, doc_b AS dst FROM pr
+        UNION ALL SELECT doc_b, doc_a FROM pr),
+deg AS (SELECT src, count(*) AS deg FROM sym GROUP BY src),
+n AS (SELECT count(*) AS total FROM deg),
+r0 AS (SELECT src AS doc_id, 1.0 / n.total AS rank FROM deg CROSS JOIN n)"""
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""r{i} AS (
+  SELECT s.dst AS doc_id,
+         {t} / n.total + {d} * CAST(sum(CAST(r{i - 1}.rank / deg.deg
+             AS DECIMAL(38,12))) AS DOUBLE) AS rank
+  FROM sym s
+  JOIN r{i - 1} ON r{i - 1}.doc_id = s.src
+  JOIN deg ON deg.src = s.src
+  CROSS JOIN n
+  GROUP BY s.dst, n.total)"""
+        )
+    body = ",\n".join(ctes)
+    return f"WITH {body}\nSELECT doc_id, rank FROM r{iters}"

@@ -1975,6 +1975,15 @@ q(
     dedup.neardup_survivors,
     dedup.oracle_neardup_survivors(),
 )
+# PageRank centrality over the near-dup graph: iterative float fixpoint,
+# SQL-oracled anyway — neighbor sums run through the DECIMAL(38,12) exact
+# accumulator so the result is partitioning-invariant and the oracle
+# unrolls the identical iterations as chained CTEs.
+q(
+    "dedup_pagerank_centrality",
+    dedup.neardup_pagerank,
+    dedup.oracle_neardup_pagerank(dedup.oracle_ngram_jaccard_pairs(0.5)),
+)
 # Quality-canonical selection: keep the HIGHEST-quality member of each
 # cluster (not the first) — the representative-selection step; oracled by
 # composing the recursive component closure with the quality projection.
@@ -2534,6 +2543,13 @@ _PRIORITY = [
     # session-window leg keeps its stream/batch-parity pytest gate).
     "events_key_skew_profile",
     "corpus_apply_updates",
+    # --- 2z. PageRank centrality over the near-dup graph (decimal-stable
+    # float fixpoint, SQL-oracled via unrolled CTE iterations). Rotated
+    # out in exchange: q1_pricing_summary — the last ever-green re-check
+    # in the window; relational.py's only changes since its r1-r3 green
+    # rows were perf-only (input-split spread), and the relational family
+    # keeps its 20-key pytest compare gate + the r5 rotation pool.
+    "dedup_pagerank_centrality",
     # --- 3. re-checks: last green predates operator source change ---
     # (To fit 2b under the 50-key cap, three ever-green re-checks with
     # redundant r3 coverage were rotated to the r5 pool: r1_time_axis and
@@ -2555,9 +2571,8 @@ _PRIORITY = [
     # probe-cache keying changed in r4) — duty carried by
     # user_retention_cohorts + events_activity_heatmap (same batch loader)
     # and the stream keys (stream read path); see 2w for the w1 rotation.
-    # relational.py r3 change was perf-only (input-split spread) — re-check
-    # the heavy-scan keys it most affects; the rest rotate through in r5
-    "q1_pricing_summary",
+    # relational.py r3 change was perf-only (input-split spread); its
+    # re-check rotates through the r5 pool (q1 rotated out in 2z)
 ]
 
 

@@ -176,3 +176,37 @@ def test_apply_corpus_updates_semantics(spark):
     # row count = base + new docs (replacements collapse onto their id)
     n_new = sum(1 for d in base if d % 25 == 0)
     assert len(got) == len(base) + n_new
+
+
+def test_pagerank_matches_oracle(spark):
+    from redis_dataflow_realtime_analytics_spark.operators import dedup
+
+    compare(
+        dedup.neardup_pagerank(spark, SF_SMOKE),
+        dedup.oracle_neardup_pagerank(dedup.oracle_ngram_jaccard_pairs(0.5)),
+        SF_SMOKE,
+    )
+
+
+def test_pagerank_mass_and_hub(spark, tmp_path):
+    from redis_dataflow_realtime_analytics_spark.operators import dedup
+
+    # A star of near-identical docs: doc 1 shares a long base with each
+    # satellite (Jaccard 0.53), satellites pair with each other only at
+    # 0.36 — so threshold 0.45 keeps hub-satellite edges and drops the
+    # satellite clique. The hub must outrank every satellite, and total
+    # rank mass must stay ~1.
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [(1, base, "en", "s", 1)] + [
+        (i, base + f" tail{i} " + " ".join([f"x{i}y{j}" for j in range(6)]), "en", "s", 1)
+        for i in range(2, 7)
+    ] + [(99, "completely different content with no shared shingles here", "en", "s", 1)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+    got = {r.doc_id: r.rank for r in
+           dedup.neardup_pagerank(spark, str(tmp_path), threshold=0.45).collect()}
+    assert 99 not in got  # unpaired doc is outside the graph
+    assert abs(sum(got.values()) - 1.0) < 1e-6
+    hub = got.pop(1)
+    assert all(hub > v for v in got.values())
