@@ -1207,6 +1207,39 @@ def _stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 q("stream_heavy_hitter_users", _stream_heavy_hitters)
 
 
+def _stream_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming import pipeline as sp
+
+    return sp.stream_ivf_assign(spark, f"{sf_dir}/embeddings.parquet")
+
+
+# Streaming vector-index ingestion: stateless stream-static assignment of
+# arriving embeddings to IVF coarse centroids via a broadcast codebook row
+# and an array-argmax (no rank window — streaming-safe). Fixed-point dots
+# make stream, batch window plan, and the DuckDB oracle bit-identical.
+q(
+    "stream_ivf_assign",
+    _stream_ivf_assign,
+    f"""WITH {_ORACLE_NORMS},
+ev AS (SELECT e.vec_id, e.qv, n.n2 FROM e JOIN n USING (vec_id)),
+cents AS (SELECT vec_id AS centroid_id, qv AS cqv, n2 AS cn2
+          FROM ev WHERE vec_id % {similarity.CENTROID_MOD} = 0),
+cp AS (SELECT v.vec_id, v.n2, c.centroid_id, c.cn2,
+              unnest(list_zip(v.qv, c.cqv)) AS z
+       FROM ev v CROSS JOIN cents c),
+cd AS (SELECT vec_id, centroid_id,
+              {oracle_qdot('z[1]', 'z[2]')} AS dot,
+              any_value(n2) AS n2, any_value(cn2) AS cn2
+       FROM cp GROUP BY 1, 2),
+cs AS (SELECT vec_id, centroid_id,
+              {_ORACLE_COS.format(d='dot', a='n2', b='cn2')} AS c_cos
+       FROM cd)
+SELECT vec_id, centroid_id AS bucket, c_cos FROM cs
+QUALIFY row_number() OVER (PARTITION BY vec_id
+                           ORDER BY c_cos DESC, centroid_id) = 1""",
+)
+
+
 def _stream_enriched_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .streaming import pipeline as sp
     from .tables import load

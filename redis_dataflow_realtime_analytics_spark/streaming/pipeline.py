@@ -836,3 +836,79 @@ def stream_curated_ingest(
     )
     q.awaitTermination()
     return spark.read.parquet(index_dir)
+
+
+def stream_ivf_assign(spark: SparkSession, emb_path: str) -> DataFrame:
+    """Streaming vector-index ingestion: embeddings arrive as an unbounded
+    stream and each is assigned to its nearest IVF coarse centroid — the
+    write path of a vector database (new vectors land in their posting
+    list on arrival; queries then probe buckets via ``ann_ivf_topk``'s
+    read side).
+
+    STATELESS stream-static shape: the centroid codebook (from the batch
+    corpus, same modulo seeds as ``similarity.ann_ivf_topk``) collapses
+    to ONE broadcast row holding a sorted array of (cid, cqv, cn2)
+    structs; the per-row argmax then runs entirely inside higher-order
+    functions — ``transform`` computes each centroid's exact int64 dot →
+    cosine, ``array_max`` over (c_cos, -cid) structs picks the best with
+    the batch plan's exact tie-break (max cosine, then min centroid id) —
+    so the streaming plan needs no state store, no watermark, and no
+    window function (streaming frames admit no rank window; the
+    array-argmax is the streaming-safe equivalent).
+
+    Per-event cost is k_centroids × dim multiply-adds in codegen; at
+    100 TB the codebook broadcast is MB-scale and re-resolved per batch,
+    so codebook refreshes land without restarting the query.
+
+    Oracle: the assignment leg of the IVF oracle (cross join + rank-1
+    window) — fixed-point dots make stream, batch window plan, and DuckDB
+    bit-identical.
+    """
+    from ..functions import vectors as V
+    from ..operators.similarity import CENTROID_MOD
+
+    base = (
+        spark.read.parquet(emb_path)
+        .select("vec_id", V.quantize("embedding").alias("qvec"))
+        .withColumn("n2", V.qnorm2("qvec"))
+    )
+    cents_row = (
+        base.where(F.col("vec_id") % CENTROID_MOD == 0)
+        .select(
+            F.struct(
+                F.col("vec_id").alias("cid"),
+                F.col("qvec").alias("cqv"),
+                F.col("n2").alias("cn2"),
+            ).alias("c")
+        )
+        .agg(F.sort_array(F.collect_list("c")).alias("cents"))
+    )
+    schema = spark.read.parquet(emb_path).schema
+    reader = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+    if os.path.isfile(emb_path):
+        reader = reader.option("pathGlobFilter", os.path.basename(emb_path))
+        path = os.path.dirname(emb_path)
+    else:
+        path = emb_path
+    emb = (
+        reader.parquet(path)
+        .select("vec_id", V.quantize("embedding").alias("qvec"))
+        .withColumn("n2", V.qnorm2("qvec"))
+    )
+    best = F.expr(
+        "array_max(transform(cents, c -> struct("
+        " CAST(aggregate(zip_with(qvec, c.cqv, (x, y) -> x * y),"
+        "      CAST(0 AS BIGINT), (acc, v) -> acc + v) AS DOUBLE)"
+        " / (sqrt(CAST(n2 AS DOUBLE)) * sqrt(CAST(c.cn2 AS DOUBLE))) AS c_cos,"
+        " -c.cid AS neg_id)))"
+    )
+    assigned = (
+        emb.crossJoin(F.broadcast(cents_row))
+        .select("vec_id", best.alias("b"))
+        .select(
+            "vec_id",
+            (-F.col("b.neg_id")).alias("bucket"),
+            F.col("b.c_cos").alias("c_cos"),
+        )
+    )
+    return _replay_to_memory_append(spark, assigned, "ivfassign")

@@ -97,7 +97,22 @@ def test_priority_window_covers_every_unchecked_oracled_key():
         green |= {k for k, v in rec.items() if v.get("hash_match")}
     never_green = [k for k in registry.ORACLE if k not in green]
     missing = [k for k in never_green if k not in window]
-    assert not missing, f"oracled keys with no green driver row outside window: {missing}"
+    # The driver checks at most 50 keys per round. When the never-green
+    # set itself exceeds 50 (late-r4: 51 after stream_ivf_assign), some
+    # keys must queue for the next round — but ONLY then, and only while no
+    # window slot is wasted on an ever-green key. Overflow keys still sit
+    # directly behind the window (oracled-before-rows-only ordering below),
+    # so they are first in line for the r5 rotation.
+    if missing:
+        wasted = [k for k in window if k in green]
+        assert not wasted, (
+            f"never-green keys {missing} overflow the 50-key window while "
+            f"ever-green keys {wasted} hold slots"
+        )
+        assert len(never_green) > 50, (
+            f"oracled keys with no green driver row outside a non-full "
+            f"window: {missing}"
+        )
 
     rest = keys[n:]
     tail_start = min(

@@ -210,3 +210,35 @@ def test_pagerank_mass_and_hub(spark, tmp_path):
     assert abs(sum(got.values()) - 1.0) < 1e-6
     hub = got.pop(1)
     assert all(hub > v for v in got.values())
+
+
+def test_stream_ivf_assign_matches_batch_assignment(spark):
+    # The streaming array-argmax must reproduce the batch IVF assignment
+    # (rank-1 window over the same fixed-point cosines) exactly —
+    # stream/batch parity for the vector-index write path.
+    from pyspark.sql import Window
+
+    from redis_dataflow_realtime_analytics_spark.functions import vectors as V
+    from redis_dataflow_realtime_analytics_spark.operators.similarity import (
+        CENTROID_MOD,
+        _quantized,
+    )
+    from redis_dataflow_realtime_analytics_spark.streaming import pipeline as sp
+
+    got = {(r.vec_id, r.bucket) for r in
+           sp.stream_ivf_assign(spark, f"{SF_SMOKE}/embeddings.parquet").collect()}
+    emb = _quantized(spark, SF_SMOKE)
+    cents = emb.where(F.col("vec_id") % CENTROID_MOD == 0).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("qvec").alias("c_qvec"),
+        F.col("n2").alias("c_n2"),
+    )
+    scored = (
+        emb.join(F.broadcast(cents), how="cross")
+        .withColumn("c_dot", V.qdot("qvec", "c_qvec"))
+        .withColumn("c_cos", V.cosine("c_dot", "n2", "c_n2"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("c_cos"), "centroid_id")
+    want = {(r.vec_id, r.centroid_id) for r in
+            scored.withColumn("rk", F.row_number().over(w)).where("rk = 1").collect()}
+    assert got == want
