@@ -1252,3 +1252,115 @@ r0 AS (SELECT src AS doc_id, 1.0 / n.total AS rank FROM deg CROSS JOIN n)"""
         )
     body = ",\n".join(ctes)
     return f"WITH {body}\nSELECT doc_id, rank FROM r{iters}"
+
+
+def neardup_triangles(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.5
+) -> DataFrame:
+    """Per-node triangle count and local clustering coefficient over the
+    near-duplicate graph — the third graph-analytics leg beside
+    :func:`connected_components` (membership) and
+    :func:`neardup_pagerank` (centrality). A high clustering coefficient
+    marks a doc sitting inside a tight mutual-duplicate clique (template
+    spam, boilerplate families); a low one marks a bridge doc chaining
+    otherwise-unrelated clusters — exactly the rows a transitive-closure
+    dedup over-merges on.
+
+    Scale shape: DEGREE-ORIENTED triangle enumeration. Every edge is
+    oriented from its lower-(degree, id) endpoint to the higher one, so
+    wedges form only between the out-edges of each node and per-node
+    out-degree is bounded by O(√m) regardless of hub skew — the classic
+    arboricity bound. The plan is three equi-joins (orient, wedge, close),
+    all keyed on uniform doc ids; no vertex ever fans out by its full raw
+    degree the way a naive id-ordered wedge join would on a hub. The
+    DuckDB oracle enumerates the same triangle set via the simpler
+    id-orientation — the triangle SET is orientation-invariant, so both
+    sides agree row-for-row while the Spark side carries the
+    skew-resistant plan.
+
+    Output: (doc_id, degree, triangles, clustering) for every vertex of
+    the near-dup graph; clustering = 2T / (deg·(deg−1)), 0.0 when deg < 2.
+    """
+    edges = ngram_jaccard_pairs(spark, sf_dir, threshold=threshold)
+    e = edges.select("doc_a", "doc_b").localCheckpoint(eager=True)
+    sym = e.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v")).union(
+        e.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+    )
+    deg = sym.groupBy("u").agg(F.count("*").alias("deg"))
+    # attach each endpoint's (deg, id) order key, orient low -> high
+    withk = (
+        sym.join(deg.select(F.col("u"), F.col("deg").alias("du")), "u")
+        .join(
+            deg.select(F.col("u").alias("v"), F.col("deg").alias("dv")),
+            "v",
+        )
+        .select(
+            "u",
+            "v",
+            F.struct(F.col("du").alias("d"), F.col("u").alias("i")).alias("ku"),
+            F.struct(F.col("dv").alias("d"), F.col("v").alias("i")).alias("kv"),
+        )
+    )
+    oriented = withk.where(F.col("ku") < F.col("kv")).select(
+        F.col("u").alias("src"), F.col("v").alias("dst"), F.col("kv").alias("kd")
+    )
+    o1 = oriented.select(
+        F.col("src").alias("c"), F.col("dst").alias("x"), F.col("kd").alias("kx")
+    )
+    o2 = oriented.select(
+        F.col("src").alias("c"), F.col("dst").alias("y"), F.col("kd").alias("ky")
+    )
+    wedges = o1.join(o2, "c").where(F.col("kx") < F.col("ky")).select("c", "x", "y")
+    closer = oriented.select(F.col("src").alias("x"), F.col("dst").alias("y"))
+    tri = wedges.join(closer, ["x", "y"])
+    verts = (
+        tri.select(F.col("c").alias("doc_id"))
+        .union(tri.select(F.col("x").alias("doc_id")))
+        .union(tri.select(F.col("y").alias("doc_id")))
+    )
+    tcnt = verts.groupBy("doc_id").agg(F.count("*").alias("triangles"))
+    nodes = deg.select(F.col("u").alias("doc_id"), "deg")
+    out = nodes.join(tcnt, "doc_id", "left").select(
+        "doc_id",
+        F.col("deg").alias("degree"),
+        F.coalesce("triangles", F.lit(0).cast("bigint")).alias("triangles"),
+    )
+    pairs = F.col("degree") * (F.col("degree") - F.lit(1))
+    return out.select(
+        "doc_id",
+        "degree",
+        "triangles",
+        F.when(
+            F.col("degree") >= 2,
+            (F.lit(2).cast("double") * F.col("triangles")) / pairs.cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("clustering"),
+    )
+
+
+def oracle_neardup_triangles(pairs_sql: str) -> str:
+    """DuckDB twin of :func:`neardup_triangles` — id-oriented triangle
+    enumeration (e1.a<e1.b chained); the triangle set is orientation-
+    invariant, so it matches the degree-oriented Spark plan exactly."""
+    return f"""WITH pr AS ({pairs_sql}),
+e AS (SELECT doc_a AS a, doc_b AS b FROM pr),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e e1
+  JOIN e e2 ON e2.a = e1.b
+  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+verts AS (
+  SELECT x AS doc_id FROM tri
+  UNION ALL SELECT y FROM tri
+  UNION ALL SELECT z FROM tri),
+tcnt AS (SELECT doc_id, count(*) AS triangles FROM verts GROUP BY 1),
+sym AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
+deg AS (SELECT u AS doc_id, count(*) AS degree FROM sym GROUP BY 1)
+SELECT deg.doc_id, deg.degree,
+       COALESCE(tcnt.triangles, CAST(0 AS BIGINT)) AS triangles,
+       CASE WHEN deg.degree >= 2
+            THEN (CAST(2 AS DOUBLE) * COALESCE(tcnt.triangles, 0))
+                 / CAST(deg.degree * (deg.degree - 1) AS DOUBLE)
+            ELSE CAST(0 AS DOUBLE) END AS clustering
+FROM deg LEFT JOIN tcnt ON tcnt.doc_id = deg.doc_id"""

@@ -666,3 +666,67 @@ SELECT doc_id, CAST(version AS INTEGER) AS version,
        md5(text) AS text_hash,
        CAST(length(text) AS INTEGER) AS n_chars_final
 FROM latest"""
+
+
+def quality_calibrated_by_source(
+    spark: SparkSession, sf_dir: str, keep_floor: float = 0.25
+) -> DataFrame:
+    """Per-source quality calibration: replace each document's raw
+    heuristic quality score with its PERCENTILE RANK within its source,
+    then gate on the calibrated rank. A single global threshold over raw
+    scores silently skews the corpus toward whichever source's heuristic
+    runs hot (e.g. longer average docs); ranking within source first
+    makes "drop the worst quartile" mean the same thing for every source
+    — the standard per-domain calibration step before corpus mixing.
+
+    The percentile is computed explicitly as (rn − 1) / (n_src − 1) from
+    a row_number over the fully deterministic (quality, doc_id) order and
+    a per-source count — integer inputs to one float division, identical
+    in every engine (and well-defined for a single-doc source, where the
+    builtin percent_rank's 0/0 is engine-dependent: here it is 0.0).
+
+    Scale: one window + one count per source partition — a single shuffle
+    keyed by source; with the usual handful of sources AQE coalesces the
+    partitions, and a mega-source is still fine because row_number is a
+    streaming window (no buffering beyond the sort).
+
+    Output: (doc_id, source, quality, pct_rank, keep).
+    """
+    from .text import quality_projection
+
+    docs = spread(load(spark, sf_dir, "documents"))
+    q = quality_projection(docs).select("doc_id", "quality")
+    scored = docs.select("doc_id", "source").join(q, "doc_id")
+    w = Window.partitionBy("source").orderBy("quality", "doc_id")
+    n = Window.partitionBy("source")
+    rn = F.row_number().over(w)
+    n_src = F.count("*").over(n)
+    pct = F.when(n_src > 1, (rn - 1).cast("double") / (n_src - 1).cast("double")
+                 ).otherwise(F.lit(0.0))
+    return scored.select(
+        "doc_id",
+        "source",
+        "quality",
+        pct.alias("pct_rank"),
+        (pct >= keep_floor).alias("keep"),
+    )
+
+
+def oracle_quality_calibrated(quality_sql: str, keep_floor: float = 0.25) -> str:
+    """DuckDB twin of :func:`quality_calibrated_by_source`; ``quality_sql``
+    is the shared quality-score oracle (``text.oracle_quality_score``)."""
+    return f"""WITH q AS ({quality_sql}),
+scored AS (
+  SELECT d.doc_id, d.source, q.quality,
+         row_number() OVER (PARTITION BY d.source
+                            ORDER BY q.quality, d.doc_id) AS rn,
+         count(*) OVER (PARTITION BY d.source) AS n_src
+  FROM q JOIN documents d ON d.doc_id = q.doc_id),
+pct AS (
+  SELECT doc_id, source, quality,
+         CASE WHEN n_src > 1
+              THEN CAST(rn - 1 AS DOUBLE) / CAST(n_src - 1 AS DOUBLE)
+              ELSE CAST(0 AS DOUBLE) END AS pct_rank
+  FROM scored)
+SELECT doc_id, source, quality, pct_rank, pct_rank >= {keep_floor} AS keep
+FROM pct"""

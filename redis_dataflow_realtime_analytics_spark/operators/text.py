@@ -1256,3 +1256,103 @@ totals AS (SELECT lang, CAST(sum(n_docs) AS BIGINT) AS lang_total
 SELECT lang, lang_pred, n_docs,
        CAST(n_docs AS DOUBLE) / lang_total AS share_of_lang
 FROM cells JOIN totals USING (lang)"""
+
+
+# --- BM25 lexical retrieval --------------------------------------------------
+#: Every BM25_QMOD-th document stands in as a retrieval query.
+BM25_QMOD = 50
+
+#: Lucene-style BM25 term score over (tf, df, dl, n_docs, avgdl). One
+#: format string instantiated by BOTH the Spark plan (F.expr) and the
+#: DuckDB oracle, so the float evaluation order is textually identical —
+#: every operand mixes in a CAST(... AS DOUBLE), which promotes the
+#: decimal literals to exact doubles in both engines. k1 = 1.5, b = 0.75
+#: (so k1+1 = 2.5 and 1-b = 0.25, all exactly representable).
+_BM25_TERM = (
+    "ln(CAST(1 AS DOUBLE)"
+    " + (CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))"
+    " * (CAST(tf AS DOUBLE) * 2.5)"
+    " / (CAST(tf AS DOUBLE)"
+    "    + 1.5 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl)))"
+)
+
+
+def bm25_topk(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
+    """BM25 lexical retrieval: every ``BM25_QMOD``-th document acts as a
+    query; candidates are scored by Lucene-style BM25 over the shared
+    terms and the top-``k`` per query are returned — the sparse-retrieval
+    complement to the dense ``ann_topk_*`` family (and the first stage of
+    a dedup-against-eval or RAG pipeline when no embeddings exist).
+
+    Plan: one explode → (doc, term) tf counts [shuffle 1]; dl = Σtf per
+    doc and df per term fold out of that same frame [map-side partial];
+    the query side is a FILTER on the tf frame (doc_id % QMOD), so
+    retrieval is an inverted-index equi-join on term — cost follows
+    posting-list sizes (Σ_t df(t) over query terms), never |docs|².
+    (N, avgdl) is a 1-row broadcast. Per-(query, doc) term scores sum
+    through the DECIMAL(38,12) accumulator, so the score is
+    order-independent and bit-identical at any partitioning; ranking ties
+    break on doc_id.
+
+    Output: (query_id, doc_id, n_shared, score, rank), rank 1..k.
+    """
+    docs = spread(load(spark, sf_dir, "documents"))
+    terms = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), TOKEN_RE)).alias("term"),
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    qt = tf.where(F.col("doc_id") % BM25_QMOD == 0).select(
+        F.col("doc_id").alias("query_id"), "term"
+    )
+    cand = (
+        tf.join(qt, "term")
+        .where(F.col("doc_id") != F.col("query_id"))
+        .join(df_, "term")
+        .join(dl, "doc_id")
+        .join(F.broadcast(stats))
+    )
+    scored = cand.groupBy("query_id", "doc_id").agg(
+        F.count("*").alias("n_shared"),
+        F.sum(F.expr(_BM25_TERM).cast("decimal(38,12)"))
+        .cast("double")
+        .alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), "doc_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "doc_id", "n_shared", "score", "rank")
+    )
+
+
+def oracle_bm25_topk(k: int = 5) -> str:
+    return f"""WITH terms AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '{TOKEN_SQL}')) AS term
+  FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+stats AS (SELECT count(*) AS n_docs,
+                 CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+qt AS (SELECT doc_id AS query_id, term FROM tf WHERE doc_id % {BM25_QMOD} = 0),
+scored AS (
+  SELECT query_id, tf.doc_id, count(*) AS n_shared,
+         CAST(sum(CAST({_BM25_TERM} AS DECIMAL(38,12))) AS DOUBLE) AS score
+  FROM tf
+  JOIN qt USING (term)
+  JOIN df USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+  WHERE tf.doc_id <> query_id
+  GROUP BY 1, 2)
+SELECT query_id, doc_id, n_shared, score,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, doc_id) AS INTEGER) AS rank
+FROM scored QUALIFY rank <= {k}"""

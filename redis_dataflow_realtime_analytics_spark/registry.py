@@ -2036,6 +2036,38 @@ q(
 # Order-insensitive exact dedup: sorted-token-multiset hash — catches
 # word-order shuffles between exact dedup and n-gram Jaccard.
 q("dedup_bow_groups", dedup.bow_dedup_groups, dedup.oracle_bow_dedup_groups())
+# Per-node triangle count + local clustering coefficient — the third
+# graph-analytics leg (CC = membership, PageRank = centrality, this =
+# cohesion): clique members vs bridge docs in the near-dup graph. The
+# Spark plan is degree-oriented (O(√m) wedge bound under hub skew); the
+# oracle enumerates the same orientation-invariant triangle set id-ordered.
+q(
+    "dedup_graph_triangles",
+    dedup.neardup_triangles,
+    dedup.oracle_neardup_triangles(dedup.oracle_ngram_jaccard_pairs(0.5)),
+)
+# BM25 lexical retrieval: every 50th doc as a query, Lucene-style term
+# scores summed through the DECIMAL(38,12) accumulator, top-5 per query
+# via an inverted-index equi-join (cost follows posting lists, not |docs|²).
+q("text_bm25_topk", text.bm25_topk, text.oracle_bm25_topk())
+# Per-source quality calibration: percentile-rank the heuristic quality
+# score within each source before gating, so one source's hot-running
+# heuristic can't skew the corpus mix; explicit (rn-1)/(n-1) percentile
+# from integer window inputs — engine-portable, single-doc source = 0.0.
+q(
+    "quality_calibrated_by_source",
+    sampling.quality_calibrated_by_source,
+    sampling.oracle_quality_calibrated(text.oracle_quality_score()),
+)
+# Binary sign-sketch ANN: 1-bit-per-dimension compression (8 bytes/vector),
+# integer Hamming ranking — deterministic (bit i = embedding[i] > 0), so
+# SQL-oracled unlike the seeded random-hyperplane ann_lsh_topk; recall vs
+# the exact cosine baseline is banded in tests/test_similarity.py.
+q(
+    "ann_topk_hamming",
+    similarity.ann_topk_hamming,
+    similarity.oracle_ann_topk_hamming(),
+)
 
 # The production 100 TB pipeline: LSH candidates -> exact verify -> cluster
 # (quadratic stage never runs). Rows-only: edges depend on xxhash64 banding;

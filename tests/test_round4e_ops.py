@@ -1,0 +1,142 @@
+"""Gates for the round-4 session-4 operators: degree-oriented triangle
+counting over the near-dup graph, BM25 lexical retrieval, per-source
+quality calibration, and binary sign-sketch Hamming ANN."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from redis_dataflow_realtime_analytics_spark.operators import dedup, sampling, similarity, text
+
+from .conftest import SF_SMOKE
+from .oracle import compare
+
+
+def test_triangles_match_oracle(spark):
+    compare(
+        dedup.neardup_triangles(spark, SF_SMOKE),
+        dedup.oracle_neardup_triangles(dedup.oracle_ngram_jaccard_pairs(0.5)),
+        SF_SMOKE,
+    )
+
+
+def test_triangles_invariants(spark):
+    # Each triangle contributes exactly 3 per-node increments, and the
+    # local clustering coefficient is a proper ratio.
+    rows = dedup.neardup_triangles(spark, SF_SMOKE).collect()
+    assert sum(r.triangles for r in rows) % 3 == 0
+    assert all(0.0 <= r.clustering <= 1.0 for r in rows)
+    # a node's triangles can never exceed its wedge count
+    assert all(r.triangles <= r.degree * (r.degree - 1) // 2 for r in rows)
+
+
+def test_triangles_degree_orientation_equals_naive(spark):
+    # The degree-oriented plan must enumerate the identical triangle set a
+    # naive id-ordered 3-join finds (orientation invariance).
+    edges = dedup.ngram_jaccard_pairs(spark, SF_SMOKE, threshold=0.5)
+    e = edges.select("doc_a", "doc_b").cache()
+    e1 = e.select(F.col("doc_a").alias("x"), F.col("doc_b").alias("y"))
+    e2 = e.select(F.col("doc_a").alias("y"), F.col("doc_b").alias("z"))
+    e3 = e.select(F.col("doc_a").alias("x"), F.col("doc_b").alias("z"))
+    naive = e1.join(e2, "y").join(e3, ["x", "z"])
+    per_node = {}
+    for r in naive.collect():
+        for v in (r.x, r.y, r.z):
+            per_node[v] = per_node.get(v, 0) + 1
+    got = {
+        r.doc_id: r.triangles
+        for r in dedup.neardup_triangles(spark, SF_SMOKE).collect()
+        if r.triangles > 0
+    }
+    assert got == per_node
+
+
+def test_bm25_matches_oracle(spark):
+    compare(text.bm25_topk(spark, SF_SMOKE), text.oracle_bm25_topk(), SF_SMOKE)
+
+
+def test_bm25_shape(spark):
+    rows = text.bm25_topk(spark, SF_SMOKE).collect()
+    assert rows, "bm25 returned no rows"
+    # a query never retrieves itself; ranks are 1..k contiguous per query
+    assert all(r.query_id != r.doc_id for r in rows)
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r.rank)
+    for q, ranks in by_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+    assert all(r.score > 0 for r in rows)
+
+
+def test_quality_calibration_matches_oracle(spark):
+    compare(
+        sampling.quality_calibrated_by_source(spark, SF_SMOKE),
+        sampling.oracle_quality_calibrated(text.oracle_quality_score()),
+        SF_SMOKE,
+    )
+
+
+def test_quality_calibration_uniform_within_source(spark):
+    # Percentile ranks span [0, 1] within every multi-doc source, and the
+    # keep gate retains the same FRACTION of every source (the whole point
+    # of calibrating before thresholding).
+    df = sampling.quality_calibrated_by_source(spark, SF_SMOKE)
+    agg = (
+        df.groupBy("source")
+        .agg(
+            F.min("pct_rank").alias("lo"),
+            F.max("pct_rank").alias("hi"),
+            F.count("*").alias("n"),
+            F.sum(F.col("keep").cast("int")).alias("kept"),
+        )
+        .collect()
+    )
+    for r in agg:
+        if r.n > 1:
+            assert r.lo == 0.0 and r.hi == 1.0
+            # keep_floor=0.25 drops the bottom quartile of EACH source
+            assert abs(r.kept / r.n - 0.75) < 0.05, (r.source, r.kept, r.n)
+
+
+def test_hamming_matches_oracle(spark):
+    compare(
+        similarity.ann_topk_hamming(spark, SF_SMOKE),
+        similarity.oracle_ann_topk_hamming(),
+        SF_SMOKE,
+    )
+
+
+def test_hamming_recall_vs_bruteforce(spark):
+    """64-bit sign sketches keep only the orthant of each vector; top-10
+    recall vs exact cosine lands well above chance (10/499 ≈ 0.02) but
+    below the int8 path — the memory/recall trade of 1-bit quantization.
+    Production shape: Hamming shortlist → exact re-rank."""
+    exact = {}
+    for r in similarity.ann_topk_bruteforce(spark, SF_SMOKE, k=10).collect():
+        exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+    ham = {}
+    for r in similarity.ann_topk_hamming(spark, SF_SMOKE, k=10).collect():
+        ham.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recalls = [len(exact[q] & ham[q]) / 10 for q in exact]
+    mean_recall = sum(recalls) / len(recalls)
+    assert mean_recall >= 0.15, f"sign-sketch mean recall {mean_recall}"
+
+
+def test_hamming_distance_definition(spark):
+    # Spot-check: the packed-sketch Hamming distance equals the number of
+    # dimensions whose signs disagree, recomputed in plain Python.
+    from redis_dataflow_realtime_analytics_spark.tables import load
+
+    vecs = {
+        r.vec_id: r.embedding
+        for r in load(spark, SF_SMOKE, "embeddings").limit(300).collect()
+    }
+    rows = similarity.ann_topk_hamming(spark, SF_SMOKE, k=10).collect()
+    checked = 0
+    for r in rows:
+        if r.query_id in vecs and r.neighbor_id in vecs:
+            a, b = vecs[r.query_id], vecs[r.neighbor_id]
+            want = sum((x > 0) != (y > 0) for x, y in zip(a, b))
+            assert r.hamming == want, (r.query_id, r.neighbor_id)
+            checked += 1
+    assert checked > 0
