@@ -1091,3 +1091,76 @@ SELECT query_id, neighbor_id, hamming,
        CAST(row_number() OVER (PARTITION BY query_id
                                ORDER BY hamming, neighbor_id) AS INTEGER) AS rank
 FROM d QUALIFY rank <= {k}"""
+
+
+def ann_hamming_rerank_topk(
+    spark: SparkSession, sf_dir: str, k: int = 10, shortlist: int = 50
+) -> DataFrame:
+    """Two-stage ANN: sign-sketch Hamming SHORTLIST → exact-cosine
+    RE-RANK — the production layout of binary-compressed retrieval (the
+    ANN analogue of dedup's LSH → exact-verify). Stage 1 scans only the
+    8-byte sketches (integer XOR/POPCNT over an index that fits in
+    memory at any corpus size) and keeps ``shortlist`` candidates per
+    query; stage 2 touches full-precision vectors ONLY for those
+    candidates — per query the float work drops from |corpus| to
+    ``shortlist`` dot products, while recall vs the exact baseline
+    recovers most of what the 1-bit sketch loses (band-tested in
+    tests/test_similarity.py / test_round4e_ops.py).
+
+    Fully deterministic end to end (integer Hamming + id tie-breaks →
+    exact int64 dots → cosine with id tie-breaks), so SQL-oracled.
+
+    Output: (query_id, neighbor_id, cosine, rank), rank 1..k.
+    """
+    cand = ann_topk_hamming(spark, sf_dir, k=shortlist).select(
+        "query_id", "neighbor_id"
+    )
+    emb = _quantized(spark, sf_dir)
+    q = emb.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qvec").alias("q_qvec"),
+        F.col("n2").alias("q_n2"),
+    )
+    nb = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("qvec").alias("n_qvec"),
+        F.col("n2").alias("n_n2"),
+    )
+    scored = (
+        cand.join(nb, "neighbor_id")
+        .join(q, "query_id")
+        .withColumn("dot", V.qdot("n_qvec", "q_qvec"))
+        .withColumn("cosine", V.cosine("dot", "n_n2", "q_n2"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def oracle_ann_hamming_rerank(k: int = 10, shortlist: int = 50) -> str:
+    """DuckDB twin of :func:`ann_hamming_rerank_topk` — the Hamming
+    oracle as the shortlist CTE, re-scored with the exact fixed-point
+    cosine. ``{norms}`` / ``{qdot}`` / ``{cos}`` are spliced by the
+    registry, which owns those shared SQL fragments."""
+    ham = oracle_ann_topk_hamming(k=shortlist)
+    return f"""WITH cand AS ({ham}),
+{{norms}},
+p AS (SELECT c.query_id, c.neighbor_id,
+             unnest(list_zip(eq.qv, en.qv)) AS z
+      FROM cand c
+      JOIN e eq ON eq.vec_id = c.query_id
+      JOIN e en ON en.vec_id = c.neighbor_id),
+d AS (SELECT query_id, neighbor_id, {{qdot}} AS dot
+      FROM p GROUP BY 1, 2),
+s AS (SELECT d.query_id, d.neighbor_id, {{cos}} AS cosine
+      FROM d
+      JOIN n nq ON nq.vec_id = d.query_id
+      JOIN n nn ON nn.vec_id = d.neighbor_id)
+SELECT query_id, neighbor_id, cosine,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS INTEGER)
+         AS rank
+FROM s QUALIFY rank <= {k}"""

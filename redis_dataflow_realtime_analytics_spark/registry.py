@@ -2068,6 +2068,19 @@ q(
     similarity.ann_topk_hamming,
     similarity.oracle_ann_topk_hamming(),
 )
+# Two-stage binary ANN: Hamming shortlist (integer scan over the 8-byte
+# sketch index) → exact fixed-point cosine re-rank of only the shortlist
+# — the production layout (the ANN analogue of LSH → exact-verify);
+# deterministic both stages, so SQL-oracled.
+q(
+    "ann_hamming_rerank_topk",
+    similarity.ann_hamming_rerank_topk,
+    similarity.oracle_ann_hamming_rerank().format(
+        norms=_ORACLE_NORMS,
+        qdot=oracle_qdot("z[1]", "z[2]"),
+        cos=_ORACLE_COS.format(d="d.dot", a="nq.n2", b="nn.n2"),
+    ),
+)
 
 # The production 100 TB pipeline: LSH candidates -> exact verify -> cluster
 # (quadratic stage never runs). Rows-only: edges depend on xxhash64 banding;
