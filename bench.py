@@ -98,6 +98,14 @@ HEADLINE = [
     "events_key_skew_profile",
     "corpus_apply_updates",
     "dedup_pagerank_centrality",
+    # new in r4 (cont. 10): streaming IVF ingestion, graph triangles, BM25
+    # retrieval, per-source calibration, binary ANN + two-stage re-rank
+    "stream_ivf_assign",
+    "dedup_graph_triangles",
+    "text_bm25_topk",
+    "quality_calibrated_by_source",
+    "ann_topk_hamming",
+    "ann_hamming_rerank_topk",
 ]
 
 

@@ -1262,16 +1262,32 @@ FROM cells JOIN totals USING (lang)"""
 #: Every BM25_QMOD-th document stands in as a retrieval query.
 BM25_QMOD = 50
 
-#: Lucene-style BM25 term score over (tf, df, dl, n_docs, avgdl). One
-#: format string instantiated by BOTH the Spark plan (F.expr) and the
-#: DuckDB oracle, so the float evaluation order is textually identical —
-#: every operand mixes in a CAST(... AS DOUBLE), which promotes the
-#: decimal literals to exact doubles in both engines. k1 = 1.5, b = 0.75
-#: (so k1+1 = 2.5 and 1-b = 0.25, all exactly representable).
-_BM25_TERM = (
+#: BM25 term unit = 3-token shingles (not unigrams). Two reasons: (a) the
+#: fixture corpus draws from a ~31-word vocabulary, so every unigram is a
+#: stopword — posting lists are corpus-length and "retrieval" degenerates
+#: to scoring all pairs (measured 8.7 M candidate rows at bench SF);
+#: shingle posting lists are short (~10 docs) and discriminative, which
+#: is the same reason long n-gram units are the decontamination standard.
+#: (b) it keeps the operator sub-quadratic BY CONSTRUCTION on any corpus:
+#: cost follows shingle posting lists exactly like dedup's co-shingle
+#: inverted index.
+BM25_SHINGLE_K = 3
+
+#: Lucene-style BM25 factored into a per-TERM idf and a per-(doc, term)
+#: tf-normalization, each a format string instantiated by BOTH the Spark
+#: plan (F.expr) and the DuckDB oracle so the float evaluation order is
+#: textually identical — every operand mixes in a CAST(... AS DOUBLE),
+#: which promotes the decimal literals to exact doubles in both engines.
+#: k1 = 1.5, b = 0.75 (so k1+1 = 2.5 and 1-b = 0.25, all exactly
+#: representable). The factoring keeps the candidate rows (the Σ df(t)
+#: part of the plan) down to one idf·tfnorm multiply each: ln() runs once
+#: per vocabulary term, the divide once per posting.
+_BM25_IDF = (
     "ln(CAST(1 AS DOUBLE)"
     " + (CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))"
-    " * (CAST(tf AS DOUBLE) * 2.5)"
+)
+_BM25_TFNORM = (
+    "(CAST(tf AS DOUBLE) * 2.5)"
     " / (CAST(tf AS DOUBLE)"
     "    + 1.5 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl)))"
 )
@@ -1279,48 +1295,71 @@ _BM25_TERM = (
 
 def bm25_topk(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
     """BM25 lexical retrieval: every ``BM25_QMOD``-th document acts as a
-    query; candidates are scored by Lucene-style BM25 over the shared
-    terms and the top-``k`` per query are returned — the sparse-retrieval
-    complement to the dense ``ann_topk_*`` family (and the first stage of
-    a dedup-against-eval or RAG pipeline when no embeddings exist).
+    query; candidates are scored by Lucene-style BM25 over shared 3-token
+    shingle terms (see ``BM25_SHINGLE_K``) and the top-``k`` per query
+    are returned — the sparse-retrieval complement to the dense
+    ``ann_topk_*`` family, and the first stage of a dedup-against-eval or
+    RAG pipeline when no embeddings exist.
 
-    Plan: one explode → (doc, term) tf counts [shuffle 1]; dl = Σtf per
-    doc and df per term fold out of that same frame [map-side partial];
-    the query side is a FILTER on the tf frame (doc_id % QMOD), so
-    retrieval is an inverted-index equi-join on term — cost follows
+    Plan: one explode → (doc, shingle) tf counts [shuffle 1]; dl = Σtf
+    per doc and df per term fold out of that same frame [map-side
+    partial]; the query side is a FILTER on the tf frame (doc_id % QMOD),
+    so retrieval is an inverted-index equi-join on term — cost follows
     posting-list sizes (Σ_t df(t) over query terms), never |docs|².
-    (N, avgdl) is a 1-row broadcast. Per-(query, doc) term scores sum
-    through the DECIMAL(38,12) accumulator, so the score is
-    order-independent and bit-identical at any partitioning; ranking ties
-    break on doc_id.
+    (N, avgdl) is a 1-row broadcast. The BM25 math is FACTORED off the
+    candidate explosion: idf attaches to the query-term side (one ln per
+    vocabulary term) and the tf-normalization to the posting side (one
+    divide per posting), so each candidate row is a single idf·tfnorm
+    multiply before the sum. Products sum through the DECIMAL(38,12)
+    accumulator, so the score is order-independent and bit-identical at
+    any partitioning; ranking ties break on doc_id.
 
     Output: (query_id, doc_id, n_shared, score, rank), rank 1..k.
     """
     docs = spread(load(spark, sf_dir, "documents"))
-    terms = docs.select(
-        "doc_id",
-        F.explode(F.split(F.trim(F.lower(F.col("text"))), TOKEN_RE)).alias("term"),
+    ksh = BM25_SHINGLE_K
+    toks = docs.select(
+        "doc_id", F.split(F.trim(F.lower(F.col("text"))), TOKEN_RE).alias("t")
     )
-    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    terms = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, greatest(size(t) - {ksh - 1}, 1)),"
+                f" i -> array_join(slice(t, i, {ksh}), ' '))"
+            )
+        ).alias("term"),
+    )
+    # tf fans out to four consumers (dl, df, postings, the query filter);
+    # materialize it once instead of re-running the shingle explode +
+    # count shuffle per branch (measured 3.9 s -> 2.5 s at bench SF on
+    # local[8]; the shingle-unit switch itself was 13.5 s -> 3.9 s).
+    tf = (
+        terms.groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=True)
+    )
     dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
     stats = dl.agg(
         F.count("*").alias("n_docs"),
         (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
     )
+    idf = df_.join(F.broadcast(stats)).select("term", F.expr(_BM25_IDF).alias("idf"))
+    postings = (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(stats))
+        .select("doc_id", "term", F.expr(_BM25_TFNORM).alias("tfnorm"))
+    )
     qt = tf.where(F.col("doc_id") % BM25_QMOD == 0).select(
         F.col("doc_id").alias("query_id"), "term"
     )
-    cand = (
-        tf.join(qt, "term")
-        .where(F.col("doc_id") != F.col("query_id"))
-        .join(df_, "term")
-        .join(dl, "doc_id")
-        .join(F.broadcast(stats))
+    cand = postings.join(qt.join(idf, "term"), "term").where(
+        F.col("doc_id") != F.col("query_id")
     )
     scored = cand.groupBy("query_id", "doc_id").agg(
         F.count("*").alias("n_shared"),
-        F.sum(F.expr(_BM25_TERM).cast("decimal(38,12)"))
+        F.sum((F.col("idf") * F.col("tfnorm")).cast("decimal(38,12)"))
         .cast("double")
         .alias("score"),
     )
@@ -1333,24 +1372,32 @@ def bm25_topk(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
 
 
 def oracle_bm25_topk(k: int = 5) -> str:
-    return f"""WITH terms AS (
-  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '{TOKEN_SQL}')) AS term
+    ksh = BM25_SHINGLE_K
+    return f"""WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '{TOKEN_SQL}') AS t
   FROM documents),
+terms AS (
+  SELECT doc_id, array_to_string(t[i : i + {ksh - 1}], ' ') AS term
+  FROM (SELECT doc_id, t,
+               unnest(generate_series(1, greatest(len(t) - {ksh - 1}, 1))) AS i
+        FROM toks)),
 tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
 dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
 df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
 stats AS (SELECT count(*) AS n_docs,
                  CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+idf AS (SELECT term, {_BM25_IDF} AS idf FROM df CROSS JOIN stats),
+postings AS (
+  SELECT tf.doc_id, tf.term, {_BM25_TFNORM} AS tfnorm
+  FROM tf JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats),
 qt AS (SELECT doc_id AS query_id, term FROM tf WHERE doc_id % {BM25_QMOD} = 0),
 scored AS (
-  SELECT query_id, tf.doc_id, count(*) AS n_shared,
-         CAST(sum(CAST({_BM25_TERM} AS DECIMAL(38,12))) AS DOUBLE) AS score
-  FROM tf
+  SELECT query_id, p.doc_id, count(*) AS n_shared,
+         CAST(sum(CAST(idf * tfnorm AS DECIMAL(38,12))) AS DOUBLE) AS score
+  FROM postings p
   JOIN qt USING (term)
-  JOIN df USING (term)
-  JOIN dl ON dl.doc_id = tf.doc_id
-  CROSS JOIN stats
-  WHERE tf.doc_id <> query_id
+  JOIN idf USING (term)
+  WHERE p.doc_id <> query_id
   GROUP BY 1, 2)
 SELECT query_id, doc_id, n_shared, score,
        CAST(row_number() OVER (PARTITION BY query_id
