@@ -1340,3 +1340,83 @@ SELECT query_id, neighbor_id, approx_cosine,
                                ORDER BY approx_cosine DESC, neighbor_id)
             AS INTEGER) AS rank
 FROM cs QUALIFY rank <= {k}"""
+
+
+def retrieval_eval_report(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+    """Sparse-vs-dense retrieval agreement report: for every query doc
+    served by BOTH retrievers (vec_id aligns with doc_id in the fixture),
+    compare the BM25 shingle top-k against the exact-cosine embedding
+    top-k — overlap count and Jaccard of the two neighbor sets. The
+    everyday retrieval-QA question ("do my lexical and vector indexes
+    agree, and where?") expressed as one query; low-agreement queries are
+    exactly the ones worth routing to a hybrid retriever.
+
+    Both inputs are deterministic SQL-oracled operators, and the report
+    is pure integer set arithmetic on their outputs (counts + one exact
+    division), so the composition stays hash-gated end to end.
+
+    Output: (query_id, n_sparse, n_dense, n_overlap, jaccard).
+    """
+    from .text import bm25_topk
+
+    sparse = (
+        bm25_topk(spark, sf_dir, k=k)
+        .where(F.col("query_id") % QUERY_MOD == 0)
+        .select("query_id", F.col("doc_id").alias("neighbor_id"))
+    )
+    dense = ann_topk_bruteforce(spark, sf_dir, k=k).select(
+        "query_id", "neighbor_id"
+    )
+    ns = sparse.groupBy("query_id").agg(F.count("*").alias("n_sparse"))
+    nd = dense.groupBy("query_id").agg(F.count("*").alias("n_dense"))
+    nov = (
+        sparse.join(dense, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_overlap"))
+    )
+    out = (
+        ns.join(nd, "query_id")
+        .join(nov, "query_id", "left")
+        .select(
+            "query_id",
+            "n_sparse",
+            "n_dense",
+            F.coalesce("n_overlap", F.lit(0).cast("bigint")).alias("n_overlap"),
+        )
+    )
+    return out.select(
+        "query_id",
+        "n_sparse",
+        "n_dense",
+        "n_overlap",
+        (
+            F.col("n_overlap").cast("double")
+            / (F.col("n_sparse") + F.col("n_dense") - F.col("n_overlap")).cast(
+                "double"
+            )
+        ).alias("jaccard"),
+    )
+
+
+def oracle_retrieval_eval(bm25_sql: str, dense_sql: str, query_mod: int = QUERY_MOD) -> str:
+    """DuckDB twin of :func:`retrieval_eval_report` — both retriever
+    oracles as CTE inputs, then the identical integer set arithmetic."""
+    return f"""WITH sparse_full AS ({bm25_sql}),
+dense AS ({dense_sql}),
+sparse AS (
+  SELECT query_id, doc_id AS neighbor_id FROM sparse_full
+  WHERE query_id % {query_mod} = 0),
+ns AS (SELECT query_id, count(*) AS n_sparse FROM sparse GROUP BY 1),
+nd AS (SELECT query_id, count(*) AS n_dense FROM dense GROUP BY 1),
+nov AS (
+  SELECT s.query_id, count(*) AS n_overlap
+  FROM sparse s JOIN dense d
+    ON d.query_id = s.query_id AND d.neighbor_id = s.neighbor_id
+  GROUP BY 1)
+SELECT ns.query_id, ns.n_sparse, nd.n_dense,
+       COALESCE(nov.n_overlap, CAST(0 AS BIGINT)) AS n_overlap,
+       CAST(COALESCE(nov.n_overlap, 0) AS DOUBLE)
+         / CAST(ns.n_sparse + nd.n_dense - COALESCE(nov.n_overlap, 0) AS DOUBLE)
+         AS jaccard
+FROM ns JOIN nd ON nd.query_id = ns.query_id
+LEFT JOIN nov ON nov.query_id = ns.query_id"""

@@ -670,10 +670,9 @@ n AS (
 #: (functions.vectors.cosine).
 _ORACLE_COS = "CAST({d} AS DOUBLE) / (sqrt(CAST({a} AS DOUBLE)) * sqrt(CAST({b} AS DOUBLE)))"
 
-q(
-    "ann_topk_bruteforce",
-    similarity.ann_topk_bruteforce,
-    f"""WITH {_ORACLE_NORMS},
+#: Brute-force exact-cosine oracle — also a CTE input to the retrieval
+#: evaluation report below, so it is built once and reused.
+_ORACLE_ANN_BRUTEFORCE = f"""WITH {_ORACLE_NORMS},
 q AS (SELECT vec_id AS query_id, qv AS qq FROM e
       WHERE vec_id % {similarity.QUERY_MOD} = 0),
 p AS (SELECT q.query_id, e.vec_id AS neighbor_id,
@@ -689,8 +688,8 @@ c AS (SELECT d.query_id, d.neighbor_id,
 SELECT query_id, neighbor_id, cosine,
        CAST(row_number() OVER (PARTITION BY query_id
             ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
-FROM c QUALIFY rank <= 10""",
-)
+FROM c QUALIFY rank <= 10"""
+q("ann_topk_bruteforce", similarity.ann_topk_bruteforce, _ORACLE_ANN_BRUTEFORCE)
 # Compressed-ANN path: int8 scalar-quantized brute force. floor(x·s + 0.5)
 # quantization and the scale-cancelling int-dot cosine are bit-exact across
 # engines, so unlike IVF/LSH this approximate index is fully SQL-oracled;
@@ -2090,6 +2089,17 @@ q(
     "ann_topk_pq",
     similarity.ann_topk_pq,
     similarity.oracle_ann_topk_pq().format(norms=_ORACLE_NORMS),
+)
+# Retrieval-QA report: sparse (BM25 shingle) vs dense (exact cosine)
+# top-k agreement per shared query — overlap + Jaccard; both inputs are
+# SQL-oracled operators and the report is integer set arithmetic, so the
+# composition hash-gates end to end.
+q(
+    "retrieval_eval_report",
+    similarity.retrieval_eval_report,
+    similarity.oracle_retrieval_eval(
+        text.oracle_bm25_topk(k=10), _ORACLE_ANN_BRUTEFORCE
+    ),
 )
 
 # The production 100 TB pipeline: LSH candidates -> exact verify -> cluster

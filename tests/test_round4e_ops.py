@@ -199,3 +199,27 @@ def test_pq_code_count(spark):
     df = similarity.ann_topk_pq(spark, SF_SMOKE, k=3)
     rows = df.collect()
     assert rows and all(0.0 < r.approx_cosine <= 1.5 for r in rows)
+
+
+def test_retrieval_eval_matches_oracle(spark):
+    from redis_dataflow_realtime_analytics_spark import registry
+
+    compare(
+        similarity.retrieval_eval_report(spark, SF_SMOKE),
+        registry.ORACLE["retrieval_eval_report"],
+        SF_SMOKE,
+    )
+
+
+def test_retrieval_eval_shape(spark):
+    # One row per shared query; overlap bounded by both list sizes;
+    # jaccard consistent with the counts. (The fixture's embeddings are
+    # independent of the text, so near-zero agreement is the CORRECT
+    # reading — the report exists to measure exactly that.)
+    rows = similarity.retrieval_eval_report(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r.query_id % similarity.QUERY_MOD == 0
+        assert 0 <= r.n_overlap <= min(r.n_sparse, r.n_dense)
+        union = r.n_sparse + r.n_dense - r.n_overlap
+        assert abs(r.jaccard - r.n_overlap / union) < 1e-12
