@@ -1364,3 +1364,56 @@ SELECT deg.doc_id, deg.degree,
                  / CAST(deg.degree * (deg.degree - 1) AS DOUBLE)
             ELSE CAST(0 AS DOUBLE) END AS clustering
 FROM deg LEFT JOIN tcnt ON tcnt.doc_id = deg.doc_id"""
+
+
+def cross_source_dup_matrix(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.5
+) -> DataFrame:
+    """Cross-source duplicate-leakage matrix: near-dup pairs rolled up by
+    the (source, source) combination of their endpoints — the corpus
+    diagnostic that tells you WHICH ingestion feeds duplicate each other
+    (mirror sites, re-crawls, syndication) vs which only self-duplicate.
+    An off-diagonal hotspot means a source pair needs cross-source dedup
+    before mixing; a hot diagonal is ordinary within-crawl redundancy.
+
+    Plan: the oracled Jaccard pair list joins the (doc_id → source)
+    projection twice — two co-partitioned equi-joins on uniform doc ids —
+    then one small groupBy on the source pair (|sources|² cells). The
+    pair's sources are emitted min/max-normalized so the matrix is
+    upper-triangular regardless of pair orientation.
+
+    Output: (source_a, source_b, n_pairs), source_a <= source_b.
+    """
+    pairs = ngram_jaccard_pairs(spark, sf_dir, threshold=threshold)
+    src = load(spark, sf_dir, "documents").select("doc_id", "source")
+    labeled = (
+        pairs.join(
+            src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa")),
+            "doc_a",
+        )
+        .join(
+            src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb")),
+            "doc_b",
+        )
+    )
+    return (
+        labeled.select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+
+def oracle_cross_source_dup_matrix(pairs_sql: str) -> str:
+    """DuckDB twin of :func:`cross_source_dup_matrix`."""
+    return f"""WITH pr AS ({pairs_sql}),
+lab AS (
+  SELECT least(da.source, db.source) AS source_a,
+         greatest(da.source, db.source) AS source_b
+  FROM pr
+  JOIN documents da ON da.doc_id = pr.doc_a
+  JOIN documents db ON db.doc_id = pr.doc_b)
+SELECT source_a, source_b, count(*) AS n_pairs
+FROM lab GROUP BY 1, 2"""

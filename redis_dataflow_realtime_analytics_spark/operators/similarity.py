@@ -1420,3 +1420,66 @@ SELECT ns.query_id, ns.n_sparse, nd.n_dense,
          AS jaccard
 FROM ns JOIN nd ON nd.query_id = ns.query_id
 LEFT JOIN nov ON nov.query_id = ns.query_id"""
+
+
+def hybrid_rrf_topk(spark: SparkSession, sf_dir: str, k: int = 10, c: int = 60) -> DataFrame:
+    """Hybrid retrieval via RECIPROCAL RANK FUSION: merge the BM25
+    shingle ranking and the exact-cosine dense ranking with
+    ``score = Σ 1/(c + rank)`` (Cormack et al.'s standard c = 60) and
+    return the fused top-k per shared query. RRF is the production
+    default for hybrid search precisely because it never compares raw
+    scores across retrievers — only INTEGER ranks enter the formula, so
+    the fusion is scale-free and, here, exactly reproducible: each
+    1/(c+rank) is one IEEE divide of small integers, summed through the
+    DECIMAL(38,12) accumulator; ties break (n_lists DESC, doc_id).
+
+    Cost: the two top-k frames are tiny (queries × k rows each) — the
+    fusion is a union + one keyed sum, negligible beside the retrievers.
+
+    Output: (query_id, doc_id, n_lists, rrf_score, rank), rank 1..k.
+    """
+    from .text import bm25_topk
+
+    sparse = (
+        bm25_topk(spark, sf_dir, k=k)
+        .where(F.col("query_id") % QUERY_MOD == 0)
+        .select("query_id", "doc_id", "rank")
+    )
+    dense = ann_topk_bruteforce(spark, sf_dir, k=k).select(
+        "query_id", F.col("neighbor_id").alias("doc_id"), "rank"
+    )
+    both = sparse.union(dense)
+    contrib = F.lit(1.0).cast("double") / (F.lit(c) + F.col("rank")).cast("double")
+    fused = both.groupBy("query_id", "doc_id").agg(
+        F.count("*").alias("n_lists"),
+        F.sum(contrib.cast("decimal(38,12)")).cast("double").alias("rrf_score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf_score"), F.desc("n_lists"), "doc_id"
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "doc_id", "n_lists", "rrf_score", "rank")
+    )
+
+
+def oracle_hybrid_rrf(bm25_sql: str, dense_sql: str, k: int = 10, c: int = 60,
+                      query_mod: int = QUERY_MOD) -> str:
+    """DuckDB twin of :func:`hybrid_rrf_topk`."""
+    return f"""WITH sparse_full AS ({bm25_sql}),
+dense_full AS ({dense_sql}),
+both_lists AS (
+  SELECT query_id, doc_id, rank FROM sparse_full
+  WHERE query_id % {query_mod} = 0
+  UNION ALL
+  SELECT query_id, neighbor_id AS doc_id, rank FROM dense_full),
+fused AS (
+  SELECT query_id, doc_id, count(*) AS n_lists,
+         CAST(sum(CAST(CAST(1 AS DOUBLE) / CAST({c} + rank AS DOUBLE)
+                       AS DECIMAL(38,12))) AS DOUBLE) AS rrf_score
+  FROM both_lists GROUP BY 1, 2)
+SELECT query_id, doc_id, n_lists, rrf_score,
+       CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY rrf_score DESC, n_lists DESC, doc_id) AS INTEGER) AS rank
+FROM fused QUALIFY rank <= {k}"""

@@ -2101,6 +2101,25 @@ q(
         text.oracle_bm25_topk(k=10), _ORACLE_ANN_BRUTEFORCE
     ),
 )
+# Hybrid retrieval: reciprocal-rank fusion of the BM25 and dense top-k
+# lists (score = Σ 1/(60+rank)) — only integer ranks cross retrievers, so
+# the fusion is scale-free and exactly reproducible (decimal-summed IEEE
+# divides, n_lists/doc_id tie-breaks).
+q(
+    "hybrid_rrf_topk",
+    similarity.hybrid_rrf_topk,
+    similarity.oracle_hybrid_rrf(
+        text.oracle_bm25_topk(k=10), _ORACLE_ANN_BRUTEFORCE
+    ),
+)
+# Cross-source duplicate-leakage matrix: which ingestion feeds duplicate
+# each other (off-diagonal) vs merely self-duplicate (diagonal) — the
+# pre-mixing cross-source-dedup diagnostic over the oracled pair list.
+q(
+    "dedup_cross_source_matrix",
+    dedup.cross_source_dup_matrix,
+    dedup.oracle_cross_source_dup_matrix(dedup.oracle_ngram_jaccard_pairs(0.5)),
+)
 
 # The production 100 TB pipeline: LSH candidates -> exact verify -> cluster
 # (quadratic stage never runs). Rows-only: edges depend on xxhash64 banding;

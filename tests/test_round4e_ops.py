@@ -223,3 +223,50 @@ def test_retrieval_eval_shape(spark):
         assert 0 <= r.n_overlap <= min(r.n_sparse, r.n_dense)
         union = r.n_sparse + r.n_dense - r.n_overlap
         assert abs(r.jaccard - r.n_overlap / union) < 1e-12
+
+
+def test_rrf_matches_oracle(spark):
+    from redis_dataflow_realtime_analytics_spark import registry
+
+    compare(
+        similarity.hybrid_rrf_topk(spark, SF_SMOKE),
+        registry.ORACLE["hybrid_rrf_topk"],
+        SF_SMOKE,
+    )
+
+
+def test_rrf_properties(spark):
+    """A doc on BOTH lists at rank r scores strictly above a doc on one
+    list at the same rank; every fused rank is 1..k contiguous."""
+    rows = similarity.hybrid_rrf_topk(spark, SF_SMOKE, k=10).collect()
+    assert rows
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rs in by_q.items():
+        assert sorted(x.rank for x in rs) == list(range(1, len(rs) + 1))
+        two = [x for x in rs if x.n_lists == 2]
+        one = [x for x in rs if x.n_lists == 1]
+        if two and one:
+            # max single-list contribution is 1/61; min two-list score is
+            # 1/(60+k)·2 — with k=10 every dual-list doc outranks every
+            # single-list doc.
+            assert min(x.rrf_score for x in two) > max(x.rrf_score for x in one)
+
+
+def test_cross_source_matrix_matches_oracle(spark):
+    from redis_dataflow_realtime_analytics_spark import registry
+
+    compare(
+        dedup.cross_source_dup_matrix(spark, SF_SMOKE),
+        registry.ORACLE["dedup_cross_source_matrix"],
+        SF_SMOKE,
+    )
+
+
+def test_cross_source_matrix_counts(spark):
+    # Matrix total equals the pair-list size; matrix is upper-triangular.
+    pairs = dedup.ngram_jaccard_pairs(spark, SF_SMOKE, threshold=0.5)
+    rows = dedup.cross_source_dup_matrix(spark, SF_SMOKE).collect()
+    assert sum(r.n_pairs for r in rows) == pairs.count()
+    assert all(r.source_a <= r.source_b for r in rows)
