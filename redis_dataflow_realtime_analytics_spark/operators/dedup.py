@@ -1286,7 +1286,11 @@ def neardup_triangles(
     sym = e.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v")).union(
         e.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
     )
-    deg = sym.groupBy("u").agg(F.count("*").alias("deg"))
+    # deg fans out to the two orientation joins AND the final node frame;
+    # oriented (below) fans out to both wedge sides AND the closing join —
+    # materialize each once or the whole edge pipeline re-runs per
+    # consumer (the unchecked plan carried 50 SortMergeJoins).
+    deg = sym.groupBy("u").agg(F.count("*").alias("deg")).localCheckpoint(eager=True)
     # attach each endpoint's (deg, id) order key, orient low -> high
     withk = (
         sym.join(deg.select(F.col("u"), F.col("deg").alias("du")), "u")
@@ -1301,8 +1305,12 @@ def neardup_triangles(
             F.struct(F.col("dv").alias("d"), F.col("v").alias("i")).alias("kv"),
         )
     )
-    oriented = withk.where(F.col("ku") < F.col("kv")).select(
-        F.col("u").alias("src"), F.col("v").alias("dst"), F.col("kv").alias("kd")
+    oriented = (
+        withk.where(F.col("ku") < F.col("kv"))
+        .select(
+            F.col("u").alias("src"), F.col("v").alias("dst"), F.col("kv").alias("kd")
+        )
+        .localCheckpoint(eager=True)
     )
     o1 = oriented.select(
         F.col("src").alias("c"), F.col("dst").alias("x"), F.col("kd").alias("kx")
@@ -1313,6 +1321,7 @@ def neardup_triangles(
     wedges = o1.join(o2, "c").where(F.col("kx") < F.col("ky")).select("c", "x", "y")
     closer = oriented.select(F.col("src").alias("x"), F.col("dst").alias("y"))
     tri = wedges.join(closer, ["x", "y"])
+    tri = tri.localCheckpoint(eager=True)
     verts = (
         tri.select(F.col("c").alias("doc_id"))
         .union(tri.select(F.col("x").alias("doc_id")))
