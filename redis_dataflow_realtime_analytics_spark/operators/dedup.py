@@ -1255,7 +1255,10 @@ r0 AS (SELECT src AS doc_id, 1.0 / n.total AS rank FROM deg CROSS JOIN n)"""
 
 
 def neardup_triangles(
-    spark: SparkSession, sf_dir: str, threshold: float = 0.5
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.5,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Per-node triangle count and local clustering coefficient over the
     near-duplicate graph — the third graph-analytics leg beside
@@ -1281,7 +1284,9 @@ def neardup_triangles(
     Output: (doc_id, degree, triangles, clustering) for every vertex of
     the near-dup graph; clustering = 2T / (deg·(deg−1)), 0.0 when deg < 2.
     """
-    edges = ngram_jaccard_pairs(spark, sf_dir, threshold=threshold)
+    edges = ngram_jaccard_pairs(
+        spark, sf_dir, threshold=threshold, max_shingle_df=max_shingle_df
+    )
     e = edges.select("doc_a", "doc_b").localCheckpoint(eager=True)
     sym = e.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v")).union(
         e.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))

@@ -1878,6 +1878,35 @@ def _oracle_events_skew_profile() -> str:
 
 q("events_key_skew_profile", _events_skew_profile, _oracle_events_skew_profile())
 
+
+# Z-order layout diagnostic: Morton-interleave (minute, user bucket), split
+# the code space into files, report per-file row counts + BOTH dims' min/max
+# — the footer stats a data-skipping reader consults; quantifies why a
+# two-dimensional dashboard workload wants Z-ORDER over a single-column
+# sort. Pure literal-shift bit arithmetic ⇒ the layout math is SQL-oracled.
+def _events_zorder_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.layout import zorder_locality_report
+
+    return zorder_locality_report(spark, sf_dir)
+
+
+def _oracle_events_zorder() -> str:
+    from .functions.layout import zorder_key_sql
+
+    z = zorder_key_sql("minute_idx", "user_bucket")
+    return f"""WITH k AS (
+  SELECT CAST(floor(epoch_us(ts) / 60000000) AS BIGINT) & 65535 AS minute_idx,
+         user_id % 65536 AS user_bucket
+  FROM events),
+zc AS (SELECT {z} AS z, minute_idx, user_bucket FROM k)
+SELECT z // 4194304 AS z_file, count(*) AS n_events,
+       min(minute_idx) AS min_minute, max(minute_idx) AS max_minute,
+       min(user_bucket) AS min_ub, max(user_bucket) AS max_ub
+FROM zc GROUP BY 1"""
+
+
+q("events_zorder_layout", _events_zorder_report, _oracle_events_zorder())
+
 # Heavy hitters — the frequency-sketch leg of the sketch family (HLL =
 # distincts, Theta = set overlap, KLL = quantiles, CMS = per-key counts).
 # Exact support-threshold HH(φ) is SQL-oracled; the count-min twin answers

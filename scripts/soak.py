@@ -359,6 +359,56 @@ def main(n_events: int = 10_000_000, doc_mult: int = 20) -> None:
 
         section("lsh_components", _lsh)
 
+        # --- graph triangles over the capped near-dup edges at n_docs --------
+        # (df-capped edges, like jaccard_capped above: the soak corpus is a
+        # doc_mult-fold duplication, so uncapped stop-shingles explode).
+        def _triangles() -> None:
+            t0 = time.perf_counter()
+            dedup.neardup_triangles(
+                spark, sf_dir, threshold=0.5, max_shingle_df=200
+            ).write.mode("overwrite").format("noop").save()
+            dt = time.perf_counter() - t0
+            out["triangles_s"] = round(dt, 2)
+            out["triangles_docs_per_s"] = int(n_docs / dt)
+
+        section("triangles", _triangles)
+
+        # --- BM25 shingle retrieval at n_docs --------------------------------
+        def _bm25() -> None:
+            from redis_dataflow_realtime_analytics_spark.operators import text
+
+            t0 = time.perf_counter()
+            text.bm25_topk(spark, sf_dir).write.mode("overwrite").format(
+                "noop"
+            ).save()
+            dt = time.perf_counter() - t0
+            out["bm25_s"] = round(dt, 2)
+            out["bm25_docs_per_s"] = int(n_docs / dt)
+
+        section("bm25", _bm25)
+
+        # --- binary / PQ compression legs (sf0.1 embeddings, same convention
+        # as the int8 section: the fixture embedding table is the corpus) ----
+        def _binary_ann() -> None:
+            from redis_dataflow_realtime_analytics_spark.operators import similarity
+
+            for nm, fn in {
+                "ann_hamming": lambda: similarity.ann_topk_hamming(
+                    spark, "/root/testdata/sf0.1"
+                ),
+                "ann_hamming_rerank": lambda: similarity.ann_hamming_rerank_topk(
+                    spark, "/root/testdata/sf0.1"
+                ),
+                "ann_pq": lambda: similarity.ann_topk_pq(
+                    spark, "/root/testdata/sf0.1"
+                ),
+            }.items():
+                t0 = time.perf_counter()
+                fn().write.mode("overwrite").format("noop").save()
+                out[f"{nm}_s"] = round(time.perf_counter() - t0, 2)
+
+        section("binary_ann", _binary_ann)
+
         # --- bloom-pruned vs exact decontamination at n_docs ------------------
         # The exact plan broadcasts benchmark shingle STRINGS; the bloom twin
         # broadcasts a bitmap and pre-filters corpus shingles by integer

@@ -270,3 +270,30 @@ def test_cross_source_matrix_counts(spark):
     rows = dedup.cross_source_dup_matrix(spark, SF_SMOKE).collect()
     assert sum(r.n_pairs for r in rows) == pairs.count()
     assert all(r.source_a <= r.source_b for r in rows)
+
+
+def test_zorder_layout_matches_oracle(spark):
+    from redis_dataflow_realtime_analytics_spark import registry
+
+    compare(
+        registry.QUERIES["events_zorder_layout"](spark, SF_SMOKE),
+        registry.ORACLE["events_zorder_layout"],
+        SF_SMOKE,
+    )
+
+
+def test_zorder_files_bound_both_dimensions(spark):
+    """The point of the Morton layout: every 2^22-code file spans a
+    BOUNDED range of BOTH dimensions (≤ ~2^12 per dim incl. box-boundary
+    crossings), so either-dimension filters prune files; and the files
+    partition the event count exactly."""
+    from redis_dataflow_realtime_analytics_spark import registry
+    from redis_dataflow_realtime_analytics_spark.sources import read_events
+
+    rows = registry.QUERIES["events_zorder_layout"](spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r.max_minute - r.min_minute <= 4096
+        assert r.max_ub - r.min_ub <= 4096
+    total = read_events(spark, SF_SMOKE).count()
+    assert sum(r.n_events for r in rows) == total
