@@ -2504,6 +2504,13 @@ q(
 # train_corpus_pipeline, ann_topk_bruteforce, text_tfidf_top_terms,
 # pack_documents_512. Start the r5 window with these + the paragraph
 # above, front-loading whatever r5 changes first.
+# OVERFLOW QUEUE (never-green, behind the full 50-key window; every one
+# was verified green at BOTH sf0.01 and sf0.1 by scripts/driver_check.py
+# when added): stream_ivf_assign, dedup_graph_triangles, text_bm25_topk,
+# quality_calibrated_by_source, ann_topk_hamming, ann_hamming_rerank_topk,
+# ann_topk_pq, retrieval_eval_report, hybrid_rrf_topk,
+# dedup_cross_source_matrix, events_zorder_layout. These are FIRST in
+# line for r5 window slots — they have no external row yet.
 # ---------------------------------------------------------------------------
 _PRIORITY = [
     # --- 1. fixed this round (r3's three red rows) ---
