@@ -730,3 +730,59 @@ pct AS (
   FROM scored)
 SELECT doc_id, source, quality, pct_rank, pct_rank >= {keep_floor} AS keep
 FROM pct"""
+
+
+def leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free train/val/test split: the ~80/10/10 md5 assignment of
+    :func:`train_val_test_split`, but keyed on the document's NEAR-DUP
+    CLUSTER label instead of its own id — every member of a duplicate
+    cluster lands in the SAME split, so a test document can never have a
+    near-copy sitting in train (the contamination a doc-keyed split
+    silently allows; splitting by cluster/group is the standard fix).
+    Unpaired documents are their own singleton cluster (label = doc_id),
+    so their assignment matches the plain split exactly.
+
+    Plan: the oracled component closure (pairs → min-label clusters) left-
+    joins onto the corpus [doc_id-keyed shuffle]; the hash-threshold
+    assignment stays a row-local projection. Reproducibility carries
+    over: a cluster's split never changes under repartitioning or corpus
+    growth — unless the cluster itself gains an edge, which is exactly
+    when its membership SHOULD be re-decided.
+
+    Output: (doc_id, split_key, lang, source, split).
+    """
+    from .dedup import neardup_components
+
+    docs = load(spark, sf_dir, "documents")
+    comp = neardup_components(spark, sf_dir).select(
+        "doc_id", F.col("component_id")
+    )
+    keyed = docs.join(comp, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("component_id", "doc_id").alias("split_key"),
+        "lang",
+        "source",
+    )
+    b = _hash_bucket(F.col("split_key"))
+    return keyed.select(
+        "doc_id",
+        "split_key",
+        "lang",
+        "source",
+        F.when(b < "cd", "train").when(b < "e6", "val").otherwise("test").alias("split"),
+    )
+
+
+def oracle_leakage_free_split(components_sql: str) -> str:
+    """DuckDB twin of :func:`leakage_free_split`; ``components_sql`` is
+    the recursive component closure (``dedup.oracle_neardup_components``)."""
+    return f"""WITH comp AS ({components_sql}),
+keyed AS (
+  SELECT d.doc_id, COALESCE(comp.component_id, d.doc_id) AS split_key,
+         d.lang, d.source
+  FROM documents d LEFT JOIN comp ON comp.doc_id = d.doc_id)
+SELECT doc_id, split_key, lang, source,
+       CASE WHEN substr(md5(CAST(split_key AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
+            WHEN substr(md5(CAST(split_key AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+            ELSE 'test' END AS split
+FROM keyed"""

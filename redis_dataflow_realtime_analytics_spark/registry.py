@@ -1739,6 +1739,15 @@ q(
     sampling.train_val_test_split,
     sampling.oracle_train_val_test_split(),
 )
+# Leakage-free variant: the same hash assignment keyed on the near-dup
+# CLUSTER label, so duplicates never straddle train/test (group split —
+# the standard contamination fix); singletons key on doc_id and match the
+# plain split exactly.
+q(
+    "corpus_leakage_free_split",
+    sampling.leakage_free_split,
+    sampling.oracle_leakage_free_split(dedup.oracle_neardup_components()),
+)
 # RAG-style sliding-window chunking (width 400, stride 300 — consecutive
 # chunks share 100 chars so no content falls on a hard boundary).
 q(
@@ -2509,8 +2518,9 @@ q(
 # when added): stream_ivf_assign, dedup_graph_triangles, text_bm25_topk,
 # quality_calibrated_by_source, ann_topk_hamming, ann_hamming_rerank_topk,
 # ann_topk_pq, retrieval_eval_report, hybrid_rrf_topk,
-# dedup_cross_source_matrix, events_zorder_layout. These are FIRST in
-# line for r5 window slots — they have no external row yet.
+# dedup_cross_source_matrix, events_zorder_layout,
+# corpus_leakage_free_split. These are FIRST in line for r5 window slots —
+# they have no external row yet.
 # ---------------------------------------------------------------------------
 _PRIORITY = [
     # --- 1. fixed this round (r3's three red rows) ---

@@ -297,3 +297,32 @@ def test_zorder_files_bound_both_dimensions(spark):
         assert r.max_ub - r.min_ub <= 4096
     total = read_events(spark, SF_SMOKE).count()
     assert sum(r.n_events for r in rows) == total
+
+
+def test_leakage_free_split_matches_oracle(spark):
+    from redis_dataflow_realtime_analytics_spark import registry
+
+    compare(
+        sampling.leakage_free_split(spark, SF_SMOKE),
+        registry.ORACLE["corpus_leakage_free_split"],
+        SF_SMOKE,
+    )
+
+
+def test_leakage_free_split_never_straddles_clusters(spark):
+    """The defining property: every near-dup cluster lands in ONE split,
+    and singleton docs match the plain doc-keyed split exactly."""
+    split = {r.doc_id: (r.split_key, r.split)
+             for r in sampling.leakage_free_split(spark, SF_SMOKE).collect()}
+    comp = {r.doc_id: r.component_id
+            for r in dedup.neardup_components(spark, SF_SMOKE).collect()}
+    by_cluster = {}
+    for doc, (key, sp) in split.items():
+        if doc in comp:
+            by_cluster.setdefault(comp[doc], set()).add(sp)
+    assert by_cluster, "fixture has no near-dup clusters - test is vacuous"
+    assert all(len(s) == 1 for s in by_cluster.values())
+    plain = {r.doc_id: r.split
+             for r in sampling.train_val_test_split(spark, SF_SMOKE).collect()}
+    singles = [d for d in split if d not in comp]
+    assert singles and all(split[d][1] == plain[d] for d in singles)
