@@ -1431,3 +1431,88 @@ lab AS (
   JOIN documents db ON db.doc_id = pr.doc_b)
 SELECT source_a, source_b, count(*) AS n_pairs
 FROM lab GROUP BY 1, 2"""
+
+
+def containment_pairs(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.6
+) -> DataFrame:
+    """ASYMMETRIC shingle containment C(A→B) = |A∩B| / |A|: how much of
+    doc A's shingle set lives inside doc B. Jaccard misses the
+    aggregator/quotation pattern — a short doc fully embedded in a long
+    one scores low Jaccard (the union is dominated by the long doc) but
+    containment 1.0 from the short side. This is the dedup signal for
+    "doc B swallowed doc A" (wrapper pages, quote farms, concatenated
+    dumps), complementing :func:`duplicate_spans` (which finds the
+    literal spans) with a set-level score.
+
+    Same inverted-index plan as :func:`ngram_jaccard_pairs` — ONE
+    self-join on the shingle + one aggregation, cost ∝ co-shingled pairs;
+    both directions are emitted from the single undirected pair scan
+    (src/dst and dst/src rows), so nothing is computed twice. Integer
+    sizes → the division is bit-deterministic.
+
+    Output: (doc_src, doc_dst, containment) — doc_src's set is
+    ``threshold``-contained in doc_dst; both directions may appear.
+    """
+    docs = _spread(load(spark, sf_dir, "documents"))
+    sh = docs.select("doc_id", F.explode(_shingle_array()).alias("shingle"))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    common = (
+        sh.alias("a")
+        .join(sh.alias("b"), "shingle")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    sized = common.join(
+        sizes.selectExpr("doc_id AS doc_a", "n AS na"), "doc_a"
+    ).join(sizes.selectExpr("doc_id AS doc_b", "n AS nb"), "doc_b")
+    fwd = sized.select(
+        F.col("doc_a").alias("doc_src"),
+        F.col("doc_b").alias("doc_dst"),
+        (F.col("n_common") / F.col("na")).alias("containment"),
+    )
+    rev = sized.select(
+        F.col("doc_b").alias("doc_src"),
+        F.col("doc_a").alias("doc_dst"),
+        (F.col("n_common") / F.col("nb")).alias("containment"),
+    )
+    return fwd.union(rev).where(F.col("containment") >= threshold)
+
+
+def oracle_containment_pairs(threshold: float = 0.6) -> str:
+    """DuckDB twin of :func:`containment_pairs`."""
+    toks = f"string_split_regex(trim(text), '{TOKEN_SQL}')"
+    return f"""WITH pos AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(1, greatest(len(toks) - {NGRAM_K - 1}, 1))) AS i
+  FROM (SELECT doc_id, {toks} AS toks FROM documents) d
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(toks[i : i + {NGRAM_K - 1}], ' ') AS shingle
+  FROM pos
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+sized AS (
+  SELECT doc_a, doc_b, n_common, sa.n AS na, sb.n AS nb
+  FROM common
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+),
+dirs AS (
+  SELECT doc_a AS doc_src, doc_b AS doc_dst, n_common / na AS containment
+  FROM sized
+  UNION ALL
+  SELECT doc_b, doc_a, n_common / nb FROM sized
+)
+SELECT doc_src, doc_dst, containment FROM dirs
+WHERE containment >= {threshold}"""

@@ -2158,6 +2158,14 @@ q(
     dedup.cross_source_dup_matrix,
     dedup.oracle_cross_source_dup_matrix(dedup.oracle_ngram_jaccard_pairs(0.5)),
 )
+# Asymmetric containment C(A→B) = |A∩B|/|A|: the doc-B-swallowed-doc-A
+# signal Jaccard misses (short doc embedded in a long one); same
+# inverted-index plan, both directions off one undirected pair scan.
+q(
+    "dedup_containment_pairs",
+    dedup.containment_pairs,
+    dedup.oracle_containment_pairs(),
+)
 
 # The production 100 TB pipeline: LSH candidates -> exact verify -> cluster
 # (quadratic stage never runs). Rows-only: edges depend on xxhash64 banding;
@@ -2519,7 +2527,8 @@ q(
 # quality_calibrated_by_source, ann_topk_hamming, ann_hamming_rerank_topk,
 # ann_topk_pq, retrieval_eval_report, hybrid_rrf_topk,
 # dedup_cross_source_matrix, events_zorder_layout,
-# corpus_leakage_free_split. These are FIRST in line for r5 window slots —
+# corpus_leakage_free_split, dedup_containment_pairs. These are FIRST in
+# line for r5 window slots —
 # they have no external row yet.
 # ---------------------------------------------------------------------------
 _PRIORITY = [

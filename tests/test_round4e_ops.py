@@ -326,3 +326,56 @@ def test_leakage_free_split_never_straddles_clusters(spark):
              for r in sampling.train_val_test_split(spark, SF_SMOKE).collect()}
     singles = [d for d in split if d not in comp]
     assert singles and all(split[d][1] == plain[d] for d in singles)
+
+
+def test_containment_matches_oracle(spark):
+    from redis_dataflow_realtime_analytics_spark import registry
+
+    compare(
+        dedup.containment_pairs(spark, SF_SMOKE),
+        registry.ORACLE["dedup_containment_pairs"],
+        SF_SMOKE,
+    )
+
+
+def test_containment_asymmetry_and_jaccard_relation(spark):
+    """Containment dominates Jaccard (|A∩B|/|A| ≥ |A∩B|/|A∪B|), and a
+    planted short-doc-inside-long-doc pair scores containment 1.0 from
+    the short side while its Jaccard stays low."""
+    rows = dedup.containment_pairs(spark, SF_SMOKE, threshold=0.0).collect()
+    cont = {(r.doc_src, r.doc_dst): r.containment for r in rows}
+    jac = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(spark, SF_SMOKE, threshold=0.0001).collect()
+    }
+    checked = 0
+    for (a, b), j in jac.items():
+        if (a, b) in cont:
+            assert cont[(a, b)] >= j - 1e-12
+            checked += 1
+    assert checked > 0
+    # planted pair: a long doc (the concatenation) fully contains a short one
+    import pandas as pd
+    import tempfile, os
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "alpha beta gamma delta epsilon zeta",
+                "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+                "lambda mu nu xi omicron pi rho sigma tau upsilon",
+                "completely different words entirely unrelated content here",
+            ],
+            "lang": ["en"] * 3,
+            "source": ["s"] * 3,
+            "n_chars": [1, 1, 1],
+        }
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        docs.to_parquet(os.path.join(tmp, "documents.parquet"))
+        got = {
+            (r.doc_src, r.doc_dst): r.containment
+            for r in dedup.containment_pairs(spark, tmp, threshold=0.9).collect()
+        }
+    assert got.get((1, 2)) == 1.0
+    assert (2, 1) not in got
