@@ -1403,3 +1403,65 @@ SELECT query_id, doc_id, n_shared, score,
        CAST(row_number() OVER (PARTITION BY query_id
                                ORDER BY score DESC, doc_id) AS INTEGER) AS rank
 FROM scored QUALIFY rank <= {k}"""
+
+
+# --- Feature hashing (the hashing trick) -------------------------------------
+#: Hashed feature-space width (buckets per document vector).
+FEATURE_HASH_DIM = 64
+
+
+def hashed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature hashing (Weinberger et al.'s hashing trick): project each
+    document's bag of words into a fixed ``FEATURE_HASH_DIM``-bucket
+    space with a hash bucket AND a hash sign per term — the standard
+    VOCABULARY-FREE featurization for linear quality classifiers at
+    corpus scale (no vocabulary table to build, broadcast, or keep
+    consistent across training runs; collisions unbias in expectation
+    because of the sign hash). Emitted LONG-FORM (doc_id, bucket,
+    n_terms, feat) — sparse rows, and scalar columns for the driver
+    hasher.
+
+    Portability: bucket and sign derive from md5 hex prefixes parsed as
+    integers (Spark ``conv(hex,16,10)``, DuckDB ``'0x'||hex`` cast) — the
+    same engine-portable hash the sampling family keys on, never
+    xxhash64. One explode + one (doc_id, bucket) count shuffle;
+    everything else is row-local codegen.
+
+    Output: (doc_id, bucket, n_terms, feat) with feat = Σ sign(term).
+    """
+    docs = spread(load(spark, sf_dir, "documents"))
+    terms = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), TOKEN_RE)).alias("term"),
+    )
+    bucket = (
+        F.expr("CAST(conv(substring(md5(term), 1, 4), 16, 10) AS BIGINT)")
+        % FEATURE_HASH_DIM
+    ).cast("int")
+    sign = F.expr(
+        "IF(CAST(conv(substring(md5(term), 5, 1), 16, 10) AS BIGINT) % 2 = 0, 1, -1)"
+    )
+    return (
+        terms.select("doc_id", bucket.alias("bucket"), sign.alias("sign"))
+        .groupBy("doc_id", "bucket")
+        .agg(
+            F.count("*").alias("n_terms"),
+            F.sum("sign").alias("feat"),
+        )
+    )
+
+
+def oracle_hashed_features() -> str:
+    return f"""WITH terms AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '{TOKEN_SQL}')) AS term
+  FROM documents),
+h AS (
+  SELECT doc_id,
+         CAST(CAST(('0x' || substr(md5(term), 1, 4)) AS INTEGER)
+              % {FEATURE_HASH_DIM} AS INTEGER) AS bucket,
+         CASE WHEN CAST(('0x' || substr(md5(term), 5, 1)) AS INTEGER) % 2 = 0
+              THEN 1 ELSE -1 END AS sign
+  FROM terms)
+SELECT doc_id, bucket, count(*) AS n_terms,
+       CAST(sum(sign) AS BIGINT) AS feat
+FROM h GROUP BY 1, 2"""

@@ -2166,6 +2166,10 @@ q(
     dedup.containment_pairs,
     dedup.oracle_containment_pairs(),
 )
+# Feature hashing (the hashing trick): vocabulary-free 64-bucket signed
+# featurization for linear classifiers — md5-derived bucket + sign
+# (engine-portable, never xxhash), long-form sparse output.
+q("text_hashed_features", text.hashed_features, text.oracle_hashed_features())
 
 # The production 100 TB pipeline: LSH candidates -> exact verify -> cluster
 # (quadratic stage never runs). Rows-only: edges depend on xxhash64 banding;
@@ -2527,7 +2531,8 @@ q(
 # quality_calibrated_by_source, ann_topk_hamming, ann_hamming_rerank_topk,
 # ann_topk_pq, retrieval_eval_report, hybrid_rrf_topk,
 # dedup_cross_source_matrix, events_zorder_layout,
-# corpus_leakage_free_split, dedup_containment_pairs. These are FIRST in
+# corpus_leakage_free_split, dedup_containment_pairs,
+# text_hashed_features. These are FIRST in
 # line for r5 window slots —
 # they have no external row yet.
 # ---------------------------------------------------------------------------

@@ -379,3 +379,33 @@ def test_containment_asymmetry_and_jaccard_relation(spark):
         }
     assert got.get((1, 2)) == 1.0
     assert (2, 1) not in got
+
+
+def test_hashed_features_matches_oracle(spark):
+    from redis_dataflow_realtime_analytics_spark import registry
+
+    compare(
+        text.hashed_features(spark, SF_SMOKE),
+        registry.ORACLE["text_hashed_features"],
+        SF_SMOKE,
+    )
+
+
+def test_hashed_features_properties(spark):
+    """Per-doc totals reconcile with the token count; buckets stay inside
+    the hashed dimension; |feat| never exceeds the bucket's term count
+    (signs are ±1)."""
+    from redis_dataflow_realtime_analytics_spark.operators.text import (
+        FEATURE_HASH_DIM,
+        token_stats,
+    )
+
+    rows = text.hashed_features(spark, SF_SMOKE).collect()
+    assert rows
+    per_doc = {}
+    for r in rows:
+        assert 0 <= r.bucket < FEATURE_HASH_DIM
+        assert abs(r.feat) <= r.n_terms
+        per_doc[r.doc_id] = per_doc.get(r.doc_id, 0) + r.n_terms
+    n_tok = {r.doc_id: r.n_tokens for r in token_stats(spark, SF_SMOKE).collect()}
+    assert all(per_doc[d] == n_tok[d] for d in per_doc)
