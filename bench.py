@@ -107,6 +107,15 @@ HEADLINE = [
     "ann_topk_hamming",
     "ann_hamming_rerank_topk",
     "ann_topk_pq",
+    # new in r4 (cont. 11): retrieval QA + RRF fusion, containment dedup,
+    # cluster-keyed split, Z-order diagnostic, feature hashing
+    "retrieval_eval_report",
+    "hybrid_rrf_topk",
+    "dedup_containment_pairs",
+    "dedup_cross_source_matrix",
+    "corpus_leakage_free_split",
+    "events_zorder_layout",
+    "text_hashed_features",
 ]
 
 
