@@ -1179,7 +1179,6 @@ def _pq_codebook(emb: DataFrame) -> DataFrame:
     """Per-subspace codebook: one row per subspace m holding a sorted
     array of (cid, cw, cwn2) structs — broadcast-joined to the encoding
     stage. cid = donor vec_id; cw = the donor's quantized subvector."""
-    dim_per = F.expr(f"size(qvec) div {PQ_M}")
     seeds = emb.where(F.col("vec_id") % PQ_SEED_MOD == 0)
     sub = seeds.select(
         F.col("vec_id").alias("cid"),
