@@ -409,3 +409,35 @@ def test_hashed_features_properties(spark):
         per_doc[r.doc_id] = per_doc.get(r.doc_id, 0) + r.n_terms
     n_tok = {r.doc_id: r.n_tokens for r in token_stats(spark, SF_SMOKE).collect()}
     assert all(per_doc[d] == n_tok[d] for d in per_doc)
+
+
+def test_zorder_spread_bijective_against_python_reference(spark):
+    """The magic-mask Morton spread must equal the bit-by-bit Python
+    reference on random 16-bit pairs, and interleaving must be injective
+    (Hypothesis-driven, one Spark round-trip for the whole batch)."""
+    from hypothesis import given, settings, strategies as st
+
+    from redis_dataflow_realtime_analytics_spark.functions.layout import zorder_key_sql
+
+    def ref(a, b):
+        z = 0
+        for i in range(16):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    pairs = []
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.integers(0, 65535), st.integers(0, 65535))
+    def collect(a, b):
+        pairs.append((a, b))
+
+    collect()
+    df = spark.createDataFrame(pairs, "a bigint, b bigint")
+    got = {
+        (r.a, r.b): r.z
+        for r in df.selectExpr("a", "b", f"{zorder_key_sql('a', 'b')} AS z").collect()
+    }
+    assert all(got[(a, b)] == ref(a, b) for a, b in got)
+    assert len(set(got.values())) == len(got), "Morton code collided"
