@@ -2171,6 +2171,34 @@ q(
 # (engine-portable, never xxhash), long-form sparse output.
 q("text_hashed_features", text.hashed_features, text.oracle_hashed_features())
 
+
+# Streaming lexical-index ingestion — the sparse twin of stream_ivf_assign:
+# per-doc (term, tf, dl) posting rows emitted on arrival, row-local tf via
+# higher-order functions (no groupBy — append-safe). Oracle = the batch
+# index derivation: stream/batch parity for the BM25 index build.
+def _stream_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming import pipeline as sp
+
+    return sp.stream_postings_ingest(spark, f"{sf_dir}/documents.parquet")
+
+
+q(
+    "stream_postings_ingest",
+    _stream_postings,
+    f"""WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '{text.TOKEN_SQL}') AS t
+  FROM documents),
+terms AS (
+  SELECT doc_id, array_to_string(t[i : i + {text.BM25_SHINGLE_K - 1}], ' ') AS term
+  FROM (SELECT doc_id, t,
+               unnest(generate_series(1, greatest(len(t) - {text.BM25_SHINGLE_K - 1}, 1))) AS i
+        FROM toks)),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1)
+SELECT tf.doc_id, tf.term, tf.tf, dl.dl
+FROM tf JOIN dl ON dl.doc_id = tf.doc_id""",
+)
+
 # The production 100 TB pipeline: LSH candidates -> exact verify -> cluster
 # (quadratic stage never runs). Rows-only: edges depend on xxhash64 banding;
 # equality with the exact clustering on planted dups asserted in tests.
@@ -2532,7 +2560,7 @@ q(
 # ann_topk_pq, retrieval_eval_report, hybrid_rrf_topk,
 # dedup_cross_source_matrix, events_zorder_layout,
 # corpus_leakage_free_split, dedup_containment_pairs,
-# text_hashed_features. These are FIRST in
+# text_hashed_features, stream_postings_ingest. These are FIRST in
 # line for r5 window slots —
 # they have no external row yet.
 # ---------------------------------------------------------------------------

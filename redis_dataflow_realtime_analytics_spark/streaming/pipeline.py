@@ -912,3 +912,65 @@ def stream_ivf_assign(spark: SparkSession, emb_path: str) -> DataFrame:
         )
     )
     return _replay_to_memory_append(spark, assigned, "ivfassign")
+
+
+def stream_postings_ingest(spark: SparkSession, docs_path: str) -> DataFrame:
+    """Streaming LEXICAL-index ingestion — the sparse-retrieval twin of
+    :func:`stream_ivf_assign`: documents arrive as an unbounded stream
+    and each emits its (term, tf, dl) posting rows on arrival, ready to
+    append to the BM25 inverted index that ``operators.text.bm25_topk``
+    reads. Terms are the same 3-token shingles as the batch retriever
+    (``BM25_SHINGLE_K``), so a store built from this stream IS the batch
+    index.
+
+    STATELESS shape: tokenize → shingle → per-DOCUMENT tf counts are all
+    row-local (the shingle multiset of one doc never crosses rows), so
+    the streaming plan is scan → project → explode with no state store,
+    no watermark, and O(batch) per micro-batch — indexing happens once on
+    arrival instead of as a corpus-wide rescan. Corpus-level statistics
+    (df, avgdl) deliberately do NOT live here: they are one tiny
+    aggregation over the posting store at query time, where they are
+    always fresh.
+
+    Output: (doc_id, term, tf, dl) — dl rides every posting row so the
+    query side never needs a second per-doc table.
+
+    Oracle: the identical batch tf/dl derivation — stream/batch parity
+    for the index build.
+    """
+    from ..operators.text import BM25_SHINGLE_K, TOKEN_RE
+
+    schema = spark.read.parquet(docs_path).schema
+    reader = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+    if os.path.isfile(docs_path):
+        reader = reader.option("pathGlobFilter", os.path.basename(docs_path))
+        path = os.path.dirname(docs_path)
+    else:
+        path = docs_path
+    docs = reader.parquet(path)
+    ksh = BM25_SHINGLE_K
+    toks = docs.select(
+        "doc_id", F.split(F.trim(F.lower(F.col("text"))), TOKEN_RE).alias("t")
+    )
+    shingled = toks.select(
+        "doc_id",
+        F.expr(
+            f"transform(sequence(1, greatest(size(t) - {ksh - 1}, 1)),"
+            f" i -> array_join(slice(t, i, {ksh}), ' '))"
+        ).alias("terms"),
+    )
+    # per-doc tf entirely inside higher-order functions (row-local — no
+    # groupBy, which an append-mode stream could not run anyway):
+    # distinct terms, then count occurrences of each in the full list.
+    postings = shingled.select(
+        "doc_id",
+        F.size("terms").cast("bigint").alias("dl"),
+        F.explode(
+            F.expr(
+                "transform(array_distinct(terms), d -> struct("
+                " d AS term,"
+                " CAST(size(filter(terms, x -> x = d)) AS BIGINT) AS tf))"
+            )
+        ).alias("p"),
+    ).select("doc_id", F.col("p.term").alias("term"), F.col("p.tf").alias("tf"), "dl")
+    return _replay_to_memory_append(spark, postings, "postings")

@@ -441,3 +441,30 @@ def test_zorder_spread_bijective_against_python_reference(spark):
     }
     assert all(got[(a, b)] == ref(a, b) for a, b in got)
     assert len(set(got.values())) == len(got), "Morton code collided"
+
+
+def test_stream_postings_matches_oracle(spark):
+    from redis_dataflow_realtime_analytics_spark import registry
+
+    compare(
+        registry.QUERIES["stream_postings_ingest"](spark, SF_SMOKE),
+        registry.ORACLE["stream_postings_ingest"],
+        SF_SMOKE,
+    )
+
+
+def test_stream_postings_feed_bm25_identically(spark):
+    """An index built from the stream must reproduce the batch tf frame
+    bm25_topk derives internally — same (doc, term, tf) triples, same
+    per-doc dl on every posting row."""
+    from redis_dataflow_realtime_analytics_spark import registry
+
+    rows = registry.QUERIES["stream_postings_ingest"](spark, SF_SMOKE).collect()
+    dls = {}
+    tf_sum = {}
+    for r in rows:
+        dls.setdefault(r.doc_id, set()).add(r.dl)
+        tf_sum[r.doc_id] = tf_sum.get(r.doc_id, 0) + r.tf
+    # dl is constant per doc and equals the sum of its tfs
+    assert all(len(s) == 1 for s in dls.values())
+    assert all(next(iter(dls[d])) == tf_sum[d] for d in dls)
