@@ -116,6 +116,7 @@ HEADLINE = [
     "corpus_leakage_free_split",
     "events_zorder_layout",
     "text_hashed_features",
+    "stream_postings_ingest",
 ]
 
 
