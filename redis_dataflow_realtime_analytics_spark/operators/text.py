@@ -1293,7 +1293,12 @@ _BM25_TFNORM = (
 )
 
 
-def bm25_topk(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
+def bm25_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 5,
+    max_term_df: int | None = None,
+) -> DataFrame:
     """BM25 lexical retrieval: every ``BM25_QMOD``-th document acts as a
     query; candidates are scored by Lucene-style BM25 over shared 3-token
     shingle terms (see ``BM25_SHINGLE_K``) and the top-``k`` per query
@@ -1313,6 +1318,14 @@ def bm25_topk(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
     multiply before the sum. Products sum through the DECIMAL(38,12)
     accumulator, so the score is order-independent and bit-identical at
     any partitioning; ranking ties break on doc_id.
+
+    ``max_term_df`` is the stop-term guard (same contract as dedup's
+    ``max_shingle_df``): terms in more than that many docs are dropped
+    from SCORING entirely — they carry near-zero idf but dominate the
+    candidate volume (the 300 k-doc soak measured ~9× candidate growth
+    from 3× posting-list inflation). Default ``None`` = exact Lucene
+    semantics (the primary oracle-gated configuration); the capped twin
+    is separately oracled with the identical cap.
 
     Output: (query_id, doc_id, n_shared, score, rank), rank 1..k.
     """
@@ -1345,6 +1358,8 @@ def bm25_topk(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
         F.count("*").alias("n_docs"),
         (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
     )
+    if max_term_df is not None:
+        df_ = df_.where(F.col("df") <= max_term_df)
     idf = df_.join(F.broadcast(stats)).select("term", F.expr(_BM25_IDF).alias("idf"))
     postings = (
         tf.join(dl, "doc_id")
@@ -1371,8 +1386,9 @@ def bm25_topk(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
     )
 
 
-def oracle_bm25_topk(k: int = 5) -> str:
+def oracle_bm25_topk(k: int = 5, max_term_df: int | None = None) -> str:
     ksh = BM25_SHINGLE_K
+    cap = "" if max_term_df is None else f" WHERE df.df <= {max_term_df}"
     return f"""WITH toks AS (
   SELECT doc_id, string_split_regex(trim(lower(text)), '{TOKEN_SQL}') AS t
   FROM documents),
@@ -1386,7 +1402,7 @@ dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
 df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
 stats AS (SELECT count(*) AS n_docs,
                  CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
-idf AS (SELECT term, {_BM25_IDF} AS idf FROM df CROSS JOIN stats),
+idf AS (SELECT term, {_BM25_IDF} AS idf FROM df CROSS JOIN stats{cap}),
 postings AS (
   SELECT tf.doc_id, tf.term, {_BM25_TFNORM} AS tfnorm
   FROM tf JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats),

@@ -2087,6 +2087,17 @@ q(
 # scores summed through the DECIMAL(38,12) accumulator, top-5 per query
 # via an inverted-index equi-join (cost follows posting lists, not |docs|²).
 q("text_bm25_topk", text.bm25_topk, text.oracle_bm25_topk())
+
+
+# The df-capped scale twin (same contract as dedup's capped Jaccard):
+# stop-terms above the cap leave SCORING entirely — near-zero idf, but
+# they dominate candidate volume on stop-heavy/replicated corpora
+# (~9× candidate growth measured at the 300 k-doc soak).
+def _bm25_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.bm25_topk(spark, sf_dir, max_term_df=100)
+
+
+q("text_bm25_topk_capped", _bm25_capped, text.oracle_bm25_topk(max_term_df=100))
 # Per-source quality calibration: percentile-rank the heuristic quality
 # score within each source before gating, so one source's hot-running
 # heuristic can't skew the corpus mix; explicit (rn-1)/(n-1) percentile
@@ -2560,7 +2571,8 @@ q(
 # ann_topk_pq, retrieval_eval_report, hybrid_rrf_topk,
 # dedup_cross_source_matrix, events_zorder_layout,
 # corpus_leakage_free_split, dedup_containment_pairs,
-# text_hashed_features, stream_postings_ingest. These are FIRST in
+# text_hashed_features, stream_postings_ingest, text_bm25_topk_capped.
+# These are FIRST in
 # line for r5 window slots —
 # they have no external row yet.
 # ---------------------------------------------------------------------------

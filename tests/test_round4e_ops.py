@@ -468,3 +468,23 @@ def test_stream_postings_feed_bm25_identically(spark):
     # dl is constant per doc and equals the sum of its tfs
     assert all(len(s) == 1 for s in dls.values())
     assert all(next(iter(dls[d])) == tf_sum[d] for d in dls)
+
+
+def test_bm25_capped_matches_oracle(spark):
+    from redis_dataflow_realtime_analytics_spark import registry
+
+    compare(
+        registry.QUERIES["text_bm25_topk_capped"](spark, SF_SMOKE),
+        registry.ORACLE["text_bm25_topk_capped"],
+        SF_SMOKE,
+    )
+
+
+def test_bm25_cap_only_drops_stop_terms(spark):
+    """With a cap at or above the max term df, the capped ranking equals
+    the exact one — the cap is a pure stop-term filter, not a scorer."""
+    exact = {(r.query_id, r.doc_id, r.rank)
+             for r in text.bm25_topk(spark, SF_SMOKE).collect()}
+    same = {(r.query_id, r.doc_id, r.rank)
+            for r in text.bm25_topk(spark, SF_SMOKE, max_term_df=10**9).collect()}
+    assert exact == same
