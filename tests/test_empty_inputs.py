@@ -128,3 +128,37 @@ def test_retention_cohorts_empty(spark, tmp_path):
     ).write.parquet(f"{tmp_path}/events.parquet")
     out = sx.user_retention_cohorts(spark, str(tmp_path))
     assert out.count() == 0
+
+
+def test_session4_operators_empty(spark, tmp_path):
+    """The session-4 graph/retrieval/calibration operators must return a
+    schema-stable EMPTY result on an empty corpus, not raise (quiet-source
+    day). PQ is exercised separately: its codebook build legitimately
+    requires seed vectors, and an empty embedding table must yield an
+    empty result too (no argmin over an empty codebook blows up because
+    no rows reach it)."""
+    from redis_dataflow_realtime_analytics_spark.operators import (
+        dedup,
+        sampling,
+        similarity,
+        text,
+    )
+
+    d = _empty_docs_dir(spark, tmp_path)
+    for fn in (
+        dedup.neardup_triangles,
+        dedup.containment_pairs,
+        dedup.cross_source_dup_matrix,
+        text.bm25_topk,
+        text.hashed_features,
+        sampling.quality_calibrated_by_source,
+        sampling.leakage_free_split,
+        similarity.ann_topk_hamming,
+        similarity.ann_hamming_rerank_topk,
+        similarity.ann_topk_pq,
+        similarity.retrieval_eval_report,
+        similarity.hybrid_rrf_topk,
+    ):
+        out = fn(spark, d)
+        assert out.count() == 0, fn.__name__
+        assert len(out.schema.fields) > 0, fn.__name__
