@@ -377,3 +377,43 @@ def test_retention_scan_reads_only_ts_and_user(spark):
     df = sessions.user_retention_cohorts(spark, SF_SMOKE)
     cols = set(plans.read_schema_columns(df))
     assert cols <= {"ts", "user_id"}, cols
+
+
+def test_triangles_plan_is_three_joins(spark):
+    """The degree-oriented triangle plan must stay the checked shape —
+    the shared deg/oriented frames materialized once, NOT re-derived per
+    consumer (the unchecked plan carried 50 SortMergeJoins)."""
+    from redis_dataflow_realtime_analytics_spark.operators import dedup
+
+    p = plans.plan_string(dedup.neardup_triangles(spark, SF_SMOKE))
+    joins = p.count("SortMergeJoin") + p.count("ShuffledHashJoin") + p.count(
+        "BroadcastHashJoin"
+    )
+    assert joins <= 5, f"triangle plan re-deriving shared frames? {joins} joins"
+    assert "CartesianProduct" not in p
+
+
+def test_pq_codebook_and_queries_broadcast(spark):
+    from redis_dataflow_realtime_analytics_spark.operators import similarity as S
+
+    p = plans.plan_string(S.ann_topk_pq(spark, SF_SMOKE))
+    assert p.count("BroadcastHashJoin") >= 2, p  # codebook + query subvectors
+    assert "CartesianProduct" not in p
+
+
+def test_bm25_no_cartesian_and_stats_broadcast(spark):
+    from redis_dataflow_realtime_analytics_spark.operators import text
+
+    p = plans.plan_string(text.bm25_topk(spark, SF_SMOKE))
+    assert "CartesianProduct" not in p
+    # the 1-row (n_docs, avgdl) frame must broadcast, never shuffle-join
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_zorder_single_shuffle(spark):
+    from redis_dataflow_realtime_analytics_spark import registry
+
+    df = registry.QUERIES["events_zorder_layout"](spark, SF_SMOKE)
+    p = plans.plan_string(df)
+    assert p.count("Exchange") <= 2, p  # one agg exchange (+AQE read)
+    assert "CartesianProduct" not in p
