@@ -1482,3 +1482,149 @@ SELECT query_id, doc_id, n_lists, rrf_score,
        CAST(row_number() OVER (PARTITION BY query_id
             ORDER BY rrf_score DESC, n_lists DESC, doc_id) AS INTEGER) AS rank
 FROM fused QUALIFY rank <= {k}"""
+
+
+# --- Exact (SQL-oracled) k-means ---------------------------------------------
+def kmeans_exact_centroids(
+    spark: SparkSession, sf_dir: str, k: int = 8, iters: int = 3
+) -> DataFrame:
+    """Lloyd's k-means made EXACT — and therefore SQL-oracled, which
+    float k-means cannot be: every iteration's state is the integer pair
+    (S_c = Σx, n_c) per centroid instead of the float mean, so the
+    assignment argmin compares d_c = (‖S_c‖² − 2·(x·S_c)·n_c) / n_c²
+    with an exact DECIMAL(38,0) numerator (order-independent at any
+    partitioning) and one correctly-rounded double division — identical
+    in every engine — with a min-cid tie-break. Seeds are the k smallest
+    vec_ids (a global top-k, TakeOrderedAndProject at scale). Empty
+    clusters carry their previous state forward. The oracle unrolls the
+    same ``iters`` iterations as chained CTEs with the identical
+    arithmetic — the same discipline that made PageRank oracle-able.
+
+    Per iteration: the centroid state is ONE broadcast row of k (cid, S,
+    n, ‖S‖²) structs (argmin runs inside higher-order functions — no
+    shuffle on the score side), then one posexplode + (cid, pos) sum for
+    the update. Scale: k·dim integers of state, one corpus scan + one
+    keyed sum per iteration — the same shape as the float version, with
+    bit-exact semantics.
+
+    Output: (cid, pos, mean, n) — the final centroids long-form (pos is
+    1-based), driver-hashable scalars only.
+    """
+    emb = _quantized(spark, sf_dir)
+    cent = (
+        emb.orderBy("vec_id")
+        .limit(k)
+        .select(
+            F.col("vec_id").alias("cid"),
+            F.col("qvec").alias("S"),
+            F.lit(1).cast("bigint").alias("n"),
+            F.col("n2").cast("decimal(38,0)").alias("s2"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    argmin = F.expr(
+        "array_min(transform(cents, c -> struct("
+        " CAST(c.s2 - 2 * aggregate(zip_with(qvec, c.S,"
+        "        (a, b) -> CAST(a AS DECIMAL(38,0)) * b),"
+        "      CAST(0 AS DECIMAL(38,0)), (acc, t) -> acc + t) * c.n"
+        "      AS DOUBLE)"
+        "   / CAST(c.n * c.n AS DOUBLE) AS v,"
+        " c.cid AS cid))).cid"
+    )
+    for _ in range(iters):
+        cents_row = cent.agg(
+            F.sort_array(F.collect_list(F.struct("cid", "S", "n", "s2"))).alias(
+                "cents"
+            )
+        )
+        asg = emb.crossJoin(F.broadcast(cents_row)).select(
+            "vec_id", "qvec", argmin.alias("cid")
+        )
+        sums = (
+            asg.select("cid", F.posexplode("qvec").alias("pos", "x"))
+            .groupBy("cid", "pos")
+            .agg(F.sum("x").alias("s"))
+        )
+        per_cid = (
+            sums.groupBy("cid")
+            .agg(
+                F.expr(
+                    "transform(sort_array(collect_list(struct(pos, s))), t -> t.s)"
+                ).alias("S"),
+                F.sum(F.col("s").cast("decimal(38,0)") * F.col("s")).alias("s2"),
+            )
+            .join(asg.groupBy("cid").agg(F.count("*").alias("n")), "cid")
+        )
+        cent = (
+            cent.alias("p")
+            .join(per_cid.alias("u"), "cid", "left")
+            .select(
+                "cid",
+                F.coalesce("u.S", "p.S").alias("S"),
+                F.coalesce("u.n", "p.n").alias("n"),
+                F.coalesce("u.s2", "p.s2").alias("s2"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return cent.select(
+        "cid", "n", F.posexplode("S").alias("pos0", "s")
+    ).select(
+        "cid",
+        (F.col("pos0") + 1).cast("int").alias("pos"),
+        (F.col("s").cast("double") / F.col("n")).alias("mean"),
+        "n",
+    )
+
+
+def oracle_kmeans_exact(k: int = 8, iters: int = 3) -> str:
+    """DuckDB twin of :func:`kmeans_exact_centroids` — the same
+    iterations unrolled as chained CTEs with identical integer/decimal
+    arithmetic. ``{norms}`` is spliced by the registry."""
+    ctes = [
+        f"""c0 AS (
+  SELECT e.vec_id AS cid, e.qv AS S, CAST(1 AS BIGINT) AS n,
+         CAST(n.n2 AS DECIMAL(38,0)) AS s2
+  FROM e JOIN n ON n.vec_id = e.vec_id
+  ORDER BY e.vec_id LIMIT {k})"""
+    ]
+    for i in range(1, iters + 1):
+        p = i - 1
+        ctes.append(
+            f"""p{i} AS (
+  SELECT v.vec_id, c.cid, c.n, c.s2, unnest(list_zip(v.qv, c.S)) AS z
+  FROM e v CROSS JOIN c{p} c),
+d{i} AS (
+  SELECT vec_id, cid, sum(CAST(z[1] AS DECIMAL(38,0)) * z[2]) AS dot,
+         any_value(n) AS n, any_value(s2) AS s2
+  FROM p{i} GROUP BY 1, 2),
+a{i} AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           CAST(s2 - 2 * dot * n AS DOUBLE) / CAST(n * n AS DOUBLE) AS v
+    FROM d{i})
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY v, cid) = 1),
+s{i} AS (
+  SELECT a.cid, t.i AS pos, CAST(sum(e.qv[t.i]) AS BIGINT) AS s
+  FROM a{i} a JOIN e ON e.vec_id = a.vec_id,
+       LATERAL unnest(generate_series(1, len(e.qv))) t(i)
+  GROUP BY 1, 2),
+u{i} AS (
+  SELECT s{i}.cid, list(s ORDER BY pos) AS S,
+         sum(CAST(s AS DECIMAL(38,0)) * s) AS s2
+  FROM s{i} GROUP BY 1),
+m{i} AS (SELECT cid, count(*) AS n FROM a{i} GROUP BY 1),
+c{i} AS (
+  SELECT p.cid,
+         COALESCE(u{i}.S, p.S) AS S,
+         COALESCE(m{i}.n, p.n) AS n,
+         COALESCE(u{i}.s2, p.s2) AS s2
+  FROM c{p} p
+  LEFT JOIN u{i} ON u{i}.cid = p.cid
+  LEFT JOIN m{i} ON m{i}.cid = p.cid)"""
+        )
+    body = ",\n".join(ctes)
+    return f"""WITH {{norms}},
+{body}
+SELECT c.cid, CAST(t.i AS INTEGER) AS pos,
+       CAST(c.S[t.i] AS DOUBLE) / c.n AS mean, c.n
+FROM c{iters} c, LATERAL unnest(generate_series(1, len(c.S))) t(i)"""

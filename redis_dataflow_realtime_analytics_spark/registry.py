@@ -2139,6 +2139,17 @@ q(
     similarity.ann_topk_pq,
     similarity.oracle_ann_topk_pq().format(norms=_ORACLE_NORMS),
 )
+# Exact k-means: Lloyd's with integer (Σx, n) centroid state — the
+# assignment argmin runs on exact DECIMAL(38,0) numerators + one
+# correctly-rounded double division, so the iterative fixpoint is
+# bit-identical at any partitioning and SQL-oracled via unrolled CTE
+# iterations (float k-means cannot be; the rows-only float variant keeps
+# its determinism/inertia pytest gates).
+q(
+    "kmeans_exact_centroids",
+    similarity.kmeans_exact_centroids,
+    similarity.oracle_kmeans_exact().format(norms=_ORACLE_NORMS),
+)
 # Retrieval-QA report: sparse (BM25 shingle) vs dense (exact cosine)
 # top-k agreement per shared query — overlap + Jaccard; both inputs are
 # SQL-oracled operators and the report is integer set arithmetic, so the
@@ -2571,8 +2582,8 @@ q(
 # ann_topk_pq, retrieval_eval_report, hybrid_rrf_topk,
 # dedup_cross_source_matrix, events_zorder_layout,
 # corpus_leakage_free_split, dedup_containment_pairs,
-# text_hashed_features, stream_postings_ingest, text_bm25_topk_capped.
-# These are FIRST in
+# text_hashed_features, stream_postings_ingest, text_bm25_topk_capped,
+# kmeans_exact_centroids. These are FIRST in
 # line for r5 window slots —
 # they have no external row yet.
 # ---------------------------------------------------------------------------

@@ -488,3 +488,42 @@ def test_bm25_cap_only_drops_stop_terms(spark):
     same = {(r.query_id, r.doc_id, r.rank)
             for r in text.bm25_topk(spark, SF_SMOKE, max_term_df=10**9).collect()}
     assert exact == same
+
+
+def test_kmeans_exact_matches_oracle(spark):
+    from redis_dataflow_realtime_analytics_spark import registry
+
+    compare(
+        similarity.kmeans_exact_centroids(spark, SF_SMOKE),
+        registry.ORACLE["kmeans_exact_centroids"],
+        SF_SMOKE,
+    )
+
+
+def test_kmeans_exact_descends_and_partitions(spark):
+    """Lloyd's invariants on the exact variant: every vector is assigned
+    (cluster sizes sum to the corpus), and the quantization-grid inertia
+    is non-increasing across iterations."""
+    from redis_dataflow_realtime_analytics_spark.operators.similarity import (
+        _quantized,
+    )
+
+    vecs = {r.vec_id: r.qvec for r in _quantized(spark, SF_SMOKE).collect()}
+
+    def inertia(iters):
+        rows = similarity.kmeans_exact_centroids(spark, SF_SMOKE, iters=iters).collect()
+        cents = {}
+        for r in rows:
+            cents.setdefault(r.cid, [0.0] * 64)[r.pos - 1] = r.mean
+        ns = {r.cid: r.n for r in rows}
+        tot = 0.0
+        for v in vecs.values():
+            tot += min(
+                sum((x - m) ** 2 for x, m in zip(v, c)) for c in cents.values()
+            )
+        return tot, sum(ns.values())
+
+    i1, n1 = inertia(1)
+    i3, n3 = inertia(3)
+    assert n1 == len(vecs) and n3 == len(vecs)
+    assert i3 <= i1 * (1 + 1e-12)
