@@ -117,6 +117,7 @@ HEADLINE = [
     "events_zorder_layout",
     "text_hashed_features",
     "stream_postings_ingest",
+    "kmeans_exact_centroids",
 ]
 
 
