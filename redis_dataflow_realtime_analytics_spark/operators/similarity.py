@@ -1510,6 +1510,36 @@ def kmeans_exact_centroids(
     Output: (cid, pos, mean, n) — the final centroids long-form (pos is
     1-based), driver-hashable scalars only.
     """
+    cent = _kmeans_exact_state(spark, sf_dir, k=k, iters=iters)
+    return cent.select(
+        "cid", "n", F.posexplode("S").alias("pos0", "s")
+    ).select(
+        "cid",
+        (F.col("pos0") + 1).cast("int").alias("pos"),
+        (F.col("s").cast("double") / F.col("n")).alias("mean"),
+        "n",
+    )
+
+
+#: The exact-assignment argmin over a broadcast (cid, S, n, s2) codebook
+#: row — shared by the k-means loop and the learned-centroid IVF reader.
+_KMEANS_ARGMIN = (
+    "array_min(transform(cents, c -> struct("
+    " CAST(c.s2 - 2 * aggregate(zip_with(qvec, c.S,"
+    "        (a, b) -> CAST(a AS DECIMAL(38,0)) * b),"
+    "      CAST(0 AS DECIMAL(38,0)), (acc, t) -> acc + t) * c.n"
+    "      AS DOUBLE)"
+    "   / CAST(c.n * c.n AS DOUBLE) AS v,"
+    " c.cid AS cid)))"
+)
+
+
+def _kmeans_exact_state(
+    spark: SparkSession, sf_dir: str, k: int = 8, iters: int = 3
+) -> DataFrame:
+    """The exact k-means fixpoint's internal state: one row per centroid,
+    (cid, S = Σx int vector, n, s2 = ‖S‖² decimal) — see
+    :func:`kmeans_exact_centroids` for the exactness argument."""
     emb = _quantized(spark, sf_dir)
     cent = (
         emb.orderBy("vec_id")
@@ -1522,15 +1552,7 @@ def kmeans_exact_centroids(
         )
         .localCheckpoint(eager=True)
     )
-    argmin = F.expr(
-        "array_min(transform(cents, c -> struct("
-        " CAST(c.s2 - 2 * aggregate(zip_with(qvec, c.S,"
-        "        (a, b) -> CAST(a AS DECIMAL(38,0)) * b),"
-        "      CAST(0 AS DECIMAL(38,0)), (acc, t) -> acc + t) * c.n"
-        "      AS DOUBLE)"
-        "   / CAST(c.n * c.n AS DOUBLE) AS v,"
-        " c.cid AS cid))).cid"
-    )
+    argmin = F.expr(_KMEANS_ARGMIN + ".cid")
     for _ in range(iters):
         cents_row = cent.agg(
             F.sort_array(F.collect_list(F.struct("cid", "S", "n", "s2"))).alias(
@@ -1566,14 +1588,7 @@ def kmeans_exact_centroids(
             )
             .localCheckpoint(eager=True)
         )
-    return cent.select(
-        "cid", "n", F.posexplode("S").alias("pos0", "s")
-    ).select(
-        "cid",
-        (F.col("pos0") + 1).cast("int").alias("pos"),
-        (F.col("s").cast("double") / F.col("n")).alias("mean"),
-        "n",
-    )
+    return cent
 
 
 def oracle_kmeans_exact(k: int = 8, iters: int = 3) -> str:
@@ -1628,3 +1643,129 @@ c{i} AS (
 SELECT c.cid, CAST(t.i AS INTEGER) AS pos,
        CAST(c.S[t.i] AS DOUBLE) / c.n AS mean, c.n
 FROM c{iters} c, LATERAL unnest(generate_series(1, len(c.S))) t(i)"""
+
+
+def ann_ivf_exact_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 10,
+    nprobe: int = 3,
+    km_k: int = 8,
+    iters: int = 3,
+) -> DataFrame:
+    """IVF over LEARNED centroids, fully SQL-oracled — the upgrade the
+    float-k-means IVF (``ann_ivf_kmeans_topk``, rows-only) cannot have:
+    the coarse codebook is the exact k-means fixpoint
+    (:func:`_kmeans_exact_state`), database vectors and queries assign /
+    probe with the same exact-numerator distance, and candidates inside
+    the probed buckets rank by the exact fixed-point cosine — every stage
+    deterministic, so codebook TRAINING, assignment, probing, and top-k
+    all hash-gate against DuckDB in one query.
+
+    Plan: the (km_k × dim)-integer codebook broadcasts as one row for
+    both the db-assignment scan and the query-probe scan; the candidate
+    join is an equi-join on the bucket id (partition-prunable at scale —
+    posting lists); only ~nprobe/km_k of the corpus is scored per query.
+
+    Output: (query_id, neighbor_id, cosine, rank), rank 1..k.
+    """
+    cent = _kmeans_exact_state(spark, sf_dir, k=km_k, iters=iters)
+    cents_row = cent.agg(
+        F.sort_array(F.collect_list(F.struct("cid", "S", "n", "s2"))).alias("cents")
+    )
+    emb = _quantized(spark, sf_dir)
+    db = emb.crossJoin(F.broadcast(cents_row)).select(
+        "vec_id",
+        "qvec",
+        "n2",
+        F.expr(_KMEANS_ARGMIN + ".cid").alias("bucket"),
+    )
+    w_probe = Window.partitionBy("query_id").orderBy("v", "cid")
+    probes = (
+        emb.where(F.col("vec_id") % QUERY_MOD == 0)
+        .crossJoin(F.broadcast(cents_row))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("qvec").alias("q_qvec"),
+            F.col("n2").alias("q_n2"),
+            F.explode(
+                F.expr(
+                    "transform(cents, c -> struct("
+                    " CAST(c.s2 - 2 * aggregate(zip_with(qvec, c.S,"
+                    "        (a, b) -> CAST(a AS DECIMAL(38,0)) * b),"
+                    "      CAST(0 AS DECIMAL(38,0)), (acc, t) -> acc + t) * c.n"
+                    "      AS DOUBLE)"
+                    "   / CAST(c.n * c.n AS DOUBLE) AS v,"
+                    " c.cid AS cid))"
+                )
+            ).alias("p"),
+        )
+        .select("query_id", "q_qvec", "q_n2", F.col("p.v").alias("v"), F.col("p.cid").alias("cid"))
+        .withColumn("pr", F.row_number().over(w_probe))
+        .where(F.col("pr") <= nprobe)
+        .select("query_id", "q_qvec", "q_n2", F.col("cid").alias("bucket"))
+    )
+    cand = (
+        db.join(probes, "bucket")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .withColumn("dot", V.qdot("qvec", "q_qvec"))
+        .withColumn("cosine", V.cosine("dot", "n2", "q_n2"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "vec_id")
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "cosine", "rank")
+    )
+
+
+def oracle_ann_ivf_exact(
+    k: int = 10, nprobe: int = 3, km_k: int = 8, iters: int = 3
+) -> str:
+    """DuckDB twin of :func:`ann_ivf_exact_topk` — the unrolled exact
+    k-means CTE chain, then assignment / probing / candidate cosine with
+    identical arithmetic. ``{norms}`` spliced by the registry."""
+    km = oracle_kmeans_exact(k=km_k, iters=iters)
+    # reuse the kmeans oracle's CTE chain: strip its WITH header + final SELECT
+    body = km.split("WITH {norms},\n", 1)[1].rsplit("\nSELECT", 1)[0]
+    return f"""WITH {{norms}},
+{body},
+pf AS (
+  SELECT v.vec_id, c.cid, c.n, c.s2, unnest(list_zip(v.qv, c.S)) AS z
+  FROM e v CROSS JOIN c{iters} c),
+df_ AS (
+  SELECT vec_id, cid, sum(CAST(z[1] AS DECIMAL(38,0)) * z[2]) AS dot,
+         any_value(n) AS n, any_value(s2) AS s2
+  FROM pf GROUP BY 1, 2),
+vf AS (
+  SELECT vec_id, cid,
+         CAST(s2 - 2 * dot * n AS DOUBLE) / CAST(n * n AS DOUBLE) AS v
+  FROM df_),
+assign AS (
+  SELECT vec_id, cid AS bucket FROM vf
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY v, cid) = 1),
+probes AS (
+  SELECT vec_id AS query_id, cid AS bucket FROM vf
+  WHERE vec_id % {QUERY_MOD} = 0
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY v, cid) <= {nprobe}),
+cp AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         unnest(list_zip(eq.qv, en.qv)) AS z
+  FROM probes p
+  JOIN assign a ON a.bucket = p.bucket AND a.vec_id <> p.query_id
+  JOIN e eq ON eq.vec_id = p.query_id
+  JOIN e en ON en.vec_id = a.vec_id),
+cd AS (
+  SELECT query_id, neighbor_id, sum(z[1] * z[2]) AS dot
+  FROM cp GROUP BY 1, 2),
+cs AS (
+  SELECT cd.query_id, cd.neighbor_id,
+         CAST(cd.dot AS DOUBLE)
+           / (sqrt(CAST(nq.n2 AS DOUBLE)) * sqrt(CAST(nn.n2 AS DOUBLE))) AS cosine
+  FROM cd
+  JOIN n nq ON nq.vec_id = cd.query_id
+  JOIN n nn ON nn.vec_id = cd.neighbor_id)
+SELECT query_id, neighbor_id, cosine,
+       CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
+FROM cs QUALIFY rank <= {k}"""

@@ -2150,6 +2150,14 @@ q(
     similarity.kmeans_exact_centroids,
     similarity.oracle_kmeans_exact().format(norms=_ORACLE_NORMS),
 )
+# Learned-centroid IVF, fully oracled: codebook TRAINING (exact k-means),
+# db assignment, query probing, and in-bucket cosine top-k hash-gate as
+# one query — the upgrade the float-kmeans IVF (rows-only) cannot have.
+q(
+    "ann_ivf_exact_topk",
+    similarity.ann_ivf_exact_topk,
+    similarity.oracle_ann_ivf_exact().format(norms=_ORACLE_NORMS),
+)
 # Retrieval-QA report: sparse (BM25 shingle) vs dense (exact cosine)
 # top-k agreement per shared query — overlap + Jaccard; both inputs are
 # SQL-oracled operators and the report is integer set arithmetic, so the
@@ -2583,7 +2591,7 @@ q(
 # dedup_cross_source_matrix, events_zorder_layout,
 # corpus_leakage_free_split, dedup_containment_pairs,
 # text_hashed_features, stream_postings_ingest, text_bm25_topk_capped,
-# kmeans_exact_centroids. These are FIRST in
+# kmeans_exact_centroids, ann_ivf_exact_topk. These are FIRST in
 # line for r5 window slots —
 # they have no external row yet.
 # ---------------------------------------------------------------------------
