@@ -118,6 +118,7 @@ HEADLINE = [
     "text_hashed_features",
     "stream_postings_ingest",
     "kmeans_exact_centroids",
+    "ann_ivf_exact_topk",
 ]
 
 
