@@ -131,3 +131,19 @@ def test_every_registry_key_documented_in_coverage():
     cov = (Path(__file__).resolve().parents[1] / "COVERAGE.md").read_text()
     missing = [k for k in registry.QUERIES if f"`{k}`" not in cov and k not in cov]
     assert not missing, f"keys missing from COVERAGE.md: {missing}"
+
+
+def test_readme_catalog_counts_in_sync():
+    """README advertises the catalog size in two places; both must match
+    the live registry (every session that adds keys must bump them —
+    this pins the habit)."""
+    import re
+    from pathlib import Path
+
+    md = (Path(__file__).resolve().parents[1] / "README.md").read_text()
+    m1 = re.search(r"query catalog: (\d+) queries, (\d+) with DuckDB oracle", md)
+    m2 = re.search(r"(\d+) of (\d+) pair with ANSI-SQL", md)
+    assert m1 and m2, "README catalog count lines missing"
+    n_q, n_o = len(registry.QUERIES), len(registry.ORACLE)
+    assert (int(m1.group(1)), int(m1.group(2))) == (n_q, n_o), m1.group(0)
+    assert (int(m2.group(1)), int(m2.group(2))) == (n_o, n_q), m2.group(0)
