@@ -1769,3 +1769,105 @@ SELECT query_id, neighbor_id, cosine,
        CAST(row_number() OVER (PARTITION BY query_id
             ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
 FROM cs QUALIFY rank <= {k}"""
+
+
+def embedding_top_component_exact(
+    spark: SparkSession, sf_dir: str, iters: int = 8
+) -> DataFrame:
+    """Dominant principal direction via power iteration under the EXACT
+    discipline — the PCA-training leg of the oracled-iterative family
+    (PageRank, exact k-means, and now the spectral step): every
+    matrix-vector product accumulates its double terms in DECIMAL(38,12)
+    (order-independent at any partitioning), the per-iteration rescale is
+    an exact power-of-two division, and the normalization is one
+    correctly-rounded sqrt + divide — so the whole fixpoint is
+    bit-identical across engines and the oracle unrolls the same
+    iterations as chained MATERIALIZED CTEs (materialized because each
+    iterate is referenced twice; an inlined chain re-evaluates
+    exponentially).
+
+    Same plan as the float :func:`embedding_top_component` — one corpus
+    pass (t = Xv) + one (pos)-keyed sum (w = X't) per iteration, the
+    iterate shipped as a broadcast one-row frame — with hash-gateable
+    semantics. Convergence properties are unchanged (planted-axis gate in
+    tests); on a flat spectrum both variants converge equally slowly.
+
+    Output: (pos, component) — the final unit iterate, 1-based dims.
+    """
+    emb = _quantized(spark, sf_dir).select("vec_id", "qvec")
+    d = len(emb.first().qvec)
+    v = spark.range(1, d + 1).select(
+        F.col("id").cast("int").alias("pos"), F.lit(1.0).alias("val")
+    )
+    for _ in range(iters):
+        v_row = v.agg(
+            F.expr(
+                "transform(sort_array(collect_list(struct(pos, val))), t -> t.val)"
+            ).alias("v")
+        )
+        t = emb.crossJoin(F.broadcast(v_row)).select(
+            "qvec",
+            F.expr(
+                "CAST(aggregate(zip_with(qvec, v,"
+                " (a, b) -> CAST(CAST(a AS DOUBLE) * b AS DECIMAL(38,12))),"
+                " CAST(0 AS DECIMAL(38,12)),"
+                " (acc, x) -> CAST(acc + x AS DECIMAL(38,12))) AS DOUBLE)"
+            ).alias("t"),
+        )
+        w = (
+            t.select("t", F.posexplode("qvec").alias("pos0", "x"))
+            .select(
+                (F.col("pos0") + 1).cast("int").alias("pos"),
+                F.expr("CAST(CAST(x AS DOUBLE) * t AS DECIMAL(38,12))").alias("wx"),
+            )
+            .groupBy("pos")
+            .agg(
+                F.expr(
+                    "CAST(sum(wx) AS DOUBLE) / CAST(1099511627776 AS DOUBLE)"
+                ).alias("ws")
+            )
+        )
+        nrm = w.agg(
+            F.expr(
+                "sqrt(CAST(sum(CAST(ws * ws AS DECIMAL(38,12))) AS DOUBLE))"
+            ).alias("nrm")
+        )
+        v = (
+            w.crossJoin(F.broadcast(nrm))
+            .select("pos", (F.col("ws") / F.col("nrm")).alias("val"))
+            .localCheckpoint(eager=True)
+        )
+    return v.select("pos", F.col("val").alias("component"))
+
+
+def oracle_top_component_exact(iters: int = 8, d: int = 64) -> str:
+    """DuckDB twin of :func:`embedding_top_component_exact` — the same
+    iterations unrolled; per-iterate CTEs MATERIALIZED (each is consumed
+    twice; inlining would re-evaluate the chain exponentially).
+    ``{norms}`` spliced by the registry."""
+    scale = "CAST(1099511627776 AS DOUBLE)"
+    ctes = [
+        f"""v0 AS (SELECT CAST(i AS INTEGER) AS pos, CAST(1 AS DOUBLE) AS val
+  FROM unnest(generate_series(1, {d})) t(i))"""
+    ]
+    for i in range(1, iters + 1):
+        p = i - 1
+        ctes.append(
+            f"""x{i} AS MATERIALIZED (
+  SELECT e.vec_id, t.i AS pos, e.qv[t.i] AS x
+  FROM e, LATERAL unnest(generate_series(1, len(e.qv))) t(i)),
+t{i} AS MATERIALIZED (
+  SELECT x.vec_id,
+         CAST(sum(CAST(CAST(x.x AS DOUBLE) * v.val AS DECIMAL(38,12))) AS DOUBLE) AS t
+  FROM x{i} x JOIN v{p} v ON v.pos = x.pos GROUP BY 1),
+w{i} AS MATERIALIZED (
+  SELECT x.pos,
+         CAST(sum(CAST(CAST(x.x AS DOUBLE) * t.t AS DECIMAL(38,12))) AS DOUBLE)
+           / {scale} AS ws
+  FROM x{i} x JOIN t{i} t ON t.vec_id = x.vec_id GROUP BY 1),
+n{i} AS (SELECT sqrt(CAST(sum(CAST(ws * ws AS DECIMAL(38,12))) AS DOUBLE)) AS nrm
+         FROM w{i}),
+v{i} AS MATERIALIZED (SELECT pos, ws / nrm AS val FROM w{i} CROSS JOIN n{i})"""
+        )
+    body = ",\n".join(ctes)
+    return f"WITH {{norms}},\n{body}\nSELECT pos, val AS component FROM v{iters}"

@@ -2150,6 +2150,15 @@ q(
     similarity.kmeans_exact_centroids,
     similarity.oracle_kmeans_exact().format(norms=_ORACLE_NORMS),
 )
+# Exact-discipline power iteration — the spectral (PCA-training) member of
+# the oracled-iterative family: decimal-accumulated matrix-vector terms,
+# power-of-two rescale, one correctly-rounded sqrt+divide per iteration;
+# unrolled MATERIALIZED-CTE oracle (each iterate is consumed twice).
+q(
+    "embedding_top_component_exact",
+    similarity.embedding_top_component_exact,
+    similarity.oracle_top_component_exact().format(norms=_ORACLE_NORMS),
+)
 # Learned-centroid IVF, fully oracled: codebook TRAINING (exact k-means),
 # db assignment, query probing, and in-bucket cosine top-k hash-gate as
 # one query — the upgrade the float-kmeans IVF (rows-only) cannot have.
@@ -2591,7 +2600,8 @@ q(
 # dedup_cross_source_matrix, events_zorder_layout,
 # corpus_leakage_free_split, dedup_containment_pairs,
 # text_hashed_features, stream_postings_ingest, text_bm25_topk_capped,
-# kmeans_exact_centroids, ann_ivf_exact_topk. These are FIRST in
+# kmeans_exact_centroids, ann_ivf_exact_topk,
+# embedding_top_component_exact. These are FIRST in
 # line for r5 window slots —
 # they have no external row yet.
 # ---------------------------------------------------------------------------

@@ -550,3 +550,36 @@ def test_ivf_exact_recall_band(spark):
         got.setdefault(r.query_id, set()).add(r.neighbor_id)
     mean_recall = sum(len(exact[q] & got[q]) / 10 for q in exact) / len(exact)
     assert mean_recall >= 0.4, f"learned-IVF mean recall {mean_recall}"
+
+
+def test_top_component_exact_matches_oracle(spark):
+    from redis_dataflow_realtime_analytics_spark import registry
+
+    compare(
+        similarity.embedding_top_component_exact(spark, SF_SMOKE),
+        registry.ORACLE["embedding_top_component_exact"],
+        SF_SMOKE,
+    )
+
+
+def test_top_component_exact_planted_axis(spark, tmp_path):
+    """Same convergence gate as the float variant: vectors concentrated
+    along dimension 3 (1-based) -> the exact iterate aligns with that
+    axis; the final iterate is unit-norm."""
+    import random
+
+    rng = random.Random(11)
+    rows = []
+    for i in range(200):
+        v = [rng.uniform(-0.05, 0.05) for _ in range(8)]
+        v[2] = rng.uniform(0.8, 1.0) * (1 if i % 2 else -1)
+        rows.append((i, [float(x) for x in v], 0))
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(f"{tmp_path}/embeddings.parquet")
+    comp = {r.pos: r.component
+            for r in similarity.embedding_top_component_exact(
+                spark, str(tmp_path)).collect()}
+    assert abs(comp[3]) > 0.99
+    assert all(abs(comp[p]) < 0.1 for p in comp if p != 3)
+    assert abs(sum(c * c for c in comp.values()) - 1.0) < 1e-9
