@@ -119,6 +119,7 @@ HEADLINE = [
     "stream_postings_ingest",
     "kmeans_exact_centroids",
     "ann_ivf_exact_topk",
+    "embedding_top_component_exact",
 ]
 
 
