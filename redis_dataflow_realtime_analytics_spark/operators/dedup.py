@@ -30,6 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.numeric import oracle_dsum12
 from ..tables import load, spread
 
 # Explicit whitespace class — Java's \s includes \x0B, RE2's (DuckDB) does
@@ -1242,8 +1243,8 @@ r0 AS (SELECT src AS doc_id, 1.0 / n.total AS rank FROM deg CROSS JOIN n)"""
         ctes.append(
             f"""r{i} AS (
   SELECT s.dst AS doc_id,
-         {t} / n.total + {d} * CAST(sum(CAST(r{i - 1}.rank / deg.deg
-             AS DECIMAL(38,12))) AS DOUBLE) AS rank
+         {t} / n.total + {d} * {oracle_dsum12(f"r{i - 1}.rank / deg.deg")}
+             AS rank
   FROM sym s
   JOIN r{i - 1} ON r{i - 1}.doc_id = s.src
   JOIN deg ON deg.src = s.src

@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.numeric import dquant, oracle_dquant, oracle_dsum12
 from ..tables import load, spread
 
 
@@ -227,6 +228,97 @@ def pack_documents(spark: SparkSession, sf_dir: str, max_tokens: int = 512) -> D
     )
 
 
+def pack_documents_boundary(
+    spark: SparkSession, sf_dir: str, max_tokens: int = 512
+) -> DataFrame:
+    """Boundary-respecting sequence packing: documents NEVER straddle a
+    pack boundary — the packing contract for training recipes that forbid
+    cross-document attention bleed (the cumsum packer
+    :func:`pack_documents` respects capacity only in expectation). Docs
+    are walked in doc_id order within each (lang, shard) stream by a
+    next-fit rule: a doc joins the current pack unless that would exceed
+    ``max_tokens``, in which case it opens a new one. A doc longer than
+    the capacity becomes a singleton pack and is flagged ``oversize``
+    (the downstream chunker's business, not the packer's).
+
+    The per-stream walk is inherently sequential state, so it runs as an
+    Arrow-batched ``applyInPandas`` over the (lang, shard) groups — the
+    sanctioned escape hatch for stateful group logic the window algebra
+    cannot express (a reset-on-overflow cumsum is not a window function).
+    Scale: parallelism = #langs × #shards; the shard fan-out (16 here) is
+    the knob that bounds each group to executor memory at 100 TB — pack
+    quality is unaffected since bins are within-stream by design. The
+    oracle replays the identical walk as a DuckDB recursive CTE (one
+    level per within-group rank), so assignment is fully hash-gated.
+
+    Output: (doc_id, lang, shard, n_tokens, pack_id, oversize).
+    """
+    from .text import TOKEN_RE
+
+    docs = load(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        "lang",
+        F.pmod(F.col("doc_id"), F.lit(16)).cast("int").alias("shard"),
+        F.size(F.split(F.trim(F.col("text")), TOKEN_RE)).cast("bigint").alias("n_tokens"),
+    )
+    cap = int(max_tokens)
+
+    def _nextfit(pdf):
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        packs = []
+        fill = 0
+        pack = 0
+        started = False
+        for t in pdf["n_tokens"]:
+            t = int(t)
+            if started and fill + t > cap:
+                pack += 1
+                fill = 0
+            started = True
+            packs.append(pack)
+            fill += t
+        pdf["pack_id"] = packs
+        pdf["oversize"] = pdf["n_tokens"] > cap
+        return pdf
+
+    schema = (
+        "doc_id bigint, lang string, shard int, n_tokens bigint, "
+        "pack_id bigint, oversize boolean"
+    )
+    return base.groupBy("lang", "shard").applyInPandas(_nextfit, schema)
+
+
+def oracle_pack_boundary(max_tokens: int = 512) -> str:
+    """DuckDB twin of :func:`pack_documents_boundary` — the next-fit walk
+    unrolled as a recursive CTE advancing one within-group rank per level
+    (depth = largest (lang, shard) group, ~n_docs/80 on the fixtures)."""
+    from .text import TOKEN_SQL
+
+    return rf"""WITH RECURSIVE t AS (
+  SELECT doc_id, lang, CAST(doc_id % 16 AS INTEGER) AS shard,
+         CAST(len(regexp_split_to_array(trim(text), '{TOKEN_SQL}')) AS BIGINT)
+           AS n_tokens,
+         CAST(row_number() OVER (PARTITION BY lang, doc_id % 16
+                                 ORDER BY doc_id) AS BIGINT) AS rn
+  FROM documents),
+walk AS (
+  SELECT lang, shard, rn, doc_id, n_tokens,
+         CAST(0 AS BIGINT) AS pack_id, n_tokens AS fill
+  FROM t WHERE rn = 1
+  UNION ALL
+  SELECT t.lang, t.shard, t.rn, t.doc_id, t.n_tokens,
+         CASE WHEN w.fill + t.n_tokens > {max_tokens}
+              THEN w.pack_id + 1 ELSE w.pack_id END,
+         CASE WHEN w.fill + t.n_tokens > {max_tokens}
+              THEN t.n_tokens ELSE w.fill + t.n_tokens END
+  FROM walk w
+  JOIN t ON t.lang = w.lang AND t.shard = w.shard AND t.rn = w.rn + 1)
+SELECT doc_id, lang, shard, n_tokens, pack_id,
+       n_tokens > {max_tokens} AS oversize
+FROM walk"""
+
+
 #: Hex digits of md5 used as the uniform draw for weighted sampling.
 #: 13 hex digits = 52 bits — the full significand of an IEEE double, so
 #: ``(v + 1) / 16**13`` is exact in both engines and lies in (0, 1].
@@ -396,7 +488,12 @@ def temperature_mix(
     p = g.join(F.broadcast(tot)).withColumn(
         "natural_share", F.col("total_chars") / F.col("corpus_chars")
     )
-    z = p.agg(F.sum(F.pow("natural_share", F.lit(alpha))).alias("z"))
+    # pow() is the one transcendental: quantize it to 12 dp (dquant) so the
+    # Java-vs-libm 1-ulp divergence is collapsed before it feeds the sum
+    # and the output ratios; the quantized doubles are 12-dp-exact, so the
+    # decimal z-accumulator is exact and order-independent.
+    p = p.withColumn("pq", dquant(F.pow("natural_share", F.lit(alpha))))
+    z = p.agg(F.sum(F.col("pq").cast("decimal(38,12)")).cast("double").alias("z"))
     return (
         p.join(F.broadcast(z))
         .select(
@@ -404,10 +501,8 @@ def temperature_mix(
             "n_docs",
             "total_chars",
             "natural_share",
-            (F.pow("natural_share", F.lit(alpha)) / F.col("z")).alias("smoothed_share"),
-            (
-                F.pow("natural_share", F.lit(alpha)) / F.col("z") / F.col("natural_share")
-            ).alias("upsample_factor"),
+            (F.col("pq") / F.col("z")).alias("smoothed_share"),
+            (F.col("pq") / F.col("z") / F.col("natural_share")).alias("upsample_factor"),
         )
     )
 
@@ -421,13 +516,13 @@ def oracle_temperature_mix(alpha: float = 0.3) -> str:
 ), p AS (
   SELECT *, total_chars / (SELECT CAST(sum(total_chars) AS DOUBLE) FROM g) AS natural_share
   FROM g
-)
+), q AS (
+  SELECT *, {oracle_dquant(f"pow(natural_share, {alpha})")} AS pq FROM p
+), z AS (SELECT {oracle_dsum12("pq")} AS z FROM q)
 SELECT lang, n_docs, total_chars, natural_share,
-       pow(natural_share, {alpha}) / (SELECT sum(pow(natural_share, {alpha})) FROM p)
-         AS smoothed_share,
-       pow(natural_share, {alpha}) / (SELECT sum(pow(natural_share, {alpha})) FROM p)
-         / natural_share AS upsample_factor
-FROM p"""
+       pq / z AS smoothed_share,
+       pq / z / natural_share AS upsample_factor
+FROM q CROSS JOIN z"""
 
 
 def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -313,10 +313,10 @@ FROM clk LEFT JOIN conv ON conv.experiment_id = clk.experiment_id"""
 def oracle_rolling_week_user_value(ev_cte: str) -> str:
     return f"""{ev_cte}
 SELECT event_id, user_id, ts,
-       CAST(SUM(CAST(value AS DECIMAL(38,6)))
-              OVER (PARTITION BY user_id ORDER BY ts
-                    RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW)
-            AS DOUBLE) AS rolling_value
+       CAST(CAST(SUM(CAST(value AS DECIMAL(38,6)))
+                   OVER (PARTITION BY user_id ORDER BY ts
+                         RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW)
+                 AS VARCHAR) AS DOUBLE) AS rolling_value
 FROM ev"""
 
 

@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import vectors as V
+from ..functions.numeric import oracle_dsum12
 from ..tables import load
 
 #: Query set = every QUERY_MOD-th vector (deterministic, data-derived).
@@ -1475,8 +1476,8 @@ both_lists AS (
   SELECT query_id, neighbor_id AS doc_id, rank FROM dense_full),
 fused AS (
   SELECT query_id, doc_id, count(*) AS n_lists,
-         CAST(sum(CAST(CAST(1 AS DOUBLE) / CAST({c} + rank AS DOUBLE)
-                       AS DECIMAL(38,12))) AS DOUBLE) AS rrf_score
+         {oracle_dsum12(f"CAST(1 AS DOUBLE) / CAST({c} + rank AS DOUBLE)")}
+           AS rrf_score
   FROM both_lists GROUP BY 1, 2)
 SELECT query_id, doc_id, n_lists, rrf_score,
        CAST(row_number() OVER (PARTITION BY query_id
@@ -1670,6 +1671,21 @@ def ann_ivf_exact_topk(
     Output: (query_id, neighbor_id, cosine, rank), rank 1..k.
     """
     cent = _kmeans_exact_state(spark, sf_dir, k=km_k, iters=iters)
+    return _ivf_exact_query(spark, sf_dir, cent, k=k, nprobe=nprobe)
+
+
+def _ivf_exact_query(
+    spark: SparkSession,
+    sf_dir: str,
+    cent: DataFrame,
+    k: int = 10,
+    nprobe: int = 3,
+) -> DataFrame:
+    """The IVF QUERY path against a given coarse codebook state frame
+    (cid, S, n, s2): db assignment, query probing, candidate cosine,
+    per-query top-k — shared by the train-inline
+    (:func:`ann_ivf_exact_topk`) and train-once
+    (:func:`ann_ivf_persisted_topk`) variants."""
     cents_row = cent.agg(
         F.sort_array(F.collect_list(F.struct("cid", "S", "n", "s2"))).alias("cents")
     )
@@ -1717,6 +1733,68 @@ def ann_ivf_exact_topk(
         .where(F.col("rank") <= k)
         .select("query_id", F.col("vec_id").alias("neighbor_id"), "cosine", "rank")
     )
+
+
+_CODEBOOK_CACHE: dict = {}
+
+
+def _persisted_codebook(
+    spark: SparkSession, sf_dir: str, k: int = 8, iters: int = 3
+) -> DataFrame:
+    """Train-once / read-many coarse codebook: the exact k-means state
+    (cid, S, n, s2) persisted as parquet, keyed by the embeddings
+    fixture's path + mtime + hyperparameters — re-training only happens
+    when the corpus version or the codebook shape actually changes.
+
+    This is the production split the r4 verdict asked for (stretch 8):
+    ``ann_ivf_exact_topk`` re-trains inside every hash-gated run, which
+    is the right shape for the ORACLE (training is part of the gated
+    semantics) but the wrong shape for the serving path — at 100 TB the
+    codebook is a k×d-row artifact written by an offline job and read by
+    every query; the read is a broadcast-sized parquet scan. The exact
+    discipline makes the persisted state bit-identical to the freshly
+    trained one, so both variants share one oracle.
+    """
+    import hashlib
+    import os
+    import tempfile
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    key = (os.path.abspath(path), os.stat(path).st_mtime_ns, k, iters)
+    if key in _CODEBOOK_CACHE:
+        return spark.read.parquet(_CODEBOOK_CACHE[key])
+    tag = hashlib.md5(repr(key).encode()).hexdigest()[:16]
+    out = os.path.join(tempfile.gettempdir(), f"ivf_codebook_{tag}")
+    if not os.path.isfile(os.path.join(out, "_SUCCESS")):
+        _kmeans_exact_state(spark, sf_dir, k=k, iters=iters).write.mode(
+            "overwrite"
+        ).parquet(out)
+    _CODEBOOK_CACHE[key] = out
+    return spark.read.parquet(out)
+
+
+def ann_ivf_persisted_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 10,
+    nprobe: int = 3,
+    km_k: int = 8,
+    iters: int = 3,
+) -> DataFrame:
+    """IVF top-k over the PERSISTED codebook — the serving-path twin of
+    :func:`ann_ivf_exact_topk`: identical assignment/probe/rank
+    arithmetic, but the coarse centroids come from the train-once parquet
+    artifact (:func:`_persisted_codebook`) instead of being re-derived,
+    so the measured cost is the query path alone (one corpus assignment
+    scan + one probe scan + the bucket equi-join). Because the exact
+    k-means fixpoint is deterministic, the output is bit-identical to the
+    train-inline variant and hash-gates against the SAME DuckDB oracle
+    (which unrolls training — the oracle's job is semantics, not cost).
+
+    Output: (query_id, neighbor_id, cosine, rank), rank 1..k.
+    """
+    cent = _persisted_codebook(spark, sf_dir, k=km_k, iters=iters)
+    return _ivf_exact_query(spark, sf_dir, cent, k=k, nprobe=nprobe)
 
 
 def oracle_ann_ivf_exact(
@@ -1777,8 +1855,10 @@ def embedding_top_component_exact(
     """Dominant principal direction via power iteration under the EXACT
     discipline — the PCA-training leg of the oracled-iterative family
     (PageRank, exact k-means, and now the spectral step): every
-    matrix-vector product accumulates its double terms in DECIMAL(38,12)
-    (order-independent at any partitioning), the per-iteration rescale is
+    matrix-vector product accumulates its double terms in exact decimal
+    (order-independent at any partitioning; the array-local fold runs at
+    DECIMAL(25,12) — see the inline note — and the grouped sums at
+    DECIMAL(38,12)), the per-iteration rescale is
     an exact power-of-two division, and the normalization is one
     correctly-rounded sqrt + divide — so the whole fixpoint is
     bit-identical across engines and the oracle unrolls the same
@@ -1807,11 +1887,18 @@ def embedding_top_component_exact(
         )
         t = emb.crossJoin(F.broadcast(v_row)).select(
             "qvec",
+            # DECIMAL(25,12), NOT (38,12): Spark types the fold's
+            # ``acc + x`` as bounded(max_scale + max_int_digits + 1, ...),
+            # and at precision 38 that overflows the cap, so Spark
+            # silently DROPS a scale digit each step (~1e-11 drift,
+            # r5 finding — the oracle's exact SUM exposed it). At (25,12)
+            # the addition result type is (26,12) ≤ 38 → exact; 13
+            # integer digits is 7 orders above any |t| this leg can see.
             F.expr(
                 "CAST(aggregate(zip_with(qvec, v,"
-                " (a, b) -> CAST(CAST(a AS DOUBLE) * b AS DECIMAL(38,12))),"
-                " CAST(0 AS DECIMAL(38,12)),"
-                " (acc, x) -> CAST(acc + x AS DECIMAL(38,12))) AS DOUBLE)"
+                " (a, b) -> CAST(CAST(a AS DOUBLE) * b AS DECIMAL(25,12))),"
+                " CAST(0 AS DECIMAL(25,12)),"
+                " (acc, x) -> CAST(acc + x AS DECIMAL(25,12))) AS DOUBLE)"
             ).alias("t"),
         )
         w = (
@@ -1858,14 +1945,14 @@ def oracle_top_component_exact(iters: int = 8, d: int = 64) -> str:
   FROM e, LATERAL unnest(generate_series(1, len(e.qv))) t(i)),
 t{i} AS MATERIALIZED (
   SELECT x.vec_id,
-         CAST(sum(CAST(CAST(x.x AS DOUBLE) * v.val AS DECIMAL(38,12))) AS DOUBLE) AS t
+         {oracle_dsum12("CAST(x.x AS DOUBLE) * v.val")} AS t
   FROM x{i} x JOIN v{p} v ON v.pos = x.pos GROUP BY 1),
 w{i} AS MATERIALIZED (
   SELECT x.pos,
-         CAST(sum(CAST(CAST(x.x AS DOUBLE) * t.t AS DECIMAL(38,12))) AS DOUBLE)
+         {oracle_dsum12("CAST(x.x AS DOUBLE) * t.t")}
            / {scale} AS ws
   FROM x{i} x JOIN t{i} t ON t.vec_id = x.vec_id GROUP BY 1),
-n{i} AS (SELECT sqrt(CAST(sum(CAST(ws * ws AS DECIMAL(38,12))) AS DOUBLE)) AS nrm
+n{i} AS (SELECT sqrt({oracle_dsum12("ws * ws")}) AS nrm
          FROM w{i}),
 v{i} AS MATERIALIZED (SELECT pos, ws / nrm AS val FROM w{i} CROSS JOIN n{i})"""
         )

@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.numeric import dquant, oracle_dquant, oracle_dsum12
 from ..tables import load, spread
 
 #: Explicit whitespace class, spelled identically for Java (Spark) and RE2
@@ -316,7 +317,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
             "term",
             "tf",
             "df",
-            (F.col("tf") * F.log(F.col("n_docs") / F.col("df"))).alias("tfidf"),
+            dquant(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), "tfidf"),
             F.col("rn").cast("int").alias("rank"),
         )
     )
@@ -334,7 +335,7 @@ ranked AS (
          row_number() OVER (PARTITION BY doc_id ORDER BY tf DESC, df, term) AS rn
   FROM tf JOIN df USING (term) CROSS JOIN n)
 SELECT doc_id, term, tf, df,
-       tf * ln(CAST(n_docs AS DOUBLE) / df) AS tfidf,
+       {oracle_dquant("tf * ln(CAST(n_docs AS DOUBLE) / df)")} AS tfidf,
        CAST(rn AS INTEGER) AS rank
 FROM ranked WHERE rn <= {k}"""
 
@@ -435,8 +436,8 @@ def oracle_unigram_logprob_scores() -> str:
 freq AS (SELECT token, count(*) AS freq FROM terms GROUP BY 1),
 tot AS (SELECT count(*) AS total_tokens FROM terms)
 SELECT doc_id, count(*) AS n_tokens,
-       CAST(SUM(CAST(ln(CAST(freq AS DOUBLE) / total_tokens) AS DECIMAL(38,12)))
-            AS DOUBLE) / count(*) AS avg_logp
+       {oracle_dsum12("ln(CAST(freq AS DOUBLE) / total_tokens)")}
+         / count(*) AS avg_logp
 FROM terms JOIN freq USING (token) CROSS JOIN tot
 GROUP BY doc_id"""
 
@@ -508,8 +509,8 @@ ctx AS (SELECT w1, count(*) AS c1 FROM pairs GROUP BY 1),
 v AS (SELECT count(DISTINCT token) AS v
       FROM (SELECT unnest(t) AS token FROM toks))
 SELECT doc_id, count(*) AS n_bigrams,
-       CAST(SUM(CAST(ln((c12 + {alpha}) / (c1 + {alpha} * v)) AS DECIMAL(38,12)))
-            AS DOUBLE) / count(*) AS avg_logp
+       {oracle_dsum12(f"ln((c12 + {alpha}) / (c1 + {alpha} * v))")}
+         / count(*) AS avg_logp
 FROM pairs JOIN c12 USING (w1, w2) JOIN ctx USING (w1) CROSS JOIN v
 GROUP BY doc_id"""
 
@@ -833,16 +834,20 @@ def zipf_slope_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= ZIPF_TOP_RANKS)
         .select(
             "source",
-            F.log(F.col("rank").cast("double")).alias("x"),
-            F.log(F.col("cnt").cast("double")).alias("y"),
+            # quantize the ln values to 12 dp (dquant): collapses the
+            # 1-ulp Math.log-vs-libm divergence AND makes the per-term
+            # doubles exactly representable at scale 12, so the decimal
+            # accumulators below are exact and order-independent
+            dquant(F.log(F.col("rank").cast("double")), "x"),
+            dquant(F.log(F.col("cnt").cast("double")), "y"),
         )
     )
     agg = ranked.groupBy("source").agg(
         F.count("*").cast("bigint").alias("n_terms"),
-        F.sum("x").alias("sx"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x").cast("decimal(38,12)")).cast("double").alias("sx"),
+        F.sum(F.col("y").cast("decimal(38,12)")).cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,12)")).cast("double").alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,12)")).cast("double").alias("sxx"),
     # a single ranked term makes the OLS denominator exactly 0 (0/0 is
     # engine-dependent: Spark NaN vs DuckDB error) — drop degenerate
     # sources on BOTH sides instead
@@ -869,15 +874,17 @@ def oracle_zipf_slope() -> str:
   HAVING count(*) > 1),
 ranked AS (
   SELECT source,
-         ln(CAST(row_number() OVER (PARTITION BY source
-                                    ORDER BY cnt DESC, term) AS DOUBLE)) AS x,
-         ln(CAST(cnt AS DOUBLE)) AS y
+         {oracle_dquant("ln(CAST(row_number() OVER (PARTITION BY source ORDER BY cnt DESC, term) AS DOUBLE))")} AS x,
+         {oracle_dquant("ln(CAST(cnt AS DOUBLE))")} AS y
   FROM counts
   QUALIFY row_number() OVER (PARTITION BY source ORDER BY cnt DESC, term)
           <= {ZIPF_TOP_RANKS}),
 agg AS (
   SELECT source, CAST(count(*) AS BIGINT) AS n_terms,
-         sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx
+         {oracle_dsum12("x")} AS sx,
+         {oracle_dsum12("y")} AS sy,
+         {oracle_dsum12("x * y")} AS sxy,
+         {oracle_dsum12("x * x")} AS sxx
   FROM ranked GROUP BY 1
   HAVING count(*) >= 2)
 SELECT source, n_terms,
@@ -899,8 +906,12 @@ def token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts c — one explode + two keyed aggregations, all inside codegen.
     Determinism: the float ``c*ln(c)`` terms go through the decimal-sum
     convention (functions.numeric) so the per-doc sum is
-    order-independent; the outer ln/div/sub are single IEEE ops on
-    identical inputs. Scale: the shuffle key is (doc_id, token) — uniform
+    order-independent; the FINAL ``ln(n) - sum/n`` expression is
+    additionally quantized to decimal(38,12) on both engine and oracle
+    sides, because ``ln`` itself is only correctly-rounded to within
+    1 ulp and Java's Math.log and libm disagree in the last bit on some
+    inputs (observed: 8/500 sf0.01 docs). Scale: the shuffle key is
+    (doc_id, token) — uniform
     by construction; partial aggregation collapses repeated tokens
     map-side, so reducer input is O(types), not O(tokens).
     """
@@ -926,7 +937,7 @@ def token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         "n_types",
         (F.col("n_types").cast("double") / n).alias("type_token_ratio"),
-        (F.log(n) - F.col("sum_clnc") / n).alias("entropy"),
+        dquant(F.log(n) - F.col("sum_clnc") / n, "entropy"),
     )
 
 
@@ -940,12 +951,12 @@ def oracle_token_entropy() -> str:
   GROUP BY 1, 2),
 per_doc AS (
   SELECT doc_id, sum(c) AS n_tokens, count(*) AS n_types,
-         CAST(sum(CAST(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))
-                       AS DECIMAL(38,12))) AS DOUBLE) AS sum_clnc
+         {oracle_dsum12("CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))")}
+           AS sum_clnc
   FROM counts GROUP BY 1)
 SELECT doc_id, n_tokens, n_types,
        CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS type_token_ratio,
-       ln(CAST(n_tokens AS DOUBLE)) - sum_clnc / CAST(n_tokens AS DOUBLE)
+       {oracle_dquant("ln(CAST(n_tokens AS DOUBLE)) - sum_clnc / CAST(n_tokens AS DOUBLE)")}
          AS entropy
 FROM per_doc"""
 
@@ -1062,13 +1073,16 @@ def collocations_pmi(
         .select(
             "bigram",
             "n",
-            F.log(
-                (F.col("n").cast("double") / F.col("n2"))
-                / (
-                    (F.col("ca").cast("double") / F.col("n1"))
-                    * (F.col("cb").cast("double") / F.col("n1"))
-                )
-            ).alias("pmi"),
+            dquant(
+                F.log(
+                    (F.col("n").cast("double") / F.col("n2"))
+                    / (
+                        (F.col("ca").cast("double") / F.col("n1"))
+                        * (F.col("cb").cast("double") / F.col("n1"))
+                    )
+                ),
+                "pmi",
+            ),
         )
     )
 
@@ -1093,8 +1107,7 @@ top AS (
   HAVING count(*) >= {min_count}
   ORDER BY n DESC, bigram LIMIT {k})
 SELECT bigram, n,
-       ln((CAST(n AS DOUBLE) / n2)
-          / ((CAST(ua.cw AS DOUBLE) / n1) * (CAST(ub.cw AS DOUBLE) / n1))) AS pmi
+       {oracle_dquant("ln((CAST(n AS DOUBLE) / n2) / ((CAST(ua.cw AS DOUBLE) / n1) * (CAST(ub.cw AS DOUBLE) / n1)))")} AS pmi
 FROM top
 JOIN uni ua ON ua.w = string_split(bigram, ' ')[1]
 JOIN uni ub ON ub.w = string_split(bigram, ' ')[2]
@@ -1168,8 +1181,10 @@ def corpus_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     signals = per_doc.where(F.col("n_bigrams") > 0).select(
         "doc_id",
-        (F.log(F.col("n_tok").cast("double")) - F.col("sum_clnc") / F.col("n_tok"))
-        .alias("entropy"),
+        dquant(
+            F.log(F.col("n_tok").cast("double")) - F.col("sum_clnc") / F.col("n_tok"),
+            "entropy",
+        ),
         F.when(
             F.col("n_bigrams") > 0,
             F.col("top_bg").cast("double") / F.col("n_bigrams"),
@@ -1360,7 +1375,10 @@ def bm25_topk(
     )
     if max_term_df is not None:
         df_ = df_.where(F.col("df") <= max_term_df)
-    idf = df_.join(F.broadcast(stats)).select("term", F.expr(_BM25_IDF).alias("idf"))
+    # idf is the one transcendental in the score: quantize it to 12 dp at
+    # the source (dquant) so the Math.log-vs-libm 1-ulp divergence never
+    # reaches the per-posting products
+    idf = df_.join(F.broadcast(stats)).select("term", dquant(F.expr(_BM25_IDF), "idf"))
     postings = (
         tf.join(dl, "doc_id")
         .join(F.broadcast(stats))
@@ -1402,14 +1420,14 @@ dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
 df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
 stats AS (SELECT count(*) AS n_docs,
                  CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
-idf AS (SELECT term, {_BM25_IDF} AS idf FROM df CROSS JOIN stats{cap}),
+idf AS (SELECT term, {oracle_dquant(_BM25_IDF)} AS idf FROM df CROSS JOIN stats{cap}),
 postings AS (
   SELECT tf.doc_id, tf.term, {_BM25_TFNORM} AS tfnorm
   FROM tf JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats),
 qt AS (SELECT doc_id AS query_id, term FROM tf WHERE doc_id % {BM25_QMOD} = 0),
 scored AS (
   SELECT query_id, p.doc_id, count(*) AS n_shared,
-         CAST(sum(CAST(idf * tfnorm AS DECIMAL(38,12))) AS DOUBLE) AS score
+         {oracle_dsum12("idf * tfnorm")} AS score
   FROM postings p
   JOIN qt USING (term)
   JOIN idf USING (term)

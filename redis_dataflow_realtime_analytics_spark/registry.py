@@ -434,10 +434,10 @@ q(
     "running_revenue_per_supplier",
     relational.running_revenue_per_supplier,
     f"""SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate,
-  CAST(SUM(CAST({_REV} AS DECIMAL(38,6))) OVER (
+  CAST(CAST(SUM(CAST({_REV} AS DECIMAL(38,6))) OVER (
     PARTITION BY l_suppkey
     ORDER BY l_shipdate, l_orderkey, l_linenumber, l_extendedprice, l_discount
-    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE)
     AS running_revenue
 FROM lineitem""",
 )
@@ -1180,6 +1180,24 @@ FROM documents d JOIN q ON q.doc_id = d.doc_id
 WHERE q.quality >= {text.GATE_MIN_QUALITY}
 GROUP BY 1""",
 )
+# Streaming decontamination gate: each shipment screened against the
+# static benchmark shingle set (broadcast semi-join + anti-join, no
+# state); output = accepted clean corpus docs, batch-parity oracle.
+def _stream_decontamination_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming import pipeline as sp
+
+    return sp.stream_decontamination_gate(spark, f"{sf_dir}/documents.parquet")
+
+
+q(
+    "stream_decontamination_gate",
+    _stream_decontamination_gate,
+    f"""WITH hits AS ({dedup.oracle_decontamination_hits()})
+SELECT doc_id, lang, source
+FROM documents
+WHERE doc_id % {dedup.DECON_MOD} <> 0
+  AND doc_id NOT IN (SELECT doc_id FROM hits)""",
+)
 q(
     "stream_store_uniques_per_variant",
     _stream_store_variant_uniques,
@@ -1469,10 +1487,10 @@ q(
     "q8_market_share",
     relational.q8_market_share,
     f"""SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
-  CAST(SUM(CASE WHEN n1.n_name = 'NATION_3'
+  CAST(CAST(SUM(CASE WHEN n1.n_name = 'NATION_3'
                 THEN CAST({_REV} AS DECIMAL(38,6))
-                ELSE CAST(0 AS DECIMAL(38,6)) END) AS DOUBLE)
-  / CAST(SUM(CAST({_REV} AS DECIMAL(38,6))) AS DOUBLE) AS mkt_share
+                ELSE CAST(0 AS DECIMAL(38,6)) END) AS VARCHAR) AS DOUBLE)
+  / CAST(CAST(SUM(CAST({_REV} AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS mkt_share
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
 JOIN orders ON l_orderkey = o_orderkey
@@ -1537,9 +1555,9 @@ q(
     "q14_promo_revenue",
     relational.q14_promo_revenue,
     f"""SELECT 100.0
-  * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN CAST({_REV} AS DECIMAL(38,6))
-             ELSE CAST(0 AS DECIMAL(38,6)) END) AS DOUBLE)
-  / CAST(SUM(CAST({_REV} AS DECIMAL(38,6))) AS DOUBLE) AS promo_revenue
+  * CAST(CAST(SUM(CASE WHEN p_type = 'PROMO' THEN CAST({_REV} AS DECIMAL(38,6))
+             ELSE CAST(0 AS DECIMAL(38,6)) END) AS VARCHAR) AS DOUBLE)
+  / CAST(CAST(SUM(CAST({_REV} AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS promo_revenue
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE l_shipdate >= TIMESTAMP '1997-03-01' AND l_shipdate < TIMESTAMP '1997-04-01'""",
 )
@@ -1620,7 +1638,7 @@ q(
   GROUP BY 1)
 SELECT l_partkey, part_value
 FROM pv
-WHERE part_value > (SELECT CAST(SUM(CAST(part_value AS DECIMAL(38,6))) AS DOUBLE) * 0.001 FROM pv)
+WHERE part_value > (SELECT CAST(CAST(SUM(CAST(part_value AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) * 0.001 FROM pv)
 ORDER BY part_value DESC, l_partkey""",
 )
 q(
@@ -1828,6 +1846,14 @@ SELECT doc_id, lang, shard, n_tokens,
          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 512.0) AS BIGINT)
          AS pack_id
 FROM t""",
+)
+
+# Boundary-respecting next-fit packing: hard-capacity bins, docs never
+# straddle; applyInPandas walk hash-gated by a recursive-CTE oracle.
+q(
+    "pack_documents_boundary",
+    sampling.pack_documents_boundary,
+    sampling.oracle_pack_boundary(),
 )
 
 # ---------------------------------------------------------------------------
@@ -2167,6 +2193,14 @@ q(
     similarity.ann_ivf_exact_topk,
     similarity.oracle_ann_ivf_exact().format(norms=_ORACLE_NORMS),
 )
+# Serving-path twin: the same IVF query arithmetic over the train-once
+# PERSISTED codebook parquet (bit-identical state, so the same oracle
+# gates it); the measured cost is assignment + probe + bucket join only.
+q(
+    "ann_ivf_persisted_topk",
+    similarity.ann_ivf_persisted_topk,
+    similarity.oracle_ann_ivf_exact().format(norms=_ORACLE_NORMS),
+)
 # Retrieval-QA report: sparse (BM25 shingle) vs dense (exact cosine)
 # top-k agreement per shared query — overlap + Jaccard; both inputs are
 # SQL-oracled operators and the report is integer set arithmetic, so the
@@ -2260,10 +2294,10 @@ q(
     relational.price_moments_by_flag,
     """WITH a AS (
   SELECT l_returnflag, count(*) AS n,
-         CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sx,
-         CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(38,6))
-                       * CAST(l_extendedprice AS DECIMAL(38,6)) AS DECIMAL(38,6)))
-              AS DOUBLE) AS sxx
+         CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS sx,
+         CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(38,6))
+                            * CAST(l_extendedprice AS DECIMAL(38,6)) AS DECIMAL(38,6)))
+                 AS VARCHAR) AS DOUBLE) AS sxx
   FROM lineitem GROUP BY 1)
 SELECT l_returnflag, n, sx / n AS mean_price,
        sqrt(sxx / n - (sx / n) * (sx / n)) AS stddev_pop_price
@@ -2546,279 +2580,97 @@ q(
 
 
 # ---------------------------------------------------------------------------
-# Key ordering. The driver's correctness gate walks ``queries()`` in
-# insertion order under a bounded budget (~50 keys per round). After r3,
-# every SQL-oracled key has been externally checked at least once (109/112
-# ever-green). Round-4 window policy, in order:
-#   1. The three r3 red rows, now fixed at the registration layer
-#      (hashable projections + oracle BIGINT cast).
-#   2. Keys NEW this round (the P5 grayscale codec).
-#   3. RE-CHECKS: keys whose last green row predates their operator file's
-#      last source change — r3 touched dedup/text/sampling/similarity/
-#      sessions/timeseries/relational/streaming-pipeline and normalized the
-#      events ts type at the source (87376d6), r4 touched events.py and
-#      similarity.py — ranked by how substantively the file changed. The
-#      stale pool (~63 keys) exceeds the window; the remainder (mostly
-#      relational keys, where the r3 change was a perf-only input-split
-#      spread) rotates through in r5.
-# Rows-only keys are excluded from the window entirely: the driver can
-# only record `err: no_oracle` for them (r3 lesson — a wasted slot);
-# their gates are the recall/determinism/error-band pytest suites.
-# This rotation reorders and adds the r4 keys (sections 2–2e below: the
-# gray/audio/video/BMP codecs, decontamination + bloom twin, span dedup,
-# int8 ANN, repetition filters, weighted/temperature/length-clip sampling,
-# stream-static enrichment, star-rounds CC); every PRE-EXISTING
-# (query, oracle) pairing is unchanged — new keys add pairings.
-# R5 POOL (stale keys that did not fit this window — rotate them in next
-# round, plus anything whose source changes in r5): the remaining
-# relational re-checks (q2/q3/q4/q5/q6/q13, cube/rollup/pivot/unpivot,
-# set-op keys, top_orders_per_customer, running_revenue_per_supplier,
-# top_orders_by_value, user_event_features, monthly_order_revenue,
-# order_scalar_projections, priciest_parts_per_brand,
-# returnflag_discount_profile, customers_with/without_orders,
-# customer_keys_*, active_entity_keys_union), the re-checks rotated out
-# late-r4 to fit the new keys (w5/w7/w9, q18, q21, r2/r4 timeseries,
-# ev_cube_uniques, text_normalize_mask, r1_time_axis,
-# r2_visits_timeseries_last10, sliding_visits), and the r1-green
-# text_quality_score twin keys if text.py changes again.
-# ALSO rotated out during the r4 continuation sessions (each with its
-# replacement coverage noted inline below; all were green when rotated,
-# every r4-session key was verified green at BOTH sf0.01 and sf0.1 by
-# scripts/driver_check.py before rotation): text_token_stats,
-# dedup_ngram_jaccard_pairs, sample_documents_hash,
-# similar_documents_report, ev_grouping_sets_uniques, chunk_documents,
-# w3/w11_uniques, r5_variant_overlap, stream_deduped_visits,
-# stream_stateful_uniques_per_variant, dedup_exact_groups,
-# train_corpus_pipeline, ann_topk_bruteforce, text_tfidf_top_terms,
-# pack_documents_512. Start the r5 window with these + the paragraph
-# above, front-loading whatever r5 changes first.
-# OVERFLOW QUEUE (never-green, behind the full 50-key window; every one
-# was verified green at BOTH sf0.01 and sf0.1 by scripts/driver_check.py
-# when added): stream_ivf_assign, dedup_graph_triangles, text_bm25_topk,
-# quality_calibrated_by_source, ann_topk_hamming, ann_hamming_rerank_topk,
-# ann_topk_pq, retrieval_eval_report, hybrid_rrf_topk,
-# dedup_cross_source_matrix, events_zorder_layout,
-# corpus_leakage_free_split, dedup_containment_pairs,
-# text_hashed_features, stream_postings_ingest, text_bm25_topk_capped,
-# kmeans_exact_centroids, ann_ivf_exact_topk,
-# embedding_top_component_exact. These are FIRST in
-# line for r5 window slots —
-# they have no external row yet.
+# Driver-window policy (current; rotation HISTORY lives in COVERAGE.md
+# under "Driver-window rotation log"). The driver's correctness gate
+# walks ``queries()`` in insertion order under a ~50-key budget, so
+# ``_PRIORITY`` below IS the round's external-check window. Ordering
+# rules, in priority order:
+#   1. Any key red in the previous round, now fixed.
+#   2. Keys whose (query, oracle) pairing changed this round — a green
+#     row must postdate the change.
+#   3. Never-checked oracled keys (the overflow queue).
+#   4. Re-checks whose last green predates their operator file's last
+#     source change, oldest staleness first.
+# Rows-only keys never take a slot (the driver can only record
+# ``no_oracle`` for them); their gates are the recall/determinism/
+# error-band pytest suites. Keys that do not fit rotate to the next
+# round's pool — every rotation is logged in COVERAGE.md with the key
+# that carries its coverage in the meantime.
 # ---------------------------------------------------------------------------
 _PRIORITY = [
-    # --- 1. fixed this round (r3's three red rows) ---
-    "corpus_mix_report",
-    "multimodal_decode_features",
-    "multimodal_resize",
-    # --- 2. new this round: P5 graymap + WAV audio codecs, decontamination ---
-    "multimodal_decode_gray",
-    "multimodal_decode_audio",
-    "multimodal_resample_audio",
-    "multimodal_sample_video_frames",
-    "dedup_decontamination",
-    # --- 2b. new this session: repetition filters, span dedup, int8 ANN ---
-    "text_repetition_signals",
-    "dedup_duplicate_spans",
-    "ann_topk_int8",
-    # --- 2c. new this session (cont.): bloom-pruned decontamination,
-    # weighted sampling, temperature mixture, stream-static enrichment.
-    # (To stay under the 50-key cap, four re-checks whose code paths are
-    # already covered by keys that remain in the window rotated to the r5
-    # pool: w5/w7/w9 — the same _ev read + groupBy shape as the retained
-    # w1/w2/w3/w11 legs — and q18, whose relational.py change was
-    # perf-only and is covered by the retained q1/q21 heavy scans.)
-    "dedup_decontamination_bloom",
-    "sample_documents_weighted",
-    "corpus_temperature_mix",
-    "stream_enriched_events",
-    # --- 2d. new this session (cont. 2): star-rounds CC, per-language
-    # weighted sampling, derived-threshold length gate. Rotated to the r5
-    # pool in exchange: r2_visits_timeseries + r4_experiments_timeseries
-    # (the r3-green r2b/r4b twins cover the identical axis/read path) and
-    # ev_cube_uniques (ev_grouping_sets_uniques remains — same multi-grain
-    # shape over the same _ev read).
-    "dedup_connected_components_star",
-    "sample_weighted_per_language",
-    "corpus_length_clip",
-    # --- 2e. new this session (cont. 3): BMP codec (little-endian header,
-    # bottom-up rows, stride padding). Rotated out in exchange:
-    # text_normalize_mask (text.py coverage stays via the six other text
-    # keys in the window).
-    "multimodal_decode_bmp",
-    # --- 2f. new this session (cont. 4): embedding outlier gate (integer
-    # centroid-sum cosine). Rotated out: q21_suppliers_kept_waiting
-    # (relational.py's r3 change was perf-only; q1 remains as the
-    # heavy-scan re-check).
-    "embedding_outlier_scores",
-    # --- 2g. new this session (cont. 5): one-pass table profile. Rotated
-    # out: w2_uniques_per_experiment_variant_minute (the events.py re-check
-    # duty is already carried by w1/w3/w4/w11 and six stream keys in the
-    # window; w2's own oracle has been green since r1/r2).
-    "profile_documents",
-    # --- 2h. new this session (cont. 6): reproducible split + overlap
-    # chunking. Rotated out: stream_sliding_visits (pipeline.py re-check
-    # duty stays with five other stream keys) and text_quality_score
-    # (text.py re-check duty stays with token_stats/fingerprints/lang_id/
-    # tfidf).
-    "corpus_train_val_test_split",
-    "chunk_documents_overlap",
-    # --- 2i. new this session (cont. 7): bigram-LM quality scorer.
-    # Rotated out: user_sessions (sessions.py re-check duty stays with
-    # stream_user_sessions, which exercises the same session_window).
-    "text_bigram_logprob_scores",
-    # --- 2j. new this session (cont. 8): centroid pairwise cosine,
-    # source-vocabulary Jaccard, per-source Zipf fit. Rotated to the r5
-    # pool in exchange: text_fingerprints (text.py re-check duty stays
-    # with token_stats/lang_id/tfidf plus the two new text keys, which
-    # exercise the same shared tokenization), w3_uniques_per_variant_salted
-    # (the unsalted w3 leg stays — same read + agg path, the salt is
-    # plan-shape only), and stream_uniques_per_ev_minute (pipeline.py
-    # re-check duty stays with four other stream keys in the window).
-    "embedding_centroid_cosines",
-    "vocab_overlap_sources",
-    "zipf_slope_by_source",
-    # --- 2k. new this session (cont. 9): left-outer watermarked interval
-    # join (heartbeat-flushed replay). Rotated out: w4_user_sets_per_variant
-    # (metrics.py re-check duty stays with w1/w3/w11; w4's collect_set leg
-    # has been green since r2 and metrics.py is unchanged this round).
-    "stream_click_error_left_join",
-    # --- 2l. new this session (cont. 10): lexical-diversity gates
-    # (token entropy + TTR, sentence stats), per-dimension embedding
-    # profile, dedup cluster-size histogram, per-source length deciles.
-    # Rotated to the r5 pool in exchange, coverage carried as noted:
-    # text_token_stats (same trim/lower/split tokenization re-exercised by
-    # text_token_entropy), dedup_ngram_jaccard_pairs (re-run transitively
-    # inside dedup_cluster_size_histogram's component chain),
-    # sample_documents_hash (the md5-threshold draw is the first stage of
-    # train_corpus_pipeline, which stays), similar_documents_report
-    # (composition of ann_topk_bruteforce — which stays — plus a plain
-    # broadcast join), and ev_grouping_sets_uniques (the events.py
-    # re-check duty stays with w1/w3/w11 + four stream keys).
+    # --- 1. the r4 red row, fixed (final-entropy dquant, both sides) ---
     "text_token_entropy",
-    "text_sentence_stats",
-    "embedding_dim_stats",
-    "dedup_cluster_size_histogram",
-    "corpus_length_deciles",
-    # --- 2m. cohort-retention matrix over the event stream. Rotated out
-    # in exchange: chunk_documents (the same splitter is re-exercised by
-    # chunk_documents_overlap, which stays in section 2h).
-    "user_retention_cohorts",
-    # --- 2n. collocation PMI + assembled quality gate. Rotated out in
-    # exchange: w3_uniques_per_variant and w11_uniques_per_minute —
-    # metrics.py is unchanged since their r1/r2 green rows; their only r4
-    # re-check duty was the events.py read path, which w1 (kept) and four
-    # stream keys already carry.
-    "text_collocations_pmi",
+    # --- 2. shares the changed entropy expression + oracle CTE ---
     "corpus_quality_gate",
-    # --- 2o. streaming quality prefilter (stateless ingest-path filter).
-    # Rotated out in exchange: stream_deduped_visits — pipeline.py re-check
-    # duty stays with stream_visits_per_minute, stream_user_sessions,
-    # stream_stateful_uniques_per_variant plus the five r4-new stream keys
-    # in sections 2c/2e/2k/2o; its dropDuplicatesWithinWatermark leg has
-    # been green since r1/r2 and is untouched this round.
-    "stream_quality_filtered_docs",
-    # --- 2p. lang-ID confusion matrix (classifier-eval report). Rotated
-    # out in exchange: ann_topk_bruteforce — similarity.py's r4 changes
-    # (seed-init guard, power-iteration addition) do not touch the ANN
-    # scoring path, and embedding_dim_stats + embedding_outlier_scores +
-    # embedding_centroid_cosines in the window all exercise the same
-    # quantize/load path; its own key has been green since r1.
-    "lang_confusion_matrix",
-    # --- 2q. semantic duplicate clusters + curated-corpus pipeline.
-    # Rotated out in exchange: dedup_exact_groups (the md5-groupBy dedup
-    # path is re-exercised INSIDE corpus_curated_pipeline, and dedup.py's
-    # re-check duty is carried by dedup_cluster_size_histogram's full
-    # chain) and train_corpus_pipeline (a strict subset of the curated
-    # pipeline's shape — cheap filters + the same one-shuffle dedup).
-    "dedup_semantic_components",
-    "corpus_curated_pipeline",
-    # --- 2r. streaming incremental-dedup ingest (foreachBatch index
-    # store). Rotated out in exchange: stream_stateful_uniques_per_variant
-    # — stateful.py is untouched since its r3 green row; the
-    # applyInPandasWithState path keeps its pytest parity gate, and
-    # pipeline.py's re-check duty is carried by the six stream keys
-    # remaining in the window.
-    "stream_ingest_dedup",
-    # --- 2s. day-of-week × hour activity heatmap. Rotated out in
-    # exchange: r5_variant_overlap — timeseries.py is unchanged since its
-    # r1/r2 green rows beyond the r3 ts normalization that
-    # r3_users_timeseries (kept) re-checks on the same read path.
-    "events_activity_heatmap",
-    # --- 2t. ann_ivf_topk converted rows-only → SQL-oracled (the IVF
-    # plan is deterministic end to end, so assignment/probing/top-k are
-    # now hash-gated, not just recall-tested). Rotated out in exchange:
-    # text_tfidf_top_terms — text.py's re-check duty is carried by the
-    # eight other text keys in the window sharing the same tokenization.
-    "ann_ivf_topk",
-    # --- 2u. fused streaming curated ingest (quality gate + incremental
-    # dedup in one foreachBatch). Rotated out in exchange:
-    # pack_documents_512 — sampling.py's re-check duty is carried by the
-    # eight sampling keys in the window; the pack path itself is
-    # unchanged since its r1/r2 green rows.
-    "stream_curated_ingest",
-    # --- 2v. order-insensitive (bag-of-words) exact dedup. Rotated out
-    # in exchange: text_lang_id — lang_confusion_matrix (kept, section
-    # 2p) RUNS lang_id inside it and its oracle embeds oracle_lang_id as
-    # a CTE, so a green confusion row transitively re-checks the lang-ID
-    # path end to end.
-    "dedup_bow_groups",
-    # --- 2w. quality-canonical keep-best-per-cluster (representative
-    # selection). Rotated out in exchange: w1_visits_per_minute —
-    # metrics.py is unchanged since its r1/r2 green rows, and the batch
-    # events read path it re-checked is carried by user_retention_cohorts
-    # (2m) + events_activity_heatmap (2s), which read through the same
-    # loader; keep_best itself transitively re-runs the full
-    # shingle → Jaccard pairs → components chain plus the quality
-    # projection, reinforcing the dedup.py/text.py coverage in-window.
-    "dedup_keep_best_per_cluster",
-    # --- 2x. exact support-threshold heavy hitters HH(φ) — the SQL-oracled
-    # twin of the new count-min sketch leg; also carries the events.py
-    # batch read re-check duty (reads through _ev). Rotated out in
-    # exchange: stream_visits_per_minute — its operator is unchanged since
-    # its r1/r2 green rows and pipeline.py + the stream read path are
-    # re-checked by the five r4-new stream keys in sections 2c/2k/2o/2r/2u
-    # plus stream_user_sessions.
-    "events_heavy_hitter_users",
-    # --- 2y. join/agg-key skew diagnostic + CDC latest-wins corpus upsert.
-    # Rotated out in exchange: r3_users_timeseries (timeseries.py's r3 ts
-    # normalization is re-checked by the r3-green r2b/r4b twins on the
-    # same read + axis path; the count_distinct leg's operator code is
-    # unchanged since its r1/r2 green rows) and stream_user_sessions
-    # (green since r2; sessions.py's r4 additions are gated in-window by
-    # user_retention_cohorts + events_activity_heatmap, and the streaming
-    # session-window leg keeps its stream/batch-parity pytest gate).
-    "events_key_skew_profile",
-    "corpus_apply_updates",
-    # --- 2z. PageRank centrality over the near-dup graph (decimal-stable
-    # float fixpoint, SQL-oracled via unrolled CTE iterations). Rotated
-    # out in exchange: q1_pricing_summary — the last ever-green re-check
-    # in the window; relational.py's only changes since its r1-r3 green
-    # rows were perf-only (input-split spread), and the relational family
-    # keeps its 20-key pytest compare gate + the r5 rotation pool.
+    # --- 3. the 19-key overflow queue: oracled + builder-verified at
+    # sf0.01 AND sf0.1, never externally checked (r4 verdict item 3) ---
+    "ann_hamming_rerank_topk",
+    "ann_ivf_exact_topk",
+    "ann_topk_hamming",
+    "ann_topk_pq",
+    "corpus_leakage_free_split",
+    "dedup_containment_pairs",
+    "dedup_cross_source_matrix",
+    "dedup_graph_triangles",
+    "embedding_top_component_exact",
+    "events_zorder_layout",
+    "hybrid_rrf_topk",
+    "kmeans_exact_centroids",
+    "quality_calibrated_by_source",
+    "retrieval_eval_report",
+    "stream_ivf_assign",
+    "stream_postings_ingest",
+    "text_bm25_topk",
+    "text_bm25_topk_capped",
+    "text_hashed_features",
+    # --- 3b. NEW this round: the persisted-codebook IVF serving path
+    # (bit-identical to ann_ivf_exact_topk, same oracle) and the
+    # boundary-respecting next-fit packer (recursive-CTE oracle) ---
+    "ann_ivf_persisted_topk",
+    "pack_documents_boundary",
+    "stream_decontamination_gate",
+    # --- 4. r5 determinism-sweep re-checks: engines/oracles touched by
+    # the bit-faithful decimal-cast migration (functions/numeric.py r5
+    # notes) — every one re-verified bit-exact at sf0.01 by the builder,
+    # but the pairing changed, so the external row must be refreshed ---
+    "text_unigram_logprob_scores",
+    "text_bigram_logprob_scores",
+    "text_tfidf_top_terms",
+    "zipf_slope_by_source",
+    "text_collocations_pmi",
+    "corpus_temperature_mix",
     "dedup_pagerank_centrality",
-    # --- 3. re-checks: last green predates operator source change ---
-    # (To fit 2b under the 50-key cap, three ever-green re-checks with
-    # redundant r3 coverage were rotated to the r5 pool: r1_time_axis and
-    # r2_visits_timeseries_last10 — the same axis/read path as the r3-green
-    # r2b/r4b twins — and sliding_visits, whose streaming twin
-    # stream_sliding_visits stays below.)
-    # dedup.py re-check duty carried by dedup_cluster_size_histogram (2l)
-    # text.py re-check duty carried by the in-window text keys (2l-2p)
-    # sampling.py changed in r3 (exact-k stratum sampling added)
-    # similarity.py r4 changes are covered by the embedding_* keys above
-    # timeseries.py r3 change re-checked by the r3-green r2b/r4b twins
-    # (r3_users_timeseries rotated out, see 2y)
-    # streaming/pipeline.py changed in r3 (state-partition sizing) and all
-    # stream keys read through events.py, whose ts probing changed in r3+r4
-    # — re-check duty carried by the six r4-new stream keys in-window
-    # (stream_visits_per_minute rotated out in 2x, stream_user_sessions
-    # in 2y).
-    # metrics legs read through events.py (ts normalized at source in r3,
-    # probe-cache keying changed in r4) — duty carried by
-    # user_retention_cohorts + events_activity_heatmap (same batch loader)
-    # and the stream keys (stream read path); see 2w for the w1 rotation.
-    # relational.py r3 change was perf-only (input-split spread); its
-    # re-check rotates through the r5 pool (q1 rotated out in 2z)
+    # --- 5. oracle_dsum/davg varchar-routing re-checks, doubling as the
+    # r5-pool relational rotation (their r3 input-split change was
+    # perf-only; the r5 oracle change is value-identical below the 2^53
+    # unscaled threshold, builder-verified bit-exact on the five
+    # heaviest) ---
+    "q1_pricing_summary",
+    "q2_best_supplier_per_part",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q8_market_share",
+    "q9_product_profit",
+    # (q10_returned_items rotated to the r6 pool for the 3b slot: its
+    # oracle_dsum re-check duty is carried by the 16 relational keys
+    # below sharing the identical varchar-routed sum idiom)
+    "q11_important_part_values",
+    # (q13_customer_distribution rotated to the r6 pool for the third
+    # 3b slot — same carrying coverage as q10/q17 above)
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    # (q17_small_quantity_revenue rotated to the r6 pool for the second
+    # 3b slot — same carrying coverage as q10 above)
+    "q18_large_volume_customers",
+    "q20_heavy_part_suppliers",
+    "q22_dormant_customers",
+    "cube_quantity_by_flag_status",
+    "monthly_order_revenue",
+    "running_revenue_per_supplier",
+    "price_moments_by_flag",
+    "rolling_week_user_value",
 ]
 
 

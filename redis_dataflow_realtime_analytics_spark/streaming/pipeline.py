@@ -575,7 +575,7 @@ def _heartbeat_replay_dir(events_path: str, n_chunks: int = 3) -> str:
 
 
 def stream_click_error_left_join(
-    spark: SparkSession, events_path: str, max_files_per_trigger: int = 1
+    spark: SparkSession, events_path: str, max_files_per_trigger: int = 2
 ) -> DataFrame:
     """Watermarked stream-stream LEFT OUTER interval join: every click
     paired with each error by the same user within the 5 minutes after it,
@@ -594,6 +594,17 @@ def stream_click_error_left_join(
 
     Oracle: the identical batch LEFT JOIN — stream/batch parity for the
     outer interval-join semantics.
+
+    ``max_files_per_trigger=2`` (r5): with the 5-file replay (3 data
+    chunks + 2 heartbeats) this schedules 3 micro-batches —
+    [c0,c1], [c2,hb0], [hb1] — instead of 5. Mid-replay watermark
+    advancement and the heartbeat-flush eviction are both still
+    exercised (hb0's watermark is computed at the end of batch 2 and
+    applied in batch 3, whose hb1 row triggers the final eviction), and
+    the output is byte-identical; the r4 bench showed ~2.4× of the inner
+    twin's wall time was pure per-micro-batch harness overhead at
+    mFPT=1 (r4 verdict item 6). The 30 M-event soak keeps mFPT=1 for
+    the long-replay state-drain evidence.
     """
     replay_dir = _heartbeat_replay_dir(events_path)
     ev = normalize_events(
@@ -776,6 +787,76 @@ def stream_ingest_dedup(
     )
     q.awaitTermination()
     return spark.read.parquet(index_dir)
+
+
+def stream_decontamination_gate(
+    spark: SparkSession, docs_path: str, n_chunks: int = 3
+) -> DataFrame:
+    """Streaming decontamination at ingest: each documents shipment is
+    checked against the held-out benchmark's k-token shingle set and only
+    CLEAN corpus documents flow through — eval-leakage screening moved
+    from a corpus-wide batch rescan (``dedup.decontamination_hits``) to
+    the arrival path, where it runs once per document forever.
+
+    The benchmark shingle set (the ``doc_id % DECON_MOD == 0`` slice,
+    deterministic stand-in for an external eval suite) is built ONCE from
+    the static side and reused by every micro-batch — the stream-static
+    asymmetry that makes this shape scale: eval suites are MBs, shipments
+    are bounded, and the per-batch cost is explode + one broadcast
+    semi-join + one anti-join, no state store and no watermark. At 100 TB
+    the same plan holds with the Bloom-pruned probe
+    (``decontamination_hits_bloom``) in front of the string join.
+
+    Output: (doc_id, lang, source) for every accepted (clean, non-
+    benchmark) document.
+
+    Oracle: the batch anti-join — corpus slice minus
+    ``oracle_decontamination_hits`` — exact stream/batch parity because
+    the filter is stateless per document.
+    """
+    import tempfile
+    import uuid
+
+    from ..operators.dedup import DECON_K, DECON_MOD, _shingle_array
+
+    replay = _chunked_docs_replay_dir(docs_path, n_chunks)
+    schema = spark.read.parquet(docs_path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(replay)
+    )
+    bench_sh = (
+        spark.read.parquet(docs_path)
+        .where(F.col("doc_id") % DECON_MOD == 0)
+        .select(F.explode(_shingle_array(DECON_K)).alias("shingle"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    out_dir = os.path.join(
+        tempfile.gettempdir(), f"decon_clean_{uuid.uuid4().hex[:12]}"
+    )
+
+    def ingest(batch: DataFrame, _batch_id: int) -> None:
+        corpus = batch.where(F.col("doc_id") % DECON_MOD != 0)
+        sh = corpus.select("doc_id", F.explode(_shingle_array(DECON_K)).alias("shingle"))
+        contaminated = (
+            sh.join(F.broadcast(bench_sh), "shingle", "left_semi")
+            .select("doc_id")
+            .distinct()
+        )
+        corpus.join(contaminated, "doc_id", "left_anti").select(
+            "doc_id", "lang", "source"
+        ).write.mode("append").parquet(out_dir)
+
+    q = (
+        stream.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", f"{out_dir}_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir)
 
 
 def stream_curated_ingest(

@@ -33,7 +33,10 @@ def _load(path: Path) -> dict[str, float]:
     rec = json.loads(path.read_text())
     # driver artifacts wrap the bench line in {"parsed": {...}}; bench.py
     # itself emits the flat {"queries": {...}} line
-    parsed = rec.get("parsed", rec)
+    # `or rec` also covers {"parsed": null} (the truncated-r4 artifact)
+    parsed = rec.get("parsed") or rec
+    if "queries" not in parsed:
+        raise SystemExit(f"{path}: no usable bench record (parsed=null and no flat line)")
     return parsed["queries"]
 
 

@@ -239,3 +239,35 @@ def test_overlap_chunks_cover_text_with_stride_overlap(spark):
         if len(chunks) > 1:
             # genuine overlap between consecutive chunks
             assert chunks[0].chunk_len == width
+
+
+def test_pack_boundary_hard_capacity(spark):
+    """Boundary packer: no multi-doc pack exceeds the capacity, oversize
+    docs sit alone in their pack, and pack ids are dense within each
+    (lang, shard) stream."""
+    from redis_dataflow_realtime_analytics_spark.operators import sampling
+
+    cap = 512
+    rows = sampling.pack_documents_boundary(spark, SF_SMOKE, max_tokens=cap).collect()
+    assert rows
+    packs = {}
+    for r in rows:
+        packs.setdefault((r.lang, r.shard, r.pack_id), []).append(r)
+    for members in packs.values():
+        total = sum(m.n_tokens for m in members)
+        if len(members) > 1:
+            assert total <= cap
+        if any(m.oversize for m in members):
+            assert len(members) == 1
+    for (lang, shard) in {(r.lang, r.shard) for r in rows}:
+        ids = sorted(p[2] for p in packs if p[0] == lang and p[1] == shard)
+        assert ids == list(range(len(ids)))
+
+
+def test_pack_boundary_deterministic_under_repartition(spark):
+    from redis_dataflow_realtime_analytics_spark.operators import sampling
+
+    a = {r.doc_id: r.pack_id for r in sampling.pack_documents_boundary(spark, SF_SMOKE).collect()}
+    df2 = sampling.pack_documents_boundary(spark, SF_SMOKE)
+    b = {r.doc_id: r.pack_id for r in df2.repartition(7).collect()}
+    assert a == b

@@ -173,3 +173,29 @@ def test_outlier_scores_cluster_members_score_high(spark):
     again = {r.vec_id: r.cos_centroid for r in out.collect()}
     for r in rows:
         assert again[r.vec_id] == r.cos_centroid
+
+
+def test_persisted_ivf_matches_train_inline(spark):
+    """The persisted-codebook serving path must be bit-identical to the
+    train-inline variant (the exact-k-means state is deterministic, so a
+    parquet round-trip of it cannot change any downstream value)."""
+    inline = similarity.ann_ivf_exact_topk(spark, SF_SMOKE).collect()
+    persisted = similarity.ann_ivf_persisted_topk(spark, SF_SMOKE).collect()
+    key = lambda r: (r.query_id, r.rank)
+    a = {key(r): (r.neighbor_id, r.cosine) for r in inline}
+    b = {key(r): (r.neighbor_id, r.cosine) for r in persisted}
+    assert a == b and len(a) > 0
+
+
+def test_persisted_codebook_artifact_reused(spark):
+    """Second call must read the parquet artifact, not retrain: the cache
+    maps the fixture key to one path and the directory's _SUCCESS marker
+    survives."""
+    import os
+
+    similarity.ann_ivf_persisted_topk(spark, SF_SMOKE).count()
+    n_before = len(similarity._CODEBOOK_CACHE)
+    similarity.ann_ivf_persisted_topk(spark, SF_SMOKE).count()
+    assert len(similarity._CODEBOOK_CACHE) == n_before
+    for path in similarity._CODEBOOK_CACHE.values():
+        assert os.path.isfile(os.path.join(path, "_SUCCESS"))

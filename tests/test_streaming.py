@@ -192,3 +192,25 @@ def test_stream_left_outer_join_matches_batch_twin(spark):
     for r in rows:
         if r.error_id is None:
             assert r.error_ts is None and r.gap_us is None
+
+
+def test_stream_decontamination_gate_matches_batch(spark):
+    """The streaming gate must accept exactly the batch anti-join's clean
+    corpus set: stateless per-document filtering means batching cannot
+    change the verdict."""
+    from redis_dataflow_realtime_analytics_spark.operators import dedup
+    from redis_dataflow_realtime_analytics_spark.streaming import pipeline as sp
+    import pyspark.sql.functions as F
+
+    docs_path = f"{SF_SMOKE}/documents.parquet"
+    accepted = {r.doc_id for r in sp.stream_decontamination_gate(spark, docs_path).collect()}
+    contaminated = {r.doc_id for r in dedup.decontamination_hits(spark, SF_SMOKE).collect()}
+    corpus = {
+        r.doc_id
+        for r in spark.read.parquet(docs_path)
+        .where(F.col("doc_id") % dedup.DECON_MOD != 0)
+        .select("doc_id")
+        .collect()
+    }
+    assert accepted == corpus - contaminated
+    assert accepted  # non-degenerate
