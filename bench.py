@@ -122,6 +122,7 @@ HEADLINE = [
     "ann_ivf_persisted_topk",
     "pack_documents_boundary",
     "stream_decontamination_gate",
+    "dedup_kcore_membership",
     "embedding_top_component_exact",
 ]
 

@@ -1223,6 +1223,92 @@ def neardup_pagerank(
     return rank.select("doc_id", "rank")
 
 
+def kcore_membership(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 2,
+    rounds: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """k-core membership of the near-duplicate graph: iteratively peel
+    nodes whose degree (among survivors) is below ``k`` — the standard
+    graph-density diagnostic for duplicate clusters (a 2-core separates
+    genuinely interconnected variant families from incidental pairwise
+    matches that :func:`connected_components` lumps together; the core
+    is where canonical-selection effort actually pays).
+
+    ``rounds`` fixed peels instead of an until-fixpoint loop so the
+    computation is finite and SQL-oracled — the fixpoint is reached
+    within ``rounds`` at fixture scale (asserted in tests, the same
+    convention as the star-rounds CC); each peel can only remove nodes,
+    so extra rounds are no-ops once stable. All state is integer
+    (degrees, ids) — no float discipline needed.
+
+    Plan per round: one degree aggregation + two left-semi joins
+    restricting the edge list to surviving endpoints — all shuffles
+    keyed by uniform int64 doc ids, map-side partial counts;
+    ``localCheckpoint`` per round truncates lineage exactly like the CC
+    loop (`connected_components`, same cluster-mode caveat). At 100 TB
+    the peel is the cheap direction: each round strictly shrinks the
+    edge list, and near-dup graphs are overwhelmingly low-degree, so
+    round 1 usually removes most of the graph.
+
+    Output: (doc_id, core_deg) — nodes in the k-core with their
+    within-core degree.
+    """
+    edges = ngram_jaccard_pairs(spark, sf_dir, threshold=threshold)
+    sym = (
+        edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(rounds):
+        keep = (
+            sym.groupBy("src")
+            .agg(F.count("*").alias("deg"))
+            .where(F.col("deg") >= k)
+            .select("src")
+        )
+        sym = (
+            sym.join(keep, "src", "left_semi")
+            .join(keep.select(F.col("src").alias("dst")), "dst", "left_semi")
+            .select("src", "dst")
+            .localCheckpoint(eager=True)
+        )
+    return (
+        sym.groupBy("src")
+        .agg(F.count("*").alias("core_deg"))
+        .select(F.col("src").alias("doc_id"), "core_deg")
+    )
+
+
+def oracle_kcore_membership(pairs_sql: str, k: int = 2, rounds: int = 4) -> str:
+    """DuckDB twin of :func:`kcore_membership` — the same peels unrolled
+    as chained CTEs over the symmetric edge list."""
+    # every e{i} is consumed twice (by s{i+1} and e{i+1}) — MATERIALIZED,
+    # or DuckDB inlines the chain and re-evaluates the pairs CTE 2^rounds
+    # times (the same trap the power-iteration oracle documents)
+    ctes = [
+        f"""pr AS MATERIALIZED ({pairs_sql}),
+e0 AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM pr
+       UNION ALL SELECT doc_b, doc_a FROM pr)"""
+    ]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        ctes.append(
+            f"""s{i} AS MATERIALIZED (SELECT src FROM e{p} GROUP BY src
+         HAVING count(*) >= {k}),
+e{i} AS MATERIALIZED (SELECT e.src, e.dst FROM e{p} e
+         JOIN s{i} a ON a.src = e.src
+         JOIN s{i} b ON b.src = e.dst)"""
+        )
+    body = ",\n".join(ctes)
+    return (
+        f"WITH {body}\n"
+        f"SELECT src AS doc_id, count(*) AS core_deg FROM e{rounds} GROUP BY src"
+    )
+
+
 def oracle_neardup_pagerank(
     pairs_sql: str, iters: int = 5, damping: float = 0.85
 ) -> str:

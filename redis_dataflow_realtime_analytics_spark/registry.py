@@ -2080,6 +2080,13 @@ q(
     dedup.neardup_pagerank,
     dedup.oracle_neardup_pagerank(dedup.oracle_ngram_jaccard_pairs(0.5)),
 )
+# k-core of the near-dup graph: iterative degree peel, integer state
+# only, fixed rounds unrolled in the oracle (fixpoint asserted in tests).
+q(
+    "dedup_kcore_membership",
+    dedup.kcore_membership,
+    dedup.oracle_kcore_membership(dedup.oracle_ngram_jaccard_pairs(0.5)),
+)
 # Quality-canonical selection: keep the HIGHEST-quality member of each
 # cluster (not the first) — the representative-selection step; oracled by
 # composing the recursive component closure with the quality projection.
@@ -2629,6 +2636,7 @@ _PRIORITY = [
     "ann_ivf_persisted_topk",
     "pack_documents_boundary",
     "stream_decontamination_gate",
+    "dedup_kcore_membership",
     # --- 4. r5 determinism-sweep re-checks: engines/oracles touched by
     # the bit-faithful decimal-cast migration (functions/numeric.py r5
     # notes) — every one re-verified bit-exact at sf0.01 by the builder,
@@ -2651,7 +2659,8 @@ _PRIORITY = [
     "q4_order_priority",
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
-    "q8_market_share",
+    # (q8_market_share rotated to the r6 pool for the fourth 3b slot —
+    # q14's varchar-routed ratio idiom is character-identical to q8's)
     "q9_product_profit",
     # (q10_returned_items rotated to the r6 pool for the 3b slot: its
     # oracle_dsum re-check duty is carried by the 16 relational keys

@@ -299,3 +299,15 @@ def test_star_components_on_adversarial_long_chain(spark):
     }
     want = {(i, 0) for i in range(64)} | {(i, 100) for i in (100, 101, 102)}
     assert got == want
+
+
+def test_kcore_fixpoint_and_degree_bound(spark):
+    """Every k-core member's within-core degree is >= k, and one extra
+    peel round changes nothing (the fixed `rounds` unroll has reached the
+    fixpoint at fixture scale — the convention the oracle depends on)."""
+    from redis_dataflow_realtime_analytics_spark.operators import dedup as dd
+
+    base = {(r.doc_id, r.core_deg) for r in dd.kcore_membership(spark, SF_SMOKE).collect()}
+    assert all(deg >= 2 for _, deg in base)
+    more = {(r.doc_id, r.core_deg) for r in dd.kcore_membership(spark, SF_SMOKE, rounds=5).collect()}
+    assert base == more

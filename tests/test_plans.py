@@ -417,3 +417,28 @@ def test_zorder_single_shuffle(spark):
     p = plans.plan_string(df)
     assert p.count("Exchange") <= 2, p  # one agg exchange (+AQE read)
     assert "CartesianProduct" not in p
+
+
+def test_pack_boundary_single_group_shuffle(spark):
+    """The boundary packer's only shuffle is the (lang, shard) grouping
+    feeding the Arrow walk — a second Exchange would mean the token-count
+    projection stopped being map-side."""
+    from redis_dataflow_realtime_analytics_spark.operators import sampling
+
+    df = sampling.pack_documents_boundary(spark, SF_SMOKE)
+    p = plans.plan_string(df)
+    assert "FlatMapGroupsInPandas" in p or "FlatMapGroupsInArrow" in p, p
+    # formatted plans repeat each node name in the detail section —
+    # count tree entries ("Exchange (N)") instead of raw substrings
+    assert p.count("Exchange (") == 1, p
+
+
+def test_persisted_ivf_broadcasts_codebook(spark):
+    """The serving-path IVF must broadcast the k-row codebook to both the
+    assignment and probe scans — a shuffled codebook join would serialize
+    the corpus scan behind a tiny table at scale."""
+    from redis_dataflow_realtime_analytics_spark.operators import similarity as sim
+
+    df = sim.ann_ivf_persisted_topk(spark, SF_SMOKE)
+    p = plans.plan_string(df)
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p, p
