@@ -123,6 +123,8 @@ HEADLINE = [
     "pack_documents_boundary",
     "stream_decontamination_gate",
     "dedup_kcore_membership",
+    "pack_efficiency_report",
+    "corpus_version_history",
     "embedding_top_component_exact",
 ]
 

@@ -742,6 +742,146 @@ def apply_corpus_updates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def oracle_pack_cumsum(max_tokens: int = 512) -> str:
+    """DuckDB twin of :func:`pack_documents` (moved verbatim from the
+    registry so :func:`oracle_pack_efficiency` can compose it)."""
+    from .text import TOKEN_SQL
+
+    return rf"""WITH t AS (
+  SELECT doc_id, lang, doc_id % 16 AS shard,
+         CAST(len(regexp_split_to_array(trim(text), '{TOKEN_SQL}')) AS BIGINT) AS n_tokens
+  FROM documents)
+SELECT doc_id, lang, shard, n_tokens,
+       CAST(floor(coalesce(sum(n_tokens) OVER (
+         PARTITION BY lang, shard ORDER BY doc_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / {max_tokens}.0) AS BIGINT)
+         AS pack_id
+FROM t"""
+
+
+def pack_efficiency_report(
+    spark: SparkSession, sf_dir: str, max_tokens: int = 512
+) -> DataFrame:
+    """Side-by-side packing-efficiency audit of the two packers: the
+    cumsum approximation (:func:`pack_documents`, capacity in
+    expectation, docs may straddle) vs the boundary-respecting next-fit
+    (:func:`pack_documents_boundary`, hard capacity). The numbers a
+    recipe owner needs to price the no-straddle constraint: how many
+    extra packs it costs and what the realized fill rate is.
+
+    Output per language: (lang, n_docs, total_tokens, n_packs_cumsum,
+    n_packs_boundary, n_oversize, fill_boundary) where ``fill_boundary``
+    = total_tokens / (n_packs_boundary × max_tokens).
+
+    Plan: the two packers' one-shuffle plans, each collapsed to a
+    per-language count — the report adds only |langs|-row aggregations
+    and one broadcast-sized join.
+    """
+    a = pack_documents(spark, sf_dir, max_tokens)
+    b = pack_documents_boundary(spark, sf_dir, max_tokens)
+    ga = a.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.count_distinct("shard", "pack_id").alias("n_packs_cumsum"),
+    )
+    gb = b.groupBy("lang").agg(
+        F.count_distinct("shard", "pack_id").alias("n_packs_boundary"),
+        F.sum(F.col("oversize").cast("bigint")).alias("n_oversize"),
+    )
+    return ga.join(gb, "lang").select(
+        "lang",
+        "n_docs",
+        "total_tokens",
+        "n_packs_cumsum",
+        "n_packs_boundary",
+        "n_oversize",
+        (
+            F.col("total_tokens").cast("double")
+            / (F.col("n_packs_boundary") * F.lit(max_tokens)).cast("double")
+        ).alias("fill_boundary"),
+    )
+
+
+def oracle_pack_efficiency(max_tokens: int = 512) -> str:
+    return f"""WITH a AS ({oracle_pack_cumsum(max_tokens)}),
+b AS ({oracle_pack_boundary(max_tokens)}),
+ga AS (
+  SELECT lang, count(*) AS n_docs, sum(n_tokens) AS total_tokens,
+         count(DISTINCT (shard, pack_id)) AS n_packs_cumsum
+  FROM a GROUP BY 1),
+gb AS (
+  SELECT lang, count(DISTINCT (shard, pack_id)) AS n_packs_boundary,
+         sum(CAST(oversize AS BIGINT)) AS n_oversize
+  FROM b GROUP BY 1)
+SELECT lang, n_docs, total_tokens, n_packs_cumsum, n_packs_boundary, n_oversize,
+       CAST(total_tokens AS DOUBLE)
+         / CAST(n_packs_boundary * {max_tokens} AS DOUBLE) AS fill_boundary
+FROM ga JOIN gb USING (lang)"""
+
+
+def corpus_version_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2-style version history of the corpus under the same synthetic
+    update stream as :func:`apply_corpus_updates` — where that operator
+    keeps only the latest-wins snapshot, this one keeps EVERY version as
+    a validity-interval row: the lineage table a training-data pipeline
+    needs to answer "which text did the model trained in March actually
+    see" (reproducibility/audit), and the delete-vector source when a
+    version is retracted.
+
+    Output: (doc_id, version, text_hash, n_chars, valid_to_version,
+    is_current) — ``valid_to_version`` is the superseding version (NULL
+    while current), the half-open [version, valid_to) SCD2 convention
+    keyed by version number.
+
+    Plan: union of the version stream + ONE window shuffle keyed by
+    doc_id (lead over the per-doc version sequence) — no join back to
+    the base. At 100 TB the history table is append-only and the window
+    runs per-key over tiny per-doc version chains; bucketing by doc_id
+    removes even that shuffle on refresh.
+    """
+    docs = spread(load(spark, sf_dir, "documents"))
+    base = docs.select("doc_id", "text", F.lit(0).alias("version"))
+    recrawled = docs.where(F.col("doc_id") % 10 == 0).select(
+        "doc_id",
+        F.concat(F.trim("text"), F.lit(" [recrawled]")).alias("text"),
+        F.lit(1).alias("version"),
+    )
+    discovered = docs.where(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + UPSERT_NEW_OFFSET).alias("doc_id"),
+        F.concat(F.lit("new "), F.col("text")).alias("text"),
+        F.lit(1).alias("version"),
+    )
+    hist = base.unionByName(recrawled).unionByName(discovered)
+    w = Window.partitionBy("doc_id").orderBy("version")
+    return hist.select(
+        "doc_id",
+        "version",
+        F.md5("text").alias("text_hash"),
+        F.length("text").alias("n_chars"),
+        F.lead("version").over(w).alias("valid_to_version"),
+    ).withColumn("is_current", F.col("valid_to_version").isNull())
+
+
+def oracle_corpus_version_history() -> str:
+    off = UPSERT_NEW_OFFSET
+    return f"""WITH base AS (
+  SELECT doc_id, text, 0 AS version FROM documents),
+upd AS (
+  SELECT doc_id, trim(text) || ' [recrawled]' AS text, 1 AS version
+  FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + {off} AS doc_id, 'new ' || text AS text, 1 AS version
+  FROM documents WHERE doc_id % 25 = 0),
+hist AS (SELECT * FROM base UNION ALL SELECT * FROM upd)
+SELECT doc_id, version, md5(text) AS text_hash,
+       CAST(length(text) AS INTEGER) AS n_chars,
+       lead(version) OVER (PARTITION BY doc_id ORDER BY version)
+         AS valid_to_version,
+       lead(version) OVER (PARTITION BY doc_id ORDER BY version) IS NULL
+         AS is_current
+FROM hist"""
+
+
 def oracle_apply_corpus_updates() -> str:
     off = UPSERT_NEW_OFFSET
     return f"""WITH base AS (

@@ -1836,16 +1836,22 @@ FROM wtd""",
 q(
     "pack_documents_512",
     sampling.pack_documents,
-    rf"""WITH t AS (
-  SELECT doc_id, lang, doc_id % 16 AS shard,
-         CAST(len(regexp_split_to_array(trim(text), '{text.TOKEN_SQL}')) AS BIGINT) AS n_tokens
-  FROM documents)
-SELECT doc_id, lang, shard, n_tokens,
-       CAST(floor(coalesce(sum(n_tokens) OVER (
-         PARTITION BY lang, shard ORDER BY doc_id
-         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 512.0) AS BIGINT)
-         AS pack_id
-FROM t""",
+    sampling.oracle_pack_cumsum(),
+)
+# Packing-efficiency audit: cumsum vs boundary packer, per language —
+# the price of the no-straddle constraint (extra packs, realized fill).
+q(
+    "pack_efficiency_report",
+    sampling.pack_efficiency_report,
+    sampling.oracle_pack_efficiency(),
+)
+# SCD2 version history: every corpus version as a validity-interval row
+# (lead() over the per-doc version chain; latest-wins twin keeps only
+# the snapshot).
+q(
+    "corpus_version_history",
+    sampling.corpus_version_history,
+    sampling.oracle_corpus_version_history(),
 )
 
 # Boundary-respecting next-fit packing: hard-capacity bins, docs never
@@ -2637,6 +2643,8 @@ _PRIORITY = [
     "pack_documents_boundary",
     "stream_decontamination_gate",
     "dedup_kcore_membership",
+    "pack_efficiency_report",
+    "corpus_version_history",
     # --- 4. r5 determinism-sweep re-checks: engines/oracles touched by
     # the bit-faithful decimal-cast migration (functions/numeric.py r5
     # notes) — every one re-verified bit-exact at sf0.01 by the builder,
@@ -2673,8 +2681,10 @@ _PRIORITY = [
     # (q17_small_quantity_revenue rotated to the r6 pool for the second
     # 3b slot — same carrying coverage as q10 above)
     "q18_large_volume_customers",
-    "q20_heavy_part_suppliers",
-    "q22_dormant_customers",
+    # (q20_heavy_part_suppliers and q22_dormant_customers rotated to the
+    # r6 pool for the fifth/sixth 3b slots — same carrying coverage as
+    # the q10/q13/q17/q8 rotations above; the in-window q1-q18 subset
+    # exercises every oracle_dsum/davg call shape they contain)
     "cube_quantity_by_flag_status",
     "monthly_order_revenue",
     "running_revenue_per_supplier",

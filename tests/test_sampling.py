@@ -271,3 +271,40 @@ def test_pack_boundary_deterministic_under_repartition(spark):
     df2 = sampling.pack_documents_boundary(spark, SF_SMOKE)
     b = {r.doc_id: r.pack_id for r in df2.repartition(7).collect()}
     assert a == b
+
+
+def test_version_history_scd2_invariants(spark):
+    """Exactly one current row per doc; every non-current row's
+    valid_to_version is the doc's successor version."""
+    from redis_dataflow_realtime_analytics_spark.operators import sampling
+
+    rows = sampling.corpus_version_history(spark, SF_SMOKE).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, vs in by_doc.items():
+        vs.sort(key=lambda r: r.version)
+        assert sum(1 for r in vs if r.is_current) == 1
+        assert vs[-1].is_current and vs[-1].valid_to_version is None
+        for a, b in zip(vs, vs[1:]):
+            assert a.valid_to_version == b.version
+
+
+def test_pack_efficiency_consistent_with_packers(spark):
+    """The report's pack counts must equal what the two packers actually
+    produce, and the boundary fill rate is in (0, 1] when no oversize
+    docs exist in the language."""
+    from redis_dataflow_realtime_analytics_spark.operators import sampling
+
+    rep = {r.lang: r for r in sampling.pack_efficiency_report(spark, SF_SMOKE).collect()}
+    b = sampling.pack_documents_boundary(spark, SF_SMOKE).collect()
+    packs = {}
+    oversize = {}
+    for r in b:
+        packs.setdefault(r.lang, set()).add((r.shard, r.pack_id))
+        oversize[r.lang] = oversize.get(r.lang, 0) + int(r.oversize)
+    for lang, r in rep.items():
+        assert r.n_packs_boundary == len(packs[lang])
+        assert r.n_oversize == oversize[lang]
+        if r.n_oversize == 0:
+            assert 0 < r.fill_boundary <= 1.0
