@@ -125,6 +125,7 @@ HEADLINE = [
     "dedup_kcore_membership",
     "pack_efficiency_report",
     "corpus_version_history",
+    "multimodal_image_histogram",
     "embedding_top_component_exact",
 ]
 

@@ -743,6 +743,91 @@ def decode_features(blobs: DataFrame, fake: bool = False) -> DataFrame:
     return blobs.mapInPandas(_decode, schema=FEATURE_SCHEMA)
 
 
+#: Output schema of the per-channel intensity histogram stage.
+HISTOGRAM_SCHEMA = "doc_id bigint, channel int, bin int, n_pixels bigint"
+
+
+def image_histogram(blobs: DataFrame, n_bins: int = 8) -> DataFrame:
+    """Per-channel intensity histogram of decoded Netpbm rasters — the
+    classic image-level feature for near-dup blocking, exposure/quality
+    gates, and drift monitoring over an image corpus. ``bin = byte DIV
+    (256/n_bins)`` on the raw uint8 values: integer arithmetic end to
+    end, so counts are bit-deterministic and the operator hash-gates
+    against a SQL oracle that re-derives the same pixel stream.
+
+    Output: (doc_id, channel, bin, n_pixels) — sparse (zero bins
+    omitted), channels 0..C-1 in raster order.
+
+    Plan: the same Arrow ``mapInPandas`` decode stage as
+    :func:`decode_features` (no shuffle, linear in executors) followed by
+    nothing — binning happens inside the decode pass via ``np.bincount``,
+    so the histogram adds no plan nodes over the decode itself.
+    """
+    width_per_bin = 256 // n_bins
+
+    def _hist(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            doc_ids: list[int] = []
+            channels: list[int] = []
+            bins: list[int] = []
+            counts_out: list[int] = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["content"]):
+                blob = bytes(blob)
+                if not (blob.startswith(b"P6") or blob.startswith(b"P5")):
+                    raise NotImplementedError(
+                        "only binary-Netpbm (P5/P6) histogram decode is "
+                        "implemented; plug PIL here for other codecs"
+                    )
+                _, _, img = _parse_pnm(blob)
+                for ch in range(img.shape[2]):
+                    binned = img[:, :, ch].astype(np.int32) // width_per_bin
+                    counts = np.bincount(binned.ravel(), minlength=n_bins)
+                    for b in range(n_bins):
+                        if counts[b]:
+                            doc_ids.append(int(doc_id))
+                            channels.append(ch)
+                            bins.append(b)
+                            counts_out.append(int(counts[b]))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(doc_ids, dtype="int64"),
+                    "channel": pd.Series(channels, dtype="int32"),
+                    "bin": pd.Series(bins, dtype="int32"),
+                    "n_pixels": pd.Series(counts_out, dtype="int64"),
+                }
+            )
+
+    return blobs.mapInPandas(_hist, schema=HISTOGRAM_SCHEMA)
+
+
+def oracle_image_histogram(n_bins: int = 8) -> str:
+    """DuckDB twin of :func:`image_histogram` over the P6 blob synthesis —
+    the same hex-expanded SHA-256 pixel stream as the decode-features
+    oracle, grouped by integer bin."""
+    wpb = 256 // n_bins
+    return rf"""WITH img AS (
+  SELECT doc_id,
+         CAST(doc_id % 24 + 8 AS INTEGER) AS w,
+         CAST((doc_id * 7) % 16 + 8 AS INTEGER) AS h,
+         sha256(CAST(doc_id AS VARCHAR) || text) AS hx
+  FROM documents
+), geom AS (
+  SELECT doc_id, w*h*3 AS n_pay,
+         substring(repeat(hx, CAST(ceil((w*h*3) / 32.0) AS INTEGER)), 1, w*h*3*2) AS ph
+  FROM img
+), b AS (
+  SELECT doc_id,
+         (strpos('0123456789abcdef', substring(ph, 2*i-1, 1)) - 1) * 16
+         + (strpos('0123456789abcdef', substring(ph, 2*i, 1)) - 1) AS byte,
+         (i - 1) % 3 AS ch
+  FROM geom, LATERAL unnest(generate_series(1, n_pay)) AS t(i)
+)
+SELECT doc_id, CAST(ch AS INTEGER) AS channel,
+       CAST(byte // {wpb} AS INTEGER) AS bin,
+       count(*) AS n_pixels
+FROM b GROUP BY 1, 2, 3"""
+
+
 #: Output schema of the resize stage: the blob is replaced, the typed
 #: metadata records both the old and new geometry.
 RESIZE_SCHEMA = (

@@ -855,6 +855,14 @@ q(
 # ``channel_means array<double>`` into scalar mean_r/mean_g/mean_b: the
 # driver's pandas value-hasher cannot hash list cells (r3 ERR), and the
 # three scalars carry the identical information.
+# Per-channel intensity histogram over the decoded P6 raster: integer
+# binning inside the same Arrow decode stage; oracled via the shared
+# hex-expanded SHA-256 pixel-stream synthesis.
+q(
+    "multimodal_image_histogram",
+    lambda s, d: multimodal.image_histogram(multimodal.with_image_blob(s, d)),
+    multimodal.oracle_image_histogram(),
+)
 q(
     "multimodal_decode_features",
     lambda s, d: multimodal.decode_features(multimodal.with_image_blob(s, d), fake=False)
@@ -2645,6 +2653,7 @@ _PRIORITY = [
     "dedup_kcore_membership",
     "pack_efficiency_report",
     "corpus_version_history",
+    "multimodal_image_histogram",
     # --- 4. r5 determinism-sweep re-checks: engines/oracles touched by
     # the bit-faithful decimal-cast migration (functions/numeric.py r5
     # notes) — every one re-verified bit-exact at sf0.01 by the builder,
@@ -2686,7 +2695,8 @@ _PRIORITY = [
     # the q10/q13/q17/q8 rotations above; the in-window q1-q18 subset
     # exercises every oracle_dsum/davg call shape they contain)
     "cube_quantity_by_flag_status",
-    "monthly_order_revenue",
+    # (monthly_order_revenue rotated to the r6 pool for the seventh 3b
+    # slot — the q1/q3/q5 oracle_dsum re-checks cover its call shape)
     "running_revenue_per_supplier",
     "price_moments_by_flag",
     "rolling_week_user_value",

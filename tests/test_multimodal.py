@@ -287,3 +287,21 @@ def test_bmp_decoder_rejects_other_formats(spark):
     with _pytest.raises(Exception) as ei:
         multimodal.decode_bmp_features(blobs).collect()
     assert "NotImplementedError" in str(ei.value) or "only BI_RGB" in str(ei.value)
+
+
+def test_image_histogram_counts_cover_raster(spark):
+    """Histogram counts per (doc, channel) must sum to exactly w*h
+    pixels, bins stay in range, and all three channels appear."""
+    from redis_dataflow_realtime_analytics_spark.operators import multimodal as mm
+
+    blobs = mm.with_image_blob(spark, SF_SMOKE)
+    geom = {r.doc_id: (r.meta.width, r.meta.height) for r in blobs.select("doc_id", "meta").collect()}
+    rows = mm.image_histogram(blobs).collect()
+    per = {}
+    for r in rows:
+        assert 0 <= r.bin < 8 and 0 <= r.channel < 3
+        per[(r.doc_id, r.channel)] = per.get((r.doc_id, r.channel), 0) + r.n_pixels
+    for (doc_id, _), total in per.items():
+        w, h = geom[doc_id]
+        assert total == w * h
+    assert {ch for _, ch in per} == {0, 1, 2}
