@@ -1257,17 +1257,35 @@ def kcore_membership(
     within-core degree.
     """
     edges = ngram_jaccard_pairs(spark, sf_dir, threshold=threshold)
+    return kcore_peel(edges, k=k, rounds=rounds)
+
+
+def kcore_peel(edges: DataFrame, k: int = 2, rounds: int = 4) -> DataFrame:
+    """The peel itself over any (doc_a, doc_b) pair frame — the same
+    edges-in contract as :func:`connected_components`, so the scale path
+    feeds it LSH-bucketed pairs (``lsh_exact_jaccard_pairs``) while the
+    oracle-shaped wrapper above derives exact pairs. Soak methodology
+    note: time THIS on a checkpointed edge list (like the CC sections) —
+    an end-to-end number on uncapped exact pairs measures the quadratic
+    pair generation, not the peel (r5 soak: 73 s end-to-end vs ~3 s for
+    the peel on the same LSH edge list)."""
     sym = (
         edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .union(edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
         .localCheckpoint(eager=True)
     )
     for _ in range(rounds):
+        # Materialize the survivor set once per round: it feeds BOTH
+        # semi-joins; unmaterialized it would recompute its degree
+        # shuffle twice, and a checkpointed |nodes|-sized frame lets AQE
+        # broadcast it into both probes instead of shuffling the (much
+        # larger) edge list inside the round.
         keep = (
             sym.groupBy("src")
             .agg(F.count("*").alias("deg"))
             .where(F.col("deg") >= k)
             .select("src")
+            .localCheckpoint(eager=True)
         )
         sym = (
             sym.join(keep, "src", "left_semi")

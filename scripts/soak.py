@@ -659,6 +659,61 @@ def main(n_events: int = 10_000_000, doc_mult: int = 20) -> None:
 
         section("power_iteration", _power_iteration)
 
+        # --- r5 additions: boundary packer, k-core peel, intensity
+        # histogram, streaming decontamination — each at n_docs ------------
+        def _r5_ops() -> None:
+            from redis_dataflow_realtime_analytics_spark.operators import (
+                multimodal,
+                sampling,
+            )
+
+            t0 = time.perf_counter()
+            sampling.pack_documents_boundary(spark, sf_dir).write.mode(
+                "overwrite"
+            ).format("noop").save()
+            dt = time.perf_counter() - t0
+            out["pack_boundary_s"] = round(dt, 2)
+            out["pack_boundary_docs_per_s"] = int(n_docs / dt)
+
+            # peel methodology matches the CC sections: LSH-bucketed
+            # edges, pre-checkpointed, so the number is the peel itself
+            # (end-to-end on uncapped exact pairs times the quadratic
+            # pair generation instead: 73 s at this SF, r5 measured)
+            kedges = dedup.lsh_exact_jaccard_pairs(spark, sf_dir).select(
+                "doc_a", "doc_b"
+            ).localCheckpoint()
+            t0 = time.perf_counter()
+            dedup.kcore_peel(kedges).write.mode("overwrite").format("noop").save()
+            dt = time.perf_counter() - t0
+            out["kcore_peel_s"] = round(dt, 2)
+            out["kcore_docs_per_s"] = int(n_docs / dt)
+
+            t0 = time.perf_counter()
+            multimodal.image_histogram(
+                multimodal.with_image_blob(spark, sf_dir)
+            ).write.mode("overwrite").format("noop").save()
+            dt = time.perf_counter() - t0
+            out["image_histogram_s"] = round(dt, 2)
+            out["image_histogram_docs_per_s"] = int(n_docs / dt)
+
+        section("r5_ops", _r5_ops)
+
+        def _stream_decon() -> None:
+            from redis_dataflow_realtime_analytics_spark.streaming import (
+                pipeline as sp,
+            )
+
+            t0 = time.perf_counter()
+            n_clean = sp.stream_decontamination_gate(
+                spark, f"{sf_dir}/documents.parquet"
+            ).count()
+            dt = time.perf_counter() - t0
+            out["stream_decon_s"] = round(dt, 2)
+            out["stream_decon_docs_per_s"] = int(n_docs / dt)
+            out["stream_decon_accepted"] = n_clean
+
+        section("stream_decontamination", _stream_decon)
+
     out["n_events"] = n_events
     print(json.dumps(out))
 

@@ -151,3 +151,41 @@ def test_readme_catalog_counts_in_sync():
     n_q, n_o = len(registry.QUERIES), len(registry.ORACLE)
     assert (int(m1.group(1)), int(m1.group(2))) == (n_q, n_o), m1.group(0)
     assert (int(m2.group(1)), int(m2.group(2))) == (n_o, n_q), m2.group(0)
+
+
+def test_varchar_decimal_idiom_matches_spark_cast(spark):
+    """The r5 determinism foundation: DuckDB's varchar-routed decimal
+    conversions must reproduce Spark's double->decimal(38,12)->double
+    cast BIT-EXACTLY (Spark casts via Double.toString + digit HALF_UP;
+    DuckDB's direct casts round through scaled-double/hugeint arithmetic
+    and drift — see functions/numeric.py). Checked over deterministic
+    pseudo-random doubles spanning the magnitudes the operators emit."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from redis_dataflow_realtime_analytics_spark.functions.numeric import (
+        oracle_dquant,
+    )
+
+    # deterministic value grid: ln/clnc/logp-like magnitudes, both signs
+    vals = []
+    for i in range(1, 4001):
+        x = ((i * 2654435761) % 2**31) / 2**31  # Weyl-ish uniform in (0,1)
+        vals.append((x - 0.5) * 2 * (10.0 ** (i % 4)))  # |x| up to 1e3
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "i long, x double")
+    got = [
+        r[0]
+        for r in df.orderBy("i")
+        .select(F.col("x").cast("decimal(38,12)").cast("double"))
+        .collect()
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(i INT, x DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?,?)", list(enumerate(vals)))
+    want = [
+        r[0]
+        for r in con.execute(
+            f"SELECT {oracle_dquant('x')} FROM t ORDER BY i"
+        ).fetchall()
+    ]
+    assert got == want
