@@ -126,6 +126,7 @@ HEADLINE = [
     "pack_efficiency_report",
     "corpus_version_history",
     "multimodal_image_histogram",
+    "multimodal_audio_frames",
     "embedding_top_component_exact",
 ]
 

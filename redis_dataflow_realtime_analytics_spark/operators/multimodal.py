@@ -310,6 +310,111 @@ AUDIO_RESAMPLE_SCHEMA = (
 )
 
 
+#: Output schema of the per-frame audio feature stage.
+AUDIO_FRAME_SCHEMA = (
+    "doc_id bigint, frame int, n_frame_samples int, peak_abs int, "
+    "sum_abs bigint, sum_sq bigint, zero_crossings int"
+)
+
+
+def audio_frame_features(blobs: DataFrame, frame_len: int = 160) -> DataFrame:
+    """Framewise audio features over decoded PCM: per non-overlapping
+    ``frame_len``-sample window (20 ms at 8 kHz), the integer power sums
+    (Σ|x|, Σx², peak) and the zero-crossing count — the classic
+    VAD/speech-music front-end, and the per-window shape every real
+    feature extractor (MFCC/fbank) shares. Integer arithmetic end to
+    end (RMS = sqrt(sum_sq/n) is the CONSUMER's one float op), so every
+    cell hash-gates against a SQL oracle deriving the same sample
+    stream. A zero crossing is counted when consecutive samples within
+    the frame differ in sign under the sign(x) = [x < 0] convention.
+
+    Output: (doc_id, frame, n_frame_samples, peak_abs, sum_abs, sum_sq,
+    zero_crossings); the final frame may be short.
+
+    Plan: the same Arrow ``mapInPandas`` decode stage as
+    :func:`decode_audio_features` — framing happens with numpy reshape
+    arithmetic inside the decode pass, no shuffle.
+    """
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            doc_ids: list[int] = []
+            frames: list[int] = []
+            ns: list[int] = []
+            peaks: list[int] = []
+            sabs: list[int] = []
+            ssq: list[int] = []
+            zcs: list[int] = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["content"]):
+                _, samples = _parse_wav(bytes(blob))
+                x = samples.astype(np.int64)
+                for f in range(0, (len(x) + frame_len - 1) // frame_len):
+                    seg = x[f * frame_len : (f + 1) * frame_len]
+                    neg = seg < 0
+                    doc_ids.append(int(doc_id))
+                    frames.append(f)
+                    ns.append(len(seg))
+                    peaks.append(int(np.max(np.abs(seg))))
+                    sabs.append(int(np.sum(np.abs(seg))))
+                    ssq.append(int(np.sum(seg * seg)))
+                    zcs.append(int(np.sum(neg[1:] != neg[:-1])))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(doc_ids, dtype="int64"),
+                    "frame": pd.Series(frames, dtype="int32"),
+                    "n_frame_samples": pd.Series(ns, dtype="int32"),
+                    "peak_abs": pd.Series(peaks, dtype="int32"),
+                    "sum_abs": pd.Series(sabs, dtype="int64"),
+                    "sum_sq": pd.Series(ssq, dtype="int64"),
+                    "zero_crossings": pd.Series(zcs, dtype="int32"),
+                }
+            )
+
+    return blobs.mapInPandas(_frames, schema=AUDIO_FRAME_SCHEMA)
+
+
+def oracle_audio_frame_features(frame_len: int = 160) -> str:
+    """DuckDB twin of :func:`audio_frame_features` over the WAV blob
+    synthesis — the decode-audio oracle's sample stream, grouped by
+    frame, with crossings counted via lag() restricted to same-frame
+    predecessor pairs."""
+    return rf"""WITH a AS (
+  SELECT doc_id, CAST(doc_id % 480 + 160 AS INTEGER) AS n_samples,
+         sha256(CAST(doc_id AS VARCHAR) || text) AS hx
+  FROM documents
+), g AS (
+  SELECT doc_id, n_samples,
+         substring(repeat(hx, CAST(ceil((n_samples*2) / 32.0) AS INTEGER)), 1, n_samples*4) AS ph
+  FROM a
+), smp AS (
+  SELECT doc_id, i,
+         (strpos('0123456789abcdef', substring(ph, 4*i-3, 1)) - 1) * 16
+         + (strpos('0123456789abcdef', substring(ph, 4*i-2, 1)) - 1) AS lo,
+         (strpos('0123456789abcdef', substring(ph, 4*i-1, 1)) - 1) * 16
+         + (strpos('0123456789abcdef', substring(ph, 4*i, 1)) - 1) AS hi
+  FROM g, LATERAL unnest(generate_series(1, n_samples)) AS t(i)
+), v AS (
+  SELECT doc_id, i,
+         (lo + 256*hi) - CASE WHEN lo + 256*hi >= 32768 THEN 65536 ELSE 0 END AS val
+  FROM smp
+), fr AS (
+  SELECT doc_id, i, val,
+         CAST((i - 1) // {frame_len} AS INTEGER) AS frame,
+         lag(val) OVER (PARTITION BY doc_id ORDER BY i) AS pv,
+         CAST((i - 2) // {frame_len} AS INTEGER) AS pframe
+  FROM v
+)
+SELECT doc_id, frame,
+       CAST(count(*) AS INTEGER) AS n_frame_samples,
+       CAST(max(abs(val)) AS INTEGER) AS peak_abs,
+       CAST(sum(abs(val)) AS BIGINT) AS sum_abs,
+       CAST(sum(val*val) AS BIGINT) AS sum_sq,
+       CAST(sum(CASE WHEN pv IS NOT NULL AND pframe = frame
+                      AND ((pv < 0) <> (val < 0)) THEN 1 ELSE 0 END)
+            AS INTEGER) AS zero_crossings
+FROM fr GROUP BY 1, 2"""
+
+
 def resample_audio(blobs: DataFrame, factor: int = 2) -> DataFrame:
     """Integer-decimation resample of WAV blobs (keep every ``factor``-th
     sample, divide the sample rate) via Arrow-batched ``mapInPandas`` —

@@ -987,6 +987,14 @@ FROM b GROUP BY doc_id, w, h, pad""",
 # int64 over the decoded samples so DuckDB can re-derive the identical
 # numbers from the synthesized byte stream. A hash-gated differential
 # test of a real audio decode path.
+# Framewise audio front-end (20 ms windows): integer power sums + peak +
+# zero crossings per frame, inside the same Arrow decode pass; oracled
+# over the shared WAV sample-stream synthesis with lag()-based crossings.
+q(
+    "multimodal_audio_frames",
+    lambda s, d: multimodal.audio_frame_features(multimodal.with_audio_blob(s, d)),
+    multimodal.oracle_audio_frame_features(),
+)
 q(
     "multimodal_decode_audio",
     lambda s, d: multimodal.decode_audio_features(multimodal.with_audio_blob(s, d)),
@@ -2654,6 +2662,7 @@ _PRIORITY = [
     "pack_efficiency_report",
     "corpus_version_history",
     "multimodal_image_histogram",
+    "multimodal_audio_frames",
     # --- 4. r5 determinism-sweep re-checks: engines/oracles touched by
     # the bit-faithful decimal-cast migration (functions/numeric.py r5
     # notes) — every one re-verified bit-exact at sf0.01 by the builder,
@@ -2685,7 +2694,9 @@ _PRIORITY = [
     "q11_important_part_values",
     # (q13_customer_distribution rotated to the r6 pool for the third
     # 3b slot — same carrying coverage as q10/q17 above)
-    "q14_promo_revenue",
+    # (q14_promo_revenue rotated to the r6 pool for the eighth 3b slot —
+    # q8's twin ratio idiom was already rotated on the same grounds; the
+    # varchar-routed dsum shape keeps q1/q3/q5/q6/q9/q11/q18 coverage)
     "q15_top_supplier",
     # (q17_small_quantity_revenue rotated to the r6 pool for the second
     # 3b slot — same carrying coverage as q10 above)

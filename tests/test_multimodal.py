@@ -305,3 +305,21 @@ def test_image_histogram_counts_cover_raster(spark):
         w, h = geom[doc_id]
         assert total == w * h
     assert {ch for _, ch in per} == {0, 1, 2}
+
+
+def test_audio_frames_cover_all_samples(spark):
+    """Frame lengths must tile each clip exactly (full frames + one short
+    tail), crossings bounded by frame length, and sum_sq >= sum_abs when
+    samples are integral with |x| >= 1."""
+    from redis_dataflow_realtime_analytics_spark.operators import multimodal as mm
+
+    blobs = mm.with_audio_blob(spark, SF_SMOKE)
+    meta = {r.doc_id: r.meta.n_samples for r in blobs.select("doc_id", "meta").collect()}
+    rows = mm.audio_frame_features(blobs).collect()
+    per = {}
+    for r in rows:
+        assert 0 < r.n_frame_samples <= 160
+        assert 0 <= r.zero_crossings < r.n_frame_samples
+        assert r.peak_abs <= 32768 and r.sum_sq >= r.sum_abs
+        per[r.doc_id] = per.get(r.doc_id, 0) + r.n_frame_samples
+    assert per == meta
