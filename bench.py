@@ -127,6 +127,7 @@ HEADLINE = [
     "corpus_version_history",
     "multimodal_image_histogram",
     "multimodal_audio_frames",
+    "multimodal_video_scene_cuts",
     "embedding_top_component_exact",
 ]
 

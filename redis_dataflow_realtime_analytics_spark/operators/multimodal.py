@@ -541,6 +541,86 @@ VIDEO_FRAME_SCHEMA = (
 )
 
 
+#: Output schema of the scene-cut stage; sad_y is the Y-plane sum of
+#: absolute differences between a frame and its predecessor.
+SCENE_CUT_SCHEMA = "doc_id bigint, frame_index int, sad_y bigint, is_cut boolean"
+
+#: SAD threshold for the cut flag: 128 Y-plane pixels of uniform bytes
+#: give E[SAD] ≈ 128 · 85 ≈ 10.9k, so 11k splits naturally on the fixture.
+SCENE_CUT_SAD = 11_000
+
+
+def video_scene_cuts(blobs: DataFrame, threshold: int = SCENE_CUT_SAD) -> DataFrame:
+    """Scene-cut detection over the video column: per consecutive frame
+    pair, the Y-plane sum of absolute differences (the classic shot-
+    boundary signal every keyframe extractor thresholds) and the cut
+    flag. Integer arithmetic on raw plane bytes — bit-deterministic, so
+    the operator hash-gates against a SQL oracle re-deriving the same
+    plane stream. Arrow ``mapInPandas`` over the container parse, no
+    shuffle; at scale SAD runs on exactly the bytes the frame seek
+    already touched.
+
+    Output: (doc_id, frame_index, sad_y, is_cut) — frame_index ≥ 1 is
+    the LATER frame of each pair.
+    """
+
+    def _cuts(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            doc_ids: list[int] = []
+            idxs: list[int] = []
+            sads: list[int] = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["content"]):
+                frames = _parse_y4m(bytes(blob))
+                y = frames[:, 0].reshape(len(frames), -1).astype(np.int64)
+                sad = np.abs(y[1:] - y[:-1]).sum(axis=1)
+                for i, v in enumerate(sad, start=1):
+                    doc_ids.append(int(doc_id))
+                    idxs.append(i)
+                    sads.append(int(v))
+            out = pd.DataFrame(
+                {
+                    "doc_id": pd.Series(doc_ids, dtype="int64"),
+                    "frame_index": pd.Series(idxs, dtype="int32"),
+                    "sad_y": pd.Series(sads, dtype="int64"),
+                }
+            )
+            out["is_cut"] = out["sad_y"] > threshold
+            yield out
+
+    return blobs.mapInPandas(_cuts, schema=SCENE_CUT_SCHEMA)
+
+
+def oracle_video_scene_cuts(threshold: int = SCENE_CUT_SAD) -> str:
+    """DuckDB twin of :func:`video_scene_cuts` — Y-plane bytes re-derived
+    from the SHA-256 payload stream (global byte index ``f*384 + j`` for
+    frame f, Y-pixel j), consecutive frames joined on pixel index."""
+    fb = Y4M_FRAME_BYTES
+    ypix = Y4M_W * Y4M_H
+    return rf"""WITH a AS (
+  SELECT doc_id, CAST(doc_id % 8 + 2 AS INTEGER) AS n_frames,
+         sha256(CAST(doc_id AS VARCHAR) || text) AS hx
+  FROM documents
+), g AS (
+  SELECT doc_id, n_frames,
+         substring(repeat(hx, CAST(ceil((n_frames*{fb}) / 32.0) AS INTEGER)),
+                   1, n_frames*{fb}*2) AS ph
+  FROM a
+), yb AS (
+  SELECT doc_id, CAST(i // {ypix} AS INTEGER) AS f, CAST(i % {ypix} AS INTEGER) AS j,
+         (strpos('0123456789abcdef',
+                 substring(ph, 2*((i // {ypix})*{fb} + i % {ypix}) + 1, 1)) - 1) * 16
+         + (strpos('0123456789abcdef',
+                   substring(ph, 2*((i // {ypix})*{fb} + i % {ypix}) + 2, 1)) - 1) AS byte
+  FROM g, LATERAL unnest(generate_series(0, n_frames*{ypix} - 1)) AS t(i)
+)
+SELECT cur.doc_id, cur.f AS frame_index,
+       CAST(sum(abs(cur.byte - prv.byte)) AS BIGINT) AS sad_y,
+       CAST(sum(abs(cur.byte - prv.byte)) AS BIGINT) > {threshold} AS is_cut
+FROM yb cur
+JOIN yb prv ON prv.doc_id = cur.doc_id AND prv.j = cur.j AND prv.f = cur.f - 1
+GROUP BY 1, 2"""
+
+
 def sample_video_frames(blobs: DataFrame, every: int = 2) -> DataFrame:
     """Real frame sampling over the video column: parse the Y4M container,
     seek every ``every``-th frame, and emit exact per-plane byte sums —

@@ -1077,6 +1077,14 @@ FROM le""",
 # multi-frame uncompressed video, REAL container parse + frame seek +
 # plane decomposition in numpy; sampled frames' per-plane byte sums are
 # exact int64, re-derived by DuckDB from the same byte stream.
+# Shot-boundary detection: Y-plane SAD between consecutive frames +
+# threshold flag, integer-exact; oracled over the shared Y4M plane
+# synthesis with a pixel-index self-join.
+q(
+    "multimodal_video_scene_cuts",
+    lambda s, d: multimodal.video_scene_cuts(multimodal.with_video_blob(s, d)),
+    multimodal.oracle_video_scene_cuts(),
+)
 q(
     "multimodal_sample_video_frames",
     lambda s, d: multimodal.sample_video_frames(multimodal.with_video_blob(s, d), every=2),
@@ -2663,6 +2671,7 @@ _PRIORITY = [
     "corpus_version_history",
     "multimodal_image_histogram",
     "multimodal_audio_frames",
+    "multimodal_video_scene_cuts",
     # --- 4. r5 determinism-sweep re-checks: engines/oracles touched by
     # the bit-faithful decimal-cast migration (functions/numeric.py r5
     # notes) — every one re-verified bit-exact at sf0.01 by the builder,
@@ -2697,9 +2706,9 @@ _PRIORITY = [
     # (q14_promo_revenue rotated to the r6 pool for the eighth 3b slot —
     # q8's twin ratio idiom was already rotated on the same grounds; the
     # varchar-routed dsum shape keeps q1/q3/q5/q6/q9/q11/q18 coverage)
-    "q15_top_supplier",
-    # (q17_small_quantity_revenue rotated to the r6 pool for the second
-    # 3b slot — same carrying coverage as q10 above)
+    # (q15_top_supplier and q17_small_quantity_revenue rotated to the r6
+    # pool for 3b slots — q15's dsum-in-subquery shape is the retained
+    # q18's exact idiom; q17's carrying coverage as q10 above)
     "q18_large_volume_customers",
     # (q20_heavy_part_suppliers and q22_dormant_customers rotated to the
     # r6 pool for the fifth/sixth 3b slots — same carrying coverage as

@@ -323,3 +323,19 @@ def test_audio_frames_cover_all_samples(spark):
         assert r.peak_abs <= 32768 and r.sum_sq >= r.sum_abs
         per[r.doc_id] = per.get(r.doc_id, 0) + r.n_frame_samples
     assert per == meta
+
+
+def test_scene_cuts_pair_count_and_bounds(spark):
+    """Each clip yields exactly n_frames-1 SAD rows; SAD bounded by
+    255 * Y-pixels; flag consistent with the threshold."""
+    from redis_dataflow_realtime_analytics_spark.operators import multimodal as mm
+
+    blobs = mm.with_video_blob(spark, SF_SMOKE)
+    meta = {r.doc_id: r.meta.n_frames for r in blobs.select("doc_id", "meta").collect()}
+    rows = mm.video_scene_cuts(blobs).collect()
+    per = {}
+    for r in rows:
+        assert 0 <= r.sad_y <= 255 * mm.Y4M_W * mm.Y4M_H
+        assert r.is_cut == (r.sad_y > mm.SCENE_CUT_SAD)
+        per[r.doc_id] = per.get(r.doc_id, 0) + 1
+    assert per == {d: n - 1 for d, n in meta.items()}
