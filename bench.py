@@ -128,6 +128,7 @@ HEADLINE = [
     "multimodal_image_histogram",
     "multimodal_audio_frames",
     "multimodal_video_scene_cuts",
+    "stream_image_ingest_features",
     "embedding_top_component_exact",
 ]
 

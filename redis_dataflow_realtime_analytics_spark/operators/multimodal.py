@@ -103,7 +103,13 @@ def with_image_blob(spark: SparkSession, sf_dir: str) -> DataFrame:
     and byte-size live in the typed ``meta`` struct so predicates prune
     before any decode touches payload bytes.
     """
-    docs = spread(load(spark, sf_dir, "documents"))
+    return image_blob_projection(spread(load(spark, sf_dir, "documents")))
+
+
+def image_blob_projection(docs: DataFrame) -> DataFrame:
+    """The P6 synthesis as a frame-in/frame-out projection — shared by the
+    batch wrapper above and the streaming ingest path (pure Catalyst
+    expressions, so it applies to a streaming DataFrame unchanged)."""
     w = (F.col("doc_id") % 24 + 8).cast("int")
     h = ((F.col("doc_id") * 7) % 16 + 8).cast("int")
     n_payload = w * h * 3

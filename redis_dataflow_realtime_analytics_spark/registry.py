@@ -1222,6 +1222,19 @@ FROM documents
 WHERE doc_id % {dedup.DECON_MOD} <> 0
   AND doc_id NOT IN (SELECT doc_id FROM hits)""",
 )
+# Streaming multimodal ingest: the Catalyst blob synthesis + Arrow
+# histogram per micro-batch (stateless); batch-parity histogram oracle.
+def _stream_image_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming import pipeline as sp
+
+    return sp.stream_image_ingest_features(spark, f"{sf_dir}/documents.parquet")
+
+
+q(
+    "stream_image_ingest_features",
+    _stream_image_ingest,
+    multimodal.oracle_image_histogram(),
+)
 q(
     "stream_store_uniques_per_variant",
     _stream_store_variant_uniques,
@@ -2672,6 +2685,7 @@ _PRIORITY = [
     "multimodal_image_histogram",
     "multimodal_audio_frames",
     "multimodal_video_scene_cuts",
+    "stream_image_ingest_features",
     # --- 4. r5 determinism-sweep re-checks: engines/oracles touched by
     # the bit-faithful decimal-cast migration (functions/numeric.py r5
     # notes) — every one re-verified bit-exact at sf0.01 by the builder,
@@ -2696,7 +2710,8 @@ _PRIORITY = [
     "q6_forecast_revenue",
     # (q8_market_share rotated to the r6 pool for the fourth 3b slot —
     # q14's varchar-routed ratio idiom is character-identical to q8's)
-    "q9_product_profit",
+    # (q9_product_profit rotated to the r6 pool for the tenth 3b slot —
+    # q1/q3/q5 keep the multi-join dsum re-check shape it carries)
     # (q10_returned_items rotated to the r6 pool for the 3b slot: its
     # oracle_dsum re-check duty is carried by the 16 relational keys
     # below sharing the identical varchar-routed sum idiom)

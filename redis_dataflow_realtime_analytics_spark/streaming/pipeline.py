@@ -859,6 +859,35 @@ def stream_decontamination_gate(
     return spark.read.parquet(out_dir)
 
 
+def stream_image_ingest_features(
+    spark: SparkSession, docs_path: str, n_chunks: int = 3
+) -> DataFrame:
+    """Streaming multimodal ingest: image blobs arrive in shipments and
+    the per-channel intensity histogram is extracted ON ARRIVAL — the
+    blob synthesis (pure Catalyst projection) and the Arrow histogram
+    stage both run inside each micro-batch with no state, no watermark,
+    and per-batch cost O(batch). This is the shape image/video corpora
+    ingest at: features computed once at the edge of the pipeline, never
+    as a corpus-wide batch re-decode.
+
+    Output: (doc_id, channel, bin, n_pixels) for every ingested image.
+
+    Oracle: identical to the batch histogram — stream/batch parity for a
+    stateless per-document extractor.
+    """
+    from ..operators.multimodal import image_blob_projection, image_histogram
+
+    replay = _chunked_docs_replay_dir(docs_path, n_chunks)
+    schema = spark.read.parquet(docs_path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(replay)
+    )
+    hist = image_histogram(image_blob_projection(stream))
+    return _replay_to_memory_append(spark, hist, "imghist")
+
+
 def stream_curated_ingest(
     spark: SparkSession, docs_path: str, n_chunks: int = 3
 ) -> DataFrame:

@@ -214,3 +214,21 @@ def test_stream_decontamination_gate_matches_batch(spark):
     }
     assert accepted == corpus - contaminated
     assert accepted  # non-degenerate
+
+
+def test_stream_image_ingest_matches_batch_histogram(spark):
+    """The streaming ingest-path histogram must equal the batch one —
+    the synthesis projection and the Arrow extractor are stateless, so
+    micro-batching cannot change any count."""
+    from redis_dataflow_realtime_analytics_spark.operators import multimodal as mm
+    from redis_dataflow_realtime_analytics_spark.streaming import pipeline as sp
+
+    stream = {
+        (r.doc_id, r.channel, r.bin): r.n_pixels
+        for r in sp.stream_image_ingest_features(spark, f"{SF_SMOKE}/documents.parquet").collect()
+    }
+    batch = {
+        (r.doc_id, r.channel, r.bin): r.n_pixels
+        for r in mm.image_histogram(mm.with_image_blob(spark, SF_SMOKE)).collect()
+    }
+    assert stream == batch and stream
