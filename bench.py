@@ -130,6 +130,7 @@ HEADLINE = [
     "multimodal_video_scene_cuts",
     "stream_image_ingest_features",
     "embedding_top_component_exact",
+    "embedding_pc1_scores",
 ]
 
 

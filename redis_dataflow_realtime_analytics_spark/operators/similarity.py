@@ -1927,6 +1927,58 @@ def embedding_top_component_exact(
     return v.select("pos", F.col("val").alias("component"))
 
 
+def embedding_pc1_scores(
+    spark: SparkSession, sf_dir: str, iters: int = 8
+) -> DataFrame:
+    """Project every embedding onto the EXACT dominant component — the
+    PCA feature a pipeline actually materializes after the spectral step:
+    pc1 scores drive diversity-balanced sampling, coverage analysis, and
+    1-D bucketing for coarse ANN. The component comes from
+    :func:`embedding_top_component_exact` (bit-deterministic), and the
+    projection is the same decimal-fold dot product as the iteration's
+    t-leg — so the whole train-then-score path hash-gates end to end.
+
+    Output: (vec_id, pc1_score).
+
+    Plan: the iteration's cached scans plus ONE more corpus pass with the
+    final component broadcast as a one-row frame; the fold is array-local
+    (no shuffle) at DECIMAL(25,12) (see the t-leg note).
+    """
+    v = embedding_top_component_exact(spark, sf_dir, iters=iters)
+    v_row = v.agg(
+        F.expr(
+            "transform(sort_array(collect_list(struct(pos, component))),"
+            " t -> t.component)"
+        ).alias("v")
+    )
+    emb = _quantized(spark, sf_dir).select("vec_id", "qvec")
+    return emb.crossJoin(F.broadcast(v_row)).select(
+        "vec_id",
+        F.expr(
+            "CAST(aggregate(zip_with(qvec, v,"
+            " (a, b) -> CAST(CAST(a AS DOUBLE) * b AS DECIMAL(25,12))),"
+            " CAST(0 AS DECIMAL(25,12)),"
+            " (acc, x) -> CAST(acc + x AS DECIMAL(25,12))) AS DOUBLE)"
+        ).alias("pc1_score"),
+    )
+
+
+def oracle_pc1_scores(iters: int = 8, d: int = 64) -> str:
+    """DuckDB twin of :func:`embedding_pc1_scores` — the component's
+    unrolled CTE chain plus one projection join over the quantized
+    vectors. ``{norms}`` spliced by the registry."""
+    base = oracle_top_component_exact(iters=iters, d=d)
+    body = base[len("WITH ") : base.rindex("\nSELECT")]
+    return f"""WITH {body},
+px AS MATERIALIZED (
+  SELECT e.vec_id, t.i AS pos, e.qv[t.i] AS x
+  FROM e, LATERAL unnest(generate_series(1, len(e.qv))) t(i))
+SELECT px.vec_id,
+       {oracle_dsum12("CAST(px.x AS DOUBLE) * vf.val")} AS pc1_score
+FROM px JOIN v{iters} vf ON vf.pos = px.pos
+GROUP BY 1"""
+
+
 def oracle_top_component_exact(iters: int = 8, d: int = 64) -> str:
     """DuckDB twin of :func:`embedding_top_component_exact` — the same
     iterations unrolled; per-iterate CTEs MATERIALIZED (each is consumed

@@ -2235,6 +2235,14 @@ q(
     similarity.embedding_top_component_exact,
     similarity.oracle_top_component_exact().format(norms=_ORACLE_NORMS),
 )
+# Train-then-score: every embedding projected onto the exact dominant
+# component (the PCA feature) — the spectral CTE chain + one projection
+# join, hash-gated end to end.
+q(
+    "embedding_pc1_scores",
+    similarity.embedding_pc1_scores,
+    similarity.oracle_pc1_scores().format(norms=_ORACLE_NORMS),
+)
 # Learned-centroid IVF, fully oracled: codebook TRAINING (exact k-means),
 # db assignment, query probing, and in-bucket cosine top-k hash-gate as
 # one query — the upgrade the float-kmeans IVF (rows-only) cannot have.
@@ -2686,6 +2694,7 @@ _PRIORITY = [
     "multimodal_audio_frames",
     "multimodal_video_scene_cuts",
     "stream_image_ingest_features",
+    "embedding_pc1_scores",
     # --- 4. r5 determinism-sweep re-checks: engines/oracles touched by
     # the bit-faithful decimal-cast migration (functions/numeric.py r5
     # notes) — every one re-verified bit-exact at sf0.01 by the builder,
@@ -2729,9 +2738,9 @@ _PRIORITY = [
     # r6 pool for the fifth/sixth 3b slots — same carrying coverage as
     # the q10/q13/q17/q8 rotations above; the in-window q1-q18 subset
     # exercises every oracle_dsum/davg call shape they contain)
-    "cube_quantity_by_flag_status",
-    # (monthly_order_revenue rotated to the r6 pool for the seventh 3b
-    # slot — the q1/q3/q5 oracle_dsum re-checks cover its call shape)
+    # (cube_quantity_by_flag_status and monthly_order_revenue rotated to
+    # the r6 pool for 3b slots — both carry only the dsum varchar-routing
+    # re-check duty the retained q1/q3/q5/q6/q11/q18 already cover)
     "running_revenue_per_supplier",
     "price_moments_by_flag",
     "rolling_week_user_value",

@@ -199,3 +199,27 @@ def test_persisted_codebook_artifact_reused(spark):
     assert len(similarity._CODEBOOK_CACHE) == n_before
     for path in similarity._CODEBOOK_CACHE.values():
         assert os.path.isfile(os.path.join(path, "_SUCCESS"))
+
+
+def test_pc1_scores_match_component_projection(spark):
+    """pc1 scores must equal the dot product of each quantized vector
+    with the exact component (driver-side recomputation), and their
+    variance must dominate any single raw dimension's variance (the
+    point of projecting onto the top component)."""
+    import numpy as np
+
+    comp = {
+        r.pos: r.component
+        for r in similarity.embedding_top_component_exact(spark, SF_SMOKE).collect()
+    }
+    v = np.array([comp[p] for p in sorted(comp)])
+    emb = {r.vec_id: np.array(r.qvec, dtype=np.float64)
+           for r in similarity._quantized(spark, SF_SMOKE).select("vec_id", "qvec").collect()}
+    scores = {r.vec_id: r.pc1_score
+              for r in similarity.embedding_pc1_scores(spark, SF_SMOKE).collect()}
+    assert set(scores) == set(emb)
+    for vid, x in emb.items():
+        assert abs(scores[vid] - float(x @ v)) < 1e-6 * max(1.0, abs(scores[vid]))
+    xs = np.stack([emb[k] for k in sorted(emb)])
+    proj_var = np.var([scores[k] for k in sorted(emb)])
+    assert proj_var >= np.var(xs, axis=0).max() * 0.99
