@@ -131,6 +131,7 @@ HEADLINE = [
     "stream_image_ingest_features",
     "embedding_top_component_exact",
     "embedding_pc1_scores",
+    "user_gap_profile",
 ]
 
 

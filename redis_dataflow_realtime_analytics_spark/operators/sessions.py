@@ -67,6 +67,55 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def user_gap_profile(events: DataFrame, rapid_us: int = 1_000_000) -> DataFrame:
+    """Per-user inter-arrival profile in pure Catalyst: exact integer gap
+    statistics (min/max/sum microseconds, rapid-fire count under
+    ``rapid_us``) over consecutive same-user events — the bot/burstiness
+    screen next to :func:`user_event_features`' Arrow median. Everything
+    is int64 arithmetic plus one final division, so the profile
+    hash-gates exactly and runs entirely inside whole-stage codegen (the
+    pandas path exists for order statistics the algebra can't fold).
+
+    Output: (user_id, n_events, n_gaps, min_gap_us, max_gap_us,
+    avg_gap_us, n_rapid); single-event users carry NULL gap stats.
+
+    Plan: ONE shuffle keyed by user_id serves both the lag window and
+    the aggregation (same-key window then groupBy reuses the exchange).
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = events.select(
+        "user_id",
+        (
+            F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+        ).alias("gap_us"),
+    )
+    return gaps.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.count("gap_us").alias("n_gaps"),
+        F.min("gap_us").alias("min_gap_us"),
+        F.max("gap_us").alias("max_gap_us"),
+        (F.sum("gap_us").cast("double") / F.count("gap_us")).alias("avg_gap_us"),
+        F.coalesce(
+            F.sum(F.when(F.col("gap_us") < rapid_us, 1)), F.lit(0)
+        ).cast("bigint").alias("n_rapid"),
+    )
+
+
+def oracle_user_gap_profile(ev_cte: str, rapid_us: int = 1_000_000) -> str:
+    return f"""{ev_cte}
+, g AS (
+  SELECT user_id,
+         CAST(epoch_us(ts) - epoch_us(lag(ts) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id)) AS BIGINT) AS gap_us
+  FROM ev)
+SELECT user_id, count(*) AS n_events, count(gap_us) AS n_gaps,
+       min(gap_us) AS min_gap_us, max(gap_us) AS max_gap_us,
+       CAST(sum(gap_us) AS DOUBLE) / count(gap_us) AS avg_gap_us,
+       CAST(coalesce(sum(CASE WHEN gap_us < {rapid_us} THEN 1 END), 0) AS BIGINT)
+         AS n_rapid
+FROM g GROUP BY 1"""
+
+
 #: applyInPandas output schema.
 FEATURE_SCHEMA = "user_id bigint, n_events bigint, n_variants bigint, median_gap_us double"
 

@@ -539,6 +539,17 @@ q(
     sessions.user_event_features,
     sessions.oracle_user_event_features(EV_CTE),
 )
+# Pure-Catalyst inter-arrival twin: exact integer gap stats + rapid-fire
+# count in one user_id-keyed shuffle (window + agg share the exchange).
+def _user_gap_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sessions.user_gap_profile(_ev(spark, sf_dir))
+
+
+q(
+    "user_gap_profile",
+    _user_gap_profile,
+    sessions.oracle_user_gap_profile(EV_CTE),
+)
 
 # ---------------------------------------------------------------------------
 # Text analysis (north-star: LLM-data pipeline, documents table)
@@ -2695,6 +2706,7 @@ _PRIORITY = [
     "multimodal_video_scene_cuts",
     "stream_image_ingest_features",
     "embedding_pc1_scores",
+    "user_gap_profile",
     # --- 4. r5 determinism-sweep re-checks: engines/oracles touched by
     # the bit-faithful decimal-cast migration (functions/numeric.py r5
     # notes) — every one re-verified bit-exact at sf0.01 by the builder,
@@ -2741,7 +2753,10 @@ _PRIORITY = [
     # (cube_quantity_by_flag_status and monthly_order_revenue rotated to
     # the r6 pool for 3b slots — both carry only the dsum varchar-routing
     # re-check duty the retained q1/q3/q5/q6/q11/q18 already cover)
-    "running_revenue_per_supplier",
+    # (running_revenue_per_supplier rotated to the r6 pool for the
+    # twelfth 3b slot — rolling_week_user_value below re-checks the SAME
+    # varchar-routed window-sum idiom, which is the only r5 change both
+    # carry)
     "price_moments_by_flag",
     "rolling_week_user_value",
 ]

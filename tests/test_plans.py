@@ -442,3 +442,13 @@ def test_persisted_ivf_broadcasts_codebook(spark):
     df = sim.ann_ivf_persisted_topk(spark, SF_SMOKE)
     p = plans.plan_string(df)
     assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p, p
+
+
+def test_user_gap_profile_single_exchange(spark):
+    """Window and aggregation share the user_id exchange — a second one
+    would mean the groupBy re-shuffled what the lag window partitioned."""
+    from redis_dataflow_realtime_analytics_spark import registry
+
+    df = registry.QUERIES["user_gap_profile"](spark, SF_SMOKE)
+    p = plans.plan_string(df)
+    assert p.count("Exchange (") == 1, p

@@ -232,3 +232,19 @@ def test_stream_image_ingest_matches_batch_histogram(spark):
         for r in mm.image_histogram(mm.with_image_blob(spark, SF_SMOKE)).collect()
     }
     assert stream == batch and stream
+
+
+def test_user_gap_profile_nulls_for_single_event_users(spark):
+    """Single-event users must appear with NULL gap stats (count of gaps
+    0), and n_rapid never exceeds n_gaps."""
+    from redis_dataflow_realtime_analytics_spark.operators import sessions
+    from redis_dataflow_realtime_analytics_spark.sources import normalize_events, read_events
+
+    ev = normalize_events(read_events(spark, SF_SMOKE))
+    rows = sessions.user_gap_profile(ev).collect()
+    assert rows
+    for r in rows:
+        assert r.n_gaps == r.n_events - 1
+        assert r.n_rapid <= max(r.n_gaps, 0)
+        if r.n_gaps == 0:
+            assert r.min_gap_us is None and r.avg_gap_us is None
