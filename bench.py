@@ -132,6 +132,7 @@ HEADLINE = [
     "embedding_top_component_exact",
     "embedding_pc1_scores",
     "user_gap_profile",
+    "corpus_shard_assignment",
 ]
 
 

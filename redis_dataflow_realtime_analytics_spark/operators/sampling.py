@@ -1021,3 +1021,95 @@ SELECT doc_id, split_key, lang, source,
             WHEN substr(md5(CAST(split_key AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
             ELSE 'test' END AS split
 FROM keyed"""
+
+
+def shard_assignment(
+    spark: SparkSession,
+    sf_dir: str,
+    target_tokens: int = 4096,
+    bucket_docs: int = 256,
+) -> DataFrame:
+    """Exact order-preserving shard assignment via a distributed parallel
+    prefix-sum: every document gets its EXACT global running token count
+    (over doc_id order) and the contiguous shard
+    ``tokens_before div target_tokens`` — the layout step that writes a
+    100 TB corpus into fixed-token-budget training shards whose order
+    matches the source order (unlike :func:`pack_documents`, whose
+    per-(lang, shard) streams trade exactness for locality).
+
+    A naive ``SUM() OVER (ORDER BY doc_id)`` plans a single-partition
+    window — the canonical scale killer. This is the two-level scan
+    instead:
+
+    1. bucket = ``doc_id div bucket_docs`` (contiguous ranges of the
+       global order, so per-bucket sums compose);
+    2. level 1: one small shuffle computes per-bucket token sums;
+    3. level 2: the global window runs only over the O(n/bucket_docs)
+       bucket frame (at 100 TB you size ``bucket_docs`` so this is ~10^4
+       rows — trivial for one reducer), producing each bucket's starting
+       offset;
+    4. the offsets broadcast-join back and a window PARTITIONED BY bucket
+       finishes the local cumsum — every heavy window partition is capped
+       at ``bucket_docs`` rows.
+
+    All arithmetic is int64 — bit-exact against the oracle's flat window.
+
+    Output: (doc_id, n_tokens, tokens_before, shard_id).
+    """
+    from .text import TOKEN_RE
+
+    docs = load(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), TOKEN_RE)).cast("bigint").alias("n_tokens"),
+        F.expr(f"doc_id div {bucket_docs}").alias("bucket"),
+    )
+    partials = base.groupBy("bucket").agg(F.sum("n_tokens").alias("bucket_tokens"))
+    w_buckets = (
+        Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = partials.select(
+        "bucket",
+        F.coalesce(F.sum("bucket_tokens").over(w_buckets), F.lit(0)).alias("bucket_offset"),
+    )
+    w_local = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local_before = F.coalesce(F.sum("n_tokens").over(w_local), F.lit(0))
+    return (
+        base.join(F.broadcast(offsets), "bucket")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("bucket_offset") + local_before).alias("tokens_before"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "tokens_before",
+            F.expr(f"tokens_before div {target_tokens}").alias("shard_id"),
+        )
+    )
+
+
+def oracle_shard_assignment(target_tokens: int = 4096) -> str:
+    """DuckDB twin of :func:`shard_assignment` — the flat global window
+    the two-level scan must reproduce exactly."""
+    from .text import TOKEN_SQL
+
+    return f"""WITH base AS (
+  SELECT doc_id,
+         CAST(len(regexp_split_to_array(trim(text), '{TOKEN_SQL}')) AS BIGINT)
+           AS n_tokens
+  FROM documents),
+scanned AS (
+  SELECT doc_id, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (
+           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS tokens_before
+  FROM base)
+SELECT doc_id, n_tokens, tokens_before,
+       tokens_before // {target_tokens} AS shard_id
+FROM scanned"""

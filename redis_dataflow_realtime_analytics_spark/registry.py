@@ -1909,6 +1909,15 @@ q(
     sampling.pack_documents_boundary,
     sampling.oracle_pack_boundary(),
 )
+# Exact global shard layout via two-level parallel prefix-sum (bucket
+# partials + broadcast offsets) — bit-equal to the oracle's flat
+# single-window cumsum without ever planning a single-partition window
+# over the document frame.
+q(
+    "corpus_shard_assignment",
+    sampling.shard_assignment,
+    sampling.oracle_shard_assignment(),
+)
 
 # ---------------------------------------------------------------------------
 # As-of join, time-range window frame, streaming dedup

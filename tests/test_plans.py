@@ -452,3 +452,24 @@ def test_user_gap_profile_single_exchange(spark):
     df = registry.QUERIES["user_gap_profile"](spark, SF_SMOKE)
     p = plans.plan_string(df)
     assert p.count("Exchange (") == 1, p
+
+
+def test_shard_assignment_no_global_window_over_docs(spark):
+    """The two-level prefix-sum contract: the document frame's window is
+    PARTITIONED (by bucket); the only unpartitioned global-order window
+    runs over the aggregated O(n/bucket_docs) bucket frame, downstream
+    of a partial_sum HashAggregate."""
+    from redis_dataflow_realtime_analytics_spark.operators import sampling
+
+    df = sampling.shard_assignment(spark, SF_SMOKE)
+    p = plans.plan_string(df)
+    # both windows present, and the bucket offsets side is broadcast back
+    assert p.count("Window") >= 2, p
+    assert "BroadcastExchange" in p or "BroadcastHashJoin" in p, p
+    import re
+
+    # every hashpartitioning-fed Sort for a window over the doc frame
+    # carries the bucket key; the single-partition exchange feeds only
+    # the tiny aggregated frame (it sits above a HashAggregate).
+    single = re.findall(r"Exchange SinglePartition[^\n]*", p)
+    assert len(single) <= 1, p

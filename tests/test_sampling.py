@@ -308,3 +308,35 @@ def test_pack_efficiency_consistent_with_packers(spark):
         assert r.n_oversize == oversize[lang]
         if r.n_oversize == 0:
             assert 0 < r.fill_boundary <= 1.0
+
+
+def test_shard_assignment_matches_oracle(spark):
+    from .oracle import compare
+
+    compare(
+        sampling.shard_assignment(spark, SF_SMOKE),
+        sampling.oracle_shard_assignment(),
+        SF_SMOKE,
+    )
+
+
+def test_shard_assignment_exact_global_scan(spark):
+    """tokens_before must be the exact global running sum in doc_id
+    order, independent of the bucket decomposition width, and stable
+    under repartitioning."""
+    rows = sorted(
+        sampling.shard_assignment(spark, SF_SMOKE, bucket_docs=17).collect(),
+        key=lambda r: r.doc_id,
+    )
+    run = 0
+    for r in rows:
+        assert r.tokens_before == run
+        assert r.shard_id == run // 4096
+        run += r.n_tokens
+    again = {
+        r.doc_id: r.tokens_before
+        for r in sampling.shard_assignment(spark, SF_SMOKE, bucket_docs=17)
+        .repartition(11)
+        .collect()
+    }
+    assert again == {r.doc_id: r.tokens_before for r in rows}
