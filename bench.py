@@ -133,6 +133,7 @@ HEADLINE = [
     "embedding_pc1_scores",
     "user_gap_profile",
     "corpus_shard_assignment",
+    "corpus_remove_boilerplate",
 ]
 
 

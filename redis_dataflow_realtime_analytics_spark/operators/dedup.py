@@ -1621,3 +1621,124 @@ dirs AS (
 )
 SELECT doc_src, doc_dst, containment FROM dirs
 WHERE containment >= {threshold}"""
+
+
+# --- C4-style boilerplate span removal --------------------------------------
+def remove_boilerplate_spans(
+    spark: SparkSession, sf_dir: str, k: int = SPAN_K, min_docs: int = 2
+) -> DataFrame:
+    """Boilerplate REMOVAL (not just detection): every ``k``-token sliding
+    window that occurs in >= ``min_docs`` distinct documents is treated as
+    boilerplate, every token position it covers is dropped, and the
+    surviving tokens are re-assembled in order — the C4/"remove duplicated
+    spans" cleaning step that :func:`duplicate_spans` only measures.
+    Policy: boilerplate is removed from EVERY document (a shared header
+    is noise wherever it appears), unlike dedup which keeps one copy.
+
+    Plan shape (100 TB): windows and cover-positions are map-side
+    expressions; the span-frequency groupBy carries 16-byte md5 keys; the
+    frequent-span set (boilerplate is a tiny, heavy-hitter tail by
+    nature) broadcasts back into a semi-join; the kept-token anti-join
+    and the reassembly groupBy share one (doc_id)-keyed exchange. Nothing
+    ever shuffles window text.
+
+    Output: (doc_id, n_tokens, n_removed, clean_text).
+    """
+    docs = _spread(load(spark, sf_dir, "documents")).select(
+        "doc_id", F.split(F.trim(F.col("text")), TOKEN_RE).alias("toks")
+    )
+    docs = docs.select("doc_id", "toks", F.size("toks").alias("n"))
+    spans = docs.select(
+        "doc_id",
+        "n",
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.col("n") - (k - 1), F.lit(1)))
+        ).alias("start"),
+        "toks",
+    ).select(
+        "doc_id",
+        "n",
+        "start",
+        F.md5(F.concat_ws(" ", F.slice("toks", F.col("start"), k))).alias("h"),
+    )
+    freq = (
+        spans.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= min_docs)
+        .select("h")
+    )
+    covered = (
+        spans.join(F.broadcast(freq), "h", "left_semi")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(
+                    F.col("start"), F.least(F.col("start") + (k - 1), F.col("n"))
+                )
+            ).alias("p"),
+        )
+        .distinct()
+    )
+    toks = docs.select(
+        "doc_id", F.posexplode("toks").alias("p0", "tok")
+    ).select("doc_id", (F.col("p0") + 1).alias("p"), "tok")
+    kept = toks.join(covered, ["doc_id", "p"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("p", "tok"))), lambda x: x["tok"]
+            ),
+        ).alias("clean_text"),
+    )
+    return (
+        docs.join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n").cast("bigint").alias("n_tokens"),
+            (F.col("n") - F.coalesce("n_kept", F.lit(0))).cast("bigint").alias("n_removed"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+    )
+
+
+def oracle_remove_boilerplate_spans(k: int = SPAN_K, min_docs: int = 2) -> str:
+    """DuckDB twin of :func:`remove_boilerplate_spans` — same 1-based
+    positions, same truncated trailing windows, same remove-everywhere
+    policy."""
+    toks = f"string_split_regex(trim(text), '{TOKEN_SQL}')"
+    return f"""WITH d AS (
+  SELECT doc_id, {toks} AS toks, len({toks}) AS n FROM documents),
+pos AS (
+  SELECT doc_id, toks, n,
+         unnest(generate_series(1, greatest(n - {k - 1}, 1))) AS start
+  FROM d),
+sp AS (
+  SELECT doc_id, n, start,
+         md5(array_to_string(toks[start : start + {k - 1}], ' ')) AS h
+  FROM pos),
+freq AS (
+  SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS nd FROM sp GROUP BY 1)
+  WHERE nd >= {min_docs}),
+cov AS (
+  SELECT DISTINCT sp.doc_id, p
+  FROM sp JOIN freq USING (h),
+       LATERAL unnest(generate_series(start, least(start + {k - 1}, n))) AS t(p)),
+tok AS (
+  SELECT doc_id, toks[p] AS tok, CAST(p AS BIGINT) AS p
+  FROM d, LATERAL unnest(generate_series(1, n)) AS t(p)),
+kept AS (
+  SELECT tok.doc_id, tok.p, tok.tok
+  FROM tok
+  WHERE NOT EXISTS (SELECT 1 FROM cov
+                    WHERE cov.doc_id = tok.doc_id AND cov.p = tok.p)),
+rebuilt AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(tok, ' ' ORDER BY p) AS clean_text
+  FROM kept GROUP BY 1)
+SELECT d.doc_id,
+       CAST(d.n AS BIGINT) AS n_tokens,
+       CAST(d.n - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed,
+       COALESCE(r.clean_text, '') AS clean_text
+FROM d LEFT JOIN rebuilt r USING (doc_id)"""

@@ -1909,6 +1909,14 @@ q(
     sampling.pack_documents_boundary,
     sampling.oracle_pack_boundary(),
 )
+# C4-style boilerplate REMOVAL: k-token spans occurring in >= 2 distinct
+# docs are dropped from every document and the survivors re-assembled in
+# order — the cleaning step dedup_duplicate_spans only measures.
+q(
+    "corpus_remove_boilerplate",
+    dedup.remove_boilerplate_spans,
+    dedup.oracle_remove_boilerplate_spans(),
+)
 # Exact global shard layout via two-level parallel prefix-sum (bucket
 # partials + broadcast offsets) — bit-equal to the oracle's flat
 # single-window cumsum without ever planning a single-partition window
@@ -2716,6 +2724,8 @@ _PRIORITY = [
     "stream_image_ingest_features",
     "embedding_pc1_scores",
     "user_gap_profile",
+    "corpus_shard_assignment",
+    "corpus_remove_boilerplate",
     # --- 4. r5 determinism-sweep re-checks: engines/oracles touched by
     # the bit-faithful decimal-cast migration (functions/numeric.py r5
     # notes) — every one re-verified bit-exact at sf0.01 by the builder,
@@ -2733,9 +2743,13 @@ _PRIORITY = [
     # unscaled threshold, builder-verified bit-exact on the five
     # heaviest) ---
     "q1_pricing_summary",
-    "q2_best_supplier_per_part",
+    # (q2_best_supplier_per_part and q4_order_priority rotated to the r6
+    # pool for the two mid-r5 3b slots (corpus_shard_assignment,
+    # corpus_remove_boilerplate) — neither contains an oracle_dsum/davg
+    # idiom (q2 is a min() correlated subquery, q4 an EXISTS count), so
+    # they carried only the r5-pool relational rotation duty, which
+    # q1/q3/q5/q6/q11/q18 keep covered this round)
     "q3_shipping_priority",
-    "q4_order_priority",
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
     # (q8_market_share rotated to the r6 pool for the fourth 3b slot —

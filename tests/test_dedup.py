@@ -311,3 +311,31 @@ def test_kcore_fixpoint_and_degree_bound(spark):
     assert all(deg >= 2 for _, deg in base)
     more = {(r.doc_id, r.core_deg) for r in dd.kcore_membership(spark, SF_SMOKE, rounds=5).collect()}
     assert base == more
+
+
+def test_remove_boilerplate_matches_oracle(spark):
+    from .oracle import compare
+    from redis_dataflow_realtime_analytics_spark.operators import dedup
+
+    compare(
+        dedup.remove_boilerplate_spans(spark, SF_SMOKE),
+        dedup.oracle_remove_boilerplate_spans(),
+        SF_SMOKE,
+    )
+
+
+def test_remove_boilerplate_consistent_with_span_inventory(spark):
+    """Docs with zero duplicated spans keep all their tokens verbatim;
+    any doc with n_removed > 0 must show dup spans in the inventory, and
+    clean_text token count equals n_tokens - n_removed."""
+    from redis_dataflow_realtime_analytics_spark.operators import dedup
+
+    spans = {r.doc_id: r.n_dup_spans for r in dedup.duplicate_spans(spark, SF_SMOKE).collect()}
+    rows = dedup.remove_boilerplate_spans(spark, SF_SMOKE).collect()
+    for r in rows:
+        kept = [t for t in r.clean_text.split(" ") if t != ""] if r.clean_text else []
+        assert len(kept) == r.n_tokens - r.n_removed
+        if r.n_removed > 0:
+            assert spans[r.doc_id] > 0
+        if spans[r.doc_id] == 0:
+            assert r.n_removed == 0

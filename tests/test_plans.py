@@ -473,3 +473,15 @@ def test_shard_assignment_no_global_window_over_docs(spark):
     # the tiny aggregated frame (it sits above a HashAggregate).
     single = re.findall(r"Exchange SinglePartition[^\n]*", p)
     assert len(single) <= 1, p
+
+
+def test_remove_boilerplate_broadcasts_frequent_spans(spark):
+    """The frequent-span set must come back as a broadcast semi-join
+    (boilerplate is a tiny heavy-hitter tail); window text never shuffles
+    (all exchange keys are md5/doc_id/pos, never the token arrays)."""
+    from redis_dataflow_realtime_analytics_spark.operators import dedup
+
+    df = dedup.remove_boilerplate_spans(spark, SF_SMOKE)
+    p = plans.plan_string(df)
+    assert "BroadcastHashJoin" in p and "LeftSemi" in p, p
+    assert "CartesianProduct" not in p, p
