@@ -134,6 +134,8 @@ HEADLINE = [
     "user_gap_profile",
     "corpus_shard_assignment",
     "corpus_remove_boilerplate",
+    "multimodal_image_ahash",
+    "dedup_image_ahash_pairs",
 ]
 
 

@@ -40,7 +40,7 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..tables import load, spread
@@ -1109,3 +1109,303 @@ def frame_sample_offsets(
             F.sequence(F.lit(0), duration_s - 1, F.lit(every_n_seconds))
         ).alias("sample_second"),
     ).withColumn("frame_index", (F.col("sample_second") * fps).cast("long"))
+
+
+# --- perceptual average-hash (aHash) image near-dup ---------------------------
+def with_content_gray_blob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 graymap blobs keyed by CONTENT through content-defined chunking
+    (CDC): token t ends a chunk iff ``md5(t)``'s last hex digit ≡ 0
+    (mod 8) — the rsync/restic boundary trick, so a single token
+    insertion re-hashes only ITS chunk instead of cascading through
+    every later fixed-position window. The payload is the concatenated
+    SHA-256 streams of the first 8 chunks on a fixed 16x16 raster
+    (perceptual hashing normalizes resolution first, so fixed geometry
+    is the honest model).
+
+    Two documents with identical text produce byte-identical images;
+    near-dup texts (the corpus's 1-token edits) share all but ~1 chunk →
+    rasters agree on ~7/8 of their bytes → small aHash Hamming distance.
+    That is the synthetic analogue of "the same/similar image uploaded
+    twice" a perceptual-hash dedup stage exists to catch.
+
+    Plan: one explode + two (doc_id)-keyed aggregations build the chunk
+    stream (boundary flags and chunk ids are window expressions over the
+    same doc_id exchange); the raster bytes never shuffle.
+    """
+    from .text import TOKEN_RE
+
+    docs = spread(load(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.posexplode(F.split(F.trim(F.col("text")), TOKEN_RE)).alias("p", "tok"),
+    )
+    bflag = (
+        F.conv(F.substring(F.md5("tok"), 32, 1), 16, 10).cast("int") % 8 == 0
+    ).cast("int")
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("p")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    with_chunks = toks.select(
+        "doc_id",
+        "source",
+        "p",
+        "tok",
+        F.coalesce(F.sum(bflag).over(w_prev), F.lit(0)).alias("chunk_id"),
+    ).where(F.col("chunk_id") < 8)
+    chunk_hashes = with_chunks.groupBy("doc_id", "chunk_id").agg(
+        F.first("source").alias("source"),
+        F.sha2(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("p", "tok"))),
+                    lambda x: x["tok"],
+                ),
+            ),
+            256,
+        ).alias("chex"),
+    )
+    streams = chunk_hashes.groupBy("doc_id").agg(
+        F.first("source").alias("source"),
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("chunk_id", "chex"))),
+                lambda x: x["chex"],
+            ),
+        ).alias("stream"),
+    )
+    n_payload = 16 * 16
+    reps = F.ceil((n_payload * 2) / F.length("stream")).cast("int")
+    payload = F.unhex(F.substring(F.repeat(F.col("stream"), reps), 1, n_payload * 2))
+    content = F.concat(F.encode(F.lit("P5 16 16 255\n"), "UTF-8"), payload)
+    return streams.select(
+        "doc_id",
+        "source",
+        content.alias("content"),
+        F.struct(
+            F.lit("image/x-portable-graymap").alias("mime"),
+            F.octet_length(content).alias("n_bytes"),
+            F.lit(16).alias("width"),
+            F.lit(16).alias("height"),
+        ).alias("meta"),
+    )
+
+
+#: Output schema of the perceptual-hash stage: 64-bit aHash carried as two
+#: unsigned 32-bit halves (portable across engines — no sign-bit games).
+AHASH_SCHEMA = (
+    "doc_id bigint, width int, height int, hash_hi bigint, hash_lo bigint, "
+    "ahash_hex string"
+)
+
+
+def image_ahash(blobs: DataFrame) -> DataFrame:
+    """Perceptual average-hash over decoded P5 graymaps: the raster is
+    block-reduced to an 8x8 grid (pixel (x, y) -> cell ((y*8) div h,
+    (x*8) div w)) and bit b = r*8+c is set iff its cell's mean exceeds
+    the image mean — compared in EXACT integer cross-multiplication
+    (cell_sum * n_px > total_sum * cell_n), so the hash is
+    bit-deterministic and SQL-oracle-able. MSB-first: bit 0 is the
+    top-left cell; ``hash_hi`` carries bits 0-31, ``hash_lo`` 32-63.
+
+    Arrow-batched ``mapInPandas`` — decode + hash are per-blob numpy
+    integer ops, no shuffle, linear in executors. aHash is the classic
+    cheap tier of image near-dup (pHash's DCT refines it); resolution
+    independence comes from the fixed 8x8 grid.
+    """
+
+    def _ahash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "width", "height", "hash_hi",
+                                   "hash_lo", "ahash_hex")}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["content"]):
+                w, h, img = _parse_pnm(bytes(blob))
+                g = img[:, :, 0].astype(np.int64)
+                total = int(g.sum())
+                npx = w * h
+                ry = (np.arange(h) * 8) // h
+                cx = (np.arange(w) * 8) // w
+                cell_idx = (ry[:, None] * 8 + cx[None, :]).ravel()
+                sums = np.zeros(64, dtype=np.int64)
+                np.add.at(sums, cell_idx, g.ravel())
+                cnts = np.bincount(cell_idx, minlength=64)
+                bits = (sums * npx) > (total * cnts)
+                val = 0
+                for b in range(64):
+                    if bits[b]:
+                        val |= 1 << (63 - b)
+                out["doc_id"].append(doc_id)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["hash_hi"].append(val >> 32)
+                out["hash_lo"].append(val & 0xFFFFFFFF)
+                out["ahash_hex"].append(f"{val:016x}")
+            yield pd.DataFrame(out)
+
+    return blobs.mapInPandas(_ahash, schema=AHASH_SCHEMA)
+
+
+def image_ahash_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry wrapper: CDC content-keyed P5 synthesis → aHash stage."""
+    return image_ahash(with_content_gray_blob(spark, sf_dir))
+
+
+def image_ahash_pairs(
+    spark: SparkSession, sf_dir: str, max_hamming: int = 10
+) -> DataFrame:
+    """Image near-dup pairs by banded Hamming join over the 64-bit aHash:
+    the hash splits into four 16-bit bands; documents sharing ANY band
+    become candidates (equi-join — never an all-pairs scan) and survive
+    iff exact Hamming distance (bit_count of the xor, per 32-bit half)
+    <= ``max_hamming``. Identical images collide on every band at
+    distance 0; the banding guarantees recall for any pair with >= 1
+    clean band (<= 3 corrupted bands) and trades the far tail for
+    sub-quadratic cost — the same LSH contract as the SimHash text leg.
+
+    The decoded hash frame is tiny (3 int64s/doc) and feeds both sides
+    of the self-join; it is eagerly localCheckpoint'ed so the Arrow
+    decode stage runs once, not once per join branch (repo convention
+    for fan-out frames).
+
+    Output: (doc_a, doc_b, hamming).
+    """
+    ah = (
+        image_ahash_features(spark, sf_dir)
+        .select("doc_id", "hash_hi", "hash_lo")
+        .localCheckpoint(eager=True)
+    )
+    bands = ah.select(
+        "doc_id",
+        "hash_hi",
+        "hash_lo",
+        F.posexplode(
+            F.array(
+                F.shiftright("hash_hi", 16).bitwiseAND(F.lit(65535)),
+                F.col("hash_hi").bitwiseAND(F.lit(65535)),
+                F.shiftright("hash_lo", 16).bitwiseAND(F.lit(65535)),
+                F.col("hash_lo").bitwiseAND(F.lit(65535)),
+            )
+        ).alias("band_idx", "band_val"),
+    )
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("hash_hi").alias("hi_a"),
+        F.col("hash_lo").alias("lo_a"),
+        "band_idx",
+        "band_val",
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("hash_hi").alias("hi_b"),
+        F.col("hash_lo").alias("lo_b"),
+        "band_idx",
+        "band_val",
+    )
+    ham = F.bit_count(
+        F.col("hi_a").bitwiseXOR(F.col("hi_b"))
+    ) + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
+    return (
+        a.join(b, ["band_idx", "band_val"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", ham.cast("int").alias("hamming"))
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+def _oracle_ahash_cte() -> str:
+    """Shared oracle CTE chain: CDC chunk stream → fixed 16x16 pixel
+    stream → 8x8 cell sums → integer-compared bits → (doc_id, hash_hi,
+    hash_lo). Mirrors :func:`with_content_gray_blob` +
+    :func:`image_ahash` exactly (same md5-anchored boundaries, same cell
+    map ``(x*8)//w``, same strict > tie-break)."""
+    from .text import TOKEN_SQL
+
+    toks = f"string_split_regex(trim(text), '{TOKEN_SQL}')"
+    return f"""tok AS (
+  SELECT doc_id, toks[p] AS tok, p
+  FROM (SELECT doc_id, {toks} AS toks FROM documents) d,
+       LATERAL unnest(generate_series(1, len(toks))) AS t(p)),
+flagged AS (
+  SELECT doc_id, tok, p,
+         CASE WHEN (strpos('0123456789abcdef', substring(md5(tok), 32, 1)) - 1)
+                   % 8 = 0 THEN 1 ELSE 0 END AS bflag
+  FROM tok),
+chunked AS (
+  SELECT doc_id, tok, p,
+         COALESCE(SUM(bflag) OVER (
+           PARTITION BY doc_id ORDER BY p
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_id
+  FROM flagged),
+chunk_hashes AS (
+  SELECT doc_id, chunk_id,
+         sha256(string_agg(tok, ' ' ORDER BY p)) AS chex
+  FROM chunked WHERE chunk_id < 8 GROUP BY 1, 2),
+strm AS (
+  SELECT doc_id, string_agg(chex, '' ORDER BY chunk_id) AS stream
+  FROM chunk_hashes GROUP BY 1),
+geom AS (
+  SELECT doc_id,
+         substring(repeat(stream,
+                          CAST(ceil(512 / CAST(length(stream) AS DOUBLE))
+                               AS INTEGER)),
+                   1, 512) AS ph
+  FROM strm),
+px AS (
+  SELECT doc_id, i,
+         (strpos('0123456789abcdef', substring(ph, 2*i-1, 1)) - 1) * 16
+         + (strpos('0123456789abcdef', substring(ph, 2*i, 1)) - 1) AS byte,
+         ((i-1) % 16) AS x, ((i-1) // 16) AS y
+  FROM geom, LATERAL unnest(generate_series(1, 256)) AS t(i)),
+cells AS (
+  SELECT doc_id, (y*8)//16 AS r, (x*8)//16 AS c,
+         sum(byte) AS s, count(*) AS k
+  FROM px GROUP BY 1, 2, 3),
+tot AS (
+  SELECT doc_id, sum(s) AS total, sum(k) AS npx
+  FROM cells GROUP BY 1),
+bits AS (
+  SELECT c.doc_id, c.r*8 + c.c AS b,
+         CASE WHEN c.s * t.npx > t.total * c.k THEN 1 ELSE 0 END AS bit
+  FROM cells c JOIN tot t USING (doc_id)),
+hashes AS (
+  SELECT doc_id, CAST(16 AS INTEGER) AS width, CAST(16 AS INTEGER) AS height,
+         CAST(sum(CASE WHEN b < 32 THEN bit * (CAST(1 AS BIGINT) << (31 - b))
+                       ELSE 0 END) AS BIGINT) AS hash_hi,
+         CAST(sum(CASE WHEN b >= 32 THEN bit * (CAST(1 AS BIGINT) << (63 - b))
+                       ELSE 0 END) AS BIGINT) AS hash_lo
+  FROM bits GROUP BY doc_id)"""
+
+
+def oracle_image_ahash() -> str:
+    """DuckDB twin of :func:`image_ahash_features`."""
+    return f"""WITH {_oracle_ahash_cte()}
+SELECT doc_id, width, height, hash_hi, hash_lo,
+       lower(lpad(hex(hash_hi), 8, '0') || lpad(hex(hash_lo), 8, '0'))
+         AS ahash_hex
+FROM hashes"""
+
+
+def oracle_image_ahash_pairs(max_hamming: int = 10) -> str:
+    """DuckDB twin of :func:`image_ahash_pairs` — identical banding."""
+    return f"""WITH {_oracle_ahash_cte()},
+bands AS (
+  SELECT doc_id, hash_hi, hash_lo, b.band_idx,
+         CASE b.band_idx
+           WHEN 0 THEN (hash_hi >> 16) & 65535
+           WHEN 1 THEN hash_hi & 65535
+           WHEN 2 THEN (hash_lo >> 16) & 65535
+           ELSE hash_lo & 65535 END AS band_val
+  FROM hashes, LATERAL unnest(generate_series(0, 3)) AS b(band_idx)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(bit_count(xor(a.hash_hi, b.hash_hi))
+              + bit_count(xor(a.hash_lo, b.hash_lo)) AS INTEGER) AS hamming
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+   AND a.doc_id < b.doc_id)
+SELECT doc_a, doc_b, hamming FROM cand WHERE hamming <= {max_hamming}"""

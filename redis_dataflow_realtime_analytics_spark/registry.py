@@ -1096,6 +1096,21 @@ q(
     lambda s, d: multimodal.video_scene_cuts(multimodal.with_video_blob(s, d)),
     multimodal.oracle_video_scene_cuts(),
 )
+# Perceptual average-hash (aHash) over content-keyed P5 graymaps:
+# 8x8 block-mean bits by exact integer cross-multiplication inside the
+# Arrow decode stage; the oracle re-derives the hash from the chunked
+# SHA-256 synthesis. The pairs leg joins on four 16-bit bands (LSH — the
+# SimHash contract applied to images) and verifies exact Hamming.
+q(
+    "multimodal_image_ahash",
+    multimodal.image_ahash_features,
+    multimodal.oracle_image_ahash(),
+)
+q(
+    "dedup_image_ahash_pairs",
+    multimodal.image_ahash_pairs,
+    multimodal.oracle_image_ahash_pairs(),
+)
 q(
     "multimodal_sample_video_frames",
     lambda s, d: multimodal.sample_video_frames(multimodal.with_video_blob(s, d), every=2),
@@ -2726,6 +2741,8 @@ _PRIORITY = [
     "user_gap_profile",
     "corpus_shard_assignment",
     "corpus_remove_boilerplate",
+    "multimodal_image_ahash",
+    "dedup_image_ahash_pairs",
     # --- 4. r5 determinism-sweep re-checks: engines/oracles touched by
     # the bit-faithful decimal-cast migration (functions/numeric.py r5
     # notes) — every one re-verified bit-exact at sf0.01 by the builder,
@@ -2749,7 +2766,10 @@ _PRIORITY = [
     # idiom (q2 is a min() correlated subquery, q4 an EXISTS count), so
     # they carried only the r5-pool relational rotation duty, which
     # q1/q3/q5/q6/q11/q18 keep covered this round)
-    "q3_shipping_priority",
+    # (q3_shipping_priority and q11_important_part_values rotated to the
+    # r6 pool for the third/fourth mid-r5 3b slots (multimodal_image_ahash,
+    # dedup_image_ahash_pairs) — their oracle_dsum varchar-routing shapes
+    # are character-identical to the retained q1/q5/q6/q18 subset)
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
     # (q8_market_share rotated to the r6 pool for the fourth 3b slot —
@@ -2759,7 +2779,6 @@ _PRIORITY = [
     # (q10_returned_items rotated to the r6 pool for the 3b slot: its
     # oracle_dsum re-check duty is carried by the 16 relational keys
     # below sharing the identical varchar-routed sum idiom)
-    "q11_important_part_values",
     # (q13_customer_distribution rotated to the r6 pool for the third
     # 3b slot — same carrying coverage as q10/q17 above)
     # (q14_promo_revenue rotated to the r6 pool for the eighth 3b slot —

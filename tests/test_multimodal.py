@@ -339,3 +339,58 @@ def test_scene_cuts_pair_count_and_bounds(spark):
         assert r.is_cut == (r.sad_y > mm.SCENE_CUT_SAD)
         per[r.doc_id] = per.get(r.doc_id, 0) + 1
     assert per == {d: n - 1 for d, n in meta.items()}
+
+
+def test_image_ahash_matches_oracle(spark):
+    from .oracle import compare
+    from redis_dataflow_realtime_analytics_spark.operators import multimodal
+
+    compare(
+        multimodal.image_ahash_features(spark, SF_SMOKE),
+        multimodal.oracle_image_ahash(),
+        SF_SMOKE,
+    )
+
+
+def test_image_ahash_pairs_matches_oracle(spark):
+    from .oracle import compare
+    from redis_dataflow_realtime_analytics_spark.operators import multimodal
+
+    compare(
+        multimodal.image_ahash_pairs(spark, SF_SMOKE),
+        multimodal.oracle_image_ahash_pairs(),
+        SF_SMOKE,
+    )
+
+
+def test_image_ahash_invariants_and_neardup_recall(spark):
+    """aHash bit budget: hash_hi/lo are unsigned 32-bit halves and the
+    hex form round-trips them. Identical rasters MUST collide at
+    Hamming 0, and the CDC synthesis must give the image leg real
+    recall over the corpus's TEXT near-dups (1-token edits perturb ~1
+    chunk of 8, so a useful fraction of pairs stays under the Hamming
+    threshold; measured 3/14 at sf0.001, 9/25 at sf0.01 — that resilience is the entire point of content-defined
+    chunking vs fixed-position windows)."""
+    from redis_dataflow_realtime_analytics_spark.operators import dedup, multimodal
+
+    rows = multimodal.image_ahash_features(spark, SF_SMOKE).collect()
+    by_hash = {}
+    for r in rows:
+        assert 0 <= r.hash_hi < 2**32 and 0 <= r.hash_lo < 2**32
+        assert r.ahash_hex == f"{(r.hash_hi << 32) | r.hash_lo:016x}"
+        assert (r.width, r.height) == (16, 16)
+        by_hash.setdefault((r.hash_hi, r.hash_lo), []).append(r.doc_id)
+    pairs = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in multimodal.image_ahash_pairs(spark, SF_SMOKE).collect()
+    }
+    for ids in by_hash.values():
+        for i, a in enumerate(ids):
+            for b in ids[i + 1:]:
+                lo, hi = min(a, b), max(a, b)
+                assert pairs.get((lo, hi)) == 0
+    assert all(0 <= h <= 10 for h in pairs.values())
+    nd = [(r.doc_a, r.doc_b) for r in dedup.minhash_neardup_pairs(spark, SF_SMOKE).collect()]
+    if nd:
+        recall = sum(1 for p in nd if p in pairs) / len(nd)
+        assert recall >= 0.15, f"image-leg recall over text near-dups {recall}"

@@ -485,3 +485,15 @@ def test_remove_boilerplate_broadcasts_frequent_spans(spark):
     p = plans.plan_string(df)
     assert "BroadcastHashJoin" in p and "LeftSemi" in p, p
     assert "CartesianProduct" not in p, p
+
+
+def test_image_ahash_pairs_banded_join_no_cartesian(spark):
+    """The image near-dup join must be the banded equi-join (hash keys
+    only), never an all-pairs scan; the hash frame is checkpointed so
+    the Arrow decode stage isn't re-run per join branch."""
+    from redis_dataflow_realtime_analytics_spark.operators import multimodal
+
+    df = multimodal.image_ahash_pairs(spark, SF_SMOKE)
+    p = plans.plan_string(df)
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+    assert "Scan ExistingRDD" in p or "LocalTableScan" in p, p  # checkpointed hashes
