@@ -136,6 +136,7 @@ HEADLINE = [
     "corpus_remove_boilerplate",
     "multimodal_image_ahash",
     "dedup_image_ahash_pairs",
+    "text_bpe_merges",
 ]
 
 

@@ -1499,3 +1499,170 @@ h AS (
 SELECT doc_id, bucket, count(*) AS n_terms,
        CAST(sum(sign) AS BIGINT) AS feat
 FROM h GROUP BY 1, 2"""
+
+
+# --- distributed BPE merge training ------------------------------------------
+def _bpe_round(syms: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """One BPE merge round over the symbolized vocabulary
+    ``(w, wc, pos, sym)``: count adjacent symbol pairs weighted by word
+    frequency, pick the top pair (count DESC, lhs, rhs — exact integer
+    tie-break), and apply it with greedy leftmost-non-overlapping
+    semantics expressed ENTIRELY in window functions — no fold, no UDF,
+    no driver state:
+
+    * lhs != rhs: matches cannot overlap, every match merges;
+    * lhs == rhs: gaps-and-islands run detection + even-offset parity
+      picks exactly the merges a left-to-right scan would (run "aaaa"
+      -> "aa","aa"; "aaa" -> "aa","a").
+
+    Returns (next_syms, top1) where top1 is the 1-row merge frame that
+    broadcast-joins into the application step.
+    """
+    w_seq = Window.partitionBy("w").orderBy("pos")
+    pairs = (
+        syms.withColumn("nxt", F.lead("sym").over(w_seq))
+        .where(F.col("nxt").isNotNull())
+        .groupBy(F.col("sym").alias("lhs"), F.col("nxt").alias("rhs"))
+        .agg(F.sum("wc").alias("pair_count"))
+    )
+    top1 = pairs.orderBy(F.desc("pair_count"), "lhs", "rhs").limit(1)
+    ann = (
+        syms.crossJoin(F.broadcast(top1))
+        .withColumn("nxt", F.lead("sym").over(w_seq))
+        .withColumn(
+            "rg",
+            F.col("pos")
+            - F.row_number().over(Window.partitionBy("w", "sym").orderBy("pos")),
+        )
+    )
+    offset = (
+        F.row_number().over(Window.partitionBy("w", "sym", "rg").orderBy("pos")) - 1
+    )
+    ms = (
+        (F.col("sym") == F.col("lhs"))
+        & (F.col("nxt") == F.col("rhs"))
+        & ((F.col("lhs") != F.col("rhs")) | (offset % 2 == 0))
+    ).cast("int")
+    staged = ann.withColumn("ms", ms).withColumn(
+        "consumed", F.coalesce(F.lag("ms").over(w_seq), F.lit(0))
+    )
+    nxt_syms = (
+        staged.where(F.col("consumed") == 0)
+        .select(
+            "w",
+            "wc",
+            F.row_number().over(w_seq).alias("pos"),
+            F.when(F.col("ms") == 1, F.concat("lhs", "rhs"))
+            .otherwise(F.col("sym"))
+            .alias("sym"),
+        )
+    )
+    return nxt_syms, top1
+
+
+def bpe_merges(spark: SparkSession, sf_dir: str, n_merges: int = 3) -> DataFrame:
+    """The first ``n_merges`` rounds of byte-pair-encoding tokenizer
+    training over the corpus — the merge table (merge_rank, lhs, rhs,
+    pair_count) a BPE tokenizer is built from, computed fully
+    distributed and bit-deterministically.
+
+    Scale design: the corpus collapses to a WORD-FREQUENCY table first
+    (one token-explode + groupBy — the only corpus-sized shuffle), and
+    every BPE round runs over the symbolized VOCABULARY (words × avg
+    word length rows — millions at 100 TB, never trillions). Pair
+    counting is a vocab-sized groupBy; the argmax pair is a 4-row-column
+    TakeOrdered; merge application is pure window functions over the
+    same (w)-partitioned exchange; the chosen pair broadcast-joins in.
+    NOTHING iterates on the driver — unlike the classic implementation,
+    the merge table itself is a plan, so the operator is SQL-oracle-able
+    by unrolling the same rounds as CTEs (the kmeans_exact_centroids
+    convention).
+
+    Each round's frame is eagerly localCheckpoint'ed: round N feeds both
+    the pair-count aggregation and the application step of round N+1,
+    and the stacked-window lineage would otherwise recompile per round.
+    """
+    docs = spread(load(spark, sf_dir, "documents"))
+    words = (
+        docs.select(
+            F.explode(F.split(F.trim(F.lower(F.col("text"))), TOKEN_RE)).alias("w")
+        )
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("wc"))
+    )
+    syms = words.select(
+        "w",
+        "wc",
+        F.posexplode(
+            F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+        ).alias("pos0", "sym"),
+    ).select("w", "wc", (F.col("pos0") + 1).alias("pos"), "sym")
+    syms = syms.localCheckpoint(eager=True)
+    merge_frames = []
+    for rank in range(1, n_merges + 1):
+        syms, top1 = _bpe_round(syms)
+        syms = syms.localCheckpoint(eager=True)
+        merge_frames.append(
+            top1.select(
+                F.lit(rank).alias("merge_rank"), "lhs", "rhs", "pair_count"
+            )
+        )
+    out = merge_frames[0]
+    for mf in merge_frames[1:]:
+        out = out.unionAll(mf)
+    return out
+
+
+def oracle_bpe_merges(n_merges: int = 3) -> str:
+    """DuckDB twin of :func:`bpe_merges` — the same rounds unrolled as
+    chained CTEs (pair count → LIMIT 1 argmax → window-function merge
+    application), so the whole merge table hash-gates."""
+    rounds = []
+    for i in range(1, n_merges + 1):
+        prev = f"s{i-1}"
+        rounds.append(f"""p{i} AS (
+  SELECT sym AS lhs, nxt AS rhs, sum(wc) AS pair_count
+  FROM (SELECT w, wc, sym,
+               lead(sym) OVER (PARTITION BY w ORDER BY pos) AS nxt
+        FROM {prev})
+  WHERE nxt IS NOT NULL GROUP BY 1, 2),
+m{i} AS (SELECT lhs, rhs, pair_count FROM p{i}
+         ORDER BY pair_count DESC, lhs, rhs LIMIT 1),
+a{i} AS (
+  SELECT s.w, s.wc, s.pos, s.sym, m.lhs, m.rhs,
+         lead(s.sym) OVER (PARTITION BY s.w ORDER BY s.pos) AS nxt,
+         s.pos - row_number() OVER (PARTITION BY s.w, s.sym ORDER BY s.pos)
+           AS rg
+  FROM {prev} s CROSS JOIN m{i} m),
+b{i} AS (
+  SELECT *, CASE WHEN sym = lhs AND nxt = rhs
+                  AND (lhs <> rhs OR
+                       (row_number() OVER (PARTITION BY w, sym, rg
+                                           ORDER BY pos) - 1) % 2 = 0)
+             THEN 1 ELSE 0 END AS ms
+  FROM a{i}),
+c{i} AS (
+  SELECT *, COALESCE(lag(ms) OVER (PARTITION BY w ORDER BY pos), 0)
+              AS consumed
+  FROM b{i}),
+s{i} AS (
+  SELECT w, wc,
+         row_number() OVER (PARTITION BY w ORDER BY pos) AS pos,
+         CASE WHEN ms = 1 THEN lhs || rhs ELSE sym END AS sym
+  FROM c{i} WHERE consumed = 0)""")
+    selects = "\nUNION ALL\n".join(
+        f"SELECT {i} AS merge_rank, lhs, rhs, pair_count FROM m{i}"
+        for i in range(1, n_merges + 1)
+    )
+    rounds_sql = ",\n".join(rounds)
+    return f"""WITH words AS (
+  SELECT w, count(*) AS wc
+  FROM (SELECT unnest(string_split_regex(trim(lower(text)), '{TOKEN_SQL}')) AS w
+        FROM documents)
+  WHERE w <> '' GROUP BY 1),
+s0 AS (
+  SELECT w, wc, p AS pos, substring(w, p, 1) AS sym
+  FROM words, LATERAL unnest(generate_series(1, length(w))) AS t(p)),
+{rounds_sql}
+{selects}"""

@@ -2344,6 +2344,12 @@ q(
 # featurization for linear classifiers — md5-derived bucket + sign
 # (engine-portable, never xxhash), long-form sparse output.
 q("text_hashed_features", text.hashed_features, text.oracle_hashed_features())
+# Distributed BPE tokenizer training (first 3 merge rounds): corpus
+# collapses to a word-frequency table, every round is vocab-sized; the
+# greedy leftmost merge is pure window functions (gaps-and-islands
+# parity for lhs==rhs) — no fold, no UDF, no driver state; oracled by
+# unrolling the same rounds as CTEs.
+q("text_bpe_merges", text.bpe_merges, text.oracle_bpe_merges())
 
 
 # Streaming lexical-index ingestion — the sparse twin of stream_ivf_assign:
@@ -2743,6 +2749,7 @@ _PRIORITY = [
     "corpus_remove_boilerplate",
     "multimodal_image_ahash",
     "dedup_image_ahash_pairs",
+    "text_bpe_merges",
     # --- 4. r5 determinism-sweep re-checks: engines/oracles touched by
     # the bit-faithful decimal-cast migration (functions/numeric.py r5
     # notes) — every one re-verified bit-exact at sf0.01 by the builder,
@@ -2771,7 +2778,9 @@ _PRIORITY = [
     # dedup_image_ahash_pairs) — their oracle_dsum varchar-routing shapes
     # are character-identical to the retained q1/q5/q6/q18 subset)
     "q5_local_supplier_volume",
-    "q6_forecast_revenue",
+    # (q6_forecast_revenue rotated to the r6 pool for the fifth mid-r5
+    # 3b slot (text_bpe_merges) — its single filtered dsum is the exact
+    # idiom q1 re-checks)
     # (q8_market_share rotated to the r6 pool for the fourth 3b slot —
     # q14's varchar-routed ratio idiom is character-identical to q8's)
     # (q9_product_profit rotated to the r6 pool for the tenth 3b slot —

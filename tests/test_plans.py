@@ -497,3 +497,17 @@ def test_image_ahash_pairs_banded_join_no_cartesian(spark):
     p = plans.plan_string(df)
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
     assert "Scan ExistingRDD" in p or "LocalTableScan" in p, p  # checkpointed hashes
+
+
+def test_bpe_rounds_broadcast_merge_frame(spark):
+    """Each BPE round's chosen pair joins in as a broadcast 1-row frame
+    (BroadcastNestedLoopJoin on a LIMIT-1 input is the deliberate
+    crossJoin-broadcast idiom); no plain CartesianProduct anywhere and
+    the rounds run over checkpointed vocab frames, not re-derived
+    corpus lineage."""
+    from redis_dataflow_realtime_analytics_spark.operators import text
+
+    df = text.bpe_merges(spark, SF_SMOKE, n_merges=2)
+    p = plans.plan_string(df)
+    assert "CartesianProduct" not in p, p
+    assert "Scan ExistingRDD" in p, p
