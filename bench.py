@@ -174,24 +174,38 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
             spark.catalog.clearCache()
         times[name] = round(best, 3)
+        # one bounded record per query, emitted as it is measured — the
+        # driver's tail window then recovers per-query numbers even when
+        # the full set is large
+        print(json.dumps({"query": name, "sec": times[name]}, separators=(",", ":")), flush=True)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    out = {
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    full = {
         "metric": "headline_queries_total",
         "value": round(sum(times.values()), 3),
         "unit": "sec",
         "queries": times,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "sf": sf_val,
     }
     # The driver captures a bounded tail of this process's output and
-    # parses the LAST JSON line it finds; in r4 the 64-query dict outgrew
-    # that window mid-line and the round's bench artifact was recorded as
-    # "parsed": null. Defend both ways: persist the full JSON to a file
-    # (compact, separators trimmed) AND print it as the very last line.
-    line = json.dumps(out, separators=(",", ":"))
+    # parses the LAST JSON line it finds. In r4 AND r5 the per-query dict
+    # outgrew that window mid-line and the round's bench artifact was
+    # recorded as "parsed": null. So: the FULL result (with the per-query
+    # dict) goes only to bench_out.json; the final printed line is a
+    # BOUNDED summary that always fits the tail window, pointing at the
+    # file (per-query numbers were also printed one-per-line above).
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_out.json"), "w") as f:
-        f.write(line + "\n")
-    print(line)
+        f.write(json.dumps(full, separators=(",", ":")) + "\n")
+    summary = {
+        "metric": "headline_queries_total",
+        "value": full["value"],
+        "unit": "sec",
+        "sf": sf_val,
+        "n_queries": len(times),
+        "queries_file": "bench_out.json",
+    }
+    print(json.dumps(summary, separators=(",", ":")))
 
 
 if __name__ == "__main__":

@@ -806,12 +806,12 @@ def oracle_pack_efficiency(max_tokens: int = 512) -> str:
     return f"""WITH a AS ({oracle_pack_cumsum(max_tokens)}),
 b AS ({oracle_pack_boundary(max_tokens)}),
 ga AS (
-  SELECT lang, count(*) AS n_docs, sum(n_tokens) AS total_tokens,
+  SELECT lang, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
          count(DISTINCT (shard, pack_id)) AS n_packs_cumsum
   FROM a GROUP BY 1),
 gb AS (
   SELECT lang, count(DISTINCT (shard, pack_id)) AS n_packs_boundary,
-         sum(CAST(oversize AS BIGINT)) AS n_oversize
+         CAST(sum(CAST(oversize AS BIGINT)) AS BIGINT) AS n_oversize
   FROM b GROUP BY 1)
 SELECT lang, n_docs, total_tokens, n_packs_cumsum, n_packs_boundary, n_oversize,
        CAST(total_tokens AS DOUBLE)
@@ -904,7 +904,8 @@ FROM latest"""
 
 
 def quality_calibrated_by_source(
-    spark: SparkSession, sf_dir: str, keep_floor: float = 0.25
+    spark: SparkSession, sf_dir: str, keep_floor: float = 0.25,
+    q_resolution: int = 4096,
 ) -> DataFrame:
     """Per-source quality calibration: replace each document's raw
     heuristic quality score with its PERCENTILE RANK within its source,
@@ -915,15 +916,31 @@ def quality_calibrated_by_source(
     — the standard per-domain calibration step before corpus mixing.
 
     The percentile is computed explicitly as (rn − 1) / (n_src − 1) from
-    a row_number over the fully deterministic (quality, doc_id) order and
-    a per-source count — integer inputs to one float division, identical
-    in every engine (and well-defined for a single-doc source, where the
-    builtin percent_rank's 0/0 is engine-dependent: here it is 0.0).
+    a deterministic exact rank over (quality, doc_id) and a per-source
+    count — integer inputs to one float division, identical in every
+    engine (and well-defined for a single-doc source, where the builtin
+    percent_rank's 0/0 is engine-dependent: here it is 0.0).
 
-    Scale: one window + one count per source partition — a single shuffle
-    keyed by source; with the usual handful of sources AQE coalesces the
-    partitions, and a mega-source is still fine because row_number is a
-    streaming window (no buffering beyond the sort).
+    Scale — two-level exact rank, NOT a per-source window. With a
+    handful of sources, ``Window.partitionBy("source")`` sorts each
+    ~|corpus|/|sources| partition on ONE reducer — the same canonical
+    scale killer :func:`shard_assignment`'s docstring calls out. The
+    rank decomposes the same way a prefix sum does, because
+    ``floor(quality * q_resolution)`` is monotone in ``quality``:
+
+    1. quantize quality into ordered buckets ``qb`` within source;
+    2. level 1: per-(source, qb) counts — one small shuffle;
+    3. level 2: per-source running sum over the O(|sources| ×
+       q_resolution) bucket frame (trivial for one reducer) gives each
+       bucket's starting rank offset; per-source totals give n_src;
+    4. offsets and totals broadcast back; a window PARTITIONED BY
+       (source, qb) finishes the local row_number — every heavy sort
+       partition is one quality-bucket, not one source.
+
+    A pathological score distribution (mass concentrated on one exact
+    value) re-creates a fat (source, qb) partition; ties must sort
+    together for determinism, so the mitigation is resolution (wider
+    ``q_resolution``), not salting.
 
     Output: (doc_id, source, quality, pct_rank, keep).
     """
@@ -932,18 +949,36 @@ def quality_calibrated_by_source(
     docs = spread(load(spark, sf_dir, "documents"))
     q = quality_projection(docs).select("doc_id", "quality")
     scored = docs.select("doc_id", "source").join(q, "doc_id")
-    w = Window.partitionBy("source").orderBy("quality", "doc_id")
-    n = Window.partitionBy("source")
-    rn = F.row_number().over(w)
-    n_src = F.count("*").over(n)
+    base = scored.withColumn(
+        "qb", F.floor(F.col("quality") * q_resolution).cast("bigint")
+    )
+    partials = base.groupBy("source", "qb").agg(F.count("*").alias("c"))
+    w_buckets = (
+        Window.partitionBy("source")
+        .orderBy("qb")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = partials.select(
+        "source",
+        "qb",
+        F.coalesce(F.sum("c").over(w_buckets), F.lit(0)).alias("rank_offset"),
+    )
+    counts = partials.groupBy("source").agg(F.sum("c").alias("n_src"))
+    w_local = Window.partitionBy("source", "qb").orderBy("quality", "doc_id")
+    rn = F.col("rank_offset") + F.row_number().over(w_local)
+    n_src = F.col("n_src")
     pct = F.when(n_src > 1, (rn - 1).cast("double") / (n_src - 1).cast("double")
                  ).otherwise(F.lit(0.0))
-    return scored.select(
-        "doc_id",
-        "source",
-        "quality",
-        pct.alias("pct_rank"),
-        (pct >= keep_floor).alias("keep"),
+    return (
+        base.join(F.broadcast(offsets), ["source", "qb"])
+        .join(F.broadcast(counts), "source")
+        .select(
+            "doc_id",
+            "source",
+            "quality",
+            pct.alias("pct_rank"),
+            (pct >= keep_floor).alias("keep"),
+        )
     )
 
 
@@ -1106,10 +1141,10 @@ def oracle_shard_assignment(target_tokens: int = 4096) -> str:
   FROM documents),
 scanned AS (
   SELECT doc_id, n_tokens,
-         COALESCE(SUM(n_tokens) OVER (
+         CAST(COALESCE(SUM(n_tokens) OVER (
            ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
-         ), 0) AS tokens_before
+         ), 0) AS BIGINT) AS tokens_before
   FROM base)
 SELECT doc_id, n_tokens, tokens_before,
-       tokens_before // {target_tokens} AS shard_id
+       CAST(tokens_before // {target_tokens} AS BIGINT) AS shard_id
 FROM scanned"""

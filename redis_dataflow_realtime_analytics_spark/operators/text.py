@@ -950,7 +950,7 @@ def oracle_token_entropy() -> str:
   WHERE token <> ''
   GROUP BY 1, 2),
 per_doc AS (
-  SELECT doc_id, sum(c) AS n_tokens, count(*) AS n_types,
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens, count(*) AS n_types,
          {oracle_dsum12("CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))")}
            AS sum_clnc
   FROM counts GROUP BY 1)
@@ -1622,7 +1622,7 @@ def oracle_bpe_merges(n_merges: int = 3) -> str:
     for i in range(1, n_merges + 1):
         prev = f"s{i-1}"
         rounds.append(f"""p{i} AS (
-  SELECT sym AS lhs, nxt AS rhs, sum(wc) AS pair_count
+  SELECT sym AS lhs, nxt AS rhs, CAST(sum(wc) AS BIGINT) AS pair_count
   FROM (SELECT w, wc, sym,
                lead(sym) OVER (PARTITION BY w ORDER BY pos) AS nxt
         FROM {prev})

@@ -34,70 +34,86 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 SF_DIR = os.environ.get("SPARK_GRAFT_CHECK_SF_DIR", "/root/testdata/sf0.01")
 
 
-def _canon(cols, rows):
-    """Mirror the driver's pandas-style canonical form closely enough to
-    catch dtype drift: sorted columns, sorted stringified rows."""
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
+def _cell(v):
+    """Stringify one pandas cell the way the driver's hash sees it.
 
-    def cell(v):
-        if v is None:
+    Both sides arrive through pandas (Spark ``toPandas()``, DuckDB
+    ``.df()``), so dtype drift is *visible* here: an int64 cell
+    stringifies ``"123"`` while a float64 cell stringifies ``"123.0"``
+    — exactly the r3/r5 HUGEINT failure class.
+    """
+    import numpy as np
+
+    if v is None:
+        return "<NULL>"
+    if isinstance(v, (list, tuple)) or isinstance(v, np.ndarray):
+        return "[" + ", ".join(_cell(x) for x in v) + "]"
+    if isinstance(v, (bool, np.bool_)):
+        return repr(bool(v))
+    if isinstance(v, (float, np.floating)):
+        f = float(v)
+        if math.isnan(f):
+            return "nan"
+        return repr(round(f, 6))
+    if isinstance(v, (int, np.integer)):
+        return str(int(v))
+    # pandas NaT / pd.NA and friends
+    try:
+        import pandas as pd
+
+        if v is pd.NaT or v is pd.NA:
             return "<NULL>"
-        if isinstance(v, float):
-            if math.isnan(v):
-                return "nan"
-            r = round(v, 6)
-            # driver stringifies the float64 cell: 123.0 stays "123.0"
-            return repr(r)
-        if isinstance(v, bool):
-            return repr(v)
-        return str(v)
+    except Exception:  # noqa: BLE001
+        pass
+    return str(v)
 
-    out = [tuple(cell(r[i]) for i in order) for r in rows]
+
+def _canon_pdf(pdf):
+    """Driver canonical form from a pandas frame: columns sorted by
+    name, rows stringified per-cell and lexicographically sorted."""
+    cols = sorted(pdf.columns)
+    out = [tuple(_cell(v) for v in row) for row in pdf[cols].itertuples(index=False, name=None)]
     out.sort()
-    return [cols[i] for i in order], out
+    return cols, out
 
 
 def check_key(spark, con, name: str) -> dict:
     from redis_dataflow_realtime_analytics_spark import registry
 
     t0 = time.time()
-    df = registry.QUERIES[name](spark, SF_DIR)
-    s_cols = df.columns
-    s_rows = [tuple(r) for r in df.collect()]
-    res = con.sql(registry.ORACLE[name])
-    o_cols = [d[0] for d in res.description]
-    # fetchall() gives Python scalars; DuckDB HUGEINT -> float via .df()
-    # in the driver, so detect it from the declared types instead.
-    o_types = [str(d[1]) for d in res.description]
-    o_rows = res.fetchall()
-    # Driver reads the oracle through pandas: HUGEINT/DECIMAL columns land
-    # as float64 there. Simulate by coercing those columns to float.
-    coerce = [i for i, t in enumerate(o_types) if "HUGEINT" in t.upper() or "DECIMAL" in t.upper()]
-    if coerce:
-        o_rows = [
-            tuple(float(v) if i in coerce and v is not None else v for i, v in enumerate(r))
-            for r in o_rows
-        ]
+    # Both sides through pandas — the driver's REAL path. (The previous
+    # version detected HUGEINT from the DBAPI cursor description, but
+    # DuckDB's DBAPI describes every numeric column as the generic
+    # 'NUMBER', so that detection was dead code and the guard shipped
+    # 4 red rows in r5. Do not approximate the driver; reproduce it.)
+    spdf = registry.QUERIES[name](spark, SF_DIR).toPandas()
+    opdf = con.sql(registry.ORACLE[name]).df()
 
-    rows_match = len(s_rows) == len(o_rows)
-    schema_match = sorted(s_cols) == sorted(o_cols)
+    rows_match = len(spdf) == len(opdf)
+    schema_match = sorted(spdf.columns) == sorted(opdf.columns)
     hash_match = False
     detail = ""
     if rows_match and schema_match:
-        sc, sr = _canon(s_cols, s_rows)
-        _, orr = _canon(o_cols, o_rows)
+        sc, sr = _canon_pdf(spdf)
+        _, orr = _canon_pdf(opdf)
         hash_match = sr == orr
         if not hash_match:
+            sdt = {c: str(spdf[c].dtype) for c in sc}
+            odt = {c: str(opdf[c].dtype) for c in sc}
+            drift = [c for c in sc if sdt[c] != odt[c]]
             for i, (a, b) in enumerate(zip(sr, orr)):
                 if a != b:
-                    detail = f"first diff row {i}: spark={a} oracle={b} cols={sc}"
+                    detail = (
+                        f"first diff row {i}: spark={a} oracle={b} cols={sc}"
+                        f" dtype_drift={[(c, sdt[c], odt[c]) for c in drift]}"
+                    )
                     break
     return {
         "rows_match": rows_match,
         "schema_match": schema_match,
         "hash_match": hash_match,
-        "spark_rows": len(s_rows),
-        "oracle_rows": len(o_rows),
+        "spark_rows": len(spdf),
+        "oracle_rows": len(opdf),
         "sec": round(time.time() - t0, 2),
         "detail": detail,
     }

@@ -511,3 +511,24 @@ def test_bpe_rounds_broadcast_merge_frame(spark):
     p = plans.plan_string(df)
     assert "CartesianProduct" not in p, p
     assert "Scan ExistingRDD" in p, p
+
+def test_quality_calibration_no_per_source_global_sort(spark):
+    """The two-level exact-rank contract (r5 verdict perf flag): the
+    document frame's rank window is PARTITIONED BY (source, qb) — never
+    a per-source sort of the whole corpus on one reducer. Any window
+    spec that orders by quality must therefore also carry the qb bucket
+    key in its partition spec; the per-source running-sum window (ordered
+    by qb) runs only over the aggregated bucket frame, whose offsets come
+    back via broadcast."""
+    import re
+
+    from redis_dataflow_realtime_analytics_spark.operators import sampling
+
+    df = sampling.quality_calibrated_by_source(spark, SF_SMOKE)
+    p = plans.plan_string(df)
+    assert "BroadcastHashJoin" in p, p
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", p)
+    assert specs, p
+    for spec in specs:
+        if "quality#" in spec:
+            assert "qb#" in spec, f"per-source global sort leaked back: {spec}\n{p}"
