@@ -2350,6 +2350,14 @@ q("text_hashed_features", text.hashed_features, text.oracle_hashed_features())
 # parity for lhs==rhs) — no fold, no UDF, no driver state; oracled by
 # unrolling the same rounds as CTEs.
 q("text_bpe_merges", text.bpe_merges, text.oracle_bpe_merges())
+# BPE ENCODING over the persisted merge table — the train→apply pair
+# closed (the ann_ivf_persisted_topk convention): merges come from the
+# train-once parquet artifact and apply to the distinct-word vocabulary
+# via the SAME shared window walk training used (_bpe_apply), then the
+# token-id sequences join back onto the doc subset. Deterministic
+# training makes the output bit-identical to inline training, so the
+# oracle unrolls training as CTEs and hash-gates the encoded rows.
+q("text_bpe_encode", text.bpe_encode, text.oracle_bpe_encode())
 
 
 # Streaming lexical-index ingestion — the sparse twin of stream_ivf_assign:

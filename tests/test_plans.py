@@ -532,3 +532,18 @@ def test_quality_calibration_no_per_source_global_sort(spark):
     for spec in specs:
         if "quality#" in spec:
             assert "qb#" in spec, f"per-source global sort leaked back: {spec}\n{p}"
+
+def test_bpe_encode_broadcasts_merges_and_token_ids(spark):
+    """Encoding applies vocabulary-sized state only: each persisted
+    merge row and the token-id table come in as broadcasts; the only
+    corpus-sized work is the token explode and the final join-back.
+    No plain CartesianProduct (the 1-row merge crossJoin is the
+    broadcast idiom); round frames are checkpointed (Scan ExistingRDD),
+    not re-derived corpus lineage."""
+    from redis_dataflow_realtime_analytics_spark.operators import text
+
+    df = text.bpe_encode(spark, SF_SMOKE, n_merges=2)
+    p = plans.plan_string(df)
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastHashJoin" in p, p
+    assert "Scan ExistingRDD" in p, p
