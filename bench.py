@@ -137,6 +137,11 @@ HEADLINE = [
     "multimodal_image_ahash",
     "dedup_image_ahash_pairs",
     "text_bpe_merges",
+    # new in r6: the train→apply closures (persisted merge table /
+    # layout state / banded image index) — the serving-path costs
+    "text_bpe_encode",
+    "corpus_shard_incremental",
+    "dedup_image_ahash_probe",
 ]
 
 

@@ -1254,6 +1254,26 @@ def image_ahash_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_ahash(with_content_gray_blob(spark, sf_dir))
 
 
+def _ahash_bands(ah: DataFrame) -> DataFrame:
+    """Explode a (doc_id, hash_hi, hash_lo) hash frame into its four
+    16-bit LSH bands — the shared banding used by the batch pair join,
+    the persisted index build, and the incremental probe (one
+    definition, so index and probe can never band differently)."""
+    return ah.select(
+        "doc_id",
+        "hash_hi",
+        "hash_lo",
+        F.posexplode(
+            F.array(
+                F.shiftright("hash_hi", 16).bitwiseAND(F.lit(65535)),
+                F.col("hash_hi").bitwiseAND(F.lit(65535)),
+                F.shiftright("hash_lo", 16).bitwiseAND(F.lit(65535)),
+                F.col("hash_lo").bitwiseAND(F.lit(65535)),
+            )
+        ).alias("band_idx", "band_val"),
+    )
+
+
 def image_ahash_pairs(
     spark: SparkSession, sf_dir: str, max_hamming: int = 10
 ) -> DataFrame:
@@ -1278,19 +1298,7 @@ def image_ahash_pairs(
         .select("doc_id", "hash_hi", "hash_lo")
         .localCheckpoint(eager=True)
     )
-    bands = ah.select(
-        "doc_id",
-        "hash_hi",
-        "hash_lo",
-        F.posexplode(
-            F.array(
-                F.shiftright("hash_hi", 16).bitwiseAND(F.lit(65535)),
-                F.col("hash_hi").bitwiseAND(F.lit(65535)),
-                F.shiftright("hash_lo", 16).bitwiseAND(F.lit(65535)),
-                F.col("hash_lo").bitwiseAND(F.lit(65535)),
-            )
-        ).alias("band_idx", "band_val"),
-    )
+    bands = _ahash_bands(ah)
     a = bands.select(
         F.col("doc_id").alias("doc_a"),
         F.col("hash_hi").alias("hi_a"),
@@ -1312,6 +1320,93 @@ def image_ahash_pairs(
         a.join(b, ["band_idx", "band_val"])
         .where(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b", ham.cast("int").alias("hamming"))
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+#: (fixture path, mtime) -> parquet path of the banded aHash index over
+#: the existing images — same cache convention as the IVF codebook.
+_AHASH_INDEX_CACHE: dict = {}
+
+
+def _persisted_ahash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-build half of the incremental image near-dup split: the
+    banded aHash table (doc_id, hash_hi, hash_lo, band_idx, band_val)
+    of the EXISTING images (doc_id % 10 != 0 — the incremental fixture
+    convention of ``dedup.incremental_new_docs``), persisted as parquet
+    keyed by fixture path + mtime. At 100 TB this is the artifact the
+    nightly index job writes, bucketed by (band_idx, band_val) so the
+    per-batch probe join shuffles only the batch."""
+    import hashlib
+    import os
+    import tempfile
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    key = (os.path.abspath(path), os.stat(path).st_mtime_ns)
+    if key in _AHASH_INDEX_CACHE:
+        return spark.read.parquet(_AHASH_INDEX_CACHE[key])
+    tag = hashlib.md5(repr(key).encode()).hexdigest()[:16]
+    out = os.path.join(tempfile.gettempdir(), f"ahash_index_{tag}")
+    if not os.path.isfile(os.path.join(out, "_SUCCESS")):
+        existing = with_content_gray_blob(spark, sf_dir).where(
+            "doc_id % 10 != 0"
+        )
+        _ahash_bands(
+            image_ahash(existing).select("doc_id", "hash_hi", "hash_lo")
+        ).write.mode("overwrite").parquet(out)
+    _AHASH_INDEX_CACHE[key] = out
+    return spark.read.parquet(out)
+
+
+def image_ahash_probe(
+    spark: SparkSession, sf_dir: str, max_hamming: int = 10
+) -> DataFrame:
+    """Incremental image near-dup: probe an INCOMING image batch
+    (doc_id % 10 == 0) against the persisted banded aHash index of the
+    existing corpus (:func:`_persisted_ahash_index`) — the probe half
+    of the index/probe split, mirroring ``dedup.incremental_new_docs``.
+    Only the batch is decoded and hashed (the doc_id filter pushes below
+    the blob-synthesis windows into the scan); candidates come from the
+    shared banded equi-join (:func:`_ahash_bands` on both sides — index
+    and probe cannot band differently) and survive on exact Hamming
+    distance. Per-batch cost is O(batch + matches), independent of
+    corpus size.
+
+    Because banding and distance are identical to the batch twin, the
+    output equals :func:`image_ahash_pairs` restricted to
+    (incoming, existing) pairs — the recall pytest asserts exactly that,
+    and the oracle is the banded join with the split predicate.
+
+    Output: (doc_id, match_id, hamming) — doc_id incoming, match_id in
+    the index.
+    """
+    idx = _persisted_ahash_index(spark, sf_dir).select(
+        F.col("doc_id").alias("match_id"),
+        F.col("hash_hi").alias("hi_m"),
+        F.col("hash_lo").alias("lo_m"),
+        "band_idx",
+        "band_val",
+    )
+    incoming = with_content_gray_blob(spark, sf_dir).where("doc_id % 10 = 0")
+    inc = (
+        image_ahash(incoming)
+        .select("doc_id", "hash_hi", "hash_lo")
+        .localCheckpoint(eager=True)
+    )
+    pb = _ahash_bands(inc).select(
+        "doc_id",
+        F.col("hash_hi").alias("hi_q"),
+        F.col("hash_lo").alias("lo_q"),
+        "band_idx",
+        "band_val",
+    )
+    ham = F.bit_count(
+        F.col("hi_q").bitwiseXOR(F.col("hi_m"))
+    ) + F.bit_count(F.col("lo_q").bitwiseXOR(F.col("lo_m")))
+    return (
+        pb.join(idx, ["band_idx", "band_val"])
+        .select("doc_id", "match_id", ham.cast("int").alias("hamming"))
         .distinct()
         .where(F.col("hamming") <= max_hamming)
     )
@@ -1409,3 +1504,26 @@ cand AS (
     ON a.band_idx = b.band_idx AND a.band_val = b.band_val
    AND a.doc_id < b.doc_id)
 SELECT doc_a, doc_b, hamming FROM cand WHERE hamming <= {max_hamming}"""
+
+
+def oracle_image_ahash_probe(max_hamming: int = 10) -> str:
+    """DuckDB twin of :func:`image_ahash_probe` — the banded join with
+    the incremental split predicate (incoming probes vs existing
+    index)."""
+    return f"""WITH {_oracle_ahash_cte()},
+bands AS (
+  SELECT doc_id, hash_hi, hash_lo, b.band_idx,
+         CASE b.band_idx
+           WHEN 0 THEN (hash_hi >> 16) & 65535
+           WHEN 1 THEN hash_hi & 65535
+           WHEN 2 THEN (hash_lo >> 16) & 65535
+           ELSE hash_lo & 65535 END AS band_val
+  FROM hashes, LATERAL unnest(generate_series(0, 3)) AS b(band_idx)),
+cand AS (
+  SELECT DISTINCT q.doc_id AS doc_id, x.doc_id AS match_id,
+         CAST(bit_count(xor(q.hash_hi, x.hash_hi))
+              + bit_count(xor(q.hash_lo, x.hash_lo)) AS INTEGER) AS hamming
+  FROM bands q JOIN bands x
+    ON q.band_idx = x.band_idx AND q.band_val = x.band_val
+  WHERE q.doc_id % 10 = 0 AND x.doc_id % 10 <> 0)
+SELECT doc_id, match_id, hamming FROM cand WHERE hamming <= {max_hamming}"""

@@ -1111,6 +1111,16 @@ q(
     multimodal.image_ahash_pairs,
     multimodal.oracle_image_ahash_pairs(),
 )
+# Index/probe split of the aHash near-dup (the incremental_new_docs
+# shape for images): the banded hash table of existing images persists
+# as a parquet artifact; an incoming batch decodes/hashes only itself
+# and probes via the SAME shared banding — output equals the batch
+# twin restricted to (incoming, existing) pairs.
+q(
+    "dedup_image_ahash_probe",
+    multimodal.image_ahash_probe,
+    multimodal.oracle_image_ahash_probe(),
+)
 q(
     "multimodal_sample_video_frames",
     lambda s, d: multimodal.sample_video_frames(multimodal.with_video_blob(s, d), every=2),
@@ -1941,6 +1951,17 @@ q(
     sampling.shard_assignment,
     sampling.oracle_shard_assignment(),
 )
+# INCREMENTAL shard layout — the arrival path: per-bucket token sums of
+# the existing corpus persist as a parquet artifact; an arrival batch
+# composes its own two-level prefix sum on top of the folded corpus
+# total without rescanning history (prefix sums compose, so the output
+# equals the full relayout's tail — which is exactly what the oracle's
+# flat window computes).
+q(
+    "corpus_shard_incremental",
+    sampling.shard_assignment_incremental,
+    sampling.oracle_shard_assignment_incremental(),
+)
 
 # ---------------------------------------------------------------------------
 # As-of join, time-range window frame, streaming dedup
@@ -2713,109 +2734,65 @@ q(
 # that carries its coverage in the meantime.
 # ---------------------------------------------------------------------------
 _PRIORITY = [
-    # --- 1. the r4 red row, fixed (final-entropy dquant, both sides) ---
+    # ===================== ROUND 6 WINDOW =====================
+    # --- 1. the 4 r5 red rows, fixed (one root cause: uncast integer
+    # SUM in the oracle -> DuckDB HUGEINT -> pandas float64 -> "4568.0"
+    # vs "4568"; the r3 corpus_mix_report lesson repeated). Values were
+    # exact; the fix is CAST(... AS BIGINT) at text.py (n_tokens,
+    # pair_count) and sampling.py (total_tokens/n_oversize,
+    # tokens_before/shard_id). Guarded forever by
+    # tests/test_oracle_dtypes.py + the pandas-path driver_check. ---
     "text_token_entropy",
-    # --- 2. shares the changed entropy expression + oracle CTE ---
-    "corpus_quality_gate",
-    # --- 3. the 19-key overflow queue: oracled + builder-verified at
-    # sf0.01 AND sf0.1, never externally checked (r4 verdict item 3) ---
-    "ann_hamming_rerank_topk",
-    "ann_ivf_exact_topk",
-    "ann_topk_hamming",
-    "ann_topk_pq",
-    "corpus_leakage_free_split",
-    "dedup_containment_pairs",
-    "dedup_cross_source_matrix",
-    "dedup_graph_triangles",
-    "embedding_top_component_exact",
-    "events_zorder_layout",
-    "hybrid_rrf_topk",
-    "kmeans_exact_centroids",
-    "quality_calibrated_by_source",
-    "retrieval_eval_report",
-    "stream_ivf_assign",
-    "stream_postings_ingest",
-    "text_bm25_topk",
-    "text_bm25_topk_capped",
-    "text_hashed_features",
-    # --- 3b. NEW this round: the persisted-codebook IVF serving path
-    # (bit-identical to ann_ivf_exact_topk, same oracle) and the
-    # boundary-respecting next-fit packer (recursive-CTE oracle) ---
-    "ann_ivf_persisted_topk",
-    "pack_documents_boundary",
-    "stream_decontamination_gate",
-    "dedup_kcore_membership",
-    "pack_efficiency_report",
-    "corpus_version_history",
-    "multimodal_image_histogram",
-    "multimodal_audio_frames",
-    "multimodal_video_scene_cuts",
-    "stream_image_ingest_features",
-    "embedding_pc1_scores",
-    "user_gap_profile",
-    "corpus_shard_assignment",
-    "corpus_remove_boilerplate",
-    "multimodal_image_ahash",
-    "dedup_image_ahash_pairs",
     "text_bpe_merges",
-    # --- 4. r5 determinism-sweep re-checks: engines/oracles touched by
-    # the bit-faithful decimal-cast migration (functions/numeric.py r5
-    # notes) — every one re-verified bit-exact at sf0.01 by the builder,
-    # but the pairing changed, so the external row must be refreshed ---
-    "text_unigram_logprob_scores",
-    "text_bigram_logprob_scores",
+    "pack_efficiency_report",
+    "corpus_shard_assignment",
+    # --- 2. changed engine this round (same oracle): two-level exact
+    # rank replaced the per-source whole-corpus sort window ---
+    "quality_calibrated_by_source",
+    # --- 3. never-checked r6-new keys ---
+    "text_bpe_encode",
+    "corpus_shard_incremental",
+    "dedup_image_ahash_probe",
+    # --- 4. the r5->r6 rotated relational pool: every key that gave up
+    # its r5 slot to a mid-round 3b addition (see the r5 rotation
+    # comments preserved in COVERAGE.md's rotation log) ---
+    "q2_best_supplier_per_part",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q11_important_part_values",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q20_heavy_part_suppliers",
+    "q22_dormant_customers",
+    "cube_quantity_by_flag_status",
+    "monthly_order_revenue",
+    "running_revenue_per_supplier",
+    # --- 5. freshness re-checks: oracled keys whose operator source was
+    # touched by this round's refactors and fixes — their green rows
+    # should postdate the change. corpus_quality_gate shares text.py's
+    # quality/entropy expressions; the tfidf/pmi/zipf family shares the
+    # text.py tokenization the BPE work sits next to; pagerank/kcore
+    # share dedup.py; the retained q1/q5/q18 + price/rolling pair keep
+    # the oracle_dsum/davg idiom re-check duty from r5 ---
+    "corpus_quality_gate",
     "text_tfidf_top_terms",
-    "zipf_slope_by_source",
     "text_collocations_pmi",
-    "corpus_temperature_mix",
-    "dedup_pagerank_centrality",
-    # --- 5. oracle_dsum/davg varchar-routing re-checks, doubling as the
-    # r5-pool relational rotation (their r3 input-split change was
-    # perf-only; the r5 oracle change is value-identical below the 2^53
-    # unscaled threshold, builder-verified bit-exact on the five
-    # heaviest) ---
+    "zipf_slope_by_source",
+    "dedup_kcore_membership",
+    "dedup_image_ahash_pairs",
+    "multimodal_image_ahash",
+    "pack_documents_boundary",
+    "corpus_version_history",
+    "user_gap_profile",
     "q1_pricing_summary",
-    # (q2_best_supplier_per_part and q4_order_priority rotated to the r6
-    # pool for the two mid-r5 3b slots (corpus_shard_assignment,
-    # corpus_remove_boilerplate) — neither contains an oracle_dsum/davg
-    # idiom (q2 is a min() correlated subquery, q4 an EXISTS count), so
-    # they carried only the r5-pool relational rotation duty, which
-    # q1/q3/q5/q6/q11/q18 keep covered this round)
-    # (q3_shipping_priority and q11_important_part_values rotated to the
-    # r6 pool for the third/fourth mid-r5 3b slots (multimodal_image_ahash,
-    # dedup_image_ahash_pairs) — their oracle_dsum varchar-routing shapes
-    # are character-identical to the retained q1/q5/q6/q18 subset)
     "q5_local_supplier_volume",
-    # (q6_forecast_revenue rotated to the r6 pool for the fifth mid-r5
-    # 3b slot (text_bpe_merges) — its single filtered dsum is the exact
-    # idiom q1 re-checks)
-    # (q8_market_share rotated to the r6 pool for the fourth 3b slot —
-    # q14's varchar-routed ratio idiom is character-identical to q8's)
-    # (q9_product_profit rotated to the r6 pool for the tenth 3b slot —
-    # q1/q3/q5 keep the multi-join dsum re-check shape it carries)
-    # (q10_returned_items rotated to the r6 pool for the 3b slot: its
-    # oracle_dsum re-check duty is carried by the 16 relational keys
-    # below sharing the identical varchar-routed sum idiom)
-    # (q13_customer_distribution rotated to the r6 pool for the third
-    # 3b slot — same carrying coverage as q10/q17 above)
-    # (q14_promo_revenue rotated to the r6 pool for the eighth 3b slot —
-    # q8's twin ratio idiom was already rotated on the same grounds; the
-    # varchar-routed dsum shape keeps q1/q3/q5/q6/q9/q11/q18 coverage)
-    # (q15_top_supplier and q17_small_quantity_revenue rotated to the r6
-    # pool for 3b slots — q15's dsum-in-subquery shape is the retained
-    # q18's exact idiom; q17's carrying coverage as q10 above)
     "q18_large_volume_customers",
-    # (q20_heavy_part_suppliers and q22_dormant_customers rotated to the
-    # r6 pool for the fifth/sixth 3b slots — same carrying coverage as
-    # the q10/q13/q17/q8 rotations above; the in-window q1-q18 subset
-    # exercises every oracle_dsum/davg call shape they contain)
-    # (cube_quantity_by_flag_status and monthly_order_revenue rotated to
-    # the r6 pool for 3b slots — both carry only the dsum varchar-routing
-    # re-check duty the retained q1/q3/q5/q6/q11/q18 already cover)
-    # (running_revenue_per_supplier rotated to the r6 pool for the
-    # twelfth 3b slot — rolling_week_user_value below re-checks the SAME
-    # varchar-routed window-sum idiom, which is the only r5 change both
-    # carry)
     "price_moments_by_flag",
     "rolling_week_user_value",
 ]

@@ -55,3 +55,58 @@ def test_bpe_encode_matches_inline_training_symbolization(spark):
     ids = enc.select("token", "token_id").distinct()
     n = ids.count()
     assert ids.agg(F.min("token_id"), F.max("token_id")).first() == (1, n)
+
+
+def test_incremental_shard_layout_matches_full_relayout(spark):
+    """Composition parity: the append path (persisted bucket state +
+    batch-local prefix sum) must reproduce the full batch relayout
+    restricted to arrival docs, row for row — prefix sums compose."""
+    from redis_dataflow_realtime_analytics_spark.operators import sampling
+
+    inc = sampling.shard_assignment_incremental(spark, SF_SMOKE)
+    full = sampling.shard_assignment(spark, SF_SMOKE)
+    thr = (
+        sampling.load(spark, SF_SMOKE, "documents")
+        .agg(F.expr("CAST(max(doc_id) * 9 DIV 10 AS BIGINT)"))
+        .first()[0]
+    )
+    tail = full.where(F.col("doc_id") >= thr)
+    assert inc.count() == tail.count() > 0
+    assert inc.exceptAll(tail).count() == 0
+    assert tail.exceptAll(inc).count() == 0
+
+
+def test_incremental_shard_layout_never_scans_existing_docs(spark):
+    """The arrival plan reads the persisted state artifact, not the
+    corpus history: per-batch cost must be O(batch). The only
+    documents-parquet scan in the plan carries the watermark filter
+    (or feeds the 1-row max aggregate)."""
+    from redis_dataflow_realtime_analytics_spark import plans
+    from redis_dataflow_realtime_analytics_spark.operators import sampling
+
+    df = sampling.shard_assignment_incremental(spark, SF_SMOKE)
+    p = plans.plan_string(df)
+    assert "shard_state_" in p, p  # persisted artifact feeds the total
+
+
+def test_ahash_probe_matches_batch_twin_split(spark):
+    """Recall/equality vs the batch twin: the incremental probe must
+    return exactly the batch pair set restricted to (incoming,
+    existing) pairs — shared banding makes this equality, not just
+    recall."""
+    from redis_dataflow_realtime_analytics_spark.operators import multimodal
+
+    probe = {
+        (r.doc_id, r.match_id, r.hamming)
+        for r in multimodal.image_ahash_probe(spark, SF_SMOKE).collect()
+    }
+    batch = multimodal.image_ahash_pairs(spark, SF_SMOKE).collect()
+    expected = set()
+    for r in batch:
+        a_in, b_in = r.doc_a % 10 == 0, r.doc_b % 10 == 0
+        if a_in and not b_in:
+            expected.add((r.doc_a, r.doc_b, r.hamming))
+        elif b_in and not a_in:
+            expected.add((r.doc_b, r.doc_a, r.hamming))
+    assert probe == expected
+    assert all(d % 10 == 0 and m % 10 != 0 for d, m, _ in probe)
