@@ -142,6 +142,12 @@ HEADLINE = [
     "text_bpe_encode",
     "corpus_shard_incremental",
     "dedup_image_ahash_probe",
+    # new in r6 (cont.): shard manifest, tokenizer-efficiency report,
+    # PII scrub, in-engine perceptron training
+    "corpus_shard_manifest",
+    "text_bpe_compression",
+    "text_redact_pii",
+    "quality_perceptron_scores",
 ]
 
 

@@ -1,0 +1,240 @@
+"""Distributed linear-classifier training over hashed features.
+
+The training-data-pipeline pattern this implements: distill a cheap
+heuristic label (here a length rule; in production a curated seed set or
+an LLM judge) into a linear model over vocabulary-free hashed features
+(`text.hashed_features`) — the CCNet/fastText-style quality-classifier
+recipe, trained INSIDE the engine so corpus-scale featurization and
+scoring never leave Spark.
+
+The trainer is the batch perceptron, deliberately: every quantity is an
+int64 (features are signed term counts, labels ±1, weights integer sums
+of ±feat), so T unrolled rounds are BIT-EXACT and SQL-oracle-able with
+no float convention at all — the strongest gate this repo has. The same
+scaffold (broadcast weight frame, per-round localCheckpoint, margin =
+one bucket-keyed join + doc-keyed sum) carries to averaged-perceptron /
+logistic variants where floats would enter through the learning rate.
+
+Scale: features are (doc, bucket)-sparse rows; each round is one
+broadcast join (weights: 65 rows) + one (doc_id)-keyed aggregation for
+margins + one (bucket)-keyed aggregation for updates — two corpus-sized
+shuffles per round, both on uniform keys, nothing driver-side. Weight
+state is O(FEATURE_HASH_DIM) forever, independent of corpus size.
+
+Reference scope note: the reference app (Java/Beam + Redis) has no
+model-training surface; this extends the engine along SURVEY §2's
+LLM-data-pipeline axis like the ANN/dedup/BPE families.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import load, spread
+
+#: Length-rule label threshold (chars); fixture median is ~306, so the
+#: classes are near-balanced at sf0.01.
+QUALITY_LABEL_CHARS = 300
+
+#: Bias term lives in pseudo-bucket -1 (real buckets are 0..63).
+BIAS_BUCKET = -1
+
+
+def _features_with_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, bucket, feat, y): CENTERED hashed term counts + a bias
+    feature per doc, joined with the ±1 length-rule label.
+
+    Feature choices, both measured:
+    * counts (``n_terms``), not the signed ``feat`` sums — the sign hash
+      exists to unbias dot products BETWEEN documents; for a supervised
+      model the signed sums cancel away exactly the total-volume signal
+      a quality rule lives in (signed features stall at chance);
+    * centered, scaled by the corpus count to STAY INTEGER:
+      ``x_db = N·c_db − S_b`` (S_b = corpus bucket total). Raw counts
+      leave the batch update oscillating at chance (the bias weight
+      moves ±1/round against a ~60-token threshold); centered features
+      put the decision boundary at the origin where a zero-initialized
+      perceptron can reach it — measured 0.976 accuracy after round 1,
+      0.978 at 3 rounds (sf0.01).
+
+    Centering densifies: every doc emits FEATURE_HASH_DIM + 1 rows (the
+    64-bucket grid + bias) — still O(65·N), dense-but-narrow, the shape
+    a linear probe always has. Integer-exactness bound: margins grow
+    like N²·T·maxcount; below ~2×10^4 docs per TRAINING shard this sits
+    inside int64 (train on a shard-sized sample, score the full corpus —
+    standard classifier practice anyway).
+    """
+    from .text import FEATURE_HASH_DIM, hashed_features
+
+    docs = spread(load(spark, sf_dir, "documents"))
+    counts = hashed_features(spark, sf_dir).select(
+        "doc_id", "bucket", F.col("n_terms").cast("bigint").alias("c")
+    )
+    stats = counts.groupBy("bucket").agg(F.sum("c").alias("S"))
+    n = docs.agg(F.count("*").alias("N"))
+    buckets = spark.range(FEATURE_HASH_DIM).select(
+        F.col("id").cast("int").alias("bucket")
+    )
+    dense = (
+        docs.select("doc_id")
+        .crossJoin(F.broadcast(buckets))
+        .join(counts, ["doc_id", "bucket"], "left")
+        .join(F.broadcast(stats), "bucket", "left")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "bucket",
+            (
+                F.col("N") * F.coalesce(F.col("c"), F.lit(0))
+                - F.coalesce(F.col("S"), F.lit(0))
+            )
+            .cast("bigint")
+            .alias("feat"),
+        )
+    )
+    bias = docs.select(
+        "doc_id",
+        F.lit(BIAS_BUCKET).cast("int").alias("bucket"),
+        F.lit(1).cast("bigint").alias("feat"),
+    )
+    y = docs.select(
+        "doc_id",
+        F.when(F.col("n_chars") >= QUALITY_LABEL_CHARS, F.lit(1))
+        .otherwise(F.lit(-1))
+        .cast("bigint")
+        .alias("y"),
+    )
+    return dense.unionByName(bias).join(y, "doc_id")
+
+
+def perceptron_scores(
+    spark: SparkSession, sf_dir: str, rounds: int = 3
+) -> DataFrame:
+    """Train a batch perceptron for ``rounds`` rounds and score every
+    document with the final weights.
+
+    Round semantics (w0 = 0, so round 1 updates on every doc since
+    y·0 <= 0):
+
+        margin_d = Σ_b w_b · feat_{d,b}
+        miscl    = { d : y_d · margin_d <= 0 }
+        w_b     += Σ_{d ∈ miscl} y_d · feat_{d,b}
+
+    All arithmetic int64 ⇒ bit-exact across engines; the oracle unrolls
+    the same rounds as chained CTEs (the kmeans/BPE convention).
+
+    Output: (doc_id, margin, label, pred, correct) — margin from the
+    final weights, pred = +1 iff margin > 0.
+    """
+    xy = _features_with_labels(spark, sf_dir).localCheckpoint(eager=True)
+    # round 1 closed-form: every doc misclassified at w0 = 0
+    w = (
+        xy.groupBy("bucket")
+        .agg(F.sum(F.col("y") * F.col("feat")).alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(rounds - 1):
+        margins = (
+            xy.join(F.broadcast(w), "bucket")
+            .groupBy("doc_id")
+            .agg(
+                F.sum(F.col("w") * F.col("feat")).alias("margin"),
+                F.first("y").alias("y"),
+            )
+        )
+        miscl = margins.where(F.col("y") * F.col("margin") <= 0).select("doc_id")
+        upd = (
+            xy.join(miscl, "doc_id", "left_semi")
+            .groupBy("bucket")
+            .agg(F.sum(F.col("y") * F.col("feat")).alias("dw"))
+        )
+        w = (
+            w.join(upd, "bucket", "left")
+            .select(
+                "bucket",
+                (F.col("w") + F.coalesce(F.col("dw"), F.lit(0))).alias("w"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    scored = (
+        xy.join(F.broadcast(w), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("w") * F.col("feat")).alias("margin"),
+            F.first("y").alias("label"),
+        )
+    )
+    pred = F.when(F.col("margin") > 0, F.lit(1)).otherwise(F.lit(-1)).cast("bigint")
+    return scored.select(
+        "doc_id",
+        "margin",
+        "label",
+        pred.alias("pred"),
+        (pred == F.col("label")).alias("correct"),
+    )
+
+
+def oracle_perceptron_scores(rounds: int = 3) -> str:
+    """DuckDB twin of :func:`perceptron_scores` — the same rounds
+    unrolled as chained CTEs. Integer sums CAST to BIGINT everywhere
+    (DuckDB types sum(int) HUGEINT — the r3/r5 pandas-float64 lesson)."""
+    from .text import oracle_hashed_features
+
+    from .text import FEATURE_HASH_DIM
+
+    ctes = [
+        f"""hf AS (
+{oracle_hashed_features()}
+),
+st AS (SELECT bucket, CAST(sum(n_terms) AS BIGINT) AS S FROM hf GROUP BY 1),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS N FROM documents),
+grid AS (
+  SELECT d.doc_id, CAST(b.bucket AS INTEGER) AS bucket
+  FROM documents d
+  CROSS JOIN (SELECT unnest(generate_series(0, {FEATURE_HASH_DIM - 1}))
+                AS bucket) b),
+xy AS (
+  SELECT f.doc_id, f.bucket, f.feat, l.y
+  FROM (SELECT g.doc_id, g.bucket,
+               CAST(nn.N * COALESCE(hf.n_terms, 0) - COALESCE(st.S, 0)
+                    AS BIGINT) AS feat
+        FROM grid g
+        LEFT JOIN hf ON hf.doc_id = g.doc_id AND hf.bucket = g.bucket
+        LEFT JOIN st ON st.bucket = g.bucket
+        CROSS JOIN nn
+        UNION ALL
+        SELECT doc_id, CAST({BIAS_BUCKET} AS INTEGER) AS bucket,
+               CAST(1 AS BIGINT) AS feat
+        FROM documents) f
+  JOIN (SELECT doc_id,
+               CAST(CASE WHEN n_chars >= {QUALITY_LABEL_CHARS}
+                         THEN 1 ELSE -1 END AS BIGINT) AS y
+        FROM documents) l USING (doc_id)),
+w1 AS (
+  SELECT bucket, CAST(sum(y * feat) AS BIGINT) AS w
+  FROM xy GROUP BY 1)"""
+    ]
+    for t in range(2, rounds + 1):
+        prev = f"w{t-1}"
+        ctes.append(f"""m{t} AS (
+  SELECT xy.doc_id, CAST(sum(w.w * xy.feat) AS BIGINT) AS margin,
+         any_value(xy.y) AS y
+  FROM xy JOIN {prev} w USING (bucket) GROUP BY 1),
+u{t} AS (
+  SELECT xy.bucket, CAST(sum(xy.y * xy.feat) AS BIGINT) AS dw
+  FROM xy JOIN m{t} m USING (doc_id)
+  WHERE m.y * m.margin <= 0 GROUP BY 1),
+w{t} AS (
+  SELECT w.bucket, CAST(w.w + COALESCE(u.dw, 0) AS BIGINT) AS w
+  FROM {prev} w LEFT JOIN u{t} u USING (bucket))""")
+    body = ",\n".join(ctes)
+    return f"""WITH {body}
+SELECT xy.doc_id, CAST(sum(w.w * xy.feat) AS BIGINT) AS margin,
+       any_value(xy.y) AS label,
+       CAST(CASE WHEN sum(w.w * xy.feat) > 0 THEN 1 ELSE -1 END AS BIGINT)
+         AS pred,
+       (CASE WHEN sum(w.w * xy.feat) > 0 THEN 1 ELSE -1 END)
+         = any_value(xy.y) AS correct
+FROM xy JOIN w{rounds} w USING (bucket)
+GROUP BY xy.doc_id"""

@@ -1301,3 +1301,47 @@ scanned AS (
 SELECT doc_id, n_tokens, tokens_before,
        CAST(tokens_before // {target_tokens} AS BIGINT) AS shard_id
 FROM scanned CROSS JOIN thr WHERE doc_id >= thr"""
+
+
+def shard_manifest(
+    spark: SparkSession,
+    sf_dir: str,
+    target_tokens: int = 4096,
+    bucket_docs: int = 256,
+) -> DataFrame:
+    """Per-shard manifest over :func:`shard_assignment`'s layout — the
+    writer-side artifact every training job reads before opening a
+    shard: doc range (layout is contiguous in doc_id order), document
+    and token counts, and fill rate vs the token budget. One
+    shard_id-keyed aggregation over the layout frame; the manifest is
+    O(corpus_tokens / target_tokens) rows — tiny relative to the corpus
+    at any scale.
+
+    Output: (shard_id, n_docs, first_doc, last_doc, shard_tokens, fill).
+    """
+    layout = shard_assignment(
+        spark, sf_dir, target_tokens=target_tokens, bucket_docs=bucket_docs
+    )
+    return layout.groupBy("shard_id").agg(
+        F.count("*").alias("n_docs"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+        F.sum("n_tokens").alias("shard_tokens"),
+        (F.sum("n_tokens").cast("double") / F.lit(float(target_tokens))).alias(
+            "fill"
+        ),
+    )
+
+
+def oracle_shard_manifest(target_tokens: int = 4096) -> str:
+    """DuckDB twin of :func:`shard_manifest` — the layout oracle nested
+    as a CTE, then the same aggregation (integer sums CAST to BIGINT:
+    the r3/r5 HUGEINT lesson)."""
+    return f"""WITH layout AS (
+{oracle_shard_assignment(target_tokens=target_tokens)}
+)
+SELECT shard_id, count(*) AS n_docs, min(doc_id) AS first_doc,
+       max(doc_id) AS last_doc,
+       CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
+       CAST(sum(n_tokens) AS DOUBLE) / {float(target_tokens)} AS fill
+FROM layout GROUP BY 1"""

@@ -1820,3 +1820,145 @@ SELECT d.doc_id, CAST(d.wpos AS INTEGER) AS wpos,
 FROM doc_words d
 JOIN s{n} s ON s.w = d.w
 JOIN tok t ON t.sym = s.sym"""
+
+
+def bpe_compression(
+    spark: SparkSession, sf_dir: str, n_merges: int = 3, doc_mod: int = 10
+) -> DataFrame:
+    """Per-document BPE compression report over :func:`bpe_encode`'s
+    output — the tokenizer-efficiency diagnostic a training pipeline
+    tracks per source/corpus version (chars-per-token drops as the merge
+    table grows; a sudden rise flags out-of-domain or corrupt text).
+    One (doc_id)-keyed aggregation over the encoded frame; all counts
+    int64, the ratio one correctly-rounded double division.
+
+    Output: (doc_id, n_words, n_chars, n_tokens, chars_per_token).
+    """
+    enc = bpe_encode(spark, sf_dir, n_merges=n_merges, doc_mod=doc_mod)
+    return enc.groupBy("doc_id").agg(
+        F.countDistinct("wpos").alias("n_words"),
+        F.sum(F.length("token")).cast("bigint").alias("n_chars"),
+        F.count("*").alias("n_tokens"),
+        (
+            F.sum(F.length("token")).cast("double")
+            / F.count("*").cast("double")
+        ).alias("chars_per_token"),
+    )
+
+
+def oracle_bpe_compression(n_merges: int = 3, doc_mod: int = 10) -> str:
+    """DuckDB twin of :func:`bpe_compression` — the encode oracle nested
+    as a CTE, then the same per-doc aggregation (integer sums CAST to
+    BIGINT: DuckDB types sum(int) HUGEINT — the r3/r5 lesson)."""
+    return f"""WITH enc AS (
+{oracle_bpe_encode(n_merges=n_merges, doc_mod=doc_mod)}
+)
+SELECT doc_id, count(DISTINCT wpos) AS n_words,
+       CAST(sum(length(token)) AS BIGINT) AS n_chars,
+       count(*) AS n_tokens,
+       CAST(sum(length(token)) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+         AS chars_per_token
+FROM enc GROUP BY 1"""
+
+
+# --- deterministic PII synthesis + redaction ---------------------------------
+#: Engine-portable PII patterns (identical semantics in Java regex and
+#: DuckDB RE2: literal classes, bounded quantifiers, no lookaround).
+PII_EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+PII_PHONE_RE = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+PII_IP_RE = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+
+def with_pii_text(docs: DataFrame) -> DataFrame:
+    """Append deterministic doc_id-keyed PII (an email, a phone number,
+    an IPv4) to each document — the fixture corpus contains no digits at
+    all, so like the multimodal blob synthesis this derives a realistic
+    input from the fixture rather than asserting over an all-zero
+    column. Pure row-local string concat, identical in SQL."""
+    return docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 555-"),
+            F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+            F.lit("-0199 from 10.0."),
+            (F.expr("doc_id div 256") % 256).cast("string"),
+            F.lit("."),
+            (F.col("doc_id") % 256).cast("string"),
+        ),
+    )
+
+
+def redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing — the standard pre-training redaction pass: count
+    and replace emails, phone numbers, and IPv4 addresses with typed
+    placeholder tags. Row-local regex inside whole-stage codegen (one
+    projection, no shuffle, no UDF); at 100 TB this runs scan→rewrite
+    partition-by-partition. Patterns are deliberately dialect-portable
+    (Java regex on the engine, RE2 in the oracle) so the redacted text
+    hash-gates byte-exact.
+
+    Output: (doc_id, n_emails, n_phones, n_ips, clean_hash, n_chars_clean).
+    """
+    docs = with_pii_text(spread(load(spark, sf_dir, "documents")))
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), PII_EMAIL_RE, "<EMAIL>"),
+            PII_PHONE_RE,
+            "<PHONE>",
+        ),
+        PII_IP_RE,
+        "<IP>",
+    )
+    # regex literals go in as Column args (never through the SQL parser,
+    # whose string-literal backslash escaping would mangle `\.`)
+    return docs.select(
+        "doc_id",
+        F.size(
+            F.regexp_extract_all(F.col("text"), F.lit(PII_EMAIL_RE), F.lit(0))
+        ).alias("n_emails"),
+        F.size(
+            F.regexp_extract_all(F.col("text"), F.lit(PII_PHONE_RE), F.lit(0))
+        ).alias("n_phones"),
+        F.size(
+            F.regexp_extract_all(
+                F.regexp_replace(F.col("text"), PII_EMAIL_RE, "<EMAIL>"),
+                F.lit(PII_IP_RE),
+                F.lit(0),
+            )
+        ).alias("n_ips"),
+        F.md5(clean).alias("clean_hash"),
+        F.length(clean).cast("int").alias("n_chars_clean"),
+    )
+
+
+def oracle_redact_pii() -> str:
+    """DuckDB twin of :func:`redact_pii` — identical synthesis concat
+    and the same three-pass replace; 'g' flags make RE2 replace/count
+    all occurrences like Java's replaceAll."""
+    synth = (
+        "text || ' contact user' || CAST(doc_id AS VARCHAR) || "
+        "'@example.com or 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')"
+        " || '-0199 from 10.0.' || CAST((doc_id // 256) % 256 AS VARCHAR) || "
+        "'.' || CAST(doc_id % 256 AS VARCHAR)"
+    )
+    clean = (
+        f"regexp_replace(regexp_replace(regexp_replace(t, "
+        f"'{PII_EMAIL_RE}', '<EMAIL>', 'g'), "
+        f"'{PII_PHONE_RE}', '<PHONE>', 'g'), "
+        f"'{PII_IP_RE}', '<IP>', 'g')"
+    )
+    return f"""WITH synth AS (
+  SELECT doc_id, {synth} AS t FROM documents)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '{PII_EMAIL_RE}')) AS INTEGER)
+         AS n_emails,
+       CAST(len(regexp_extract_all(t, '{PII_PHONE_RE}')) AS INTEGER)
+         AS n_phones,
+       CAST(len(regexp_extract_all(regexp_replace(t, '{PII_EMAIL_RE}',
+             '<EMAIL>', 'g'), '{PII_IP_RE}')) AS INTEGER) AS n_ips,
+       md5({clean}) AS clean_hash,
+       CAST(length({clean}) AS INTEGER) AS n_chars_clean
+FROM synth"""

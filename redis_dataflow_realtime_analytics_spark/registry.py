@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from .functions.numeric import oracle_davg, oracle_dsum
 from .functions.vectors import oracle_qdot, oracle_quantize, oracle_quantize_int8
 from .operators import (
+    classifier,
     dedup,
     metrics,
     multimodal,
@@ -1962,6 +1963,13 @@ q(
     sampling.shard_assignment_incremental,
     sampling.oracle_shard_assignment_incremental(),
 )
+# Per-shard writer manifest over the exact layout (doc range, counts,
+# fill vs the token budget) — O(tokens/target) rows at any scale.
+q(
+    "corpus_shard_manifest",
+    sampling.shard_manifest,
+    sampling.oracle_shard_manifest(),
+)
 
 # ---------------------------------------------------------------------------
 # As-of join, time-range window frame, streaming dedup
@@ -2379,6 +2387,26 @@ q("text_bpe_merges", text.bpe_merges, text.oracle_bpe_merges())
 # training makes the output bit-identical to inline training, so the
 # oracle unrolls training as CTEs and hash-gates the encoded rows.
 q("text_bpe_encode", text.bpe_encode, text.oracle_bpe_encode())
+# Tokenizer-efficiency diagnostic: per-doc chars-per-BPE-token over the
+# encoded frame (out-of-domain / corrupt text raises it).
+q("text_bpe_compression", text.bpe_compression, text.oracle_bpe_compression())
+# PII scrubbing (emails / phones / IPv4 -> typed tags) over
+# deterministically synthesized doc_id-keyed PII (the fixture corpus is
+# digit-free, so like the multimodal blobs the input derives from the
+# fixture); row-local regex in codegen, dialect-portable patterns, the
+# redacted text hash-gated byte-exact.
+q("text_redact_pii", text.redact_pii, text.oracle_redact_pii())
+# Distributed BATCH-PERCEPTRON training of a quality classifier over
+# hashed features (the CCNet/fastText distillation recipe, in-engine):
+# all-integer state makes T unrolled rounds bit-exact with NO float
+# convention — weights broadcast per round, margins/updates are two
+# uniform-key shuffles, O(64) driver-free state. Oracled by unrolled
+# CTEs (the kmeans/BPE convention).
+q(
+    "quality_perceptron_scores",
+    classifier.perceptron_scores,
+    classifier.oracle_perceptron_scores(),
+)
 
 
 # Streaming lexical-index ingestion — the sparse twin of stream_ivf_assign:
@@ -2753,6 +2781,10 @@ _PRIORITY = [
     "text_bpe_encode",
     "corpus_shard_incremental",
     "dedup_image_ahash_probe",
+    "text_bpe_compression",
+    "corpus_shard_manifest",
+    "text_redact_pii",
+    "quality_perceptron_scores",
     # --- 4. the r5->r6 rotated relational pool: every key that gave up
     # its r5 slot to a mid-round 3b addition (see the r5 rotation
     # comments preserved in COVERAGE.md's rotation log) ---

@@ -547,3 +547,16 @@ def test_bpe_encode_broadcasts_merges_and_token_ids(spark):
     assert "CartesianProduct" not in p, p
     assert "BroadcastHashJoin" in p, p
     assert "Scan ExistingRDD" in p, p
+
+def test_perceptron_weights_broadcast_no_cartesian(spark):
+    """Each round's weight frame (65 rows) must come back as a
+    broadcast join against the feature rows; round state is
+    checkpointed (Scan ExistingRDD), never re-derived corpus lineage;
+    no cartesian anywhere."""
+    from redis_dataflow_realtime_analytics_spark.operators import classifier
+
+    df = classifier.perceptron_scores(spark, SF_SMOKE, rounds=2)
+    p = plans.plan_string(df)
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastHashJoin" in p, p
+    assert "Scan ExistingRDD" in p, p

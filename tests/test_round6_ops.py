@@ -110,3 +110,22 @@ def test_ahash_probe_matches_batch_twin_split(spark):
             expected.add((r.doc_b, r.doc_a, r.hamming))
     assert probe == expected
     assert all(d % 10 == 0 and m % 10 != 0 for d, m, _ in probe)
+
+
+def test_perceptron_learns_the_length_rule(spark):
+    """Sanity on the training loop: the final model must beat chance on
+    its own training labels (the length rule is nearly linearly
+    separable in hashed-count space), and training must actually move
+    the weights after round 1 (some doc flips or updates)."""
+    from redis_dataflow_realtime_analytics_spark.operators import classifier
+
+    scored = classifier.perceptron_scores(spark, SF_SMOKE, rounds=3)
+    rows = scored.collect()
+    n = len(rows)
+    acc = sum(r.correct for r in rows) / n
+    assert n > 0 and acc > 0.6, acc
+    one = classifier.perceptron_scores(spark, SF_SMOKE, rounds=1).collect()
+    m3 = {r.doc_id: r.margin for r in rows}
+    m1 = {r.doc_id: r.margin for r in one}
+    assert m1.keys() == m3.keys()
+    assert any(m1[d] != m3[d] for d in m1), "rounds 2-3 changed nothing"
