@@ -148,6 +148,9 @@ HEADLINE = [
     "text_bpe_compression",
     "text_redact_pii",
     "quality_perceptron_scores",
+    # new in r6 (cont. 2): the streaming arrival-path twins
+    "stream_shard_assignment",
+    "stream_image_ahash_probe",
 ]
 
 

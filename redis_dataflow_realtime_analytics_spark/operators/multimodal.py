@@ -1132,9 +1132,15 @@ def with_content_gray_blob(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream (boundary flags and chunk ids are window expressions over the
     same doc_id exchange); the raster bytes never shuffle.
     """
+    return content_gray_blob_projection(spread(load(spark, sf_dir, "documents")))
+
+
+def content_gray_blob_projection(docs: DataFrame) -> DataFrame:
+    """Frame-based body of :func:`with_content_gray_blob` — factored so
+    the streaming ingest path can synthesize blobs for a micro-batch
+    frame with the SAME projection the batch path uses."""
     from .text import TOKEN_RE
 
-    docs = spread(load(spark, sf_dir, "documents"))
     toks = docs.select(
         "doc_id",
         "source",

@@ -1244,10 +1244,35 @@ def shard_assignment_incremental(
             F.size(F.split(F.trim(F.col("text")), TOKEN_RE))
             .cast("bigint")
             .alias("n_tokens"),
-            F.expr(f"doc_id div {bucket_docs}").alias("bucket"),
         )
     )
-    partials = base.groupBy("bucket").agg(F.sum("n_tokens").alias("bucket_tokens"))
+    scanned = _two_level_tokens_before(base, bucket_docs=bucket_docs)
+    return (
+        scanned.crossJoin(F.broadcast(corpus_total))
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("corpus_total") + F.col("tokens_before")).alias("tokens_before"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "tokens_before",
+            F.expr(f"tokens_before div {target_tokens}").alias("shard_id"),
+        )
+    )
+
+
+def _two_level_tokens_before(base: DataFrame, bucket_docs: int = 256) -> DataFrame:
+    """The shared two-level parallel prefix-sum over a (doc_id,
+    n_tokens) frame: per-bucket partial sums → tiny global window over
+    the bucket frame → broadcast offsets → bucket-local window. Used by
+    the batch arrival path (:func:`shard_assignment_incremental`) and
+    the streaming per-shipment layout so the composition algebra exists
+    in exactly one place. Returns (doc_id, n_tokens, tokens_before)
+    with tokens_before relative to the FRAME's own start."""
+    b = base.withColumn("bucket", F.expr(f"doc_id div {bucket_docs}"))
+    partials = b.groupBy("bucket").agg(F.sum("n_tokens").alias("bucket_tokens"))
     w_buckets = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
     offsets = partials.select(
         "bucket",
@@ -1261,22 +1286,10 @@ def shard_assignment_incremental(
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     local_before = F.coalesce(F.sum("n_tokens").over(w_local), F.lit(0))
-    return (
-        base.join(F.broadcast(offsets), "bucket")
-        .crossJoin(F.broadcast(corpus_total))
-        .select(
-            "doc_id",
-            "n_tokens",
-            (F.col("corpus_total") + F.col("bucket_offset") + local_before).alias(
-                "tokens_before"
-            ),
-        )
-        .select(
-            "doc_id",
-            "n_tokens",
-            "tokens_before",
-            F.expr(f"tokens_before div {target_tokens}").alias("shard_id"),
-        )
+    return b.join(F.broadcast(offsets), "bucket").select(
+        "doc_id",
+        "n_tokens",
+        (F.col("bucket_offset") + local_before).alias("tokens_before"),
     )
 
 

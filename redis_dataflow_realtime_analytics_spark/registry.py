@@ -1272,6 +1272,36 @@ q(
     _stream_image_ingest,
     multimodal.oracle_image_histogram(),
 )
+# Streaming arrival-path shard layout: per-shipment two-level prefix
+# sum (the SAME sampling._two_level_tokens_before the batch path uses)
+# composed over the persisted corpus state + a running stream total;
+# doc_id-ascending shipments + prefix-sum composition => bit-identical
+# to the batch incremental layout, same flat-window oracle.
+def _stream_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming import pipeline as sp
+
+    return sp.stream_shard_assignment(spark, f"{sf_dir}/documents.parquet")
+
+
+q(
+    "stream_shard_assignment",
+    _stream_shard_assignment,
+    sampling.oracle_shard_assignment_incremental(),
+)
+# Streaming image near-dup probe: per-shipment decode+aHash of incoming
+# images probed against the persisted banded index (stateless filter
+# => exact stream/batch parity, same oracle as the batch probe).
+def _stream_image_ahash_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming import pipeline as sp
+
+    return sp.stream_image_ahash_probe(spark, f"{sf_dir}/documents.parquet")
+
+
+q(
+    "stream_image_ahash_probe",
+    _stream_image_ahash_probe,
+    multimodal.oracle_image_ahash_probe(),
+)
 q(
     "stream_store_uniques_per_variant",
     _stream_store_variant_uniques,
@@ -2785,6 +2815,8 @@ _PRIORITY = [
     "corpus_shard_manifest",
     "text_redact_pii",
     "quality_perceptron_scores",
+    "stream_shard_assignment",
+    "stream_image_ahash_probe",
     # --- 4. the r5->r6 rotated relational pool: every key that gave up
     # its r5 slot to a mid-round 3b addition (see the r5 rotation
     # comments preserved in COVERAGE.md's rotation log) ---

@@ -1084,3 +1084,187 @@ def stream_postings_ingest(spark: SparkSession, docs_path: str) -> DataFrame:
         ).alias("p"),
     ).select("doc_id", F.col("p.term").alias("term"), F.col("p.tf").alias("tf"), "dl")
     return _replay_to_memory_append(spark, postings, "postings")
+
+
+def stream_shard_assignment(
+    spark: SparkSession,
+    docs_path: str,
+    n_chunks: int = 3,
+    target_tokens: int = 4096,
+    bucket_docs: int = 256,
+) -> DataFrame:
+    """Streaming shard layout for the arrival path: shipments of the
+    post-watermark tail (doc_id >= max*9/10, the fixture's high-water
+    mark) arrive one micro-batch per file; each batch runs the SAME
+    two-level prefix sum the batch path uses
+    (``sampling._two_level_tokens_before`` — one definition, so stream
+    and batch cannot drift) and composes on top of (a) the persisted
+    per-bucket corpus state and (b) a running stream total carried in a
+    tiny parquet state file (production: the checkpointed writer
+    offset). Because shipments are doc_id-ascending and prefix sums
+    compose, the union over micro-batches is BIT-IDENTICAL to the batch
+    incremental layout — and gates against the same flat-window oracle.
+
+    Per-batch cost: O(batch) + one 1-row state read — corpus-size
+    independent, the property that lets the layout job run per shipment
+    forever.
+
+    Output: (doc_id, n_tokens, tokens_before, shard_id) for every
+    arrival doc across all shipments.
+    """
+    import tempfile
+
+    from ..operators.sampling import (
+        _persisted_shard_state,
+        _two_level_tokens_before,
+    )
+    from ..operators.text import TOKEN_RE
+
+    replay = _chunked_docs_replay_dir(docs_path, n_chunks)
+    schema = spark.read.parquet(docs_path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(replay)
+    )
+    sf_dir = os.path.dirname(docs_path)
+    state = _persisted_shard_state(spark, sf_dir, bucket_docs=bucket_docs)
+    corpus_total = int(
+        state.agg(F.coalesce(F.sum("bucket_tokens"), F.lit(0))).first()[0]
+    )
+    thr = int(
+        spark.read.parquet(docs_path)
+        .agg(F.expr("CAST(max(doc_id) * 9 DIV 10 AS BIGINT)"))
+        .first()[0]
+    )
+    out_dir = os.path.join(
+        tempfile.gettempdir(), f"stream_shards_{uuid.uuid4().hex[:12]}"
+    )
+    total_dir = os.path.join(out_dir + "_state")
+
+    def ingest(batch: DataFrame, _batch_id: int) -> None:
+        ss = batch.sparkSession
+        arrivals = batch.where(F.col("doc_id") >= thr).select(
+            "doc_id",
+            F.size(F.split(F.trim(F.col("text")), TOKEN_RE))
+            .cast("bigint")
+            .alias("n_tokens"),
+        )
+        if os.path.isdir(total_dir):
+            stream_total = int(
+                ss.read.parquet(total_dir).agg(F.sum("t")).first()[0]
+            )
+        else:
+            stream_total = 0
+        offset = corpus_total + stream_total
+        scanned = _two_level_tokens_before(arrivals, bucket_docs=bucket_docs)
+        out = scanned.select(
+            "doc_id",
+            "n_tokens",
+            (F.lit(offset) + F.col("tokens_before")).alias("tokens_before"),
+        ).select(
+            "doc_id",
+            "n_tokens",
+            "tokens_before",
+            F.expr(f"tokens_before div {target_tokens}").alias("shard_id"),
+        )
+        out.write.mode("append").parquet(out_dir)
+        batch_tokens = arrivals.agg(
+            F.coalesce(F.sum("n_tokens"), F.lit(0))
+        ).first()[0]
+        ss.createDataFrame(
+            [(int(stream_total + batch_tokens),)], "t bigint"
+        ).write.mode("overwrite").parquet(total_dir)
+
+    q = (
+        stream.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", f"{out_dir}_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir)
+
+
+def stream_image_ahash_probe(
+    spark: SparkSession, docs_path: str, n_chunks: int = 3
+) -> DataFrame:
+    """Streaming image near-dup probe at ingest: each shipment's
+    incoming images (doc_id % 10 == 0) are decoded and aHashed ON
+    ARRIVAL and probed against the persisted banded index of the
+    existing corpus — the stream twin of
+    ``multimodal.image_ahash_probe``, stateless per batch (the index is
+    the only cross-batch state, and it is the batch-built artifact).
+    Per-batch cost: O(batch decode + matches); no state store, no
+    watermark. At 100 TB the index side is bucketed by (band_idx,
+    band_val) so only the batch shuffles.
+
+    Output: (doc_id, match_id, hamming) — equal, across all shipments,
+    to the batch probe (stateless filter ⇒ exact stream/batch parity),
+    so it gates against the same oracle.
+    """
+    from ..operators.multimodal import (
+        _ahash_bands,
+        _persisted_ahash_index,
+        content_gray_blob_projection,
+        image_ahash,
+    )
+
+    replay = _chunked_docs_replay_dir(docs_path, n_chunks)
+    schema = spark.read.parquet(docs_path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(replay)
+    )
+    sf_dir = os.path.dirname(docs_path)
+    idx = (
+        _persisted_ahash_index(spark, sf_dir)
+        .select(
+            F.col("doc_id").alias("match_id"),
+            F.col("hash_hi").alias("hi_m"),
+            F.col("hash_lo").alias("lo_m"),
+            "band_idx",
+            "band_val",
+        )
+        .localCheckpoint(eager=True)
+    )
+    import tempfile
+
+    out_dir = os.path.join(
+        tempfile.gettempdir(), f"stream_ahash_probe_{uuid.uuid4().hex[:12]}"
+    )
+
+    def ingest(batch: DataFrame, _batch_id: int) -> None:
+        incoming = batch.where(F.col("doc_id") % 10 == 0)
+        if incoming.isEmpty():
+            return
+        blobs = content_gray_blob_projection(incoming)
+        inc = image_ahash(blobs).select("doc_id", "hash_hi", "hash_lo")
+        pb = _ahash_bands(inc).select(
+            "doc_id",
+            F.col("hash_hi").alias("hi_q"),
+            F.col("hash_lo").alias("lo_q"),
+            "band_idx",
+            "band_val",
+        )
+        ham = F.bit_count(
+            F.col("hi_q").bitwiseXOR(F.col("hi_m"))
+        ) + F.bit_count(F.col("lo_q").bitwiseXOR(F.col("lo_m")))
+        (
+            pb.join(F.broadcast(idx), ["band_idx", "band_val"])
+            .select("doc_id", "match_id", ham.cast("int").alias("hamming"))
+            .distinct()
+            .where(F.col("hamming") <= 10)
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", f"{out_dir}_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir)

@@ -129,3 +129,30 @@ def test_perceptron_learns_the_length_rule(spark):
     m1 = {r.doc_id: r.margin for r in one}
     assert m1.keys() == m3.keys()
     assert any(m1[d] != m3[d] for d in m1), "rounds 2-3 changed nothing"
+
+
+def test_stream_shard_assignment_parity_with_batch_incremental(spark):
+    """Stream/batch parity: shipments are doc_id-ascending and prefix
+    sums compose, so the union over micro-batches must equal the batch
+    incremental layout bit-for-bit."""
+    from redis_dataflow_realtime_analytics_spark.operators import sampling
+    from redis_dataflow_realtime_analytics_spark.streaming import pipeline as sp
+
+    stream = sp.stream_shard_assignment(spark, f"{SF_SMOKE}/documents.parquet")
+    batch = sampling.shard_assignment_incremental(spark, SF_SMOKE)
+    assert stream.count() == batch.count() > 0
+    assert stream.exceptAll(batch).count() == 0
+    assert batch.exceptAll(stream).count() == 0
+
+
+def test_stream_ahash_probe_parity_with_batch_probe(spark):
+    """Stateless per-document filter ⇒ the streaming probe must emit
+    exactly the batch probe's rows across all shipments."""
+    from redis_dataflow_realtime_analytics_spark.operators import multimodal
+    from redis_dataflow_realtime_analytics_spark.streaming import pipeline as sp
+
+    stream = sp.stream_image_ahash_probe(spark, f"{SF_SMOKE}/documents.parquet")
+    batch = multimodal.image_ahash_probe(spark, SF_SMOKE)
+    s = {tuple(r) for r in stream.collect()}
+    b = {tuple(r) for r in batch.collect()}
+    assert s == b
