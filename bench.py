@@ -151,6 +151,9 @@ HEADLINE = [
     # new in r6 (cont. 2): the streaming arrival-path twins
     "stream_shard_assignment",
     "stream_image_ahash_probe",
+    # new in r6 (cont. 3): LPA communities + the tensor-feed closure
+    "dedup_label_propagation",
+    "pack_bpe_sequences",
 ]
 
 

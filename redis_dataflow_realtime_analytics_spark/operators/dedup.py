@@ -1742,3 +1742,89 @@ SELECT d.doc_id,
        CAST(d.n - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed,
        COALESCE(r.clean_text, '') AS clean_text
 FROM d LEFT JOIN rebuilt r USING (doc_id)"""
+
+
+def label_propagation(
+    spark: SparkSession, sf_dir: str, rounds: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """Community detection on the near-duplicate graph by synchronous
+    label propagation — the densest-neighborhood grouping that sits
+    between :func:`connected_components` (too coarse: one bridge edge
+    merges two variant families) and :func:`kcore_membership` (a
+    density filter, not an assignment). LPA is the standard cheap
+    community pass for duplicate-cluster splitting at corpus scale.
+
+    Fixed ``rounds`` synchronous updates with a fully deterministic
+    rule — new label = the neighbor label with the highest count,
+    ties broken by SMALLEST label; no RNG, no async order dependence —
+    so the result is exactly reproducible and SQL-oracle-able by
+    unrolling rounds (the kcore/PageRank convention; synchronous LPA
+    can oscillate on bipartite structures, so the semantics are
+    explicitly "labels after T rounds", not a fixpoint claim).
+
+    Output: (doc_id, community) for every node with >= 1 edge.
+    """
+    edges = ngram_jaccard_pairs(spark, sf_dir, threshold=threshold)
+    return lpa_labels(edges, rounds=rounds)
+
+
+def lpa_labels(edges: DataFrame, rounds: int = 3) -> DataFrame:
+    """The propagation itself over any (doc_a, doc_b) pair frame — the
+    same edges-in contract as :func:`connected_components` /
+    :func:`kcore_peel`, so the scale path feeds LSH-bucketed pairs.
+
+    Plan per round: one (node, label)-keyed count + one per-node argmax
+    window over the count frame (partitions are per-node label
+    multisets — bounded by degree, never corpus-sized); the label frame
+    is |nodes| rows, localCheckpoint'ed per round to truncate the
+    stacked-join lineage. All state integer ids.
+    """
+    sym = (
+        edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .localCheckpoint(eager=True)
+    )
+    labels = sym.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(rounds):
+        counts = (
+            sym.join(labels, sym["dst"] == labels["node"])
+            .groupBy("src", "label")
+            .agg(F.count("*").alias("c"))
+        )
+        w = Window.partitionBy("src").orderBy(F.desc("c"), "label")
+        labels = (
+            counts.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select(F.col("src").alias("node"), "label")
+            .localCheckpoint(eager=True)
+        )
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("community"))
+
+
+def oracle_label_propagation(pairs_sql: str, rounds: int = 3) -> str:
+    """DuckDB twin of :func:`label_propagation` — the same synchronous
+    rounds unrolled as chained CTEs (sym MATERIALIZED: it feeds every
+    round; each l{i} is consumed once)."""
+    ctes = [
+        f"""pr AS MATERIALIZED ({pairs_sql}),
+sym AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM pr
+       UNION ALL SELECT doc_b, doc_a FROM pr),
+l0 AS (SELECT DISTINCT src AS node, src AS label FROM sym)"""
+    ]
+    for i in range(1, rounds + 1):
+        ctes.append(
+            f"""l{i} AS (
+  SELECT src AS node, label
+  FROM (SELECT s.src, l.label, count(*) AS c
+        FROM sym s JOIN l{i-1} l ON l.node = s.dst
+        GROUP BY 1, 2)
+  QUALIFY row_number() OVER (PARTITION BY src ORDER BY c DESC, label) = 1)"""
+        )
+    body = ",\n".join(ctes)
+    return (
+        f"WITH {body}\n"
+        f"SELECT node AS doc_id, CAST(label AS BIGINT) AS community FROM l{rounds}"
+    )

@@ -1358,3 +1358,85 @@ SELECT shard_id, count(*) AS n_docs, min(doc_id) AS first_doc,
        CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
        CAST(sum(n_tokens) AS DOUBLE) / {float(target_tokens)} AS fill
 FROM layout GROUP BY 1"""
+
+
+def pack_bpe_sequences(
+    spark: SparkSession,
+    sf_dir: str,
+    n_merges: int = 3,
+    doc_mod: int = 10,
+    seq_len: int = 128,
+) -> DataFrame:
+    """The final tensor-feed artifact: BPE-encoded token ids packed into
+    fixed ``seq_len`` training sequences in exact global order — the
+    closure of the whole text pipeline (tokenize → encode → layout →
+    pack) into the (seq_id, pos, token_id) rows a training loop consumes.
+
+    Global token position = per-doc prefix offset (the shared two-level
+    prefix sum :func:`_two_level_tokens_before`, run over the per-doc
+    token COUNTS — an n_docs-sized frame, never the token stream) + the
+    token's rank within its document (a doc-partitioned window, bounded
+    by document length). seq_id/pos are integer div/mod of the global
+    position. The offset join keys on doc_id and rides the same exchange
+    the in-doc window already created — no broadcast of an
+    n_docs-sized frame.
+
+    Output: (seq_id, pos, doc_id, token_id) — one row per token;
+    documents cross sequence boundaries (causal-LM packing; the
+    boundary-respecting variant is :func:`pack_documents_boundary`'s
+    territory).
+    """
+    from .text import bpe_encode
+
+    enc = bpe_encode(
+        spark, sf_dir, n_merges=n_merges, doc_mod=doc_mod
+    ).localCheckpoint(eager=True)
+    per_doc = enc.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_tokens")
+    )
+    offs = _two_level_tokens_before(per_doc).select(
+        "doc_id", F.col("tokens_before").alias("doc_offset")
+    )
+    w_doc = Window.partitionBy("doc_id").orderBy("wpos", "spos")
+    pos_in_doc = (F.row_number().over(w_doc) - 1).cast("bigint")
+    return (
+        enc.select("doc_id", "wpos", "spos", "token_id")
+        .withColumn("p", pos_in_doc)
+        .join(offs, "doc_id")
+        .select(
+            F.expr(f"(doc_offset + p) div {seq_len}").alias("seq_id"),
+            ((F.col("doc_offset") + F.col("p")) % seq_len).alias("pos"),
+            "doc_id",
+            "token_id",
+        )
+    )
+
+
+def oracle_pack_bpe_sequences(
+    n_merges: int = 3, doc_mod: int = 10, seq_len: int = 128
+) -> str:
+    """DuckDB twin of :func:`pack_bpe_sequences` — the encode oracle
+    nested, per-doc counts, one flat window over the doc frame (the
+    restricted frame the two-level scan reproduces), in-doc rank, then
+    div/mod."""
+    from .text import oracle_bpe_encode
+
+    return f"""WITH enc AS (
+{oracle_bpe_encode(n_merges=n_merges, doc_mod=doc_mod)}
+),
+pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM enc GROUP BY 1),
+offs AS (
+  SELECT doc_id,
+         CAST(COALESCE(SUM(n) OVER (
+           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS BIGINT) AS doc_offset
+  FROM pd),
+pos AS (
+  SELECT doc_id, token_id,
+         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY wpos, spos) - 1
+              AS BIGINT) AS p
+  FROM enc)
+SELECT CAST((o.doc_offset + p.p) // {seq_len} AS BIGINT) AS seq_id,
+       CAST((o.doc_offset + p.p) % {seq_len} AS BIGINT) AS pos,
+       p.doc_id, p.token_id
+FROM pos p JOIN offs o USING (doc_id)"""

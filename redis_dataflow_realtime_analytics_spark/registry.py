@@ -1993,6 +1993,14 @@ q(
     sampling.shard_assignment_incremental,
     sampling.oracle_shard_assignment_incremental(),
 )
+# The tensor-feed closure: BPE token ids packed into fixed-length
+# training sequences in exact global order (two-level prefix over
+# per-doc counts + doc-bounded in-doc rank windows).
+q(
+    "pack_bpe_sequences",
+    sampling.pack_bpe_sequences,
+    sampling.oracle_pack_bpe_sequences(),
+)
 # Per-shard writer manifest over the exact layout (doc range, counts,
 # fill vs the token budget) — O(tokens/target) rows at any scale.
 q(
@@ -2227,6 +2235,15 @@ q(
 )
 # k-core of the near-dup graph: iterative degree peel, integer state
 # only, fixed rounds unrolled in the oracle (fixpoint asserted in tests).
+# Synchronous label-propagation communities over the near-dup graph
+# (deterministic argmax-count rule, smallest-label tie-break, fixed
+# rounds) — the density-aware grouping between CC (too coarse) and
+# k-core (a filter, not an assignment); same edges-in contract.
+q(
+    "dedup_label_propagation",
+    dedup.label_propagation,
+    dedup.oracle_label_propagation(dedup.oracle_ngram_jaccard_pairs(0.5)),
+)
 q(
     "dedup_kcore_membership",
     dedup.kcore_membership,
@@ -2817,6 +2834,8 @@ _PRIORITY = [
     "quality_perceptron_scores",
     "stream_shard_assignment",
     "stream_image_ahash_probe",
+    "dedup_label_propagation",
+    "pack_bpe_sequences",
     # --- 4. the r5->r6 rotated relational pool: every key that gave up
     # its r5 slot to a mid-round 3b addition (see the r5 rotation
     # comments preserved in COVERAGE.md's rotation log) ---

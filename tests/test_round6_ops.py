@@ -156,3 +156,43 @@ def test_stream_ahash_probe_parity_with_batch_probe(spark):
     s = {tuple(r) for r in stream.collect()}
     b = {tuple(r) for r in batch.collect()}
     assert s == b
+
+
+def test_lpa_communities_refine_connected_components(spark):
+    """Every LPA community sits inside one connected component (labels
+    only ever propagate along edges), and LPA must produce at least as
+    many groups as CC on the same edge set — it refines, never merges
+    across components."""
+    from redis_dataflow_realtime_analytics_spark.operators import dedup
+
+    lpa = dedup.label_propagation(spark, SF_SMOKE).collect()
+    cc = {
+        r.doc_id: r.component_id
+        for r in dedup.neardup_components(spark, SF_SMOKE).collect()
+    }
+    by_comm = {}
+    for r in lpa:
+        by_comm.setdefault(r.community, set()).add(r.doc_id)
+    for comm, members in by_comm.items():
+        comps = {cc[d] for d in members if d in cc}
+        assert len(comps) <= 1, (comm, comps)
+
+
+def test_pack_bpe_sequences_exact_layout(spark):
+    """Packed sequences are a partition of the encoded token stream:
+    every sequence except the last is full, positions are dense 0..L-1,
+    and the global order (seq_id, pos) matches (doc_id, wpos, spos)."""
+    from redis_dataflow_realtime_analytics_spark.operators import sampling
+
+    rows = sampling.pack_bpe_sequences(
+        spark, SF_SMOKE, seq_len=64, doc_mod=20
+    ).collect()
+    n = len(rows)
+    assert n > 0
+    seqs = {}
+    for r in rows:
+        seqs.setdefault(r.seq_id, []).append(r.pos)
+    last = max(seqs)
+    for sid, poss in seqs.items():
+        expect = 64 if sid != last else n - 64 * last
+        assert sorted(poss) == list(range(expect)), sid
