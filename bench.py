@@ -154,6 +154,9 @@ HEADLINE = [
     # new in r6 (cont. 3): LPA communities + the tensor-feed closure
     "dedup_label_propagation",
     "pack_bpe_sequences",
+    # new in r6 (cont. 4): model artifact + version governance diff
+    "quality_perceptron_model",
+    "corpus_version_diff",
 ]
 
 

@@ -108,27 +108,12 @@ def _features_with_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dense.unionByName(bias).join(y, "doc_id")
 
 
-def perceptron_scores(
-    spark: SparkSession, sf_dir: str, rounds: int = 3
-) -> DataFrame:
-    """Train a batch perceptron for ``rounds`` rounds and score every
-    document with the final weights.
-
-    Round semantics (w0 = 0, so round 1 updates on every doc since
-    y·0 <= 0):
-
-        margin_d = Σ_b w_b · feat_{d,b}
-        miscl    = { d : y_d · margin_d <= 0 }
-        w_b     += Σ_{d ∈ miscl} y_d · feat_{d,b}
-
-    All arithmetic int64 ⇒ bit-exact across engines; the oracle unrolls
-    the same rounds as chained CTEs (the kmeans/BPE convention).
-
-    Output: (doc_id, margin, label, pred, correct) — margin from the
-    final weights, pred = +1 iff margin > 0.
-    """
-    xy = _features_with_labels(spark, sf_dir).localCheckpoint(eager=True)
-    # round 1 closed-form: every doc misclassified at w0 = 0
+def _train_perceptron(xy: DataFrame, rounds: int = 3) -> DataFrame:
+    """The training loop over the (doc_id, bucket, feat, y) frame —
+    returns the final (bucket, w) weight frame. Round 1 is the closed
+    form (w0 = 0 misclassifies every doc); each later round is one
+    broadcast weight join + a doc-keyed margin sum + a bucket-keyed
+    update sum, weights localCheckpoint'ed per round."""
     w = (
         xy.groupBy("bucket")
         .agg(F.sum(F.col("y") * F.col("feat")).alias("w"))
@@ -157,6 +142,55 @@ def perceptron_scores(
             )
             .localCheckpoint(eager=True)
         )
+    return w
+
+
+def perceptron_model(
+    spark: SparkSession, sf_dir: str, rounds: int = 3
+) -> DataFrame:
+    """The trained model itself — the FEATURE_HASH_DIM + 1 weight rows
+    (bucket -1 is the bias). This is the artifact the serving path
+    ships (broadcast-sized, like the IVF codebook and the BPE merge
+    table); exposing it oracled pins the training trajectory itself,
+    not just the scores, and makes the model auditable (which hash
+    buckets drive quality).
+
+    Output: (bucket, w).
+    """
+    xy = _features_with_labels(spark, sf_dir).localCheckpoint(eager=True)
+    return _train_perceptron(xy, rounds=rounds)
+
+
+def oracle_perceptron_model(rounds: int = 3) -> str:
+    """DuckDB twin of :func:`perceptron_model` — the scores oracle's CTE
+    chain, final select from the last weight frame."""
+    scores = oracle_perceptron_scores(rounds=rounds)
+    body = scores.rsplit("\nSELECT", 1)[0]
+    return f"""{body}
+SELECT bucket, w FROM w{rounds}"""
+
+
+def perceptron_scores(
+    spark: SparkSession, sf_dir: str, rounds: int = 3
+) -> DataFrame:
+    """Train a batch perceptron for ``rounds`` rounds and score every
+    document with the final weights.
+
+    Round semantics (w0 = 0, so round 1 updates on every doc since
+    y·0 <= 0):
+
+        margin_d = Σ_b w_b · feat_{d,b}
+        miscl    = { d : y_d · margin_d <= 0 }
+        w_b     += Σ_{d ∈ miscl} y_d · feat_{d,b}
+
+    All arithmetic int64 ⇒ bit-exact across engines; the oracle unrolls
+    the same rounds as chained CTEs (the kmeans/BPE convention).
+
+    Output: (doc_id, margin, label, pred, correct) — margin from the
+    final weights, pred = +1 iff margin > 0.
+    """
+    xy = _features_with_labels(spark, sf_dir).localCheckpoint(eager=True)
+    w = _train_perceptron(xy, rounds=rounds)
     scored = (
         xy.join(F.broadcast(w), "bucket")
         .groupBy("doc_id")

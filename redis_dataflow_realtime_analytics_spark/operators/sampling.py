@@ -952,6 +952,11 @@ def quality_calibrated_by_source(
     base = scored.withColumn(
         "qb", F.floor(F.col("quality") * q_resolution).cast("bigint")
     )
+    # base fans out to the bucket-count aggregation AND the final join,
+    # so the (row-local) quality projection runs twice — measured
+    # equivalent to checkpointing it at sf0.1 (1.32 s either way), and
+    # at scale recomputing a row-local projection beats materializing a
+    # corpus-sized frame, so this one deliberately stays unmaterialized.
     partials = base.groupBy("source", "qb").agg(F.count("*").alias("c"))
     w_buckets = (
         Window.partitionBy("source")
@@ -1440,3 +1445,66 @@ SELECT CAST((o.doc_offset + p.p) // {seq_len} AS BIGINT) AS seq_id,
        CAST((o.doc_offset + p.p) % {seq_len} AS BIGINT) AS pos,
        p.doc_id, p.token_id
 FROM pos p JOIN offs o USING (doc_id)"""
+
+
+def corpus_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-version regression report: classify every document in the
+    SCD2 history (:func:`corpus_version_history`) as added / updated /
+    unchanged between the v0 snapshot and the latest state, with
+    before/after character volume per class — the governance diff a
+    team reads before retraining on a refreshed crawl ("how much of the
+    corpus actually moved, and did it grow or shrink").
+
+    One doc_id-keyed aggregation over the history frame (conditional
+    max per version — no self-join), then a 3-row class rollup.
+
+    Output: (change, n_docs, chars_before, chars_after).
+    """
+    hist = corpus_version_history(spark, sf_dir)
+    per_doc = hist.groupBy("doc_id").agg(
+        F.max(F.when(F.col("version") == 0, F.col("n_chars"))).alias("chars0"),
+        F.max(F.when(F.col("version") == 1, F.col("n_chars"))).alias("chars1"),
+    )
+    change = (
+        F.when(F.col("chars0").isNull(), F.lit("added"))
+        .when(F.col("chars1").isNull(), F.lit("unchanged"))
+        .otherwise(F.lit("updated"))
+    )
+    return (
+        per_doc.select(
+            change.alias("change"),
+            F.coalesce(F.col("chars0"), F.lit(0)).alias("cb"),
+            F.coalesce(F.col("chars1"), F.col("chars0"), F.lit(0)).alias("ca"),
+        )
+        .groupBy("change")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("cb").cast("bigint").alias("chars_before"),
+            F.sum("ca").cast("bigint").alias("chars_after"),
+        )
+    )
+
+
+def oracle_corpus_version_diff() -> str:
+    """DuckDB twin of :func:`corpus_version_diff` — the history oracle
+    nested, the same conditional-max pivot and class rollup (sums CAST
+    to BIGINT per the HUGEINT lesson)."""
+    return f"""WITH hist AS (
+{oracle_corpus_version_history()}
+),
+per_doc AS (
+  SELECT doc_id,
+         max(CASE WHEN version = 0 THEN n_chars END) AS chars0,
+         max(CASE WHEN version = 1 THEN n_chars END) AS chars1
+  FROM hist GROUP BY 1),
+classed AS (
+  SELECT CASE WHEN chars0 IS NULL THEN 'added'
+              WHEN chars1 IS NULL THEN 'unchanged'
+              ELSE 'updated' END AS change,
+         COALESCE(chars0, 0) AS cb,
+         COALESCE(chars1, chars0, 0) AS ca
+  FROM per_doc)
+SELECT change, count(*) AS n_docs,
+       CAST(sum(cb) AS BIGINT) AS chars_before,
+       CAST(sum(ca) AS BIGINT) AS chars_after
+FROM classed GROUP BY 1"""

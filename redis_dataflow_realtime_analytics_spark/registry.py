@@ -2454,6 +2454,21 @@ q(
     classifier.perceptron_scores,
     classifier.oracle_perceptron_scores(),
 )
+# The trained model artifact itself (bucket -> weight, bias at -1):
+# broadcast-sized like the IVF codebook / BPE merge table; oracling it
+# pins the training trajectory, not just the scores.
+q(
+    "quality_perceptron_model",
+    classifier.perceptron_model,
+    classifier.oracle_perceptron_model(),
+)
+# Corpus-version regression report over the SCD2 history: added /
+# updated / unchanged with before/after char volume per class.
+q(
+    "corpus_version_diff",
+    sampling.corpus_version_diff,
+    sampling.oracle_corpus_version_diff(),
+)
 
 
 # Streaming lexical-index ingestion — the sparse twin of stream_ivf_assign:
@@ -2836,6 +2851,8 @@ _PRIORITY = [
     "stream_image_ahash_probe",
     "dedup_label_propagation",
     "pack_bpe_sequences",
+    "quality_perceptron_model",
+    "corpus_version_diff",
     # --- 4. the r5->r6 rotated relational pool: every key that gave up
     # its r5 slot to a mid-round 3b addition (see the r5 rotation
     # comments preserved in COVERAGE.md's rotation log) ---

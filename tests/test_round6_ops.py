@@ -196,3 +196,43 @@ def test_pack_bpe_sequences_exact_layout(spark):
     for sid, poss in seqs.items():
         expect = 64 if sid != last else n - 64 * last
         assert sorted(poss) == list(range(expect)), sid
+
+
+def test_perceptron_model_consistent_with_scores(spark):
+    """The exposed model must be exactly the weights the scorer used:
+    re-deriving margins from (model × features) reproduces the scored
+    margins bit-for-bit."""
+    import pyspark.sql.functions as FF
+
+    from redis_dataflow_realtime_analytics_spark.operators import classifier
+
+    w = classifier.perceptron_model(spark, SF_SMOKE, rounds=2)
+    xy = classifier._features_with_labels(spark, SF_SMOKE)
+    rederived = (
+        xy.join(FF.broadcast(w), "bucket")
+        .groupBy("doc_id")
+        .agg(FF.sum(FF.col("w") * FF.col("feat")).alias("margin"))
+    )
+    scored = classifier.perceptron_scores(spark, SF_SMOKE, rounds=2).select(
+        "doc_id", "margin"
+    )
+    assert rederived.exceptAll(scored).count() == 0
+    assert scored.exceptAll(rederived).count() == 0
+
+
+def test_version_diff_accounts_for_every_document(spark):
+    """The three classes partition the history's doc set and the
+    'added' class matches the discovered-doc synthesis rule."""
+    from redis_dataflow_realtime_analytics_spark.operators import sampling
+
+    diff = {r.change: r for r in sampling.corpus_version_diff(spark, SF_SMOKE).collect()}
+    hist = sampling.corpus_version_history(spark, SF_SMOKE)
+    n_docs = hist.select("doc_id").distinct().count()
+    assert sum(r.n_docs for r in diff.values()) == n_docs
+    docs = sampling.load(spark, SF_SMOKE, "documents")
+    n_added = docs.where("doc_id % 25 = 0").count()
+    n_updated = docs.where("doc_id % 10 = 0").count()
+    assert diff["added"].n_docs == n_added
+    assert diff["updated"].n_docs == n_updated
+    # updated docs grow by the ' [recrawled]' suffix
+    assert diff["updated"].chars_after > diff["updated"].chars_before
