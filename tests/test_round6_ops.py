@@ -236,3 +236,15 @@ def test_version_diff_accounts_for_every_document(spark):
     assert diff["updated"].n_docs == n_updated
     # updated docs grow by the ' [recrawled]' suffix
     assert diff["updated"].chars_after > diff["updated"].chars_before
+
+
+def test_persisted_scorer_identical_to_inline(spark):
+    """Serving-path parity: the persisted-model scorer must reproduce
+    the train-inline scorer bit-for-bit (deterministic exact-integer
+    training makes the artifact bit-identical to fresh training)."""
+    from redis_dataflow_realtime_analytics_spark.operators import classifier
+
+    a = classifier.perceptron_persisted_scores(spark, SF_SMOKE)
+    b = classifier.perceptron_scores(spark, SF_SMOKE)
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
