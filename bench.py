@@ -159,6 +159,10 @@ HEADLINE = [
     "corpus_version_diff",
     # new in r6 (cont. 5): the classifier serving path (persisted model)
     "quality_perceptron_persisted_scores",
+    # new in r6 (cont. 6): streaming model inference + model-canonical
+    # keep-best (classifier composed into dedup)
+    "stream_model_scores",
+    "dedup_keep_best_by_model",
 ]
 
 

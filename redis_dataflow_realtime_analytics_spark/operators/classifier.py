@@ -340,3 +340,107 @@ def perceptron_persisted_scores(
         pred.alias("pred"),
         (pred == F.col("label")).alias("correct"),
     )
+
+
+#: (fixture path, mtime) -> parquet path of the centering statistics.
+_STATS_CACHE: dict = {}
+
+
+def _persisted_center_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FEATURE STORE half of the model artifact: per-bucket corpus
+    totals S_b and the corpus count N, persisted with the same keying
+    as the weights. Serving MUST center with the TRAINING corpus stats
+    — recomputing them per scoring batch is the classic train/serve
+    skew bug (a batch's own means differ from the corpus means the
+    weights were fit against), which is why production feature stores
+    version statistics alongside weights."""
+    import hashlib
+    import os
+    import tempfile
+
+    from .text import hashed_features
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    key = (os.path.abspath(path), os.stat(path).st_mtime_ns)
+    if key in _STATS_CACHE:
+        return spark.read.parquet(_STATS_CACHE[key])
+    tag = hashlib.md5(repr(key).encode()).hexdigest()[:16]
+    out = os.path.join(tempfile.gettempdir(), f"center_stats_{tag}")
+    if not os.path.isfile(os.path.join(out, "_SUCCESS")):
+        docs = spread(load(spark, sf_dir, "documents"))
+        n = docs.count()
+        (
+            hashed_features(spark, sf_dir)
+            .groupBy("bucket")
+            .agg(F.sum(F.col("n_terms").cast("bigint")).alias("S"))
+            .withColumn("N", F.lit(int(n)).cast("bigint"))
+            .write.mode("overwrite")
+            .parquet(out)
+        )
+    _STATS_CACHE[key] = out
+    return spark.read.parquet(out)
+
+
+def score_batch_with_model(
+    batch: DataFrame, weights: DataFrame, stats: DataFrame
+) -> DataFrame:
+    """Score ONE document frame with persisted weights + persisted
+    centering stats — the reusable serving kernel (used by the
+    streaming scorer per micro-batch). Featurization is the same
+    projection training used (``hashed_features_projection``); centered
+    features derive from the BROADCAST training-corpus stats, never the
+    batch's own, so scores are bit-identical to the batch scorer."""
+    from .text import FEATURE_HASH_DIM, hashed_features_projection
+
+    spark = batch.sparkSession
+    counts = hashed_features_projection(batch).select(
+        "doc_id", "bucket", F.col("n_terms").cast("bigint").alias("c")
+    )
+    buckets = spark.range(FEATURE_HASH_DIM).select(
+        F.col("id").cast("int").alias("bucket")
+    )
+    dense = (
+        batch.select("doc_id")
+        .crossJoin(F.broadcast(buckets))
+        .join(counts, ["doc_id", "bucket"], "left")
+        .join(F.broadcast(stats), "bucket", "left")
+        .select(
+            "doc_id",
+            "bucket",
+            (
+                F.col("N") * F.coalesce(F.col("c"), F.lit(0))
+                - F.coalesce(F.col("S"), F.lit(0))
+            )
+            .cast("bigint")
+            .alias("feat"),
+        )
+    )
+    bias = batch.select(
+        "doc_id",
+        F.lit(BIAS_BUCKET).cast("int").alias("bucket"),
+        F.lit(1).cast("bigint").alias("feat"),
+    )
+    y = batch.select(
+        "doc_id",
+        F.when(F.col("n_chars") >= QUALITY_LABEL_CHARS, F.lit(1))
+        .otherwise(F.lit(-1))
+        .cast("bigint")
+        .alias("y"),
+    )
+    xy = dense.unionByName(bias).join(y, "doc_id")
+    scored = (
+        xy.join(F.broadcast(weights), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("w") * F.col("feat")).alias("margin"),
+            F.first("y").alias("label"),
+        )
+    )
+    pred = F.when(F.col("margin") > 0, F.lit(1)).otherwise(F.lit(-1)).cast("bigint")
+    return scored.select(
+        "doc_id",
+        "margin",
+        "label",
+        pred.alias("pred"),
+        (pred == F.col("label")).alias("correct"),
+    )

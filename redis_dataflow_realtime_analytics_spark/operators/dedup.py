@@ -1828,3 +1828,66 @@ l0 AS (SELECT DISTINCT src AS node, src AS label FROM sym)"""
         f"WITH {body}\n"
         f"SELECT node AS doc_id, CAST(label AS BIGINT) AS community FROM l{rounds}"
     )
+
+
+def keep_best_by_model(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.5
+) -> DataFrame:
+    """Model-canonical selection: for every near-dup cluster keep the
+    member with the highest LEARNED quality margin (ties broken by min
+    doc_id) — :func:`neardup_keep_best` with the trained classifier
+    (``classifier.perceptron_persisted_scores``) replacing the
+    hand-written heuristic, i.e. the composition a pipeline graduates
+    to once the distilled model outperforms its seed rules. Clusters
+    only (the unpaired population is untouched by selection).
+
+    Plan: cluster labels join margins on doc_id, one per-cluster argmax
+    window (partitions bounded by cluster size); the margins come off
+    the persisted-model serving path, so this composes two broadcast-
+    sized artifacts with corpus-sized work only in featurization.
+
+    Output: (component_id, doc_id, cluster_size, margin).
+    """
+    from .classifier import perceptron_persisted_scores
+
+    comp = neardup_components(spark, sf_dir, threshold=threshold)
+    scores = perceptron_persisted_scores(spark, sf_dir).select(
+        "doc_id", "margin"
+    )
+    scored = comp.join(scores, "doc_id")
+    best = scored.groupBy("component_id").agg(
+        F.max("margin").alias("best_m"),
+        F.count("*").alias("cluster_size"),
+    )
+    return (
+        scored.join(best, "component_id")
+        .where(F.col("margin") == F.col("best_m"))
+        .groupBy("component_id", "best_m", "cluster_size")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select(
+            "component_id",
+            "doc_id",
+            "cluster_size",
+            F.col("best_m").alias("margin"),
+        )
+    )
+
+
+def oracle_keep_best_by_model(comp_sql: str, scores_sql: str) -> str:
+    """DuckDB twin of :func:`keep_best_by_model` — component closure ×
+    unrolled-training scores, per-cluster argmax with min-doc_id
+    tie-break."""
+    return f"""WITH comp AS MATERIALIZED ({comp_sql}),
+sc AS MATERIALIZED ({scores_sql}),
+scored AS (
+  SELECT comp.component_id, comp.doc_id, sc.margin
+  FROM comp JOIN sc ON sc.doc_id = comp.doc_id),
+best AS (
+  SELECT component_id, max(margin) AS best_m, count(*) AS cluster_size
+  FROM scored GROUP BY 1)
+SELECT s.component_id, min(s.doc_id) AS doc_id,
+       any_value(b.cluster_size) AS cluster_size,
+       any_value(b.best_m) AS margin
+FROM scored s JOIN best b
+  ON b.component_id = s.component_id AND s.margin = b.best_m
+GROUP BY s.component_id"""

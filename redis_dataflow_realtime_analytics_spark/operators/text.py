@@ -1463,7 +1463,13 @@ def hashed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Output: (doc_id, bucket, n_terms, feat) with feat = Σ sign(term).
     """
-    docs = spread(load(spark, sf_dir, "documents"))
+    return hashed_features_projection(spread(load(spark, sf_dir, "documents")))
+
+
+def hashed_features_projection(docs: DataFrame) -> DataFrame:
+    """Frame-based body of :func:`hashed_features` — factored so the
+    streaming scorer can featurize a micro-batch with the SAME
+    projection the batch path uses."""
     terms = docs.select(
         "doc_id",
         F.explode(F.split(F.trim(F.lower(F.col("text"))), TOKEN_RE)).alias("term"),

@@ -2259,6 +2259,16 @@ q(
         dedup.oracle_neardup_components(), text.oracle_quality_score()
     ),
 )
+# Model-canonical selection: keep-best by LEARNED margin (the
+# persisted perceptron) instead of the heuristic — the composition a
+# pipeline graduates to once the distilled model beats its seed rules.
+q(
+    "dedup_keep_best_by_model",
+    dedup.keep_best_by_model,
+    dedup.oracle_keep_best_by_model(
+        dedup.oracle_neardup_components(), classifier.oracle_perceptron_scores()
+    ),
+)
 # Dedup QA report: cluster-size histogram over the oracled components.
 q(
     "dedup_cluster_size_histogram",
@@ -2469,6 +2479,21 @@ q(
 q(
     "quality_perceptron_persisted_scores",
     classifier.perceptron_persisted_scores,
+    classifier.oracle_perceptron_scores(),
+)
+# Streaming model inference with the persisted weights AND persisted
+# training-corpus centering stats (the feature-store discipline:
+# centering with a batch's own means would be train/serve skew);
+# stateless per batch, exact stream/batch parity, same oracle.
+def _stream_model_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming import pipeline as sp
+
+    return sp.stream_model_scores(spark, f"{sf_dir}/documents.parquet")
+
+
+q(
+    "stream_model_scores",
+    _stream_model_scores,
     classifier.oracle_perceptron_scores(),
 )
 # Corpus-version regression report over the SCD2 history: added /
@@ -2863,6 +2888,8 @@ _PRIORITY = [
     "quality_perceptron_model",
     "corpus_version_diff",
     "quality_perceptron_persisted_scores",
+    "stream_model_scores",
+    "dedup_keep_best_by_model",
     # --- 4. the r5->r6 rotated relational pool: every key that gave up
     # its r5 slot to a mid-round 3b addition (see the r5 rotation
     # comments preserved in COVERAGE.md's rotation log) ---
@@ -2897,11 +2924,12 @@ _PRIORITY = [
     "dedup_kcore_membership",
     "dedup_image_ahash_pairs",
     "multimodal_image_ahash",
-    "pack_documents_boundary",
-    "corpus_version_history",
-    # (user_gap_profile gave up its re-check slot to the persisted
-    # perceptron scorer: sessions.py is untouched this round, so its
-    # green r5 row still postdates its last source change)
+    # (user_gap_profile, pack_documents_boundary and
+    # corpus_version_history gave up their re-check slots to the three
+    # late-r6 serving/composition keys: sessions.py is untouched this
+    # round, and the sampling.py changes were additive appends — the
+    # three functions themselves are character-identical to their green
+    # r5 state)
     "q1_pricing_summary",
     "q5_local_supplier_volume",
     "q18_large_volume_customers",

@@ -1268,3 +1268,58 @@ def stream_image_ahash_probe(
     )
     q.awaitTermination()
     return spark.read.parquet(out_dir)
+
+
+def stream_model_scores(
+    spark: SparkSession, docs_path: str, n_chunks: int = 3
+) -> DataFrame:
+    """Streaming quality-model inference at ingest: each shipment is
+    featurized and scored with the PERSISTED perceptron weights AND the
+    persisted training-corpus centering statistics — the feature-store
+    discipline that prevents train/serve skew (centering with a batch's
+    own means would silently shift every margin). Stateless per batch:
+    one broadcast of the 65-row weight frame + the 64-row stats frame,
+    the same serving kernel the batch path uses
+    (``classifier.score_batch_with_model``).
+
+    Output: (doc_id, margin, label, pred, correct) across all shipments
+    — equal to the batch scorer (stats pinned to the training corpus ⇒
+    exact stream/batch parity), gated by the same unrolled-CTE oracle.
+    """
+    import tempfile
+
+    from ..operators.classifier import (
+        _persisted_center_stats,
+        _persisted_model,
+        score_batch_with_model,
+    )
+
+    replay = _chunked_docs_replay_dir(docs_path, n_chunks)
+    schema = spark.read.parquet(docs_path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(replay)
+    )
+    sf_dir = os.path.dirname(docs_path)
+    weights = _persisted_model(spark, sf_dir).localCheckpoint(eager=True)
+    stats = _persisted_center_stats(spark, sf_dir).localCheckpoint(eager=True)
+    out_dir = os.path.join(
+        tempfile.gettempdir(), f"stream_scores_{uuid.uuid4().hex[:12]}"
+    )
+
+    def ingest(batch: DataFrame, _batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        score_batch_with_model(batch, weights, stats).write.mode(
+            "append"
+        ).parquet(out_dir)
+
+    q = (
+        stream.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", f"{out_dir}_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir)

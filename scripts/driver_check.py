@@ -70,7 +70,20 @@ def _cell(v):
 
 def _canon_pdf(pdf):
     """Driver canonical form from a pandas frame: columns sorted by
-    name, rows stringified per-cell and lexicographically sorted."""
+    name, rows stringified per-cell and lexicographically sorted.
+
+    datetime64 columns stringify SERIES-wise (``astype(str)``), not
+    per-element: pandas drops the midnight time for an all-midnight
+    column ("2024-01-01"), which is exactly how a DuckDB DATE
+    (datetime64 via ``.df()``) ends up equal to Spark's
+    ``datetime.date`` objects ("2024-01-01") under the driver's hash —
+    verified against the green ``user_retention_cohorts`` driver rows;
+    per-element ``str()`` would emit "2024-01-01 00:00:00" and
+    false-flag every date column."""
+    pdf = pdf.copy()
+    for c in pdf.columns:
+        if str(pdf[c].dtype).startswith("datetime64"):
+            pdf[c] = pdf[c].astype(str)
     cols = sorted(pdf.columns)
     out = [tuple(_cell(v) for v in row) for row in pdf[cols].itertuples(index=False, name=None)]
     out.sort()

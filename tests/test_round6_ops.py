@@ -248,3 +248,41 @@ def test_persisted_scorer_identical_to_inline(spark):
     b = classifier.perceptron_scores(spark, SF_SMOKE)
     assert a.exceptAll(b).count() == 0
     assert b.exceptAll(a).count() == 0
+
+
+def test_stream_model_scores_parity_with_batch_scorer(spark):
+    """Feature-store parity: per-shipment scoring with pinned training
+    stats must reproduce the batch scorer exactly across all shipments
+    (recomputing stats per batch would break this — the train/serve
+    skew the persisted-stats design exists to prevent)."""
+    from redis_dataflow_realtime_analytics_spark.operators import classifier
+    from redis_dataflow_realtime_analytics_spark.streaming import pipeline as sp
+
+    stream = sp.stream_model_scores(spark, f"{SF_SMOKE}/documents.parquet")
+    batch = classifier.perceptron_scores(spark, SF_SMOKE)
+    assert stream.count() == batch.count() > 0
+    assert stream.exceptAll(batch).count() == 0
+    assert batch.exceptAll(stream).count() == 0
+
+
+def test_keep_best_by_model_picks_max_margin_member(spark):
+    """Every kept doc is a member of its cluster with the cluster's
+    maximum margin (min doc_id among ties), one keeper per cluster."""
+    from redis_dataflow_realtime_analytics_spark.operators import classifier, dedup
+
+    kept = dedup.keep_best_by_model(spark, SF_SMOKE).collect()
+    comp = dedup.neardup_components(spark, SF_SMOKE).collect()
+    margins = {
+        r.doc_id: r.margin
+        for r in classifier.perceptron_persisted_scores(spark, SF_SMOKE).collect()
+    }
+    members = {}
+    for r in comp:
+        members.setdefault(r.component_id, []).append(r.doc_id)
+    assert len(kept) == len(members)
+    for r in kept:
+        ms = members[r.component_id]
+        best = max(margins[d] for d in ms)
+        assert r.margin == best
+        assert r.doc_id == min(d for d in ms if margins[d] == best)
+        assert r.cluster_size == len(ms)
