@@ -286,3 +286,35 @@ def test_keep_best_by_model_picks_max_margin_member(spark):
         assert r.margin == best
         assert r.doc_id == min(d for d in ms if margins[d] == best)
         assert r.cluster_size == len(ms)
+
+
+def test_stream_shard_assignment_composes_over_many_shipments(spark):
+    """Composition holds for ANY shipment granularity: a 7-chunk replay
+    (different batch boundaries than the default 3) must still equal
+    the batch incremental layout bit-for-bit — the running-total state
+    is associative, not an artifact of one chunking."""
+    from redis_dataflow_realtime_analytics_spark.operators import sampling
+    from redis_dataflow_realtime_analytics_spark.streaming import pipeline as sp
+
+    stream = sp.stream_shard_assignment(
+        spark, f"{SF_SMOKE}/documents.parquet", n_chunks=7
+    )
+    batch = sampling.shard_assignment_incremental(spark, SF_SMOKE)
+    assert stream.count() == batch.count() > 0
+    assert stream.exceptAll(batch).count() == 0
+    assert batch.exceptAll(stream).count() == 0
+
+
+def test_stream_model_scores_chunking_invariant(spark):
+    """Pinned-stats scoring is batch-size invariant: 5-chunk replay
+    equals the batch scorer exactly (per-batch stats would fail this
+    at any chunking except 1)."""
+    from redis_dataflow_realtime_analytics_spark.operators import classifier
+    from redis_dataflow_realtime_analytics_spark.streaming import pipeline as sp
+
+    stream = sp.stream_model_scores(
+        spark, f"{SF_SMOKE}/documents.parquet", n_chunks=5
+    )
+    batch = classifier.perceptron_scores(spark, SF_SMOKE)
+    assert stream.exceptAll(batch).count() == 0
+    assert batch.exceptAll(stream).count() == 0
