@@ -318,3 +318,24 @@ def test_stream_model_scores_chunking_invariant(spark):
     batch = classifier.perceptron_scores(spark, SF_SMOKE)
     assert stream.exceptAll(batch).count() == 0
     assert batch.exceptAll(stream).count() == 0
+
+
+def test_bpe_deeper_rounds_still_hash_gate(spark):
+    """The unrolled-CTE oracle and the window-walk engine must stay in
+    lockstep as the merge budget grows (5 rounds exercises merge chains
+    where later merges consume earlier merge outputs, incl. possible
+    lhs==rhs runs on merged symbols)."""
+    from redis_dataflow_realtime_analytics_spark.operators import text
+
+    from .oracle import compare
+
+    compare(
+        text.bpe_merges(spark, SF_SMOKE, n_merges=5),
+        text.oracle_bpe_merges(n_merges=5),
+        SF_SMOKE,
+    )
+    compare(
+        text.bpe_encode(spark, SF_SMOKE, n_merges=5, doc_mod=50),
+        text.oracle_bpe_encode(n_merges=5, doc_mod=50),
+        SF_SMOKE,
+    )
