@@ -560,3 +560,51 @@ def test_perceptron_weights_broadcast_no_cartesian(spark):
     assert "CartesianProduct" not in p, p
     assert "BroadcastHashJoin" in p, p
     assert "Scan ExistingRDD" in p, p
+
+def test_redact_pii_is_shuffle_free(spark):
+    """Redaction is a pure row-local projection — scan -> project with
+    no KEYED shuffle anywhere (at 100 TB it runs partition-by-
+    partition). The only allowed exchange is the fixture-only
+    round-robin `spread()` of the single-split parquet."""
+    from redis_dataflow_realtime_analytics_spark.operators import text
+
+    df = text.redact_pii(spark, SF_SMOKE)
+    p = plans.plan_string(df)
+    assert "hashpartitioning" not in p, p
+    assert "rangepartitioning" not in p, p
+    assert "SinglePartition" not in p, p
+
+
+def test_pack_bpe_sequences_no_cartesian_bounded_exchanges(spark):
+    """Sequence packing = encode + two-level offsets + in-doc windows:
+    no cartesian anywhere; the bucket-offset frame comes back as a
+    broadcast; the corpus-sized shuffles stay doc_id/bucket-keyed."""
+    from redis_dataflow_realtime_analytics_spark.operators import sampling
+
+    df = sampling.pack_bpe_sequences(spark, SF_SMOKE)
+    p = plans.plan_string(df)
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastHashJoin" in p, p
+
+
+def test_label_propagation_rounds_are_checkpointed_equi_joins(spark):
+    """Each LPA round joins the checkpointed label frame on an equi-key
+    (dst = node) — no cartesian, no nested-loop; rounds run over
+    Scan ExistingRDD, not re-derived pair lineage."""
+    from redis_dataflow_realtime_analytics_spark.operators import dedup
+
+    edges = dedup.ngram_jaccard_pairs(spark, SF_SMOKE)
+    df = dedup.lpa_labels(edges, rounds=2)
+    p = plans.plan_string(df)
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+    assert "Scan ExistingRDD" in p, p
+
+
+def test_keep_best_by_model_no_cartesian(spark):
+    """Model-canonical selection composes components x persisted scores
+    through doc_id/component_id equi-joins only."""
+    from redis_dataflow_realtime_analytics_spark.operators import dedup
+
+    df = dedup.keep_best_by_model(spark, SF_SMOKE)
+    p = plans.plan_string(df)
+    assert "CartesianProduct" not in p, p
