@@ -162,3 +162,41 @@ def test_session4_operators_empty(spark, tmp_path):
         out = fn(spark, d)
         assert out.count() == 0, fn.__name__
         assert len(out.schema.fields) > 0, fn.__name__
+
+
+def test_round6_operators_empty(spark, tmp_path):
+    """Round-6 operators on an empty corpus: schema-stable empty (or
+    for the classifier/report shapes, schema-stable with zero-count
+    semantics), never a raise — the quiet-source case. The BPE / shard
+    / probe artifact builders must also tolerate training on nothing."""
+    from redis_dataflow_realtime_analytics_spark.operators import (
+        classifier,
+        dedup,
+        sampling,
+        text,
+    )
+
+    d = _empty_docs_dir(spark, tmp_path)
+    for fn in (
+        text.redact_pii,
+        lambda s, sd: text.bpe_encode(s, sd, n_merges=1),
+        lambda s, sd: text.bpe_compression(s, sd, n_merges=1),
+        sampling.shard_assignment,
+        sampling.shard_assignment_incremental,
+        sampling.shard_manifest,
+        lambda s, sd: sampling.pack_bpe_sequences(s, sd, n_merges=1),
+        lambda s, sd: dedup.lpa_labels(
+            dedup.ngram_jaccard_pairs(s, sd), rounds=2
+        ),
+        dedup.keep_best_by_model,
+    ):
+        out = fn(spark, d)
+        assert out.count() == 0, getattr(fn, "__name__", fn)
+        assert len(out.schema.fields) > 0
+
+    # classifier on the empty corpus: no feature rows, no score rows
+    scores = classifier.perceptron_scores(spark, d, rounds=2)
+    assert scores.count() == 0
+    # version diff: every class count is derived from an empty history
+    diff = sampling.corpus_version_diff(spark, d)
+    assert diff.count() == 0
