@@ -1522,7 +1522,16 @@ def _bpe_apply(syms: DataFrame, merge1: DataFrame) -> DataFrame:
     Shared by training (:func:`_bpe_round`, merge = the round's argmax)
     and encoding (:func:`bpe_encode`, merge = a persisted-table row) so
     train and apply can never drift.
+
+    An EMPTY merge frame is a no-op (returns ``syms`` unchanged): a
+    degenerate corpus can exhaust its pairs before the merge budget
+    (e.g. an all-single-letter vocabulary), and the crossJoin against a
+    0-row frame would otherwise annihilate the vocabulary instead of
+    stopping early like textbook BPE (hypothesis-found edge; the
+    emptiness probe is one bounded job on a ≤1-row frame).
     """
+    if merge1.isEmpty():
+        return syms
     w_seq = Window.partitionBy("w").orderBy("pos")
     ann = (
         syms.crossJoin(F.broadcast(merge1.select("lhs", "rhs")))
@@ -1573,7 +1582,12 @@ def _bpe_round(syms: DataFrame) -> tuple[DataFrame, DataFrame]:
         .groupBy(F.col("sym").alias("lhs"), F.col("nxt").alias("rhs"))
         .agg(F.sum("wc").alias("pair_count"))
     )
-    top1 = pairs.orderBy(F.desc("pair_count"), "lhs", "rhs").limit(1)
+    # eager-checkpoint the 1-row argmax: _bpe_apply's emptiness probe
+    # and the crossJoin both consume it, and unmaterialized each would
+    # re-run the whole pair aggregation
+    top1 = pairs.orderBy(F.desc("pair_count"), "lhs", "rhs").limit(1).localCheckpoint(
+        eager=True
+    )
     return _bpe_apply(syms, top1), top1
 
 
@@ -1685,7 +1699,15 @@ s0 AS (
 def oracle_bpe_merges(n_merges: int = 3) -> str:
     """DuckDB twin of :func:`bpe_merges` — the same rounds unrolled as
     chained CTEs (pair count → LIMIT 1 argmax → window-function merge
-    application), so the whole merge table hash-gates."""
+    application), so the whole merge table hash-gates.
+
+    Degenerate-corpus caveat: if pairs exhaust before the merge budget
+    the ENGINE stops early (``_bpe_apply`` no-ops on an empty merge),
+    while this oracle's ``a{{i}} CROSS JOIN m{{i}}`` chain would drop
+    the symbolization. Unreachable on the fixture corpora the oracled
+    keys run on (any 2+-letter word survives 3 rounds); the engine edge
+    is pinned by the hypothesis property test against the sequential
+    reference instead."""
     selects = "\nUNION ALL\n".join(
         f"SELECT {i} AS merge_rank, lhs, rhs, pair_count FROM m{i}"
         for i in range(1, n_merges + 1)

@@ -175,3 +175,76 @@ def test_kll_quantiles_within_rank_error(spark):
         for q, col in ((0.5, "p50_est"), (0.9, "p90_est"), (0.99, "p99_est")):
             rank = (vals <= getattr(est[flag], col)).sum() / n
             assert abs(rank - q) <= 0.02, (flag, q, rank)
+
+
+words_strategy = st.lists(
+    st.text(alphabet="ab", min_size=1, max_size=6),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(words=words_strategy)
+@settings(**SETTINGS)
+def test_bpe_window_walk_equals_sequential_fold(spark, words):
+    """The window-function greedy merge (_bpe_apply, incl. the
+    lhs==rhs run-parity path) must equal the textbook left-to-right
+    fold on ADVERSARIAL two-letter corpora — maximal run/tie density
+    that the fixture vocabulary cannot produce. Checks both the merge
+    table and the final per-word symbolization (the encode surface)."""
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    from redis_dataflow_realtime_analytics_spark.operators import text as tx
+
+    from .test_round5_ops import _ref_bpe
+
+    wc: dict[str, int] = {}
+    for w in words:
+        wc[w] = wc.get(w, 0) + 1
+    docs = " ".join(words)
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0],
+            "text": [docs],
+            "lang": ["en"],
+            "source": ["s"],
+            "n_chars": [len(docs)],
+        }
+    )
+    n_merges = 2
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(pdf).write.parquet(
+            os.path.join(d, "documents.parquet")
+        )
+        rows = sorted(
+            tx.bpe_merges(spark, d, n_merges=n_merges).collect(),
+            key=lambda r: r.merge_rank,
+        )
+        ref = _ref_bpe(dict(wc), n_merges)
+        assert [(r.lhs, r.rhs, r.pair_count) for r in rows] == ref
+
+        # final symbolization: re-apply ref merges sequentially per word
+        seqs = {w: list(w) for w in wc}
+        for l, r, _ in ref:
+            for w, s in seqs.items():
+                out, i = [], 0
+                while i < len(s):
+                    if i + 1 < len(s) and s[i] == l and s[i + 1] == r:
+                        out.append(l + r)
+                        i += 2
+                    else:
+                        out.append(s[i])
+                        i += 1
+                seqs[w] = out
+        enc = tx.bpe_encode(spark, d, n_merges=n_merges, doc_mod=1).collect()
+        by_word: dict[int, list] = {}
+        for r in enc:
+            by_word.setdefault(r.wpos, []).append((r.spos, r.token))
+        toks = {
+            wpos: [t for _, t in sorted(v)] for wpos, v in by_word.items()
+        }
+        for i, w in enumerate(w for w in docs.strip().lower().split() if w):
+            assert toks[i + 1] == seqs[w], (w, toks[i + 1], seqs[w])

@@ -26,6 +26,8 @@ def _ref_bpe(word_counts: dict[str, int], n_merges: int):
             s = seqs[w]
             for a, b in zip(s, s[1:]):
                 pc[(a, b)] = pc.get((a, b), 0) + cnt
+        if not pc:  # pairs exhausted before the merge budget: stop early
+            break
         (l, r), c = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
         merges.append((l, r, c))
         for w, s in seqs.items():
