@@ -248,3 +248,72 @@ def test_bpe_window_walk_equals_sequential_fold(spark, words):
         }
         for i, w in enumerate(w for w in docs.strip().lower().split() if w):
             assert toks[i + 1] == seqs[w], (w, toks[i + 1], seqs[w])
+
+
+docs_tokens_strategy = st.lists(
+    st.tuples(st.integers(0, 4000), st.integers(0, 50)),  # (doc_id, n_tokens)
+    min_size=1,
+    max_size=60,
+    unique_by=lambda t: t[0],
+)
+
+
+@given(rows=docs_tokens_strategy)
+@settings(**SETTINGS)
+def test_two_level_prefix_sum_equals_naive_cumsum(spark, rows):
+    """The distributed two-level prefix sum (shard layout's core) must
+    equal the naive sequential cumsum for ANY doc_id distribution —
+    including ids that straddle bucket boundaries and sparse/dense
+    mixes the fixture can't produce."""
+    from redis_dataflow_realtime_analytics_spark.operators.sampling import (
+        _two_level_tokens_before,
+    )
+
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    got = {
+        r.doc_id: r.tokens_before
+        for r in _two_level_tokens_before(df, bucket_docs=7).collect()
+    }
+    acc = 0
+    for doc_id, n in sorted(rows):
+        assert got[doc_id] == acc, (doc_id, got[doc_id], acc)
+        acc += n
+
+
+edges_strategy = st.lists(
+    st.tuples(st.integers(0, 12), st.integers(0, 12)),
+    min_size=1,
+    max_size=30,
+).map(lambda es: [(a, b) for a, b in es if a != b])
+
+
+@given(edges=edges_strategy)
+@settings(**SETTINGS)
+def test_lpa_equals_synchronous_reference(spark, edges):
+    """The window-function LPA must equal a direct Python simulation of
+    the same synchronous rule (argmax neighbor-label count, min-label
+    ties) on random small graphs — including multi-edges, which both
+    sides must weight identically."""
+    from hypothesis import assume
+
+    from redis_dataflow_realtime_analytics_spark.operators.dedup import lpa_labels
+
+    assume(edges)
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {r.doc_id: r.community for r in lpa_labels(df, rounds=3).collect()}
+
+    sym: dict[int, list[int]] = {}
+    for a, b in edges:
+        sym.setdefault(a, []).append(b)
+        sym.setdefault(b, []).append(a)
+    labels = {n: n for n in sym}
+    for _ in range(3):
+        nxt = {}
+        for n, nbrs in sym.items():
+            counts: dict[int, int] = {}
+            for m in nbrs:
+                counts[labels[m]] = counts.get(labels[m], 0) + 1
+            best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            nxt[n] = best
+        labels = nxt
+    assert got == labels
