@@ -2935,6 +2935,12 @@ _PRIORITY = [
     "q18_large_volume_customers",
     "price_moments_by_flag",
     "rolling_week_user_value",
+    # R7 POOL (rotate in next round, plus anything whose source changes
+    # in r7): user_gap_profile, pack_documents_boundary and
+    # corpus_version_history (displaced above — functions unchanged,
+    # files touched additively), and ordinary staleness re-checks for
+    # whatever r7 edits. The 16 r6-new keys above must hold their slots
+    # until CORRECTNESS_r06 records their first external rows.
 ]
 
 
