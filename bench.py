@@ -163,6 +163,8 @@ HEADLINE = [
     # keep-best (classifier composed into dedup)
     "stream_model_scores",
     "dedup_keep_best_by_model",
+    # new in r6 (cont. 7): TTL-evicting stateful sessionization
+    "stream_sessions_ttl",
 ]
 
 

@@ -1395,6 +1395,23 @@ q(
 SELECT variant, count(DISTINCT user_id) AS unique_users FROM ev GROUP BY 1""",
 )
 
+
+# TTL-EVICTING stateful sessionization (applyInPandasWithState +
+# EventTimeTimeout): open sessions live in the state store and are
+# evicted-and-emitted when the watermark passes last_event + gap —
+# state bounded by OPEN sessions, the production shape the NoTimeout
+# uniques op deliberately isn't. Registered rows-only per the custom-
+# stateful convention; the hard gate is the pytest proving exact
+# equality with the batch session_window twin (heartbeat replay closes
+# every real session deterministically).
+def _stream_sessions_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming import stateful
+
+    return stateful.stream_sessions_ttl(spark, f"{sf_dir}/events.parquet")
+
+
+q("stream_sessions_ttl", _stream_sessions_ttl, None)
+
 # ---------------------------------------------------------------------------
 # Wire-level parity: the reference's literal Redis key/command catalog
 # (S1/S2/S4 key builders + all 12 legs), and the G1 generator

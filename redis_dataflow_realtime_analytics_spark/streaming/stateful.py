@@ -76,3 +76,115 @@ def stream_exact_uniques_per_variant(
         .groupBy("variant")
         .agg(F.max("unique_users").alias("unique_users"))
     )
+
+
+SESSION_OUT_SCHEMA = "user_id bigint, start_us bigint, end_us bigint, n_events bigint"
+SESSION_STATE_SCHEMA = "start bigint, last bigint, n bigint"
+
+
+def stream_sessions_ttl(
+    spark: SparkSession,
+    events_path: str,
+    gap_minutes: int = 30,
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """Gap-based sessionization as a TTL-EVICTING stateful streaming
+    operator — ``applyInPandasWithState`` with **EventTimeTimeout**: a
+    user's open session lives in the state store and is EVICTED (and
+    emitted) when the watermark passes ``last_event + gap``. This is the
+    mechanism the catalog's other stateful op (NoTimeout all-time
+    uniques) deliberately lacks: state here is bounded by the number of
+    OPEN sessions, not by history — the production shape for unbounded
+    uid cardinality.
+
+    Intra-batch session splits emit immediately (they are already
+    final); only the per-user open tail occupies state. The replay
+    harness's two far-future heartbeat files advance the watermark past
+    every real session and then trigger the eviction batch, so the
+    replayed output is complete and DETERMINISTIC: it equals the batch
+    ``sessions.user_sessions`` exactly (parity pytest) for every real
+    user. Timestamps cross the Arrow boundary as ``unix_micros`` longs
+    (never tz-ambiguous datetimes) and convert back Spark-side.
+
+    Output: (user_id, session_start, session_end, n_events) with
+    session_end = last event + gap (session_window semantics).
+    """
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def update(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        def row(s: int, l: int, n: int) -> dict:
+            return {
+                "user_id": key[0],
+                "start_us": s,
+                "end_us": l + gap_us,
+                "n_events": n,
+            }
+
+        if state.hasTimedOut:
+            s, l, n = state.get
+            state.remove()
+            yield pd.DataFrame([row(s, l, n)])
+            return
+        ts = sorted(
+            int(v) for pdf in pdfs for v in pdf["tus"].tolist()
+        )
+        if not ts:
+            return
+        if state.exists:
+            cur_s, cur_l, cur_n = state.get
+        else:
+            cur_s, cur_l, cur_n = ts[0], ts[0], 0
+            ts = ts  # first event counted in the loop below
+        closed = []
+        for t in ts:
+            if t - cur_l >= gap_us and cur_n > 0:
+                closed.append(row(cur_s, cur_l, cur_n))
+                cur_s, cur_l, cur_n = t, t, 1
+            else:
+                cur_l = t
+                cur_n += 1
+        state.update((cur_s, cur_l, cur_n))
+        # evict when the watermark passes the open session's end
+        state.setTimeoutTimestamp((cur_l + gap_us) // 1000)
+        if closed:
+            yield pd.DataFrame(closed)
+
+    from .pipeline import _heartbeat_replay_dir
+
+    replay_dir = _heartbeat_replay_dir(events_path)
+    ev = (
+        normalize_events(read_events_stream(spark, replay_dir, max_files_per_trigger))
+        .withWatermark("ts", "10 minutes")
+        .select("user_id", "ts", F.unix_micros("ts").alias("tus"))
+    )
+    updates = ev.groupBy("user_id").applyInPandasWithState(
+        update,
+        SESSION_OUT_SCHEMA,
+        SESSION_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.EventTimeTimeout,
+    )
+    from .pipeline import _state_partitions
+
+    name = f"state_sess_{uuid.uuid4().hex}"
+    with _state_partitions(spark):
+        q = (
+            updates.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return (
+        spark.table(name)
+        .where(F.col("user_id") >= 0)  # drop heartbeat rows
+        .select(
+            "user_id",
+            F.timestamp_micros("start_us").alias("session_start"),
+            F.timestamp_micros("end_us").alias("session_end"),
+            "n_events",
+        )
+    )

@@ -339,3 +339,18 @@ def test_bpe_deeper_rounds_still_hash_gate(spark):
         text.oracle_bpe_encode(n_merges=5, doc_mod=50),
         SF_SMOKE,
     )
+
+
+def test_ttl_sessionizer_equals_batch_session_window(spark):
+    """The EventTimeTimeout eviction path must reproduce the batch
+    session_window twin EXACTLY: the heartbeat replay closes every real
+    session deterministically, intra-batch splits are final, and no
+    session is emitted twice or left in state."""
+    from redis_dataflow_realtime_analytics_spark.operators import sessions
+    from redis_dataflow_realtime_analytics_spark.streaming import stateful
+
+    out = stateful.stream_sessions_ttl(spark, f"{SF_SMOKE}/events.parquet")
+    batch = sessions.user_sessions(spark, SF_SMOKE)
+    assert out.count() == batch.count() > 0
+    assert out.exceptAll(batch).count() == 0
+    assert batch.exceptAll(out).count() == 0
