@@ -1407,7 +1407,13 @@ SELECT variant, count(DISTINCT user_id) AS unique_users FROM ev GROUP BY 1""",
 def _stream_sessions_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .streaming import stateful
 
-    return stateful.stream_sessions_ttl(spark, f"{sf_dir}/events.parquet")
+    # mFPT=2 halves the replay's micro-batch count ([c0,c1],[c2,hb0],
+    # [hb1]) — the r5 click_error precedent; mid-replay watermark
+    # advancement and the heartbeat eviction batch are still exercised,
+    # and the batch-parity pytest pins output equality at mFPT=1 too.
+    return stateful.stream_sessions_ttl(
+        spark, f"{sf_dir}/events.parquet", max_files_per_trigger=2
+    )
 
 
 q("stream_sessions_ttl", _stream_sessions_ttl, None)
