@@ -1508,7 +1508,9 @@ FROM h GROUP BY 1, 2"""
 
 
 # --- distributed BPE merge training ------------------------------------------
-def _bpe_apply(syms: DataFrame, merge1: DataFrame) -> DataFrame:
+def _bpe_apply(
+    syms: DataFrame, merge1: DataFrame, probe_empty: bool = True
+) -> DataFrame:
     """Apply ONE merge pair (a 1-row ``(lhs, rhs)`` frame, broadcast)
     to the symbolized vocabulary ``(w, wc, pos, sym)`` with greedy
     leftmost-non-overlapping semantics expressed ENTIRELY in window
@@ -1523,14 +1525,22 @@ def _bpe_apply(syms: DataFrame, merge1: DataFrame) -> DataFrame:
     and encoding (:func:`bpe_encode`, merge = a persisted-table row) so
     train and apply can never drift.
 
-    An EMPTY merge frame is a no-op (returns ``syms`` unchanged): a
-    degenerate corpus can exhaust its pairs before the merge budget
-    (e.g. an all-single-letter vocabulary), and the crossJoin against a
-    0-row frame would otherwise annihilate the vocabulary instead of
-    stopping early like textbook BPE (hypothesis-found edge; the
-    emptiness probe is one bounded job on a ≤1-row frame).
+    With ``probe_empty`` an EMPTY merge frame is a no-op (returns
+    ``syms`` unchanged): a degenerate corpus can exhaust its pairs
+    before the merge budget (e.g. an all-single-letter vocabulary), and
+    the crossJoin against a 0-row frame would otherwise annihilate the
+    vocabulary instead of stopping early like textbook BPE
+    (hypothesis-found edge). ENCODING must probe — its per-rank frames
+    are tiny parquet reads and the probe is one bounded job. TRAINING
+    deliberately does NOT (``probe_empty=False``): probing would force
+    the whole pair aggregation to evaluate twice per round (or be
+    checkpointed — measured +0.9 s at sf0.1), and an annihilated
+    vocabulary changes nothing training OUTPUTS — later rounds' pair
+    counts are empty, so their argmax frames are empty and the merge
+    table still stops early, identically (the hypothesis property pins
+    this).
     """
-    if merge1.isEmpty():
+    if probe_empty and merge1.isEmpty():
         return syms
     w_seq = Window.partitionBy("w").orderBy("pos")
     ann = (
@@ -1582,13 +1592,8 @@ def _bpe_round(syms: DataFrame) -> tuple[DataFrame, DataFrame]:
         .groupBy(F.col("sym").alias("lhs"), F.col("nxt").alias("rhs"))
         .agg(F.sum("wc").alias("pair_count"))
     )
-    # eager-checkpoint the 1-row argmax: _bpe_apply's emptiness probe
-    # and the crossJoin both consume it, and unmaterialized each would
-    # re-run the whole pair aggregation
-    top1 = pairs.orderBy(F.desc("pair_count"), "lhs", "rhs").limit(1).localCheckpoint(
-        eager=True
-    )
-    return _bpe_apply(syms, top1), top1
+    top1 = pairs.orderBy(F.desc("pair_count"), "lhs", "rhs").limit(1)
+    return _bpe_apply(syms, top1, probe_empty=False), top1
 
 
 def bpe_merges(spark: SparkSession, sf_dir: str, n_merges: int = 3) -> DataFrame:
