@@ -2894,8 +2894,11 @@ _PRIORITY = [
     "pack_efficiency_report",
     "corpus_shard_assignment",
     # --- 2. changed engine this round (same oracle): two-level exact
-    # rank replaced the per-source whole-corpus sort window ---
+    # rank replaced the per-source whole-corpus sort window (calibrated
+    # ranks), then the same rework landed on the decile profile (ntile
+    # by closed form over the two-level rank) ---
     "quality_calibrated_by_source",
+    "corpus_length_deciles",
     # --- 3. never-checked r6-new keys ---
     "text_bpe_encode",
     "corpus_shard_incremental",
@@ -2954,7 +2957,9 @@ _PRIORITY = [
     # three functions themselves are character-identical to their green
     # r5 state)
     "q1_pricing_summary",
-    "q5_local_supplier_volume",
+    # (q5_local_supplier_volume gave up its slot to the
+    # corpus_length_deciles engine-change re-check; q1/q18 keep the
+    # dsum/davg idiom duty, q5 rotates to the r7 pool)
     "q18_large_volume_customers",
     "price_moments_by_flag",
     "rolling_week_user_value",

@@ -512,6 +512,28 @@ def test_bpe_rounds_broadcast_merge_frame(spark):
     assert "CartesianProduct" not in p, p
     assert "Scan ExistingRDD" in p, p
 
+def test_length_deciles_no_per_source_global_sort(spark):
+    """The decile profile computes ntile by closed form over the
+    two-level exact rank — the plan must contain NO ntile window and
+    no window that sorts a source partition by n_chars: the only
+    corpus-sized window is the local row_number PARTITIONED BY
+    (source, n_chars); offsets/totals come back as broadcasts."""
+    import re
+
+    from redis_dataflow_realtime_analytics_spark.operators import sampling
+
+    df = sampling.length_decile_profile(spark, SF_SMOKE)
+    p = plans.plan_string(df)
+    assert "ntile" not in p, p
+    assert "BroadcastHashJoin" in p, p
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", p)
+    assert specs, p
+    for spec in specs:
+        if "doc_id#" in spec:  # the corpus-sized local row_number
+            assert "n_chars#" in spec.split("doc_id#")[0], (
+                f"per-source global sort leaked back: {spec}\n{p}"
+            )
+
 def test_quality_calibration_no_per_source_global_sort(spark):
     """The two-level exact-rank contract (r5 verdict perf flag): the
     document frame's rank window is PARTITIONED BY (source, qb) — never
