@@ -120,6 +120,7 @@ HEADLINE = [
     "kmeans_exact_centroids",
     "ann_ivf_exact_topk",
     "ann_ivf_persisted_topk",
+    "ann_ivfpq_topk",
     "pack_documents_boundary",
     "stream_decontamination_gate",
     "dedup_kcore_membership",

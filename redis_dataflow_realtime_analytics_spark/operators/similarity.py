@@ -2010,3 +2010,271 @@ v{i} AS MATERIALIZED (SELECT pos, ws / nrm AS val FROM w{i} CROSS JOIN n{i})"""
         )
     body = ",\n".join(ctes)
     return f"WITH {{norms}},\n{body}\nSELECT pos, val AS component FROM v{iters}"
+
+
+#: IVFPQ shortlist: candidates kept per query after the ADC stage, before
+#: the exact re-rank (FAISS's `nprobe`-then-`k_factor` shape).
+IVFPQ_SHORTLIST = 50
+
+
+def ann_ivfpq_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 10,
+    nprobe: int = 3,
+    km_k: int = 8,
+    iters: int = 3,
+    shortlist: int = IVFPQ_SHORTLIST,
+) -> DataFrame:
+    """IVF + PQ + exact re-rank — the ASSEMBLED production ANN pipeline
+    (the FAISS ``IVFPQ`` index shape, cf. the reference's approx-first
+    HLL/exact-verify discipline): coarse-prune to ``nprobe`` learned-
+    centroid posting lists, score the survivors by PQ asymmetric
+    distance (M codes per vector — the candidate scan reads codes, never
+    raw vectors), keep a ``shortlist`` per query, then exact fixed-point
+    cosine re-rank of the shortlist ONLY. Composes the repo's three
+    oracled ANN stages end to end:
+
+    * coarse codebook = the PERSISTED exact-k-means artifact
+      (:func:`_persisted_codebook` — train-once / read-many);
+    * PQ codes quantize the RAW fixed-point vector (no residuals), so
+      the ADC arithmetic is shared verbatim with :func:`ann_topk_pq`;
+    * the re-rank join mirrors :func:`ann_hamming_rerank_topk`.
+
+    Everything is exact integer arithmetic with min-id tie-breaks, so
+    coarse training, assignment, probing, encoding, ADC shortlist, and
+    the final top-k all hash-gate against one DuckDB oracle.
+
+    Plan at 100 TB: the corpus-sized frames carry only (vec_id, bucket,
+    M codes); the coarse codebook (km_k×d ints) and PQ codebook (M
+    broadcast rows) ship to every task; the candidate join is a bucket
+    equi-join against the nprobe-pruned broadcast query set (posting-
+    list scan, ~nprobe/km_k of the code table per query); the raw-vector
+    re-rank touches |queries|×shortlist point lookups.
+
+    Output: (query_id, neighbor_id, cosine, rank), rank 1..k — cosine
+    is the EXACT fixed-point value for the re-ranked survivors.
+    """
+    cent = _persisted_codebook(spark, sf_dir, k=km_k, iters=iters)
+    emb = _quantized(spark, sf_dir)
+    cents_row = cent.agg(
+        F.sort_array(F.collect_list(F.struct("cid", "S", "n", "s2"))).alias("cents")
+    )
+    db = emb.crossJoin(F.broadcast(cents_row)).select(
+        "vec_id",
+        "qvec",
+        F.expr(_KMEANS_ARGMIN + ".cid").alias("bucket"),
+    )
+    # PQ-encode the database side (identical stage to ann_topk_pq, plus
+    # the bucket id carried through for the posting-list join).
+    cb = _pq_codebook(emb)
+    sub = db.select(
+        "vec_id",
+        "bucket",
+        F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("m"),
+        "qvec",
+    ).select(
+        "vec_id",
+        "bucket",
+        "m",
+        F.expr(f"slice(qvec, m * (size(qvec) div {PQ_M}) + 1,"
+               f" size(qvec) div {PQ_M})").alias("xm"),
+    )
+    best = F.expr(
+        "array_min(transform(cbook, c -> struct("
+        " c.cwn2 - 2 * aggregate(zip_with(xm, c.cw, (x, y) -> x * y),"
+        "   CAST(0 AS BIGINT), (acc, v) -> acc + v) AS cost,"
+        " c.cid AS cid, c.cw AS cw, c.cwn2 AS cwn2)))"
+    )
+    enc = (
+        sub.join(F.broadcast(cb), "m")
+        .select("vec_id", "bucket", "m", best.alias("b"))
+        .select(
+            "vec_id",
+            "bucket",
+            "m",
+            F.col("b.cw").alias("cw"),
+            F.col("b.cwn2").alias("cwn2"),
+        )
+    )
+    # Query probing — mirrors _ivf_exact_query's probe stage verbatim
+    # (not shared as a helper so that function's green-keyed source stays
+    # untouched; the arithmetic must match _KMEANS_ARGMIN's v exactly).
+    w_probe = Window.partitionBy("query_id").orderBy("v", "cid")
+    probes = (
+        emb.where(F.col("vec_id") % QUERY_MOD == 0)
+        .crossJoin(F.broadcast(cents_row))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("qvec").alias("q_qvec"),
+            F.col("n2").alias("q_n2"),
+            F.explode(
+                F.expr(
+                    "transform(cents, c -> struct("
+                    " CAST(c.s2 - 2 * aggregate(zip_with(qvec, c.S,"
+                    "        (a, b) -> CAST(a AS DECIMAL(38,0)) * b),"
+                    "      CAST(0 AS DECIMAL(38,0)), (acc, t) -> acc + t) * c.n"
+                    "      AS DOUBLE)"
+                    "   / CAST(c.n * c.n AS DOUBLE) AS v,"
+                    " c.cid AS cid))"
+                )
+            ).alias("p"),
+        )
+        .select(
+            "query_id", "q_qvec", "q_n2",
+            F.col("p.v").alias("v"), F.col("p.cid").alias("cid"),
+        )
+        .withColumn("pr", F.row_number().over(w_probe))
+        .where(F.col("pr") <= nprobe)
+        .select("query_id", "q_qvec", "q_n2", F.col("cid").alias("bucket"))
+    )
+    q_sub = probes.select(
+        "query_id",
+        "q_n2",
+        "bucket",
+        F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("m"),
+        "q_qvec",
+    ).select(
+        "query_id",
+        "q_n2",
+        "bucket",
+        "m",
+        F.expr(f"slice(q_qvec, m * (size(q_qvec) div {PQ_M}) + 1,"
+               f" size(q_qvec) div {PQ_M})").alias("qm"),
+    )
+    pairs = (
+        enc.join(F.broadcast(q_sub), ["bucket", "m"])
+        .where(F.col("vec_id") != F.col("query_id"))
+        .withColumn("d", V.qdot("qm", "cw"))
+    )
+    scored = pairs.groupBy("query_id", "vec_id").agg(
+        F.sum("d").alias("adc_dot"),
+        F.sum("cwn2").alias("r_n2"),
+        F.first("q_n2").alias("q_n2"),
+    )
+    w_sl = Window.partitionBy("query_id").orderBy(
+        F.desc(V.cosine("adc_dot", "q_n2", "r_n2")), "vec_id"
+    )
+    sl = (
+        scored.withColumn("sr", F.row_number().over(w_sl))
+        .where(F.col("sr") <= shortlist)
+        .select("query_id", "vec_id")
+    )
+    rr = (
+        sl.join(emb, "vec_id")
+        .join(F.broadcast(query_set(emb)), "query_id")
+        .withColumn("dot", V.qdot("qvec", "q_qvec"))
+        .withColumn("cosine", V.cosine("dot", "n2", "q_n2"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "vec_id")
+    return (
+        rr.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "cosine", "rank")
+    )
+
+
+def oracle_ann_ivfpq(
+    k: int = 10,
+    nprobe: int = 3,
+    km_k: int = 8,
+    iters: int = 3,
+    shortlist: int = IVFPQ_SHORTLIST,
+) -> str:
+    """DuckDB twin of :func:`ann_ivfpq_topk` — the unrolled exact-k-means
+    chain + IVF assignment/probing (shared with
+    :func:`oracle_ann_ivf_exact`), the PQ codebook/encode/ADC CTEs
+    (shared with :func:`oracle_ann_topk_pq`) restricted to the probed
+    posting lists, then the exact re-rank of the shortlist. ``{norms}``
+    spliced by the registry."""
+    km = oracle_kmeans_exact(k=km_k, iters=iters)
+    body = km.split("WITH {norms},\n", 1)[1].rsplit("\nSELECT", 1)[0]
+    dp = f"(len(qv) // {PQ_M})"
+    return f"""WITH {{norms}},
+{body},
+pf AS (
+  SELECT v.vec_id, c.cid, c.n, c.s2, unnest(list_zip(v.qv, c.S)) AS z
+  FROM e v CROSS JOIN c{iters} c),
+df_ AS (
+  SELECT vec_id, cid, sum(CAST(z[1] AS DECIMAL(38,0)) * z[2]) AS dot,
+         any_value(n) AS n, any_value(s2) AS s2
+  FROM pf GROUP BY 1, 2),
+vf AS (
+  SELECT vec_id, cid,
+         CAST(s2 - 2 * dot * n AS DOUBLE) / CAST(n * n AS DOUBLE) AS v
+  FROM df_),
+assign AS (
+  SELECT vec_id, cid AS bucket FROM vf
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY v, cid) = 1),
+probes AS (
+  SELECT vec_id AS query_id, cid AS bucket FROM vf
+  WHERE vec_id % {QUERY_MOD} = 0
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY v, cid) <= {nprobe}),
+ms AS (SELECT unnest(generate_series(0, {PQ_M - 1})) AS m),
+sub AS (
+  SELECT e.vec_id, ms.m, e.qv[ms.m * {dp} + 1 : (ms.m + 1) * {dp}] AS xm
+  FROM e CROSS JOIN ms),
+cw AS (
+  SELECT s.vec_id AS cid, s.m, s.xm AS cw
+  FROM sub s WHERE s.vec_id % {PQ_SEED_MOD} = 0),
+cwn AS (
+  SELECT cid, m, cw,
+         (SELECT COALESCE(sum(z[1] * z[2]), 0)
+          FROM unnest(list_zip(cw, cw)) t(z)) AS cwn2
+  FROM cw),
+cost AS (
+  SELECT s.vec_id, s.m, c.cid, c.cw, c.cwn2,
+         c.cwn2 - 2 * (SELECT COALESCE(sum(z[1] * z[2]), 0)
+                       FROM unnest(list_zip(s.xm, c.cw)) t(z)) AS cost
+  FROM sub s JOIN cwn c ON c.m = s.m),
+enc AS (
+  SELECT vec_id, m, cw, cwn2
+  FROM cost
+  QUALIFY row_number() OVER (PARTITION BY vec_id, m
+                             ORDER BY cost, cid) = 1),
+encb AS (
+  SELECT en.vec_id, a.bucket, en.m, en.cw, en.cwn2
+  FROM enc en JOIN assign a ON a.vec_id = en.vec_id),
+qsub AS (
+  SELECT s.vec_id AS query_id, n.n2 AS q_n2, s.m, s.xm AS qm
+  FROM sub s JOIN n ON n.vec_id = s.vec_id
+  WHERE s.vec_id % {QUERY_MOD} = 0),
+pd AS (
+  SELECT q.query_id, en.vec_id, q.q_n2, en.cwn2,
+         (SELECT COALESCE(sum(z[1] * z[2]), 0)
+          FROM unnest(list_zip(q.qm, en.cw)) t(z)) AS d
+  FROM encb en
+  JOIN probes p ON p.bucket = en.bucket
+  JOIN qsub q ON q.query_id = p.query_id AND q.m = en.m
+  WHERE en.vec_id <> p.query_id),
+sc AS (
+  SELECT query_id, vec_id, sum(d) AS adc_dot, sum(cwn2) AS r_n2,
+         any_value(q_n2) AS q_n2
+  FROM pd GROUP BY 1, 2),
+sl AS (
+  SELECT query_id, vec_id,
+         CAST(adc_dot AS DOUBLE)
+           / (sqrt(CAST(q_n2 AS DOUBLE)) * sqrt(CAST(r_n2 AS DOUBLE))) AS ac
+  FROM sc
+  QUALIFY row_number() OVER (PARTITION BY query_id
+                             ORDER BY ac DESC, vec_id) <= {shortlist}),
+rp AS (
+  SELECT s.query_id, s.vec_id AS neighbor_id,
+         unnest(list_zip(eq.qv, en.qv)) AS z
+  FROM sl s
+  JOIN e eq ON eq.vec_id = s.query_id
+  JOIN e en ON en.vec_id = s.vec_id),
+rd AS (
+  SELECT query_id, neighbor_id, sum(z[1] * z[2]) AS dot
+  FROM rp GROUP BY 1, 2),
+cs AS (
+  SELECT rd.query_id, rd.neighbor_id,
+         CAST(rd.dot AS DOUBLE)
+           / (sqrt(CAST(nq.n2 AS DOUBLE)) * sqrt(CAST(nn.n2 AS DOUBLE))) AS cosine
+  FROM rd
+  JOIN n nq ON nq.vec_id = rd.query_id
+  JOIN n nn ON nn.vec_id = rd.neighbor_id)
+SELECT query_id, neighbor_id, cosine,
+       CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
+FROM cs QUALIFY rank <= {k}"""

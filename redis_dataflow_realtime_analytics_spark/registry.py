@@ -2411,6 +2411,17 @@ q(
     similarity.ann_ivf_persisted_topk,
     similarity.oracle_ann_ivf_exact().format(norms=_ORACLE_NORMS),
 )
+# The ASSEMBLED production ANN pipeline (FAISS IVFPQ shape): persisted
+# coarse codebook → nprobe posting-list prune → PQ asymmetric-distance
+# shortlist over M integer codes per vector → exact fixed-point cosine
+# re-rank of the shortlist only. Every stage deterministic (the coarse
+# chain is ann_ivf_exact's, the ADC chain is ann_topk_pq's), so the whole
+# composition hash-gates against one oracle.
+q(
+    "ann_ivfpq_topk",
+    similarity.ann_ivfpq_topk,
+    similarity.oracle_ann_ivfpq().format(norms=_ORACLE_NORMS),
+)
 # Retrieval-QA report: sparse (BM25 shingle) vs dense (exact cosine)
 # top-k agreement per shared query — overlap + Jaccard; both inputs are
 # SQL-oracled operators and the report is integer set arithmetic, so the
@@ -2916,6 +2927,7 @@ _PRIORITY = [
     "quality_perceptron_persisted_scores",
     "stream_model_scores",
     "dedup_keep_best_by_model",
+    "ann_ivfpq_topk",
     # --- 4. the r5->r6 rotated relational pool: every key that gave up
     # its r5 slot to a mid-round 3b addition (see the r5 rotation
     # comments preserved in COVERAGE.md's rotation log) ---
@@ -2961,7 +2973,8 @@ _PRIORITY = [
     # corpus_length_deciles engine-change re-check; q1/q18 keep the
     # dsum/davg idiom duty, q5 rotates to the r7 pool)
     "q18_large_volume_customers",
-    "price_moments_by_flag",
+    # (price_moments_by_flag gave up its slot to the new ann_ivfpq_topk
+    # key; it rotates to the r7 pool with q5)
     "rolling_week_user_value",
     # R7 POOL (rotate in next round, plus anything whose source changes
     # in r7): user_gap_profile, pack_documents_boundary and

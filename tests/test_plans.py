@@ -630,3 +630,15 @@ def test_keep_best_by_model_no_cartesian(spark):
     df = dedup.keep_best_by_model(spark, SF_SMOKE)
     p = plans.plan_string(df)
     assert "CartesianProduct" not in p, p
+
+def test_ivfpq_broadcasts_codebooks_no_cartesian(spark):
+    """IVFPQ plan contract: both codebooks and the probe-derived query
+    subvectors come in as broadcasts (the coarse-centroid crossJoin is
+    the one-row broadcast idiom, never a plain CartesianProduct); the
+    candidate join is a bucket equi-join."""
+    from redis_dataflow_realtime_analytics_spark.operators import similarity
+
+    df = similarity.ann_ivfpq_topk(spark, SF_SMOKE)
+    p = plans.plan_string(df)
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastHashJoin" in p, p
