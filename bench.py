@@ -121,6 +121,7 @@ HEADLINE = [
     "ann_ivf_exact_topk",
     "ann_ivf_persisted_topk",
     "ann_ivfpq_topk",
+    "stream_bpe_encode",
     "pack_documents_boundary",
     "stream_decontamination_gate",
     "dedup_kcore_membership",

@@ -1780,11 +1780,28 @@ def bpe_encode(
     Output: (doc_id, wpos, spos, token, token_id) — one row per final
     symbol, word-position and symbol-position indexed 1-based.
     """
-    merges = _persisted_bpe_merges(spark, sf_dir, n_merges=n_merges)
+    words = _bpe_doc_words(spark, sf_dir, doc_mod=doc_mod)
+    words = words.localCheckpoint(eager=True)
+    vocab = _bpe_encoded_vocab(spark, sf_dir, words, n_merges=n_merges)
+    return (
+        words.join(vocab, "w")
+        .select(
+            "doc_id",
+            "wpos",
+            F.col("pos").alias("spos"),
+            F.col("sym").alias("token"),
+            "token_id",
+        )
+    )
+
+
+def _bpe_doc_words(spark: SparkSession, sf_dir: str, doc_mod: int = 10) -> DataFrame:
+    """(doc_id, wpos, w) for the encode subset — the one corpus-sized
+    frame of the encode path (shared by batch and stream twins)."""
     docs = spread(load(spark, sf_dir, "documents")).where(
         F.expr(f"doc_id % {doc_mod} = 0")
     )
-    words = (
+    return (
         docs.select(
             "doc_id",
             F.posexplode(
@@ -1794,7 +1811,18 @@ def bpe_encode(
         .where(F.col("w") != "")
         .select("doc_id", (F.col("p0") + 1).alias("wpos"), "w")
     )
-    words = words.localCheckpoint(eager=True)
+
+
+def _bpe_encoded_vocab(
+    spark: SparkSession, sf_dir: str, words: DataFrame, n_merges: int = 3
+) -> DataFrame:
+    """The COMPILED tokenizer vocabulary: every distinct word of the
+    encode subset walked through the persisted merge table in rank
+    order, with dense token ids over the final symbol set — columns
+    (w, pos, sym, token_id). Vocabulary-sized, so it is the natural
+    broadcast/persist artifact; the token-id window is a single-
+    partition sort over the symbol set only (trivial)."""
+    merges = _persisted_bpe_merges(spark, sf_dir, n_merges=n_merges)
     syms = (
         words.select("w")
         .distinct()
@@ -1819,17 +1847,42 @@ def bpe_encode(
             F.row_number().over(Window.orderBy("sym")).cast("bigint").alias("token_id"),
         )
     )
-    return (
-        words.join(syms.select("w", "pos", "sym"), "w")
-        .join(F.broadcast(token_ids), "sym")
-        .select(
-            "doc_id",
-            "wpos",
-            F.col("pos").alias("spos"),
-            F.col("sym").alias("token"),
-            "token_id",
+    return syms.select("w", "pos", "sym").join(F.broadcast(token_ids), "sym")
+
+
+_BPE_VOCAB_CACHE: dict = {}
+
+
+def _persisted_bpe_vocab(
+    spark: SparkSession, sf_dir: str, n_merges: int = 3, doc_mod: int = 10
+) -> DataFrame:
+    """Train-once / serve-many COMPILED VOCABULARY artifact — (w, pos,
+    sym, token_id) parquet keyed by the documents fixture's path +
+    mtime + hyperparameters (the same persisted-artifact convention as
+    the IVF codebook and the perceptron weights). At 100 TB this is the
+    tokenizer file every encode/serving job broadcasts; an arriving
+    word missing from it (true OOV) would take the merge walk
+    (:func:`_bpe_encoded_vocab`) — on the fixture the vocabulary is
+    corpus-derived, so shipments contain no OOV by construction."""
+    import hashlib
+    import os
+    import tempfile
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    key = (os.path.abspath(path), os.stat(path).st_mtime_ns, n_merges, doc_mod)
+    if key in _BPE_VOCAB_CACHE:
+        return spark.read.parquet(_BPE_VOCAB_CACHE[key])
+    tag = hashlib.md5(repr(key).encode()).hexdigest()[:16]
+    out = os.path.join(tempfile.gettempdir(), f"bpe_vocab_{tag}")
+    if not os.path.isfile(os.path.join(out, "_SUCCESS")):
+        words = _bpe_doc_words(spark, sf_dir, doc_mod=doc_mod).localCheckpoint(
+            eager=True
         )
-    )
+        _bpe_encoded_vocab(spark, sf_dir, words, n_merges=n_merges).write.mode(
+            "overwrite"
+        ).parquet(out)
+    _BPE_VOCAB_CACHE[key] = out
+    return spark.read.parquet(out)
 
 
 def oracle_bpe_encode(n_merges: int = 3, doc_mod: int = 10) -> str:

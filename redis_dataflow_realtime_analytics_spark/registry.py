@@ -2530,6 +2530,22 @@ q(
     _stream_model_scores,
     classifier.oracle_perceptron_scores(),
 )
+# Streaming tokenizer application: each shipment encoded by joining the
+# persisted COMPILED-VOCABULARY artifact (w, pos, sym, token_id) — the
+# tokenizer file the offline training job wrote; stateless per batch
+# (one explode + one broadcast join, no merge-walk rounds on the hot
+# path), exact stream/batch parity, same unrolled-training oracle.
+def _stream_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming import pipeline as sp
+
+    return sp.stream_bpe_encode(spark, f"{sf_dir}/documents.parquet")
+
+
+q(
+    "stream_bpe_encode",
+    _stream_bpe_encode,
+    text.oracle_bpe_encode(),
+)
 # Corpus-version regression report over the SCD2 history: added /
 # updated / unchanged with before/after char volume per class.
 q(
@@ -2928,6 +2944,7 @@ _PRIORITY = [
     "stream_model_scores",
     "dedup_keep_best_by_model",
     "ann_ivfpq_topk",
+    "stream_bpe_encode",
     # --- 4. the r5->r6 rotated relational pool: every key that gave up
     # its r5 slot to a mid-round 3b addition (see the r5 rotation
     # comments preserved in COVERAGE.md's rotation log) ---
@@ -2974,8 +2991,8 @@ _PRIORITY = [
     # dsum/davg idiom duty, q5 rotates to the r7 pool)
     "q18_large_volume_customers",
     # (price_moments_by_flag gave up its slot to the new ann_ivfpq_topk
-    # key; it rotates to the r7 pool with q5)
-    "rolling_week_user_value",
+    # key, and rolling_week_user_value to stream_bpe_encode; both rotate
+    # to the r7 pool with q5)
     # R7 POOL (rotate in next round, plus anything whose source changes
     # in r7): user_gap_profile, pack_documents_boundary and
     # corpus_version_history (displaced above — functions unchanged,

@@ -1323,3 +1323,83 @@ def stream_model_scores(
     )
     q.awaitTermination()
     return spark.read.parquet(out_dir)
+
+
+def stream_bpe_encode(
+    spark: SparkSession,
+    docs_path: str,
+    n_chunks: int = 2,
+    n_merges: int = 3,
+    doc_mod: int = 10,
+) -> DataFrame:
+    """Streaming tokenizer application at ingest: each arriving shipment
+    is encoded into BPE token-id sequences by joining the PERSISTED
+    compiled-vocabulary artifact (``text._persisted_bpe_vocab`` — the
+    (w, pos, sym, token_id) tokenizer file the offline training job
+    wrote; the same feature-store discipline as ``stream_model_scores``'
+    pinned weights: per-shipment vocabularies or token ids would be
+    train/serve skew). Stateless per batch: one word explode + one
+    broadcast join — no merge-walk window rounds on the hot path (a
+    true-OOV word at scale would take the batch walk; fixture shipments
+    contain none by construction, the vocabulary being corpus-derived).
+
+    Output across shipments: (doc_id, wpos, spos, token, token_id) —
+    exactly equal to the batch encoder (``text.bpe_encode``), so the
+    same unrolled-training oracle gates it.
+    """
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..operators.text import TOKEN_RE, _persisted_bpe_vocab
+
+    replay = _chunked_docs_replay_dir(docs_path, n_chunks)
+    schema = spark.read.parquet(docs_path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(replay)
+    )
+    sf_dir = os.path.dirname(docs_path)
+    vocab = _persisted_bpe_vocab(
+        spark, sf_dir, n_merges=n_merges, doc_mod=doc_mod
+    ).localCheckpoint(eager=True)
+    out_dir = os.path.join(
+        tempfile.gettempdir(), f"stream_bpe_{uuid.uuid4().hex[:12]}"
+    )
+
+    def ingest(batch: DataFrame, _batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        words = (
+            batch.where(F.expr(f"doc_id % {doc_mod} = 0"))
+            .select(
+                "doc_id",
+                F.posexplode(
+                    F.split(F.trim(F.lower(F.col("text"))), TOKEN_RE)
+                ).alias("p0", "w"),
+            )
+            .where(F.col("w") != "")
+            .select("doc_id", (F.col("p0") + 1).alias("wpos"), "w")
+        )
+        (
+            words.join(F.broadcast(vocab), "w")
+            .select(
+                "doc_id",
+                "wpos",
+                F.col("pos").alias("spos"),
+                F.col("sym").alias("token"),
+                "token_id",
+            )
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", f"{out_dir}_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir)

@@ -354,3 +354,25 @@ def test_ttl_sessionizer_equals_batch_session_window(spark):
     assert out.count() == batch.count() > 0
     assert out.exceptAll(batch).count() == 0
     assert batch.exceptAll(out).count() == 0
+
+
+def test_stream_bpe_encode_parity_with_batch_encoder(spark):
+    """Tokenizer-artifact parity: per-shipment encoding via the
+    persisted compiled vocabulary must reproduce the batch encoder
+    exactly across all shipments (a per-shipment vocabulary would
+    assign different dense token ids — the train/serve skew the
+    artifact exists to prevent). Also chunking-invariant: a 4-chunk
+    replay equals the default."""
+    from redis_dataflow_realtime_analytics_spark.operators import text
+    from redis_dataflow_realtime_analytics_spark.streaming import pipeline as sp
+
+    stream = sp.stream_bpe_encode(spark, f"{SF_SMOKE}/documents.parquet")
+    batch = text.bpe_encode(spark, SF_SMOKE)
+    assert stream.count() == batch.count() > 0
+    assert stream.exceptAll(batch).count() == 0
+    assert batch.exceptAll(stream).count() == 0
+    stream4 = sp.stream_bpe_encode(
+        spark, f"{SF_SMOKE}/documents.parquet", n_chunks=4
+    )
+    assert stream4.exceptAll(batch).count() == 0
+    assert batch.exceptAll(stream4).count() == 0
