@@ -122,6 +122,7 @@ HEADLINE = [
     "ann_ivf_persisted_topk",
     "ann_ivfpq_topk",
     "stream_bpe_encode",
+    "dedup_entity_matches",
     "pack_documents_boundary",
     "stream_decontamination_gate",
     "dedup_kcore_membership",

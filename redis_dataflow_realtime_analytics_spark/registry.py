@@ -2292,6 +2292,16 @@ q(
         dedup.oracle_neardup_components(), classifier.oracle_perceptron_scores()
     ),
 )
+# Record linkage (entity resolution): EXACT Levenshtein-join of a noisy
+# registry against the clean one via the ED-Join prefix q-gram filter —
+# candidates only from each record's q·d+1 RAREST grams under one global
+# (df, gram) order; the oracle is the brute-force quadratic join, so the
+# hash gate proves the filter lossless on the fixture.
+q(
+    "dedup_entity_matches",
+    dedup.entity_match_pairs,
+    dedup.oracle_entity_match(),
+)
 # Dedup QA report: cluster-size histogram over the oracled components.
 q(
     "dedup_cluster_size_histogram",
@@ -2945,6 +2955,7 @@ _PRIORITY = [
     "dedup_keep_best_by_model",
     "ann_ivfpq_topk",
     "stream_bpe_encode",
+    "dedup_entity_matches",
     # --- 4. the r5->r6 rotated relational pool: every key that gave up
     # its r5 slot to a mid-round 3b addition (see the r5 rotation
     # comments preserved in COVERAGE.md's rotation log) ---
@@ -2964,7 +2975,8 @@ _PRIORITY = [
     "q22_dormant_customers",
     "cube_quantity_by_flag_status",
     "monthly_order_revenue",
-    "running_revenue_per_supplier",
+    # (running_revenue_per_supplier gave up its re-check slot to the new
+    # dedup_entity_matches key; rotates to the r7 pool)
     # --- 5. freshness re-checks: oracled keys whose operator source was
     # touched by this round's refactors and fixes — their green rows
     # should postdate the change. corpus_quality_gate shares text.py's

@@ -642,3 +642,15 @@ def test_ivfpq_broadcasts_codebooks_no_cartesian(spark):
     p = plans.plan_string(df)
     assert "CartesianProduct" not in p, p
     assert "BroadcastHashJoin" in p, p
+
+def test_entity_match_broadcasts_df_table_no_cartesian(spark):
+    """The edit-distance join's plan: candidates come from the prefix
+    posting-list equi-join (no CartesianProduct anywhere — the brute
+    force quadratic twin lives only in the oracle); the gram df table
+    comes in as a broadcast."""
+    from redis_dataflow_realtime_analytics_spark.operators import dedup
+
+    df = dedup.entity_match_pairs(spark, SF_SMOKE)
+    p = plans.plan_string(df)
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastHashJoin" in p, p
