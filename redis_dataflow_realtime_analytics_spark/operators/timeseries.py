@@ -369,3 +369,97 @@ def visit_anomalies(events: DataFrame, window_minutes: int = 30) -> DataFrame:
             > 3.0 * F.col("trail_std")
         ).alias("is_anomaly"),
     )
+
+
+def variant_minute_interpolated(events: DataFrame) -> DataFrame:
+    """Gap-filled per-variant minute series with LINEAR INTERPOLATION —
+    the dashboard upgrade of :func:`variant_minute_grid`'s zero-fill
+    (a zero is a *claim* of no traffic; for a sampled/sparse metric the
+    honest fill between observations is the line through them —
+    TimescaleDB's ``interpolate()``, Grafana's connected gaps).
+
+    Per (variant, minute) of the full axis grid: the observed
+    decimal-exact mean of ``value`` where the minute has events;
+    otherwise the linear interpolation between the bracketing observed
+    minutes; NULL outside the first/last observation (``src`` column
+    says which: 'obs' / 'lerp' / 'edge').
+
+    Engine-portable bracketing — no IGNORE-NULLS dialect dependence:
+    prev/next observed minute are a running ``max``/``min`` over a CASE
+    column (monotone ⇒ equal to the last/first observation), values
+    join back on (variant, prev/next minute). The interpolation is one
+    double division of exact integer second-offsets and a fused
+    multiply-add of deterministic doubles — identical in both engines.
+
+    Scale: the windows run over the GRID (axis × variants), whose row
+    count is |minutes| × |series| — bounded by the time span, NOT by
+    event volume (the corpus-sized work is the grain aggregation, one
+    map-side-combined shuffle). A per-series sort partition is
+    |minutes| rows (525k for a year of minutes) regardless of data
+    scale; dashboards with millions of series parallelize on the
+    series key instead.
+
+    Output: (minute, variant, metric DOUBLE nullable, src).
+    """
+    from ..functions.numeric import davg
+
+    axis = time_axis(events)
+    variants = events.select("variant").distinct()
+    obs = events.groupBy(
+        F.date_trunc("minute", "ts").alias("minute"), "variant"
+    ).agg(davg("value", "obs"))
+    grid = (
+        axis.crossJoin(F.broadcast(variants))
+        .join(obs, ["minute", "variant"], "left")
+    )
+    # Both brackets are RUNNING frames (unbounded-preceding), the "next"
+    # one over the reversed sort: Spark executes an (unbounded-following)
+    # frame by rescanning the partition tail per row — O(n²) per series
+    # (measured 157 s vs 4 s on the 43k-minute axis) — while a running
+    # frame streams in O(n).
+    w_fwd = (
+        Window.partitionBy("variant")
+        .orderBy("minute")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_rev = (
+        Window.partitionBy("variant")
+        .orderBy(F.desc("minute"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    obs_min = F.when(F.col("obs").isNotNull(), F.col("minute"))
+    bracketed = grid.select(
+        "minute",
+        "variant",
+        "obs",
+        F.max(obs_min).over(w_fwd).alias("pm"),
+        F.min(obs_min).over(w_rev).alias("nm"),
+    )
+    pv = obs.select(
+        "variant", F.col("minute").alias("pm"), F.col("obs").alias("pv")
+    )
+    nv = obs.select(
+        "variant", F.col("minute").alias("nm"), F.col("obs").alias("nv")
+    )
+    j = (
+        bracketed.join(F.broadcast(pv), ["variant", "pm"], "left")
+        .join(F.broadcast(nv), ["variant", "nm"], "left")
+    )
+    ratio = (
+        (F.unix_timestamp("minute") - F.unix_timestamp("pm")).cast("double")
+        / (F.unix_timestamp("nm") - F.unix_timestamp("pm")).cast("double")
+    )
+    metric = (
+        F.when(F.col("obs").isNotNull(), F.col("obs"))
+        .when(
+            F.col("pm").isNotNull() & F.col("nm").isNotNull(),
+            F.col("pv") + (F.col("nv") - F.col("pv")) * ratio,
+        )
+        .otherwise(F.lit(None).cast("double"))
+    )
+    src = (
+        F.when(F.col("obs").isNotNull(), F.lit("obs"))
+        .when(F.col("pm").isNotNull() & F.col("nm").isNotNull(), F.lit("lerp"))
+        .otherwise(F.lit("edge"))
+    )
+    return j.select("minute", "variant", metric.alias("metric"), src.alias("src"))

@@ -1541,6 +1541,46 @@ FROM (SELECT c_nationkey AS nationkey, count(*) AS n_customers FROM customer GRO
 FULL JOIN (SELECT s_nationkey AS nationkey, count(*) AS n_suppliers FROM supplier GROUP BY 1) s
 USING (nationkey)""",
 )
+# Gap-filled per-variant minute series with LINEAR interpolation — the
+# dashboard upgrade of the zero-filled grid (a zero claims "no traffic";
+# the honest fill between sparse observations is the line through them).
+# Engine-portable bracketing: running max/min over a CASE column + value
+# join-back — no IGNORE-NULLS dialect dependence; the lerp is one double
+# division of exact integer second-offsets.
+q(
+    "variant_minute_interpolated",
+    lambda s, d: timeseries.variant_minute_interpolated(_ev(s, d)),
+    f"""{EV_CTE}, {AXIS_CTE},
+v AS (SELECT DISTINCT variant FROM ev),
+o AS (SELECT date_trunc('minute', ts) AS minute, variant,
+             {oracle_davg('value')} AS obs
+      FROM ev GROUP BY 1, 2),
+g AS (SELECT a.minute, v.variant, o.obs
+      FROM axis a CROSS JOIN v
+      LEFT JOIN o ON o.minute = a.minute AND o.variant = v.variant),
+b AS (SELECT minute, variant, obs,
+        max(CASE WHEN obs IS NOT NULL THEN minute END) OVER
+          (PARTITION BY variant ORDER BY minute
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pm,
+        min(CASE WHEN obs IS NOT NULL THEN minute END) OVER
+          (PARTITION BY variant ORDER BY minute
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nm
+      FROM g),
+j AS (SELECT b.minute, b.variant, b.obs, b.pm, b.nm, p.obs AS pv, n2.obs AS nv
+      FROM b LEFT JOIN o p ON p.variant = b.variant AND p.minute = b.pm
+             LEFT JOIN o n2 ON n2.variant = b.variant AND n2.minute = b.nm)
+SELECT minute, variant,
+  CASE WHEN obs IS NOT NULL THEN obs
+       WHEN pm IS NOT NULL AND nm IS NOT NULL THEN
+         pv + (nv - pv) *
+           (CAST(CAST(epoch(minute) AS BIGINT) - CAST(epoch(pm) AS BIGINT) AS DOUBLE)
+            / CAST(CAST(epoch(nm) AS BIGINT) - CAST(epoch(pm) AS BIGINT) AS DOUBLE))
+       ELSE NULL END AS metric,
+  CASE WHEN obs IS NOT NULL THEN 'obs'
+       WHEN pm IS NOT NULL AND nm IS NOT NULL THEN 'lerp'
+       ELSE 'edge' END AS src
+FROM j""",
+)
 q(
     "r2b_variant_minute_grid",
     lambda s, d: timeseries.variant_minute_grid(_ev(s, d)),
@@ -2956,6 +2996,7 @@ _PRIORITY = [
     "ann_ivfpq_topk",
     "stream_bpe_encode",
     "dedup_entity_matches",
+    "variant_minute_interpolated",
     # --- 4. the r5->r6 rotated relational pool: every key that gave up
     # its r5 slot to a mid-round 3b addition (see the r5 rotation
     # comments preserved in COVERAGE.md's rotation log) ---
@@ -2973,7 +3014,8 @@ _PRIORITY = [
     "q17_small_quantity_revenue",
     "q20_heavy_part_suppliers",
     "q22_dormant_customers",
-    "cube_quantity_by_flag_status",
+    # (cube_quantity_by_flag_status gave up its re-check slot to the new
+    # variant_minute_interpolated key; rotates to the r7 pool)
     "monthly_order_revenue",
     # (running_revenue_per_supplier gave up its re-check slot to the new
     # dedup_entity_matches key; rotates to the r7 pool)

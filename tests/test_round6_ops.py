@@ -432,3 +432,58 @@ def test_entity_match_recovers_planted_corruptions(spark):
     for d in dirty_ids:
         expect = 0 if (d // 20) % 3 == 2 else 1
         assert rows.get((d, d)) == expect, (d, rows.get((d, d)))
+
+
+def test_interpolated_series_properties(spark):
+    """Gap-fill contract: full axis×variants grid; 'obs' rows carry the
+    decimal-exact minute mean; 'lerp' rows lie within [min, max] of the
+    bracketing observations; 'edge' rows (outside the first/last
+    observation) are NULL — and only those are."""
+    from pyspark.sql import functions as F
+
+    from redis_dataflow_realtime_analytics_spark.operators import timeseries
+    from redis_dataflow_realtime_analytics_spark.sources import (
+        normalize_events,
+        read_events,
+    )
+
+    ev = normalize_events(read_events(spark, SF_SMOKE))
+    out = timeseries.variant_minute_interpolated(ev)
+    n_axis = timeseries.time_axis(ev).count()
+    n_var = ev.select("variant").distinct().count()
+    assert out.count() == n_axis * n_var
+    assert out.where("src = 'edge' AND metric IS NOT NULL").count() == 0
+    assert out.where("src <> 'edge' AND metric IS NULL").count() == 0
+    # every lerp row sits between its brackets: check against the obs rows
+    rows = out.collect()
+    obs = {}
+    for r in rows:
+        if r.src == "obs":
+            obs.setdefault(r.variant, []).append((r.minute, r.metric))
+    import bisect
+
+    for r in rows:
+        if r.src != "lerp":
+            continue
+        series = sorted(obs[r.variant])
+        ms = [m for m, _ in series]
+        i = bisect.bisect_left(ms, r.minute)
+        lo, hi = series[i - 1][1], series[i][1]
+        assert min(lo, hi) - 1e-9 <= r.metric <= max(lo, hi) + 1e-9, r
+
+
+def test_interpolated_series_no_unbounded_following_frame(spark):
+    """Both brackets must be RUNNING window frames (the reversed-order
+    trick): Spark executes an unbounded-FOLLOWING frame by rescanning
+    the partition tail per row — O(n²) per series, measured 157 s vs
+    4 s on the 43k-minute sf0.01 axis."""
+    from redis_dataflow_realtime_analytics_spark import plans
+    from redis_dataflow_realtime_analytics_spark.operators import timeseries
+    from redis_dataflow_realtime_analytics_spark.sources import (
+        normalize_events,
+        read_events,
+    )
+
+    ev = normalize_events(read_events(spark, SF_SMOKE))
+    p = plans.plan_string(timeseries.variant_minute_interpolated(ev))
+    assert "unboundedfollowing" not in p.lower(), p
