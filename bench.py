@@ -123,6 +123,7 @@ HEADLINE = [
     "ann_ivfpq_topk",
     "stream_bpe_encode",
     "dedup_entity_matches",
+    "dedup_entity_resolved",
     "variant_minute_interpolated",
     "pack_documents_boundary",
     "stream_decontamination_gate",

@@ -2023,3 +2023,53 @@ dirty AS (
 SELECT d.dirty_id, c.clean_id,
        CAST(levenshtein(d.dname, c.cname) AS INTEGER) AS distance
 FROM dirty d JOIN clean c ON levenshtein(d.dname, c.cname) <= {max_dist}"""
+
+
+def entity_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RESOLUTION step over :func:`entity_match_pairs` — every dirty
+    registry record assigned to its best clean match (minimum edit
+    distance, min clean_id among ties), unmatched records kept with a
+    NULL assignment: the linkage report a master-data pipeline actually
+    consumes (match → resolve → merge).
+
+    Plan: the argmin is a row_number window keyed by dirty_id (high-
+    cardinality — one record's candidate list per partition); the
+    unmatched audit is a broadcast-able left join of the dirty id set
+    against the winners.
+
+    Output: (dirty_id, clean_id nullable, distance nullable, matched).
+    """
+    matches = entity_match_pairs(spark, sf_dir)
+    w = Window.partitionBy("dirty_id").orderBy("distance", "clean_id")
+    best = (
+        matches.withColumn("r", F.row_number().over(w))
+        .where(F.col("r") == 1)
+        .select("dirty_id", "clean_id", "distance")
+    )
+    docs = spread(load(spark, sf_dir, "documents"))
+    dirty_ids = docs.where(F.expr("doc_id % 20 IN (1, 7, 13)")).select(
+        F.col("doc_id").alias("dirty_id")
+    )
+    return (
+        dirty_ids.join(best, "dirty_id", "left")
+        .select(
+            "dirty_id",
+            "clean_id",
+            "distance",
+            F.col("clean_id").isNotNull().alias("matched"),
+        )
+    )
+
+
+def oracle_entity_resolve(max_dist: int = ENTITY_MAX_DIST) -> str:
+    """DuckDB twin of :func:`entity_resolve` — brute-force match set,
+    per-dirty argmin, left join for the unmatched audit."""
+    return f"""WITH m AS ({oracle_entity_match(max_dist)}),
+best AS (
+  SELECT dirty_id, clean_id, distance FROM m
+  QUALIFY row_number() OVER (PARTITION BY dirty_id
+                             ORDER BY distance, clean_id) = 1),
+d AS (SELECT doc_id AS dirty_id FROM documents WHERE doc_id % 20 IN (1, 7, 13))
+SELECT d.dirty_id, b.clean_id, b.distance,
+       b.clean_id IS NOT NULL AS matched
+FROM d LEFT JOIN best b ON b.dirty_id = d.dirty_id"""

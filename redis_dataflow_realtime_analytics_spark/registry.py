@@ -2342,6 +2342,14 @@ q(
     dedup.entity_match_pairs,
     dedup.oracle_entity_match(),
 )
+# The resolution step: every dirty record assigned to its best clean
+# match (min distance, min clean_id tie-break), unmatched kept with a
+# NULL assignment — the match -> resolve -> merge linkage report.
+q(
+    "dedup_entity_resolved",
+    dedup.entity_resolve,
+    dedup.oracle_entity_resolve(),
+)
 # Dedup QA report: cluster-size histogram over the oracled components.
 q(
     "dedup_cluster_size_histogram",
@@ -2996,6 +3004,7 @@ _PRIORITY = [
     "ann_ivfpq_topk",
     "stream_bpe_encode",
     "dedup_entity_matches",
+    "dedup_entity_resolved",
     "variant_minute_interpolated",
     # --- 4. the r5->r6 rotated relational pool: every key that gave up
     # its r5 slot to a mid-round 3b addition (see the r5 rotation
@@ -3015,8 +3024,8 @@ _PRIORITY = [
     "q20_heavy_part_suppliers",
     "q22_dormant_customers",
     # (cube_quantity_by_flag_status gave up its re-check slot to the new
-    # variant_minute_interpolated key; rotates to the r7 pool)
-    "monthly_order_revenue",
+    # variant_minute_interpolated key, monthly_order_revenue to
+    # dedup_entity_resolved; both rotate to the r7 pool)
     # (running_revenue_per_supplier gave up its re-check slot to the new
     # dedup_entity_matches key; rotates to the r7 pool)
     # --- 5. freshness re-checks: oracled keys whose operator source was

@@ -487,3 +487,21 @@ def test_interpolated_series_no_unbounded_following_frame(spark):
     ev = normalize_events(read_events(spark, SF_SMOKE))
     p = plans.plan_string(timeseries.variant_minute_interpolated(ev))
     assert "unboundedfollowing" not in p.lower(), p
+
+
+def test_entity_resolve_assigns_planted_sources(spark):
+    """Resolution contract: every dirty record is matched (the planted
+    source is always within distance 1), the assignment is its own
+    source doc unless a strictly closer clean record exists, and the
+    distance is the argmin over the match pairs."""
+    from redis_dataflow_realtime_analytics_spark.operators import dedup
+
+    res = {r.dirty_id: r for r in dedup.entity_resolve(spark, SF_SMOKE).collect()}
+    pairs = {}
+    for r in dedup.entity_match_pairs(spark, SF_SMOKE).collect():
+        pairs.setdefault(r.dirty_id, []).append((r.distance, r.clean_id))
+    assert res and set(pairs) <= set(res)
+    for d, r in res.items():
+        assert r.matched and r.clean_id is not None, r
+        best = min(pairs[d])
+        assert (r.distance, r.clean_id) == best, (d, r, best)
