@@ -124,6 +124,7 @@ HEADLINE = [
     "stream_bpe_encode",
     "dedup_entity_matches",
     "dedup_entity_resolved",
+    "stream_entity_probe",
     "variant_minute_interpolated",
     "pack_documents_boundary",
     "stream_decontamination_gate",

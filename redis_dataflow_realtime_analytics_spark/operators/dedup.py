@@ -2073,3 +2073,71 @@ d AS (SELECT doc_id AS dirty_id FROM documents WHERE doc_id % 20 IN (1, 7, 13))
 SELECT d.dirty_id, b.clean_id, b.distance,
        b.clean_id IS NOT NULL AS matched
 FROM d LEFT JOIN best b ON b.dirty_id = d.dirty_id"""
+
+
+def _entity_grams(recs: DataFrame, q: int = ENTITY_Q) -> DataFrame:
+    """(id, gram) — each record's DISTINCT character q-grams."""
+    return recs.select(
+        "id",
+        F.explode(
+            F.expr(
+                f"array_distinct(transform(sequence(1, length(name) - {q - 1}),"
+                f" i -> substring(name, i, {q})))"
+            )
+        ).alias("gram"),
+    )
+
+
+_ENTITY_INDEX_CACHE: dict = {}
+
+
+def _persisted_entity_index(
+    spark: SparkSession, sf_dir: str, q: int = ENTITY_Q,
+    max_dist: int = ENTITY_MAX_DIST,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Build-once / probe-many LINKAGE INDEX over the clean registry:
+    (names, gram-df table, prefix posting lists) persisted as parquet,
+    keyed by the documents fixture's path + mtime + hyperparameters.
+
+    The df table is the load-bearing artifact: the prefix filter's
+    losslessness proof needs BOTH sides' prefixes under ONE total order,
+    so the probe side must rank its grams by this PINNED (df, gram)
+    order — re-deriving df from an arriving batch would be the ordering
+    analogue of train/serve skew (a batch-local order can evict the one
+    shared gram from a prefix and silently drop a true match). Grams
+    the index has never seen rank first (df 0) — they extend the pinned
+    order consistently and can match no clean prefix gram anyway.
+    """
+    import hashlib
+    import os
+    import tempfile
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    key = (os.path.abspath(path), os.stat(path).st_mtime_ns, q, max_dist)
+    if key not in _ENTITY_INDEX_CACHE:
+        tag = hashlib.md5(repr(key).encode()).hexdigest()[:16]
+        out = os.path.join(tempfile.gettempdir(), f"entity_index_{tag}")
+        if not os.path.isfile(os.path.join(out, "names", "_SUCCESS")):
+            docs = spread(load(spark, sf_dir, "documents"))
+            clean = docs.select(
+                F.col("doc_id").alias("id"), F.expr(_ENTITY_TITLE).alias("name")
+            )
+            grams = _entity_grams(clean, q=q)
+            df_tab = grams.groupBy("gram").agg(F.count("*").alias("df"))
+            w = Window.partitionBy("id").orderBy("df", "gram")
+            prefix = (
+                grams.join(F.broadcast(df_tab), "gram")
+                .withColumn("r", F.row_number().over(w))
+                .where(F.col("r") <= q * max_dist + 1)
+                .select("id", "gram")
+            )
+            clean.write.mode("overwrite").parquet(os.path.join(out, "names"))
+            df_tab.write.mode("overwrite").parquet(os.path.join(out, "df"))
+            prefix.write.mode("overwrite").parquet(os.path.join(out, "prefix"))
+        _ENTITY_INDEX_CACHE[key] = out
+    out = _ENTITY_INDEX_CACHE[key]
+    return (
+        spark.read.parquet(os.path.join(out, "names")),
+        spark.read.parquet(os.path.join(out, "df")),
+        spark.read.parquet(os.path.join(out, "prefix")),
+    )

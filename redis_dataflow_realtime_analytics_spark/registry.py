@@ -2350,6 +2350,23 @@ q(
     dedup.entity_resolve,
     dedup.oracle_entity_resolve(),
 )
+# Streaming record linkage: each shipment's noisy records probe the
+# PERSISTED linkage index (names + PINNED gram-df order + prefix
+# posting lists); unseen grams coalesce to df 0 (a batch-local order
+# could evict the shared prefix gram — the ordering analogue of pinned
+# centering stats). Stateless per batch; same brute-force oracle proves
+# the filter lossless on the arrival path too.
+def _stream_entity_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming import pipeline as sp
+
+    return sp.stream_entity_probe(spark, f"{sf_dir}/documents.parquet")
+
+
+q(
+    "stream_entity_probe",
+    _stream_entity_probe,
+    dedup.oracle_entity_match(),
+)
 # Dedup QA report: cluster-size histogram over the oracled components.
 q(
     "dedup_cluster_size_histogram",
@@ -3005,6 +3022,7 @@ _PRIORITY = [
     "stream_bpe_encode",
     "dedup_entity_matches",
     "dedup_entity_resolved",
+    "stream_entity_probe",
     "variant_minute_interpolated",
     # --- 4. the r5->r6 rotated relational pool: every key that gave up
     # its r5 slot to a mid-round 3b addition (see the r5 rotation
@@ -3018,7 +3036,8 @@ _PRIORITY = [
     "q10_returned_items",
     "q11_important_part_values",
     "q13_customer_distribution",
-    "q14_promo_revenue",
+    # (q14_promo_revenue gave up its re-check slot to the new
+    # stream_entity_probe key; rotates to the r7 pool)
     "q15_top_supplier",
     "q17_small_quantity_revenue",
     "q20_heavy_part_suppliers",

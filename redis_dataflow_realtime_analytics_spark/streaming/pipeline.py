@@ -1403,3 +1403,107 @@ def stream_bpe_encode(
     )
     q.awaitTermination()
     return spark.read.parquet(out_dir)
+
+
+def stream_entity_probe(
+    spark: SparkSession, docs_path: str, n_chunks: int = 3
+) -> DataFrame:
+    """Streaming record linkage at ingest: each shipment's noisy
+    registry records are matched against the PERSISTED linkage index of
+    the clean registry (``dedup._persisted_entity_index``: names + gram
+    df table + prefix posting lists) — the arrival-path twin of
+    ``dedup.entity_match_pairs``. Stateless per batch: the batch's
+    dirty records rank their grams under the index's PINNED (df, gram)
+    order (coalescing unseen grams to df 0 — the ordering analogue of
+    the pinned-centering-stats discipline: a batch-local df order could
+    evict the one shared prefix gram and silently drop a true match),
+    probe the clean prefix posting lists, and Levenshtein-verify the
+    candidates only.
+
+    Output across shipments: (dirty_id, clean_id, distance) — equal to
+    the batch matcher, so the same brute-force oracle proves the
+    filter lossless for the streaming path too.
+    """
+    import tempfile
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ..operators.dedup import (
+        ENTITY_MAX_DIST,
+        ENTITY_Q,
+        _ENTITY_DIRTY,
+        _entity_grams,
+        _persisted_entity_index,
+    )
+
+    replay = _chunked_docs_replay_dir(docs_path, n_chunks)
+    schema = spark.read.parquet(docs_path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(replay)
+    )
+    sf_dir = os.path.dirname(docs_path)
+    names, df_tab, prefix = _persisted_entity_index(spark, sf_dir)
+    names = names.select(
+        F.col("id").alias("clean_id"), F.col("name").alias("cname")
+    ).localCheckpoint(eager=True)
+    df_tab = df_tab.localCheckpoint(eager=True)
+    prefix = prefix.select(
+        F.col("id").alias("clean_id"), "gram"
+    ).localCheckpoint(eager=True)
+    out_dir = os.path.join(
+        tempfile.gettempdir(), f"stream_entity_{uuid.uuid4().hex[:12]}"
+    )
+
+    def ingest(batch: DataFrame, _batch_id: int) -> None:
+        incoming = batch.where(F.expr("doc_id % 20 IN (1, 7, 13)"))
+        if incoming.isEmpty():
+            return
+        dirty = incoming.select(
+            F.col("doc_id").alias("id"), F.expr(_ENTITY_DIRTY).alias("name")
+        )
+        grams = (
+            _entity_grams(dirty)
+            .join(F.broadcast(df_tab), "gram", "left")
+            .withColumn("df", F.coalesce(F.col("df"), F.lit(0)))
+        )
+        w = Window.partitionBy("id").orderBy("df", "gram")
+        d_prefix = (
+            grams.withColumn("r", F.row_number().over(w))
+            .where(F.col("r") <= ENTITY_Q * ENTITY_MAX_DIST + 1)
+            .select(F.col("id").alias("dirty_id"), "gram")
+        )
+        # the BATCH side broadcasts; the corpus-sized index frames
+        # (prefix posting lists, names) stay partitioned — at 100 TB the
+        # index is the big side of both joins
+        cand = (
+            prefix.join(F.broadcast(d_prefix), "gram")
+            .select("dirty_id", "clean_id")
+            .distinct()
+        )
+        withd = cand.join(
+            F.broadcast(
+                dirty.select(F.col("id").alias("dirty_id"),
+                             F.col("name").alias("dname"))
+            ),
+            "dirty_id",
+        )
+        (
+            names.join(F.broadcast(withd), "clean_id")
+            .withColumn("distance", F.levenshtein("dname", "cname"))
+            .where(F.col("distance") <= ENTITY_MAX_DIST)
+            .select("dirty_id", "clean_id", "distance")
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", f"{out_dir}_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir)

@@ -505,3 +505,22 @@ def test_entity_resolve_assigns_planted_sources(spark):
         assert r.matched and r.clean_id is not None, r
         best = min(pairs[d])
         assert (r.distance, r.clean_id) == best, (d, r, best)
+
+
+def test_stream_entity_probe_parity_with_batch_matcher(spark):
+    """Arrival-path linkage parity: per-shipment probing of the
+    persisted index (pinned df order) must reproduce the batch matcher
+    exactly across all shipments — and stay chunking-invariant."""
+    from redis_dataflow_realtime_analytics_spark.operators import dedup
+    from redis_dataflow_realtime_analytics_spark.streaming import pipeline as sp
+
+    stream = sp.stream_entity_probe(spark, f"{SF_SMOKE}/documents.parquet")
+    batch = dedup.entity_match_pairs(spark, SF_SMOKE)
+    assert stream.count() == batch.count() > 0
+    assert stream.exceptAll(batch).count() == 0
+    assert batch.exceptAll(stream).count() == 0
+    stream5 = sp.stream_entity_probe(
+        spark, f"{SF_SMOKE}/documents.parquet", n_chunks=5
+    )
+    assert stream5.exceptAll(batch).count() == 0
+    assert batch.exceptAll(stream5).count() == 0
