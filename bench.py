@@ -125,6 +125,7 @@ HEADLINE = [
     "dedup_entity_matches",
     "dedup_entity_resolved",
     "stream_entity_probe",
+    "corpus_constraint_report",
     "variant_minute_interpolated",
     "pack_documents_boundary",
     "stream_decontamination_gate",

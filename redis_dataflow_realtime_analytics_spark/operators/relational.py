@@ -1115,3 +1115,92 @@ def profile_documents_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_value",
         "max_value",
     )
+
+
+#: The constraint suite: (name, threshold). Metrics are satisfaction
+#: fractions in [0, 1]; a constraint passes when metric >= threshold.
+#: min_length_100 is deliberately strict enough to FAIL on the fixture
+#: (shortest docs are ~44 chars) — a validation gate that cannot fail
+#: proves nothing.
+_CONSTRAINTS = [
+    ("completeness_text", 1.0),
+    ("uniqueness_doc_id", 1.0),
+    ("consistency_n_chars_eq_len", 1.0),
+    ("containment_lang_iso", 1.0),
+    ("pattern_source_id", 1.0),
+    ("range_n_chars_1_100k", 1.0),
+    ("min_length_100", 1.0),
+]
+
+
+def constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style data-validation suite over the documents table — the
+    pre-training gate a pipeline runs before a corpus version is allowed
+    into the mix (completeness / uniqueness / consistency / containment
+    / pattern / range), one row per constraint with its satisfaction
+    fraction and verdict.
+
+    All metrics come out of ONE aggregation pass (map-side-combined
+    conditional counts + one count-distinct); the report frame is
+    |constraints| rows. Each metric is an exact-integer pair pushed
+    through one double division, so the report hash-gates. At 100 TB
+    this is a single corpus scan — the same shape Deequ compiles its
+    analyzers to.
+
+    Output: (check_name, metric DOUBLE, threshold DOUBLE, passed).
+    """
+    docs = load(spark, sf_dir, "documents")
+    a = docs.agg(
+        F.count("*").alias("n"),
+        F.count(
+            F.when(F.col("text").isNotNull() & (F.length("text") > 0), 1)
+        ).alias("c_text"),
+        F.countDistinct("doc_id").alias("c_uniq"),
+        F.count(F.when(F.col("n_chars") == F.length("text"), 1)).alias("c_len"),
+        F.count(
+            F.when(F.col("lang").isin("de", "en", "es", "fr", "zh"), 1)
+        ).alias("c_lang"),
+        F.count(F.when(F.col("source").rlike("^src[0-9]+$"), 1)).alias("c_src"),
+        F.count(F.when(F.col("n_chars").between(1, 100000), 1)).alias("c_range"),
+        F.count(F.when(F.col("n_chars") >= 100, 1)).alias("c_min100"),
+    )
+    counts = ["c_text", "c_uniq", "c_len", "c_lang", "c_src", "c_range", "c_min100"]
+    stack = ", ".join(
+        f"'{name}', CAST({c} AS DOUBLE) / CAST(n AS DOUBLE), CAST({thr} AS DOUBLE)"
+        for (name, thr), c in zip(_CONSTRAINTS, counts)
+    )
+    return a.selectExpr(
+        f"stack({len(_CONSTRAINTS)}, {stack}) AS (check_name, metric, threshold)"
+    ).select(
+        "check_name",
+        "metric",
+        "threshold",
+        (F.col("metric") >= F.col("threshold")).alias("passed"),
+    )
+
+
+def oracle_constraint_report() -> str:
+    """DuckDB twin of :func:`constraint_report` — the same one-pass
+    conditional counts, unpivoted with UNION ALL."""
+    rows = []
+    counts = ["c_text", "c_uniq", "c_len", "c_lang", "c_src", "c_range", "c_min100"]
+    for (name, thr), c in zip(_CONSTRAINTS, counts):
+        rows.append(
+            f"SELECT '{name}' AS check_name,"
+            f" CAST({c} AS DOUBLE) / CAST(n AS DOUBLE) AS metric,"
+            f" CAST({thr} AS DOUBLE) AS threshold,"
+            f" CAST({c} AS DOUBLE) / CAST(n AS DOUBLE) >= CAST({thr} AS DOUBLE)"
+            f" AS passed FROM a"
+        )
+    body = "\nUNION ALL\n".join(rows)
+    return f"""WITH a AS (
+  SELECT count(*) AS n,
+         count(CASE WHEN text IS NOT NULL AND length(text) > 0 THEN 1 END) AS c_text,
+         count(DISTINCT doc_id) AS c_uniq,
+         count(CASE WHEN n_chars = length(text) THEN 1 END) AS c_len,
+         count(CASE WHEN lang IN ('de','en','es','fr','zh') THEN 1 END) AS c_lang,
+         count(CASE WHEN regexp_matches(source, '^src[0-9]+$') THEN 1 END) AS c_src,
+         count(CASE WHEN n_chars BETWEEN 1 AND 100000 THEN 1 END) AS c_range,
+         count(CASE WHEN n_chars >= 100 THEN 1 END) AS c_min100
+  FROM documents)
+{body}"""

@@ -2367,6 +2367,15 @@ q(
     _stream_entity_probe,
     dedup.oracle_entity_match(),
 )
+# Deequ-style data-validation suite: completeness/uniqueness/consistency/
+# containment/pattern/range verdicts from ONE corpus scan of conditional
+# counts; min_length_100 is strict enough to FAIL on the fixture (a gate
+# that cannot fail proves nothing).
+q(
+    "corpus_constraint_report",
+    relational.constraint_report,
+    relational.oracle_constraint_report(),
+)
 # Dedup QA report: cluster-size histogram over the oracled components.
 q(
     "dedup_cluster_size_histogram",
@@ -3023,6 +3032,7 @@ _PRIORITY = [
     "dedup_entity_matches",
     "dedup_entity_resolved",
     "stream_entity_probe",
+    "corpus_constraint_report",
     "variant_minute_interpolated",
     # --- 4. the r5->r6 rotated relational pool: every key that gave up
     # its r5 slot to a mid-round 3b addition (see the r5 rotation
@@ -3035,9 +3045,9 @@ _PRIORITY = [
     "q9_product_profit",
     "q10_returned_items",
     "q11_important_part_values",
-    "q13_customer_distribution",
-    # (q14_promo_revenue gave up its re-check slot to the new
-    # stream_entity_probe key; rotates to the r7 pool)
+    # (q13_customer_distribution gave up its re-check slot to the new
+    # corpus_constraint_report key and q14_promo_revenue to
+    # stream_entity_probe; both rotate to the r7 pool)
     "q15_top_supplier",
     "q17_small_quantity_revenue",
     "q20_heavy_part_suppliers",

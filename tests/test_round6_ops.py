@@ -524,3 +524,27 @@ def test_stream_entity_probe_parity_with_batch_matcher(spark):
     )
     assert stream5.exceptAll(batch).count() == 0
     assert batch.exceptAll(stream5).count() == 0
+
+
+def test_constraint_report_verdicts(spark):
+    """Validation-suite contract: one row per constraint, metrics in
+    [0, 1]; the healthy-fixture constraints pass and the deliberately
+    strict min_length_100 FAILS (a gate that cannot fail proves
+    nothing); the whole report compiles to ONE scan — the count-distinct
+    rewrite (Expand + two-phase agg) accounts for the extra exchanges,
+    all over the 1-row/partial frames."""
+    from redis_dataflow_realtime_analytics_spark import plans
+    from redis_dataflow_realtime_analytics_spark.operators import relational
+
+    df = relational.constraint_report(spark, SF_SMOKE)
+    rows = {r.check_name: r for r in df.collect()}
+    assert len(rows) == len(relational._CONSTRAINTS)
+    for r in rows.values():
+        assert 0.0 <= r.metric <= 1.0, r
+        assert r.passed == (r.metric >= r.threshold)
+    assert not rows["min_length_100"].passed
+    for name in ("completeness_text", "uniqueness_doc_id",
+                 "consistency_n_chars_eq_len", "containment_lang_iso",
+                 "pattern_source_id", "range_n_chars_1_100k"):
+        assert rows[name].passed, name
+    assert plans.count_exchanges(df) <= 4, plans.plan_string(df)
