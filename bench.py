@@ -126,6 +126,7 @@ HEADLINE = [
     "dedup_entity_resolved",
     "stream_entity_probe",
     "corpus_constraint_report",
+    "text_bpe_roundtrip",
     "variant_minute_interpolated",
     "pack_documents_boundary",
     "stream_decontamination_gate",

@@ -2048,3 +2048,60 @@ SELECT doc_id,
        md5({clean}) AS clean_hash,
        CAST(length({clean}) AS INTEGER) AS n_chars_clean
 FROM synth"""
+
+
+def bpe_roundtrip_report(
+    spark: SparkSession, sf_dir: str, n_merges: int = 3, doc_mod: int = 10
+) -> DataFrame:
+    """Tokenizer round-trip QA — DECODE the encoded corpus and verify it
+    reproduces the original words: BPE merges only ever concatenate
+    adjacent symbols, so joining each word's final symbols in position
+    order must yield the word exactly; any mismatch means a corrupt
+    merge table or a decode/encode skew (the check a pipeline runs after
+    swapping tokenizer versions). Completes the train → encode → decode
+    closure.
+
+    One (doc_id, wpos)-keyed reassembly over the encoded frame (sort is
+    per-word, bounded by symbols-per-word), then a per-doc verdict
+    aggregation.
+
+    Output: (doc_id, n_words, n_ok, roundtrip_ok) — n_ok counts words
+    whose decoded form equals the original, roundtrip_ok = all words ok.
+    """
+    enc = bpe_encode(spark, sf_dir, n_merges=n_merges, doc_mod=doc_mod)
+    decoded = enc.groupBy("doc_id", "wpos").agg(
+        F.expr(
+            "array_join(transform(array_sort(collect_list(struct(spos, token))),"
+            " s -> s.token), '')"
+        ).alias("decoded")
+    )
+    words = _bpe_doc_words(spark, sf_dir, doc_mod=doc_mod)
+    per_word = decoded.join(words, ["doc_id", "wpos"])
+    return per_word.groupBy("doc_id").agg(
+        F.count("*").alias("n_words"),
+        F.count(F.when(F.col("decoded") == F.col("w"), 1)).alias("n_ok"),
+        (
+            F.count("*") == F.count(F.when(F.col("decoded") == F.col("w"), 1))
+        ).alias("roundtrip_ok"),
+    )
+
+
+def oracle_bpe_roundtrip(n_merges: int = 3, doc_mod: int = 10) -> str:
+    """DuckDB twin of :func:`bpe_roundtrip_report` — the encode oracle
+    nested, position-ordered string_agg reassembly, per-doc verdict."""
+    return f"""WITH enc AS ({oracle_bpe_encode(n_merges, doc_mod)}),
+dec AS (
+  SELECT doc_id, wpos, string_agg(token, '' ORDER BY spos) AS decoded
+  FROM enc GROUP BY 1, 2),
+dw AS (
+  SELECT doc_id, i AS wpos, t[i] AS w
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i
+        FROM (SELECT doc_id,
+                     string_split_regex(trim(lower(text)), '{TOKEN_SQL}') AS t
+              FROM documents WHERE doc_id % {doc_mod} = 0))
+  WHERE t[i] <> '')
+SELECT d.doc_id, count(*) AS n_words,
+       count(CASE WHEN dec.decoded = d.w THEN 1 END) AS n_ok,
+       count(*) = count(CASE WHEN dec.decoded = d.w THEN 1 END) AS roundtrip_ok
+FROM dec JOIN dw d ON d.doc_id = dec.doc_id AND d.wpos = dec.wpos
+GROUP BY 1"""

@@ -2565,6 +2565,11 @@ q("text_bpe_encode", text.bpe_encode, text.oracle_bpe_encode())
 # Tokenizer-efficiency diagnostic: per-doc chars-per-BPE-token over the
 # encoded frame (out-of-domain / corrupt text raises it).
 q("text_bpe_compression", text.bpe_compression, text.oracle_bpe_compression())
+# Tokenizer round-trip QA: decode the encoded corpus (position-ordered
+# symbol reassembly) and verify every word reproduces exactly — the
+# check run after swapping tokenizer versions; completes the
+# train -> encode -> decode closure.
+q("text_bpe_roundtrip", text.bpe_roundtrip_report, text.oracle_bpe_roundtrip())
 # PII scrubbing (emails / phones / IPv4 -> typed tags) over
 # deterministically synthesized doc_id-keyed PII (the fixture corpus is
 # digit-free, so like the multimodal blobs the input derives from the
@@ -3033,6 +3038,7 @@ _PRIORITY = [
     "dedup_entity_resolved",
     "stream_entity_probe",
     "corpus_constraint_report",
+    "text_bpe_roundtrip",
     "variant_minute_interpolated",
     # --- 4. the r5->r6 rotated relational pool: every key that gave up
     # its r5 slot to a mid-round 3b addition (see the r5 rotation
@@ -3044,8 +3050,9 @@ _PRIORITY = [
     "q8_market_share",
     "q9_product_profit",
     "q10_returned_items",
-    "q11_important_part_values",
-    # (q13_customer_distribution gave up its re-check slot to the new
+    # (q11_important_part_values gave up its re-check slot to the new
+    # text_bpe_roundtrip key; rotates to the r7 pool.
+    # q13_customer_distribution gave up its re-check slot to the new
     # corpus_constraint_report key and q14_promo_revenue to
     # stream_entity_probe; both rotate to the r7 pool)
     "q15_top_supplier",

@@ -548,3 +548,17 @@ def test_constraint_report_verdicts(spark):
                  "pattern_source_id", "range_n_chars_1_100k"):
         assert rows[name].passed, name
     assert plans.count_exchanges(df) <= 4, plans.plan_string(df)
+
+
+def test_bpe_roundtrip_is_lossless(spark):
+    """BPE merges only concatenate adjacent symbols, so decoding must
+    reproduce every word exactly — for the default merge budget AND a
+    deeper one (merge chains where later merges consume earlier
+    outputs)."""
+    from redis_dataflow_realtime_analytics_spark.operators import text
+
+    for n in (3, 5):
+        rows = text.bpe_roundtrip_report(spark, SF_SMOKE, n_merges=n).collect()
+        assert rows
+        for r in rows:
+            assert r.roundtrip_ok and r.n_ok == r.n_words > 0, (n, r)
