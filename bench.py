@@ -121,6 +121,7 @@ HEADLINE = [
     "ann_ivf_exact_topk",
     "ann_ivf_persisted_topk",
     "ann_ivfpq_topk",
+    "ann_ivfpq_persisted_topk",
     "stream_bpe_encode",
     "dedup_entity_matches",
     "dedup_entity_resolved",

@@ -2506,6 +2506,15 @@ q(
     similarity.ann_ivfpq_topk,
     similarity.oracle_ann_ivfpq().format(norms=_ORACLE_NORMS),
 )
+# Serving-path twin: the same probe/ADC/re-rank arithmetic over the
+# PERSISTED IVFPQ index file (per-vector bucket + codes — the FAISS
+# .index analogue); bit-identical state, same oracle; measured cost is
+# the query path alone.
+q(
+    "ann_ivfpq_persisted_topk",
+    similarity.ann_ivfpq_persisted_topk,
+    similarity.oracle_ann_ivfpq().format(norms=_ORACLE_NORMS),
+)
 # Retrieval-QA report: sparse (BM25 shingle) vs dense (exact cosine)
 # top-k agreement per shared query — overlap + Jaccard; both inputs are
 # SQL-oracled operators and the report is integer set arithmetic, so the
@@ -3039,6 +3048,7 @@ _PRIORITY = [
     "stream_entity_probe",
     "corpus_constraint_report",
     "text_bpe_roundtrip",
+    "ann_ivfpq_persisted_topk",
     "variant_minute_interpolated",
     # --- 4. the r5->r6 rotated relational pool: every key that gave up
     # its r5 slot to a mid-round 3b addition (see the r5 rotation
@@ -3049,7 +3059,8 @@ _PRIORITY = [
     "q6_forecast_revenue",
     "q8_market_share",
     "q9_product_profit",
-    "q10_returned_items",
+    # (q10_returned_items gave up its re-check slot to the new
+    # ann_ivfpq_persisted_topk key; rotates to the r7 pool)
     # (q11_important_part_values gave up its re-check slot to the new
     # text_bpe_roundtrip key; rotates to the r7 pool.
     # q13_customer_distribution gave up its re-check slot to the new

@@ -268,3 +268,15 @@ def test_ivfpq_rerank_cosines_are_exact(spark):
             assert r.cosine == bf[key], key
             hit += 1
     assert hit > 0
+
+
+def test_persisted_ivfpq_matches_train_inline(spark):
+    """The persisted-index serving path must be bit-identical to the
+    train-inline IVFPQ (deterministic index build ⇒ a parquet
+    round-trip of bucket+codes cannot change any downstream value)."""
+    inline = similarity.ann_ivfpq_topk(spark, SF_SMOKE).collect()
+    persisted = similarity.ann_ivfpq_persisted_topk(spark, SF_SMOKE).collect()
+    key = lambda r: (r.query_id, r.rank)
+    a = {key(r): (r.neighbor_id, r.cosine) for r in inline}
+    b = {key(r): (r.neighbor_id, r.cosine) for r in persisted}
+    assert a == b and len(a) > 0
