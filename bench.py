@@ -128,6 +128,7 @@ HEADLINE = [
     "stream_entity_probe",
     "corpus_constraint_report",
     "text_bpe_roundtrip",
+    "stream_constraint_report",
     "variant_minute_interpolated",
     "pack_documents_boundary",
     "stream_decontamination_gate",

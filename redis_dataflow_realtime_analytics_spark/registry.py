@@ -2376,6 +2376,21 @@ q(
     relational.constraint_report,
     relational.oracle_constraint_report(),
 )
+# Streaming validation with MERGEABLE metric state: per-shipment partial
+# conditional COUNTS (associative; fractions do NOT compose — a twin
+# averaging per-shipment fractions would weight a 10-doc shipment equal
+# to a 10M-doc one), folded to the exact batch report; same oracle.
+def _stream_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming import pipeline as sp
+
+    return sp.stream_constraint_report(spark, f"{sf_dir}/documents.parquet")
+
+
+q(
+    "stream_constraint_report",
+    _stream_constraint_report,
+    relational.oracle_constraint_report(),
+)
 # Dedup QA report: cluster-size histogram over the oracled components.
 q(
     "dedup_cluster_size_histogram",
@@ -3049,6 +3064,7 @@ _PRIORITY = [
     "corpus_constraint_report",
     "text_bpe_roundtrip",
     "ann_ivfpq_persisted_topk",
+    "stream_constraint_report",
     "variant_minute_interpolated",
     # --- 4. the r5->r6 rotated relational pool: every key that gave up
     # its r5 slot to a mid-round 3b addition (see the r5 rotation
@@ -3058,9 +3074,9 @@ _PRIORITY = [
     "q4_order_priority",
     "q6_forecast_revenue",
     "q8_market_share",
-    "q9_product_profit",
-    # (q10_returned_items gave up its re-check slot to the new
-    # ann_ivfpq_persisted_topk key; rotates to the r7 pool)
+    # (q9_product_profit gave up its re-check slot to the new
+    # stream_constraint_report key and q10_returned_items to
+    # ann_ivfpq_persisted_topk; both rotate to the r7 pool)
     # (q11_important_part_values gave up its re-check slot to the new
     # text_bpe_roundtrip key; rotates to the r7 pool.
     # q13_customer_distribution gave up its re-check slot to the new

@@ -1507,3 +1507,100 @@ def stream_entity_probe(
     )
     q.awaitTermination()
     return spark.read.parquet(out_dir)
+
+
+def stream_constraint_report(
+    spark: SparkSession, docs_path: str, n_chunks: int = 3
+) -> DataFrame:
+    """Streaming data-validation with MERGEABLE metric state (Deequ's
+    incremental-metrics shape): every shipment contributes one row of
+    partial conditional COUNTS (associative, map-side-combinable); the
+    report aggregates the partials and derives the satisfaction
+    fractions — so validating a corpus that arrived in N shipments
+    costs one tiny partial per shipment plus an O(N)-row final fold,
+    never a rescan, and the result is EXACTLY the batch report
+    (``relational.constraint_report``), gated by the same oracle.
+
+    The split matters: fractions do NOT compose across batches, counts
+    do — a twin that averaged per-shipment fractions would weight a
+    10-doc shipment equal to a 10M-doc one.
+    """
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..operators.relational import _CONSTRAINTS
+
+    replay = _chunked_docs_replay_dir(docs_path, n_chunks)
+    schema = spark.read.parquet(docs_path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(replay)
+    )
+    out_dir = os.path.join(
+        tempfile.gettempdir(), f"stream_constraints_{uuid.uuid4().hex[:12]}"
+    )
+
+    def ingest(batch: DataFrame, _batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        (
+            batch.agg(
+                F.count("*").alias("n"),
+                F.count(
+                    F.when(F.col("text").isNotNull() & (F.length("text") > 0), 1)
+                ).alias("c_text"),
+                F.countDistinct("doc_id").alias("c_uniq"),
+                F.count(
+                    F.when(F.col("n_chars") == F.length("text"), 1)
+                ).alias("c_len"),
+                F.count(
+                    F.when(F.col("lang").isin("de", "en", "es", "fr", "zh"), 1)
+                ).alias("c_lang"),
+                F.count(
+                    F.when(F.col("source").rlike("^src[0-9]+$"), 1)
+                ).alias("c_src"),
+                F.count(
+                    F.when(F.col("n_chars").between(1, 100000), 1)
+                ).alias("c_range"),
+                F.count(F.when(F.col("n_chars") >= 100, 1)).alias("c_min100"),
+            )
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", f"{out_dir}_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # NOTE: per-batch countDistinct on doc_id composes by SUM only
+    # because the replay chunks partition doc_id ranges disjointly (the
+    # replay is doc_id-ordered); with cross-shipment id reuse the
+    # distinct partial would be a sketch/set union instead — documented
+    # deliberately, asserted by the parity test.
+    partials = spark.read.parquet(out_dir)
+    a = partials.agg(
+        F.sum("n").alias("n"),
+        *[
+            F.sum(c).alias(c)
+            for c in ["c_text", "c_uniq", "c_len", "c_lang", "c_src",
+                      "c_range", "c_min100"]
+        ],
+    )
+    counts = ["c_text", "c_uniq", "c_len", "c_lang", "c_src", "c_range", "c_min100"]
+    stack = ", ".join(
+        f"'{name}', CAST({c} AS DOUBLE) / CAST(n AS DOUBLE), CAST({thr} AS DOUBLE)"
+        for (name, thr), c in zip(_CONSTRAINTS, counts)
+    )
+    return a.selectExpr(
+        f"stack({len(_CONSTRAINTS)}, {stack}) AS (check_name, metric, threshold)"
+    ).select(
+        "check_name",
+        "metric",
+        "threshold",
+        (F.col("metric") >= F.col("threshold")).alias("passed"),
+    )

@@ -562,3 +562,20 @@ def test_bpe_roundtrip_is_lossless(spark):
         assert rows
         for r in rows:
             assert r.roundtrip_ok and r.n_ok == r.n_words > 0, (n, r)
+
+
+def test_stream_constraint_report_parity_with_batch(spark):
+    """Mergeable-metric parity: summed per-shipment partial counts must
+    reproduce the batch validation report exactly — at any chunking
+    (fractions do not compose across batches; counts do)."""
+    from redis_dataflow_realtime_analytics_spark.operators import relational
+    from redis_dataflow_realtime_analytics_spark.streaming import pipeline as sp
+
+    batch = relational.constraint_report(spark, SF_SMOKE)
+    for n_chunks in (3, 6):
+        stream = sp.stream_constraint_report(
+            spark, f"{SF_SMOKE}/documents.parquet", n_chunks=n_chunks
+        )
+        assert stream.count() == batch.count() > 0
+        assert stream.exceptAll(batch).count() == 0
+        assert batch.exceptAll(stream).count() == 0
