@@ -122,6 +122,7 @@ HEADLINE = [
     "ann_ivf_persisted_topk",
     "ann_ivfpq_topk",
     "ann_ivfpq_persisted_topk",
+    "ann_truncation_recall",
     "stream_bpe_encode",
     "dedup_entity_matches",
     "dedup_entity_resolved",

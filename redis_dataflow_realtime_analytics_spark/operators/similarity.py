@@ -2446,3 +2446,129 @@ def ann_ivfpq_persisted_topk(
         .where(F.col("rank") <= k)
         .select("query_id", F.col("vec_id").alias("neighbor_id"), "cosine", "rank")
     )
+
+
+#: Truncation prefixes evaluated by the Matryoshka recall report.
+TRUNC_DIMS = (8, 16, 32)
+
+
+def ann_truncation_recall_report(
+    spark: SparkSession, sf_dir: str, k: int = 10
+) -> DataFrame:
+    """Matryoshka-style dimension-truncation evaluation: for each prefix
+    length d' in ``TRUNC_DIMS``, run the exact top-k over only the FIRST
+    d' components of every embedding and report its recall against the
+    full-dimension exact top-k — the measurement behind choosing a
+    truncation point for an MRL-trained embedding (serve 8/64 of the
+    vector at 8/64 of the memory and scan cost, keep X% of recall).
+
+    Everything is the fixed-point integer machinery (`slice` of the
+    quantized vector, int64 dots, min-id tie-breaks), so the report
+    hash-gates: per truncation dim, recall = Σ|top-k∩| / (k·|queries|)
+    as one exact-integer pair through one double division.
+
+    Plan: one broadcast query set serves all dims; the per-dim scans
+    share the quantized corpus projection; the report is
+    |TRUNC_DIMS|-row.
+
+    Output: (trunc_dim, n_queries, recall) ordered small-to-large dims.
+    """
+    emb = _quantized(spark, sf_dir)
+    full = ann_topk_bruteforce(spark, sf_dir, k=k).select(
+        "query_id", F.col("neighbor_id").alias("full_nb")
+    )
+    reports = []
+    for d in TRUNC_DIMS:
+        t = emb.select(
+            "vec_id", F.expr(f"slice(qvec, 1, {d})").alias("tvec")
+        ).withColumn("tn2", V.qdot("tvec", "tvec"))
+        q = t.where(F.col("vec_id") % QUERY_MOD == 0).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("tvec").alias("q_tvec"),
+            F.col("tn2").alias("q_tn2"),
+        )
+        pairs = (
+            t.crossJoin(F.broadcast(q))
+            .where(F.col("vec_id") != F.col("query_id"))
+            .withColumn("dot", V.qdot("tvec", "q_tvec"))
+            .withColumn("cosine", V.cosine("dot", "tn2", "q_tn2"))
+        )
+        w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "vec_id")
+        topk = (
+            pairs.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        )
+        hits = topk.join(
+            full,
+            (topk.query_id == full.query_id)
+            & (topk.neighbor_id == full.full_nb),
+            "left_semi",
+        )
+        reports.append(
+            hits.agg(
+                F.lit(d).cast("int").alias("trunc_dim"),
+                F.count("*").alias("n_hits"),
+            )
+        )
+    nq = full.select("query_id").distinct().count()
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out.select(
+        "trunc_dim",
+        F.lit(nq).cast("bigint").alias("n_queries"),
+        (
+            F.col("n_hits").cast("double") / F.lit(float(k * nq))
+        ).alias("recall"),
+    )
+
+
+def oracle_ann_truncation_recall(k: int = 10) -> str:
+    """DuckDB twin of :func:`ann_truncation_recall_report` — full-dim
+    exact top-k CTE + one truncated top-k CTE per dim, recall by
+    semi-join counting. ``{norms}`` spliced by the registry."""
+    dims = ", ".join(str(d) for d in TRUNC_DIMS)
+    per_dim = []
+    for d in TRUNC_DIMS:
+        per_dim.append(f"""t{d} AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+           CAST((SELECT COALESCE(sum(z[1] * z[2]), 0)
+                 FROM unnest(list_zip(v.qv[1:{d}], q.qv[1:{d}])) s(z)) AS DOUBLE)
+             / (sqrt(CAST((SELECT COALESCE(sum(z[1] * z[2]), 0)
+                 FROM unnest(list_zip(v.qv[1:{d}], v.qv[1:{d}])) s(z)) AS DOUBLE))
+                * sqrt(CAST((SELECT COALESCE(sum(z[1] * z[2]), 0)
+                 FROM unnest(list_zip(q.qv[1:{d}], q.qv[1:{d}])) s(z)) AS DOUBLE)))
+             AS cosine
+    FROM e v JOIN e q ON q.vec_id % {QUERY_MOD} = 0 AND v.vec_id <> q.vec_id)
+  QUALIFY row_number() OVER (PARTITION BY query_id
+                             ORDER BY cosine DESC, neighbor_id) <= {k}),
+h{d} AS (
+  SELECT CAST({d} AS INTEGER) AS trunc_dim, count(*) AS n_hits
+  FROM t{d} t JOIN fullk f
+    ON f.query_id = t.query_id AND f.neighbor_id = t.neighbor_id)""")
+    body = ",\n".join(per_dim)
+    hs = "\nUNION ALL\n".join(
+        f"SELECT trunc_dim, n_hits FROM h{d}" for d in TRUNC_DIMS
+    )
+    return f"""WITH {{norms}},
+fullk AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+           CAST((SELECT COALESCE(sum(z[1] * z[2]), 0)
+                 FROM unnest(list_zip(v.qv, q.qv)) s(z)) AS DOUBLE)
+             / (sqrt(CAST(nv.n2 AS DOUBLE)) * sqrt(CAST(nq.n2 AS DOUBLE)))
+             AS cosine
+    FROM e v
+    JOIN e q ON q.vec_id % {QUERY_MOD} = 0 AND v.vec_id <> q.vec_id
+    JOIN n nv ON nv.vec_id = v.vec_id
+    JOIN n nq ON nq.vec_id = q.vec_id)
+  QUALIFY row_number() OVER (PARTITION BY query_id
+                             ORDER BY cosine DESC, neighbor_id) <= {k}),
+nq_ AS (SELECT count(DISTINCT query_id) AS nq FROM fullk),
+{body},
+hh AS ({hs})
+SELECT hh.trunc_dim, CAST(nq_.nq AS BIGINT) AS n_queries,
+       CAST(hh.n_hits AS DOUBLE) / ({k} * nq_.nq) AS recall
+FROM hh CROSS JOIN nq_"""

@@ -2530,6 +2530,15 @@ q(
     similarity.ann_ivfpq_persisted_topk,
     similarity.oracle_ann_ivfpq().format(norms=_ORACLE_NORMS),
 )
+# Matryoshka-style truncation evaluation: exact top-k over the FIRST d'
+# fixed-point components per truncation dim vs the full-dim exact top-k
+# — the recall-vs-memory curve behind choosing an MRL serving dimension;
+# |TRUNC_DIMS|-row report, exact-integer recall numerators.
+q(
+    "ann_truncation_recall",
+    similarity.ann_truncation_recall_report,
+    similarity.oracle_ann_truncation_recall().format(norms=_ORACLE_NORMS),
+)
 # Retrieval-QA report: sparse (BM25 shingle) vs dense (exact cosine)
 # top-k agreement per shared query — overlap + Jaccard; both inputs are
 # SQL-oracled operators and the report is integer set arithmetic, so the
@@ -3065,6 +3074,7 @@ _PRIORITY = [
     "text_bpe_roundtrip",
     "ann_ivfpq_persisted_topk",
     "stream_constraint_report",
+    "ann_truncation_recall",
     "variant_minute_interpolated",
     # --- 4. the r5->r6 rotated relational pool: every key that gave up
     # its r5 slot to a mid-round 3b addition (see the r5 rotation
@@ -3073,7 +3083,8 @@ _PRIORITY = [
     "q3_shipping_priority",
     "q4_order_priority",
     "q6_forecast_revenue",
-    "q8_market_share",
+    # (q8_market_share gave up its re-check slot to the new
+    # ann_truncation_recall key; rotates to the r7 pool)
     # (q9_product_profit gave up its re-check slot to the new
     # stream_constraint_report key and q10_returned_items to
     # ann_ivfpq_persisted_topk; both rotate to the r7 pool)

@@ -280,3 +280,20 @@ def test_persisted_ivfpq_matches_train_inline(spark):
     a = {key(r): (r.neighbor_id, r.cosine) for r in inline}
     b = {key(r): (r.neighbor_id, r.cosine) for r in persisted}
     assert a == b and len(a) > 0
+
+
+def test_truncation_recall_monotone_and_bounded(spark):
+    """Recall must be in [0, 1] per dim and (on this fixture)
+    non-decreasing with the truncation dimension — more components
+    cannot systematically hurt exact search."""
+    rows = {
+        r.trunc_dim: r
+        for r in similarity.ann_truncation_recall_report(spark, SF_SMOKE).collect()
+    }
+    assert sorted(rows) == sorted(similarity.TRUNC_DIMS)
+    last = -1.0
+    for d in sorted(rows):
+        r = rows[d]
+        assert 0.0 <= r.recall <= 1.0 and r.n_queries > 0, r
+        assert r.recall >= last - 1e-9, (d, r.recall, last)
+        last = r.recall
