@@ -130,6 +130,7 @@ HEADLINE = [
     "corpus_constraint_report",
     "text_bpe_roundtrip",
     "stream_constraint_report",
+    "corpus_drift_psi",
     "variant_minute_interpolated",
     "pack_documents_boundary",
     "stream_decontamination_gate",

@@ -1550,3 +1550,85 @@ SELECT change, count(*) AS n_docs,
        CAST(sum(cb) AS BIGINT) AS chars_before,
        CAST(sum(ca) AS BIGINT) AS chars_after
 FROM classed GROUP BY 1"""
+
+
+#: PSI length-bucket width (characters).
+PSI_BUCKET_WIDTH = 50
+
+
+def corpus_drift_psi(spark: SparkSession, sf_dir: str, width: int = PSI_BUCKET_WIDTH) -> DataFrame:
+    """Population-stability-index drift monitor between corpus versions
+    — the MLOps gate that decides whether a refreshed crawl shifted the
+    data distribution enough to warrant re-validation before training:
+    PSI = Σ_b (p1_b − p0_b)·ln(p1_b/p0_b) over fixed-width document-
+    length buckets, comparing the v0 snapshot against the latest-wins
+    merge (:func:`apply_corpus_updates`). Reported per bucket (the
+    consumer sums psi_term; >0.2 conventionally flags drift).
+
+    Determinism: bucket counts are exact integers; Laplace smoothing
+    p = (c + 1)/(n + B) (B = occupied buckets) keeps every probability
+    strictly positive with EXACT integer numerators/denominators into
+    one double division each; the single transcendental (ln) rides the
+    repo's dquant convention on the output term. Plan: two count
+    aggregations + a |buckets|-row full outer join + one broadcast
+    totals row — corpus-scan bound.
+
+    Output: (bucket, n0_docs, n1_docs, p0, p1, psi_term).
+    """
+    from ..functions.numeric import dquant
+
+    docs = spread(load(spark, sf_dir, "documents"))
+    v0 = docs.select(F.expr(f"CAST(length(text) DIV {width} AS BIGINT)").alias("bucket"))
+    v1 = apply_corpus_updates(spark, sf_dir).select(
+        F.expr(f"CAST(n_chars_final DIV {width} AS BIGINT)").alias("bucket")
+    )
+    c0 = v0.groupBy("bucket").agg(F.count("*").alias("c0"))
+    c1 = v1.groupBy("bucket").agg(F.count("*").alias("c1"))
+    j = (
+        c0.join(c1, "bucket", "full_outer")
+        .select(
+            "bucket",
+            F.coalesce("c0", F.lit(0)).alias("c0"),
+            F.coalesce("c1", F.lit(0)).alias("c1"),
+        )
+    )
+    totals = j.agg(
+        F.sum("c0").alias("n0"), F.sum("c1").alias("n1"), F.count("*").alias("B")
+    )
+    jt = j.crossJoin(F.broadcast(totals))
+    p0 = (F.col("c0") + 1).cast("double") / (F.col("n0") + F.col("B")).cast("double")
+    p1 = (F.col("c1") + 1).cast("double") / (F.col("n1") + F.col("B")).cast("double")
+    return jt.select(
+        "bucket",
+        F.col("c0").alias("n0_docs"),
+        F.col("c1").alias("n1_docs"),
+        p0.alias("p0"),
+        p1.alias("p1"),
+        dquant((p1 - p0) * F.log(p1 / p0), "psi_term"),
+    )
+
+
+def oracle_corpus_drift_psi(width: int = PSI_BUCKET_WIDTH) -> str:
+    """DuckDB twin of :func:`corpus_drift_psi` — latest-wins CTE reused
+    from the upsert oracle, identical smoothing arithmetic, dquant'd
+    ln term."""
+    from ..functions.numeric import oracle_dquant
+
+    latest = oracle_apply_corpus_updates()
+    p0 = "CAST(c0 + 1 AS DOUBLE) / CAST(n0 + B AS DOUBLE)"
+    p1 = "CAST(c1 + 1 AS DOUBLE) / CAST(n1 + B AS DOUBLE)"
+    term = oracle_dquant(f"(({p1}) - ({p0})) * ln(({p1}) / ({p0}))")
+    return f"""WITH l AS ({latest}),
+v0 AS (SELECT CAST(length(text) // {width} AS BIGINT) AS bucket FROM documents),
+v1 AS (SELECT CAST(n_chars_final // {width} AS BIGINT) AS bucket FROM l),
+c0_ AS (SELECT bucket, count(*) AS c0 FROM v0 GROUP BY 1),
+c1_ AS (SELECT bucket, count(*) AS c1 FROM v1 GROUP BY 1),
+j AS (
+  SELECT COALESCE(c0_.bucket, c1_.bucket) AS bucket,
+         COALESCE(c0, 0) AS c0, COALESCE(c1, 0) AS c1
+  FROM c0_ FULL JOIN c1_ ON c1_.bucket = c0_.bucket),
+t AS (SELECT sum(c0) AS n0, sum(c1) AS n1, count(*) AS B FROM j)
+SELECT bucket, c0 AS n0_docs, c1 AS n1_docs,
+       {p0} AS p0, {p1} AS p1,
+       {term} AS psi_term
+FROM j CROSS JOIN t"""

@@ -2670,6 +2670,15 @@ q(
 )
 # Corpus-version regression report over the SCD2 history: added /
 # updated / unchanged with before/after char volume per class.
+# PSI drift monitor: population-stability index of the document-length
+# distribution between the v0 snapshot and the latest-wins merge —
+# exact-integer Laplace-smoothed bucket probabilities, dquant'd ln term;
+# the re-validation gate run after every corpus refresh.
+q(
+    "corpus_drift_psi",
+    sampling.corpus_drift_psi,
+    sampling.oracle_corpus_drift_psi(),
+)
 q(
     "corpus_version_diff",
     sampling.corpus_version_diff,
@@ -3075,6 +3084,7 @@ _PRIORITY = [
     "ann_ivfpq_persisted_topk",
     "stream_constraint_report",
     "ann_truncation_recall",
+    "corpus_drift_psi",
     "variant_minute_interpolated",
     # --- 4. the r5->r6 rotated relational pool: every key that gave up
     # its r5 slot to a mid-round 3b addition (see the r5 rotation
@@ -3082,7 +3092,8 @@ _PRIORITY = [
     "q2_best_supplier_per_part",
     "q3_shipping_priority",
     "q4_order_priority",
-    "q6_forecast_revenue",
+    # (q6_forecast_revenue gave up its re-check slot to the new
+    # corpus_drift_psi key; rotates to the r7 pool)
     # (q8_market_share gave up its re-check slot to the new
     # ann_truncation_recall key; rotates to the r7 pool)
     # (q9_product_profit gave up its re-check slot to the new

@@ -579,3 +579,26 @@ def test_stream_constraint_report_parity_with_batch(spark):
         assert stream.count() == batch.count() > 0
         assert stream.exceptAll(batch).count() == 0
         assert batch.exceptAll(stream).count() == 0
+
+
+def test_drift_psi_properties(spark):
+    """PSI contract: smoothed probabilities in (0,1) summing to ~1 per
+    side; psi_term sign matches the probability shift; total PSI is
+    positive here (the recrawl suffix and 'new ' prefix shift lengths
+    by construction)."""
+    from redis_dataflow_realtime_analytics_spark.operators import sampling
+
+    rows = sampling.corpus_drift_psi(spark, SF_SMOKE).collect()
+    assert rows
+    s0 = sum(r.p0 for r in rows)
+    s1 = sum(r.p1 for r in rows)
+    assert abs(s0 - 1.0) < 1e-6 and abs(s1 - 1.0) < 1e-6, (s0, s1)
+    total = 0.0
+    for r in rows:
+        assert 0.0 < r.p0 < 1.0 and 0.0 < r.p1 < 1.0
+        if r.p1 > r.p0:
+            assert r.psi_term >= 0, r
+        elif r.p1 < r.p0:
+            assert r.psi_term >= 0, r  # (p1-p0) and ln(p1/p0) share sign
+        total += r.psi_term
+    assert total > 0, total
