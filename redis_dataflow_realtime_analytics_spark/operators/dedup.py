@@ -2141,3 +2141,125 @@ def _persisted_entity_index(
         spark.read.parquet(os.path.join(out, "df")),
         spark.read.parquet(os.path.join(out, "prefix")),
     )
+
+
+# --- Pipeline drop audit ------------------------------------------------------
+def corpus_drop_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document provenance audit for the assembled curation pipeline:
+    ONE row per corpus document with the FIRST stage that dropped it —
+    the "why is my document gone?" table every production data pipeline
+    ends up needing, and the artifact a curator diffs between pipeline
+    versions to see which knob moved which documents.
+
+    Stage order (first hit wins, mirroring the pipeline's execution
+    order):
+
+    0. ``benchmark``    — the held-out eval slice (``doc_id % DECON_MOD``)
+       never enters the training corpus;
+    1. ``too_short``    — below the quality gate's 2-token domain (no
+       verdict row exists);
+    2. ``quality``      — failed the assembled quality gate;
+    3. ``exact_dup``    — not the canonical (min doc_id) copy of its
+       normalized text among gate SURVIVORS (dedup runs downstream of
+       the gate, so a duplicate of a dropped doc is NOT a duplicate);
+    4. ``contaminated`` — shares a k-token shingle with the benchmark;
+    5. ``kept``.
+
+    Output: (doc_id, drop_reason, stage) — stage is the int64 index above.
+
+    Scale: the heavy lifting is the reused operators (gate = one gram
+    shuffle; decontamination = benchmark-bounded shingle join); the audit
+    itself adds one md5-keyed groupBy over gate survivors plus three
+    doc_id-keyed left joins — all uniform keys, no new skew surface, and
+    every join side is already doc_id-partitioned so AQE coalesces the
+    exchanges.
+    """
+    from .text import corpus_quality_gate
+
+    docs = _spread(load(spark, sf_dir, "documents")).select("doc_id", "text")
+    gate = corpus_quality_gate(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("pass_gate")
+    )
+    base = docs.join(gate, "doc_id", "left").select(
+        "doc_id",
+        "text",
+        (F.col("doc_id") % DECON_MOD == 0).alias("is_benchmark"),
+        F.col("pass_gate").isNull().alias("too_short"),
+        F.coalesce(F.col("pass_gate"), F.lit(False)).alias("pass_gate"),
+    )
+    survivors = base.where(~F.col("is_benchmark") & F.col("pass_gate")).select(
+        "doc_id", F.md5(_norm_text()).alias("h")
+    )
+    canon = survivors.groupBy("h").agg(F.min("doc_id").alias("canonical_doc_id"))
+    dup_flag = survivors.join(canon, "h").select(
+        "doc_id", (F.col("doc_id") != F.col("canonical_doc_id")).alias("is_exact_dup")
+    )
+    hits = decontamination_hits(spark, sf_dir).select(
+        "doc_id", F.lit(True).alias("is_contaminated")
+    )
+    reason = (
+        F.when(F.col("is_benchmark"), F.lit("benchmark"))
+        .when(F.col("too_short"), F.lit("too_short"))
+        .when(~F.col("pass_gate"), F.lit("quality"))
+        .when(F.col("is_exact_dup"), F.lit("exact_dup"))
+        .when(F.col("is_contaminated"), F.lit("contaminated"))
+        .otherwise(F.lit("kept"))
+    )
+    stage = (
+        F.when(F.col("is_benchmark"), F.lit(0))
+        .when(F.col("too_short"), F.lit(1))
+        .when(~F.col("pass_gate"), F.lit(2))
+        .when(F.col("is_exact_dup"), F.lit(3))
+        .when(F.col("is_contaminated"), F.lit(4))
+        .otherwise(F.lit(5))
+    )
+    return (
+        base.join(dup_flag, "doc_id", "left")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            reason.alias("drop_reason"),
+            stage.cast("bigint").alias("stage"),
+        )
+    )
+
+
+def oracle_corpus_drop_audit(norm_sql: str) -> str:
+    """DuckDB twin of :func:`corpus_drop_audit` — composes the gate and
+    decontamination oracles and replays the identical CASE ladder."""
+    from .text import oracle_corpus_quality_gate
+
+    return f"""WITH g AS ({oracle_corpus_quality_gate()}),
+d AS (SELECT doc_id, md5({norm_sql}) AS h FROM documents),
+surv AS (
+  SELECT d.doc_id, d.h FROM d JOIN g ON g.doc_id = d.doc_id
+  WHERE d.doc_id % {DECON_MOD} <> 0 AND g.keep),
+canon AS (SELECT h, min(doc_id) AS c FROM surv GROUP BY h),
+dup AS (SELECT surv.doc_id, surv.doc_id <> canon.c AS is_exact_dup
+        FROM surv JOIN canon USING (h)),
+hits AS (SELECT doc_id FROM ({oracle_decontamination_hits()})),
+audit AS (
+  SELECT documents.doc_id,
+         documents.doc_id % {DECON_MOD} = 0 AS is_benchmark,
+         g.doc_id IS NULL AS too_short,
+         COALESCE(g.keep, FALSE) AS pass_gate,
+         dup.is_exact_dup,
+         hits.doc_id IS NOT NULL AS is_contaminated
+  FROM documents
+  LEFT JOIN g ON g.doc_id = documents.doc_id
+  LEFT JOIN dup ON dup.doc_id = documents.doc_id
+  LEFT JOIN hits ON hits.doc_id = documents.doc_id)
+SELECT doc_id,
+       CASE WHEN is_benchmark THEN 'benchmark'
+            WHEN too_short THEN 'too_short'
+            WHEN NOT pass_gate THEN 'quality'
+            WHEN is_exact_dup THEN 'exact_dup'
+            WHEN is_contaminated THEN 'contaminated'
+            ELSE 'kept' END AS drop_reason,
+       CAST(CASE WHEN is_benchmark THEN 0
+            WHEN too_short THEN 1
+            WHEN NOT pass_gate THEN 2
+            WHEN is_exact_dup THEN 3
+            WHEN is_contaminated THEN 4
+            ELSE 5 END AS BIGINT) AS stage
+FROM audit"""

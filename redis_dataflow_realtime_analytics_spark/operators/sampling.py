@@ -1632,3 +1632,98 @@ SELECT bucket, c0 AS n0_docs, c1 AS n1_docs,
        {p0} AS p0, {p1} AS p1,
        {term} AS psi_term
 FROM j CROSS JOIN t"""
+
+
+# ---------------------------------------------------------------------------
+# Deterministic epoch shuffle — seeded global training order, no global sort
+# ---------------------------------------------------------------------------
+
+EPOCH_SHUFFLE_EPOCHS = 2
+EPOCH_SHUFFLE_BATCH = 32
+
+
+def epoch_shuffle(
+    spark: SparkSession,
+    sf_dir: str,
+    epochs: int = EPOCH_SHUFFLE_EPOCHS,
+    batch_docs: int = EPOCH_SHUFFLE_BATCH,
+) -> DataFrame:
+    """Deterministic per-epoch global shuffle order for training: every
+    document gets an EXACT position in a seeded random permutation, one
+    permutation per epoch, plus the training batch that position lands
+    in. The order key is ``md5(doc_id ':' epoch)`` — engine-portable,
+    partitioning-independent, and different every epoch, so a multi-epoch
+    run re-shuffles without re-reading any RNG state.
+
+    Scale — the permutation RANK is the hard part at 100 TB: a naive
+    ``row_number() OVER (ORDER BY key)`` plans a single-partition sort
+    over the corpus. This reuses the two-level exact-rank algebra of
+    :func:`shard_assignment`: bucket = first two hex chars of the key
+    (256 uniform buckets whose lexicographic order IS key-prefix order,
+    so per-bucket counts compose into exact global offsets); per-bucket
+    counts shuffle once; the only unpartitioned window runs over the
+    256-row bucket frame; the doc-frame window is bucket-partitioned.
+    Identical output to the oracle's flat per-epoch ``row_number``.
+
+    Output: (epoch, doc_id, shuffle_pos, batch_id), all int64.
+    """
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    eps = spark.range(epochs).select(F.col("id").alias("epoch"))
+    keyed = (
+        docs.crossJoin(F.broadcast(eps))
+        .select(
+            "epoch",
+            "doc_id",
+            F.md5(
+                F.concat_ws(
+                    ":", F.col("doc_id").cast("string"), F.col("epoch").cast("string")
+                )
+            ).alias("k"),
+        )
+        .withColumn("bucket", F.substring("k", 1, 2))
+    )
+    counts = keyed.groupBy("epoch", "bucket").agg(F.count("*").alias("n"))
+    w_buckets = (
+        Window.partitionBy("epoch")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "epoch",
+        "bucket",
+        F.coalesce(F.sum("n").over(w_buckets), F.lit(0)).alias("bucket_offset"),
+    )
+    w_local = Window.partitionBy("epoch", "bucket").orderBy("k", "doc_id")
+    pos = (
+        F.col("bucket_offset") + F.row_number().over(w_local).cast("bigint") - 1
+    )
+    return (
+        keyed.join(F.broadcast(offsets), ["epoch", "bucket"])
+        .select("epoch", "doc_id", pos.alias("shuffle_pos"))
+        .select(
+            "epoch",
+            "doc_id",
+            "shuffle_pos",
+            F.expr(f"shuffle_pos div {batch_docs}").alias("batch_id"),
+        )
+    )
+
+
+def oracle_epoch_shuffle(
+    epochs: int = EPOCH_SHUFFLE_EPOCHS, batch_docs: int = EPOCH_SHUFFLE_BATCH
+) -> str:
+    """DuckDB twin of :func:`epoch_shuffle` — the flat per-epoch
+    ``row_number`` the two-level rank must reproduce bit-exactly."""
+    return f"""WITH e AS (SELECT unnest(range(0, {epochs})) AS epoch),
+keyed AS (
+  SELECT CAST(epoch AS BIGINT) AS epoch, doc_id,
+         md5(CAST(doc_id AS VARCHAR) || ':' || CAST(epoch AS VARCHAR)) AS k
+  FROM documents CROSS JOIN e),
+ranked AS (
+  SELECT epoch, doc_id,
+         CAST(row_number() OVER (PARTITION BY epoch ORDER BY k, doc_id) - 1
+              AS BIGINT) AS shuffle_pos
+  FROM keyed)
+SELECT epoch, doc_id, shuffle_pos,
+       CAST(shuffle_pos // {batch_docs} AS BIGINT) AS batch_id
+FROM ranked"""

@@ -2071,6 +2071,28 @@ q(
     sampling.shard_manifest,
     sampling.oracle_shard_manifest(),
 )
+# Deterministic per-epoch global shuffle order (training permutation):
+# md5(doc_id ':' epoch) order key ranked by the same two-level exact
+# rank as the shard layout — no single-partition sort ever touches the
+# corpus frame, yet the output is bit-equal to the oracle's flat
+# per-epoch row_number.
+q(
+    "corpus_epoch_shuffle",
+    sampling.epoch_shuffle,
+    sampling.oracle_epoch_shuffle(),
+)
+# Pipeline drop audit: one row per document with the FIRST curation
+# stage that dropped it (benchmark holdout -> quality gate -> exact
+# dedup among survivors -> decontamination) — the "why is my document
+# gone" provenance table, composed from the same operators the pipeline
+# runs so the oracle proves the composition exact.
+q(
+    "corpus_drop_audit",
+    dedup.corpus_drop_audit,
+    dedup.oracle_corpus_drop_audit(
+        f"regexp_replace(lower(trim(text)), '{text.TOKEN_SQL}', ' ', 'g')"
+    ),
+)
 
 # ---------------------------------------------------------------------------
 # As-of join, time-range window frame, streaming dedup
@@ -3086,6 +3108,14 @@ _PRIORITY = [
     "ann_truncation_recall",
     "corpus_drift_psi",
     "variant_minute_interpolated",
+    "corpus_epoch_shuffle",
+    "corpus_drop_audit",
+    # (multimodal_image_ahash gave up its freshness re-check slot to the
+    # new corpus_epoch_shuffle key: dedup_image_ahash_pairs carries
+    # multimodal.py's aHash-path coverage this round; and
+    # zipf_slope_by_source gave its slot to corpus_drop_audit — the
+    # text.py tokenization duty is carried by text_tfidf_top_terms and
+    # text_collocations_pmi, which keep theirs; both rotate to r7)
     # --- 4. the r5->r6 rotated relational pool: every key that gave up
     # its r5 slot to a mid-round 3b addition (see the r5 rotation
     # comments preserved in COVERAGE.md's rotation log) ---
@@ -3123,10 +3153,8 @@ _PRIORITY = [
     "corpus_quality_gate",
     "text_tfidf_top_terms",
     "text_collocations_pmi",
-    "zipf_slope_by_source",
     "dedup_kcore_membership",
     "dedup_image_ahash_pairs",
-    "multimodal_image_ahash",
     # (user_gap_profile, pack_documents_boundary and
     # corpus_version_history gave up their re-check slots to the three
     # late-r6 serving/composition keys: sessions.py is untouched this

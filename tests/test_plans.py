@@ -660,3 +660,17 @@ def test_entity_match_broadcasts_df_table_no_cartesian(spark):
     p = plans.plan_string(df)
     assert "CartesianProduct" not in p, p
     assert "BroadcastHashJoin" in p, p
+
+
+def test_epoch_shuffle_no_global_sort_over_docs(spark):
+    """The permutation rank reuses the two-level contract: the doc-frame
+    window is PARTITIONED (epoch, bucket); no single-partition exchange
+    ever feeds the corpus frame (the tiny 256-row bucket window is
+    epoch-partitioned, so there is no SinglePartition at all)."""
+    from redis_dataflow_realtime_analytics_spark.operators import sampling
+
+    df = sampling.epoch_shuffle(spark, SF_SMOKE)
+    p = plans.plan_string(df)
+    assert p.count("Window") >= 2, p
+    assert "BroadcastExchange" in p or "BroadcastHashJoin" in p, p
+    assert "Exchange SinglePartition" not in p, p

@@ -602,3 +602,98 @@ def test_drift_psi_properties(spark):
             assert r.psi_term >= 0, r  # (p1-p0) and ln(p1/p0) share sign
         total += r.psi_term
     assert total > 0, total
+
+
+def test_epoch_shuffle_is_a_permutation_per_epoch(spark):
+    """Each epoch's shuffle_pos is exactly 0..n-1 (a true permutation),
+    the two epochs order the corpus differently (the seed varies by
+    epoch), and the order is deterministic across recomputation."""
+    from redis_dataflow_realtime_analytics_spark.operators import sampling
+
+    df = sampling.epoch_shuffle(spark, SF_SMOKE).cache()
+    try:
+        n_docs = df.where("epoch = 0").count()
+        stats = (
+            df.groupBy("epoch")
+            .agg(
+                F.count("*").alias("n"),
+                F.countDistinct("shuffle_pos").alias("n_pos"),
+                F.min("shuffle_pos").alias("lo"),
+                F.max("shuffle_pos").alias("hi"),
+            )
+            .collect()
+        )
+        assert len(stats) == 2
+        for r in stats:
+            assert r.n == n_docs and r.n_pos == n_docs
+            assert r.lo == 0 and r.hi == n_docs - 1
+        # epochs genuinely reshuffle: the two permutations disagree
+        # somewhere (probability of agreement ~ 1/n! — zero in practice)
+        agree = (
+            df.where("epoch = 0")
+            .alias("a")
+            .join(
+                df.where("epoch = 1").alias("b"),
+                F.col("a.doc_id") == F.col("b.doc_id"),
+            )
+            .where(F.col("a.shuffle_pos") == F.col("b.shuffle_pos"))
+            .count()
+        )
+        assert agree < n_docs
+        # deterministic: a fresh plan reproduces the same positions
+        again = sampling.epoch_shuffle(spark, SF_SMOKE)
+        assert again.exceptAll(df).count() == 0
+    finally:
+        df.unpersist()
+
+
+def test_epoch_shuffle_batches_are_contiguous_and_sized(spark):
+    """batch_id buckets the permutation into contiguous fixed-size
+    training batches: every batch except the last ragged one holds
+    exactly batch_docs rows."""
+    from redis_dataflow_realtime_analytics_spark.operators import sampling
+
+    df = sampling.epoch_shuffle(spark, SF_SMOKE, batch_docs=32)
+    sizes = df.where("epoch = 0").groupBy("batch_id").count().collect()
+    n = sum(r["count"] for r in sizes)
+    full, last = divmod(n, 32)
+    counts = sorted((r.batch_id, r["count"]) for r in sizes)
+    for bid, c in counts[: full]:
+        assert c == 32, (bid, c)
+    if last:
+        assert counts[-1][1] == last
+
+
+def test_drop_audit_assigns_first_failing_stage(spark, tmp_path):
+    """Planted corpus exercising every branch of the audit ladder:
+    benchmark holdout, too_short, quality fail, exact_dup among gate
+    SURVIVORS (a copy of a dropped doc is NOT a dup), contaminated, kept
+    — each doc gets exactly the reason of its FIRST failing stage."""
+    from redis_dataflow_realtime_analytics_spark.operators import dedup
+
+    good = " ".join(f"p1w{j}" for j in range(120))       # passes every gate
+    bench_text = " ".join(f"q0w{j}" for j in range(120))  # the holdout doc
+    rows = [
+        (1, good),                # kept (canonical of its group)
+        (2, good),                # exact_dup of 1
+        (3, "x"),                 # too_short (<2 tokens: no verdict row)
+        (4, "!! ?? !! ??"),       # quality fail (pure punctuation)
+        (5, bench_text),          # contaminated (copies the benchmark doc;
+                                  #   doc 20 is not a survivor, so 5 is
+                                  #   canonical — dedup does NOT catch it)
+        (20, bench_text),         # benchmark slice (20 % 20 == 0)
+    ]
+    d = tmp_path / "audit_sf"
+    spark.createDataFrame(rows, ["doc_id", "text"]).write.parquet(
+        str(d / "documents.parquet")
+    )
+    audit = {r.doc_id: (r.drop_reason, r.stage) for r in
+             dedup.corpus_drop_audit(spark, str(d)).collect()}
+    assert audit == {
+        1: ("kept", 5),
+        2: ("exact_dup", 3),
+        3: ("too_short", 1),
+        4: ("quality", 2),
+        5: ("contaminated", 4),
+        20: ("benchmark", 0),
+    }
