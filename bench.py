@@ -177,6 +177,9 @@ HEADLINE = [
     "dedup_keep_best_by_model",
     # new in r6 (cont. 7): TTL-evicting stateful sessionization
     "stream_sessions_ttl",
+    # new in r6 (cont. 8): seeded training permutation + drop audit
+    "corpus_epoch_shuffle",
+    "corpus_drop_audit",
 ]
 
 
