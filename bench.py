@@ -178,8 +178,10 @@ HEADLINE = [
     # new in r6 (cont. 7): TTL-evicting stateful sessionization
     "stream_sessions_ttl",
     # new in r6 (cont. 8): seeded training permutation + drop audit
+    # (batch ladder + its arrival-path twin)
     "corpus_epoch_shuffle",
     "corpus_drop_audit",
+    "stream_drop_audit",
 ]
 
 

@@ -2197,6 +2197,23 @@ def corpus_drop_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     hits = decontamination_hits(spark, sf_dir).select(
         "doc_id", F.lit(True).alias("is_contaminated")
     )
+    reason, stage = drop_audit_ladder()
+    return (
+        base.join(dup_flag, "doc_id", "left")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            reason.alias("drop_reason"),
+            stage.cast("bigint").alias("stage"),
+        )
+    )
+
+
+def drop_audit_ladder() -> tuple[F.Column, F.Column]:
+    """The first-failing-stage CASE ladder over the audit flag columns
+    (is_benchmark, too_short, pass_gate, is_exact_dup, is_contaminated)
+    — shared by :func:`corpus_drop_audit` and the streaming arrival-path
+    twin so the two paths cannot drift."""
     reason = (
         F.when(F.col("is_benchmark"), F.lit("benchmark"))
         .when(F.col("too_short"), F.lit("too_short"))
@@ -2213,15 +2230,7 @@ def corpus_drop_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("is_contaminated"), F.lit(4))
         .otherwise(F.lit(5))
     )
-    return (
-        base.join(dup_flag, "doc_id", "left")
-        .join(hits, "doc_id", "left")
-        .select(
-            "doc_id",
-            reason.alias("drop_reason"),
-            stage.cast("bigint").alias("stage"),
-        )
-    )
+    return reason, stage
 
 
 def oracle_corpus_drop_audit(norm_sql: str) -> str:

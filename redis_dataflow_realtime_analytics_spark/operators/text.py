@@ -1145,7 +1145,15 @@ def corpus_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     row exists iff the doc has ≥2 tokens, the composed inner-join
     behavior). Measured 100 k docs: 11.3 s composed → see BASELINE.md.
     """
-    docs = spread(load(spark, sf_dir, "documents"))
+    return quality_gate_frame(spread(load(spark, sf_dir, "documents")))
+
+
+def quality_gate_frame(docs: DataFrame) -> DataFrame:
+    """Frame-level body of :func:`corpus_quality_gate` — every signal is
+    a per-document aggregate of the document's own grams, so the SAME
+    expression tree runs unchanged over a micro-batch frame (the
+    streaming drop audit) and over the full corpus (the batch gate):
+    stream/batch gate parity is structural, not re-implemented."""
     tokd = docs.select(
         "doc_id",
         "text",

@@ -1259,6 +1259,24 @@ FROM documents
 WHERE doc_id % {dedup.DECON_MOD} <> 0
   AND doc_id NOT IN (SELECT doc_id FROM hits)""",
 )
+# Streaming drop audit: the arrival-path twin of corpus_drop_audit —
+# per-shipment first-failing-stage verdicts (gate signals per-batch,
+# survivor-hash index probe-then-append, broadcast benchmark shingles);
+# byte-exact stream/batch parity against the UNCHANGED batch oracle
+# because shipments replay doc_id-ascending (first-seen == global min).
+def _stream_drop_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming import pipeline as sp
+
+    return sp.stream_drop_audit(spark, f"{sf_dir}/documents.parquet")
+
+
+q(
+    "stream_drop_audit",
+    _stream_drop_audit,
+    dedup.oracle_corpus_drop_audit(
+        f"regexp_replace(lower(trim(text)), '{text.TOKEN_SQL}', ' ', 'g')"
+    ),
+)
 # Streaming multimodal ingest: the Catalyst blob synthesis + Arrow
 # histogram per micro-batch (stateless); batch-parity histogram oracle.
 def _stream_image_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3110,18 +3128,20 @@ _PRIORITY = [
     "variant_minute_interpolated",
     "corpus_epoch_shuffle",
     "corpus_drop_audit",
+    "stream_drop_audit",
     # (multimodal_image_ahash gave up its freshness re-check slot to the
     # new corpus_epoch_shuffle key: dedup_image_ahash_pairs carries
-    # multimodal.py's aHash-path coverage this round; and
+    # multimodal.py's aHash-path coverage this round;
     # zipf_slope_by_source gave its slot to corpus_drop_audit — the
     # text.py tokenization duty is carried by text_tfidf_top_terms and
-    # text_collocations_pmi, which keep theirs; both rotate to r7)
+    # text_collocations_pmi, which keep theirs; and q4_order_priority
+    # gave its rotated-pool re-check slot to stream_drop_audit — all
+    # three rotate to r7)
     # --- 4. the r5->r6 rotated relational pool: every key that gave up
     # its r5 slot to a mid-round 3b addition (see the r5 rotation
     # comments preserved in COVERAGE.md's rotation log) ---
     "q2_best_supplier_per_part",
     "q3_shipping_priority",
-    "q4_order_priority",
     # (q6_forecast_revenue gave up its re-check slot to the new
     # corpus_drift_psi key; rotates to the r7 pool)
     # (q8_market_share gave up its re-check slot to the new

@@ -859,6 +859,129 @@ def stream_decontamination_gate(
     return spark.read.parquet(out_dir)
 
 
+def stream_drop_audit(
+    spark: SparkSession, docs_path: str, n_chunks: int = 3
+) -> DataFrame:
+    """Streaming arrival-path twin of ``dedup.corpus_drop_audit``: each
+    documents shipment is pushed through the SAME first-failing-stage
+    ladder (benchmark holdout -> quality gate -> exact dedup ->
+    decontamination) on arrival, emitting one (doc_id, drop_reason,
+    stage) verdict per document — provenance assigned once, at ingest,
+    instead of by a corpus-wide batch re-audit.
+
+    Per-shipment state and cost:
+
+    * the quality-gate signals are per-document aggregates
+      (``text.quality_gate_frame`` runs unchanged over the micro-batch),
+      so that stage is stateless;
+    * exact dedup probes the accumulated content-hash INDEX of prior
+      gate survivors (the ``stream_ingest_dedup`` store shape) and
+      appends the batch's own survivor hashes AFTER probing — O(batch ×
+      index-probe) per shipment, never a corpus rescan;
+    * contamination reuses the static benchmark shingle set, built once
+      and broadcast into every micro-batch (the
+      ``stream_decontamination_gate`` stream-static asymmetry).
+
+    Oracle: ``oracle_corpus_drop_audit`` UNCHANGED — byte-exact
+    stream/batch parity, because shipments replay doc_id-ascending:
+    first-seen-in-stream == global min doc_id, so the incremental
+    index decision equals the batch canonical-per-group decision, and
+    every other stage is per-document.
+    """
+    import tempfile
+    import uuid
+
+    from ..operators.dedup import (
+        DECON_K,
+        DECON_MOD,
+        _norm_text,
+        _shingle_array,
+        drop_audit_ladder,
+    )
+    from ..operators.text import quality_gate_frame
+
+    replay = _chunked_docs_replay_dir(docs_path, n_chunks)
+    schema = spark.read.parquet(docs_path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(replay)
+    )
+    bench_sh = (
+        spark.read.parquet(docs_path)
+        .where(F.col("doc_id") % DECON_MOD == 0)
+        .select(F.explode(_shingle_array(DECON_K)).alias("shingle"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    tag = uuid.uuid4().hex[:12]
+    out_dir = os.path.join(tempfile.gettempdir(), f"audit_out_{tag}")
+    index_dir = os.path.join(tempfile.gettempdir(), f"audit_index_{tag}")
+
+    def audit(batch: DataFrame, _batch_id: int) -> None:
+        ss = batch.sparkSession
+        gate = quality_gate_frame(batch).select(
+            "doc_id", F.col("keep").alias("pass_gate")
+        )
+        base = batch.select("doc_id", "text").join(gate, "doc_id", "left").select(
+            "doc_id",
+            "text",
+            (F.col("doc_id") % DECON_MOD == 0).alias("is_benchmark"),
+            F.col("pass_gate").isNull().alias("too_short"),
+            F.coalesce(F.col("pass_gate"), F.lit(False)).alias("pass_gate"),
+        )
+        surv = base.where(~F.col("is_benchmark") & F.col("pass_gate")).select(
+            "doc_id", F.md5(_norm_text()).alias("h")
+        )
+        surv = surv.localCheckpoint(eager=True)  # probe + append read it twice
+        batch_canon = surv.groupBy("h").agg(F.min("doc_id").alias("cmin"))
+        dup = surv.join(batch_canon, "h").select(
+            "doc_id", "h", (F.col("doc_id") != F.col("cmin")).alias("in_batch_dup")
+        )
+        if os.path.isdir(index_dir):
+            idx = ss.read.parquet(index_dir).select("h").distinct()
+            dup = dup.join(
+                idx.withColumn("seen", F.lit(True)), "h", "left"
+            ).select(
+                "doc_id",
+                (F.col("in_batch_dup") | F.col("seen").isNotNull()).alias(
+                    "is_exact_dup"
+                ),
+            )
+        else:
+            dup = dup.select("doc_id", F.col("in_batch_dup").alias("is_exact_dup"))
+        contaminated = (
+            base.where(~F.col("is_benchmark"))
+            .select("doc_id", F.explode(_shingle_array(DECON_K)).alias("shingle"))
+            .join(F.broadcast(bench_sh), "shingle", "left_semi")
+            .select("doc_id")
+            .distinct()
+            .withColumn("is_contaminated", F.lit(True))
+        )
+        reason, stage = drop_audit_ladder()
+        (
+            base.join(dup, "doc_id", "left")
+            .join(contaminated, "doc_id", "left")
+            .select(
+                "doc_id",
+                reason.alias("drop_reason"),
+                stage.cast("bigint").alias("stage"),
+            )
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+        surv.select("h").write.mode("append").parquet(index_dir)
+
+    q = (
+        stream.writeStream.foreachBatch(audit)
+        .option("checkpointLocation", f"{out_dir}_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir)
+
+
 def stream_image_ingest_features(
     spark: SparkSession, docs_path: str, n_chunks: int = 3
 ) -> DataFrame:

@@ -697,3 +697,18 @@ def test_drop_audit_assigns_first_failing_stage(spark, tmp_path):
         5: ("contaminated", 4),
         20: ("benchmark", 0),
     }
+
+
+def test_stream_drop_audit_parity_with_batch(spark):
+    """The arrival-path audit equals the batch audit row-for-row:
+    shipments replay doc_id-ascending, so the incremental survivor-hash
+    index decision reproduces the batch canonical-per-group decision,
+    and every other stage is per-document."""
+    from redis_dataflow_realtime_analytics_spark.operators import dedup
+    from redis_dataflow_realtime_analytics_spark.streaming import pipeline as sp
+
+    batch = dedup.corpus_drop_audit(spark, SF_SMOKE)
+    stream = sp.stream_drop_audit(spark, f"{SF_SMOKE}/documents.parquet")
+    assert stream.count() == batch.count()
+    assert stream.exceptAll(batch).count() == 0
+    assert batch.exceptAll(stream).count() == 0
