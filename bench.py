@@ -182,6 +182,8 @@ HEADLINE = [
     "corpus_epoch_shuffle",
     "corpus_drop_audit",
     "stream_drop_audit",
+    # new in r6 (cont. 9): cross-source quantile score normalization
+    "quality_quantile_normalized",
 ]
 
 

@@ -1727,3 +1727,129 @@ ranked AS (
 SELECT epoch, doc_id, shuffle_pos,
        CAST(shuffle_pos // {batch_docs} AS BIGINT) AS batch_id
 FROM ranked"""
+
+
+def quality_quantile_normalized(
+    spark: SparkSession, sf_dir: str, q_resolution: int = 4096
+) -> DataFrame:
+    """Cross-source quantile normalization of the quality score: every
+    document's score is REPLACED by the global order statistic at its
+    within-source percentile — the standard quantile-mapping calibration
+    that makes scores from different sources directly comparable (a
+    "0.7 from source A" and a "0.7 from source B" can mean different
+    things; after mapping, equal normalized scores mean equal standing
+    in the global distribution). :func:`quality_calibrated_by_source`
+    outputs the percentile RANK; this outputs a calibrated SCORE on the
+    original scale, which downstream mixture weights can consume
+    unchanged.
+
+    Exact semantics: with within-source rank ``r`` of ``n_s`` (ordered
+    by (quality, doc_id)) and global corpus size ``N``, the target
+    global position is ``p = (r−1)·(N−1) div (n_s−1) + 1`` (pure integer
+    arithmetic — the multiplication rides DECIMAL(38,0)/HUGEINT so it
+    cannot overflow int64 at 100 TB row counts) and ``norm_quality`` is
+    the quality at global rank ``p``. Single-doc sources map to p = 1,
+    mirroring the calibrated op's 0-percentile convention.
+
+    Scale: BOTH ranks (within-source and global) use the two-level
+    exact-rank algebra (quantized-quality buckets → per-bucket counts →
+    tiny bucket window → broadcast offsets → bucket-local row_number) —
+    no per-source or global single-reducer sort; the order-statistic
+    lookup is one equi-join on the uniform integer position key.
+
+    Output: (doc_id, source, quality, norm_quality).
+    """
+    from .text import quality_projection
+
+    docs = spread(load(spark, sf_dir, "documents"))
+    q = quality_projection(docs).select("doc_id", "quality")
+    scored = docs.select("doc_id", "source").join(q, "doc_id")
+    base = scored.withColumn(
+        "qb", F.floor(F.col("quality") * q_resolution).cast("bigint")
+    )
+
+    # within-source exact rank (two-level, as quality_calibrated_by_source)
+    partials_s = base.groupBy("source", "qb").agg(F.count("*").alias("c"))
+    w_src = (
+        Window.partitionBy("source")
+        .orderBy("qb")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets_s = partials_s.select(
+        "source",
+        "qb",
+        F.coalesce(F.sum("c").over(w_src), F.lit(0)).alias("rank_offset"),
+    )
+    counts_s = partials_s.groupBy("source").agg(F.sum("c").alias("n_src"))
+    w_local_s = Window.partitionBy("source", "qb").orderBy("quality", "doc_id")
+    ranked = (
+        base.join(F.broadcast(offsets_s), ["source", "qb"])
+        .join(F.broadcast(counts_s), "source")
+        .select(
+            "doc_id",
+            "source",
+            "quality",
+            (F.col("rank_offset") + F.row_number().over(w_local_s))
+            .cast("bigint")
+            .alias("rn"),
+            "n_src",
+        )
+    )
+
+    # global exact rank (same algebra, one bucket axis) -> order statistics
+    partials_g = base.groupBy("qb").agg(F.count("*").alias("c"))
+    w_glob = Window.orderBy("qb").rowsBetween(Window.unboundedPreceding, -1)
+    offsets_g = partials_g.select(
+        "qb", F.coalesce(F.sum("c").over(w_glob), F.lit(0)).alias("g_offset")
+    )
+    w_local_g = Window.partitionBy("qb").orderBy("quality", "doc_id")
+    glob = base.join(F.broadcast(offsets_g), "qb").select(
+        (F.col("g_offset") + F.row_number().over(w_local_g))
+        .cast("bigint")
+        .alias("g"),
+        F.col("quality").alias("norm_quality"),
+    )
+    n_total = base.agg(F.count("*").cast("bigint").alias("N"))
+
+    pos = (
+        ranked.join(F.broadcast(n_total))
+        .withColumn(
+            "p",
+            F.when(
+                F.col("n_src") > 1,
+                F.expr(
+                    "CAST((CAST(rn - 1 AS DECIMAL(38,0)) * (N - 1))"
+                    " DIV (n_src - 1) AS BIGINT) + 1"
+                ),
+            ).otherwise(F.lit(1).cast("bigint")),
+        )
+        .select("doc_id", "source", "quality", "p")
+    )
+    return pos.join(glob, pos.p == glob.g).select(
+        "doc_id", "source", "quality", "norm_quality"
+    )
+
+
+def oracle_quality_quantile_normalized(quality_sql: str) -> str:
+    """DuckDB twin of :func:`quality_quantile_normalized` — flat windows
+    for both ranks, HUGEINT-native position arithmetic CAST back."""
+    return f"""WITH q AS ({quality_sql}),
+scored AS (
+  SELECT d.doc_id, d.source, q.quality,
+         row_number() OVER (PARTITION BY d.source
+                            ORDER BY q.quality, d.doc_id) AS rn,
+         count(*) OVER (PARTITION BY d.source) AS n_src,
+         count(*) OVER () AS N
+  FROM q JOIN documents d ON d.doc_id = q.doc_id),
+gstat AS (
+  SELECT quality AS norm_quality,
+         row_number() OVER (ORDER BY quality, doc_id) AS g
+  FROM q),
+pos AS (
+  SELECT doc_id, source, quality,
+         CASE WHEN n_src > 1
+              THEN CAST((rn - 1) * (N - 1) // (n_src - 1) AS BIGINT) + 1
+              ELSE 1 END AS p
+  FROM scored)
+SELECT pos.doc_id, pos.source, pos.quality, gstat.norm_quality
+FROM pos JOIN gstat ON gstat.g = pos.p"""

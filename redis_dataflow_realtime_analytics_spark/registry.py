@@ -2474,6 +2474,17 @@ q(
     sampling.quality_calibrated_by_source,
     sampling.oracle_quality_calibrated(text.oracle_quality_score()),
 )
+# Cross-source quantile NORMALIZATION: replaces each score with the
+# global order statistic at its within-source percentile (quantile
+# mapping) — a calibrated SCORE on the original scale, where
+# quality_calibrated_by_source outputs the percentile rank. Both ranks
+# ride the two-level exact-rank algebra; the position arithmetic runs
+# in DECIMAL(38,0)/HUGEINT so (r-1)*(N-1) cannot overflow int64.
+q(
+    "quality_quantile_normalized",
+    sampling.quality_quantile_normalized,
+    sampling.oracle_quality_quantile_normalized(text.oracle_quality_score()),
+)
 # Binary sign-sketch ANN: 1-bit-per-dimension compression (8 bytes/vector),
 # integer Hamming ranking — deterministic (bit i = embedding[i] > 0), so
 # SQL-oracled unlike the seeded random-hyperplane ann_lsh_topk; recall vs
@@ -3129,6 +3140,7 @@ _PRIORITY = [
     "corpus_epoch_shuffle",
     "corpus_drop_audit",
     "stream_drop_audit",
+    "quality_quantile_normalized",
     # (multimodal_image_ahash gave up its freshness re-check slot to the
     # new corpus_epoch_shuffle key: dedup_image_ahash_pairs carries
     # multimodal.py's aHash-path coverage this round;
@@ -3142,6 +3154,9 @@ _PRIORITY = [
     # comments preserved in COVERAGE.md's rotation log) ---
     "q2_best_supplier_per_part",
     "q3_shipping_priority",
+    # (q4_order_priority gave up its slot to stream_drop_audit and
+    # q15_top_supplier to quality_quantile_normalized; both multi-round
+    # green with unchanged sources, both rotate to the r7 pool)
     # (q6_forecast_revenue gave up its re-check slot to the new
     # corpus_drift_psi key; rotates to the r7 pool)
     # (q8_market_share gave up its re-check slot to the new
@@ -3154,7 +3169,6 @@ _PRIORITY = [
     # q13_customer_distribution gave up its re-check slot to the new
     # corpus_constraint_report key and q14_promo_revenue to
     # stream_entity_probe; both rotate to the r7 pool)
-    "q15_top_supplier",
     "q17_small_quantity_revenue",
     "q20_heavy_part_suppliers",
     "q22_dormant_customers",

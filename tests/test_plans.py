@@ -674,3 +674,18 @@ def test_epoch_shuffle_no_global_sort_over_docs(spark):
     assert p.count("Window") >= 2, p
     assert "BroadcastExchange" in p or "BroadcastHashJoin" in p, p
     assert "Exchange SinglePartition" not in p, p
+
+
+def test_quantile_normalized_no_per_source_or_global_doc_sort(spark):
+    """Both exact ranks use the two-level contract: every doc-frame
+    window is bucket-partitioned; the only single-partition exchange
+    feeds the tiny aggregated global-bucket frame."""
+    from redis_dataflow_realtime_analytics_spark.operators import sampling
+
+    df = sampling.quality_quantile_normalized(spark, SF_SMOKE)
+    p = plans.plan_string(df)
+    import re
+
+    single = re.findall(r"Exchange SinglePartition[^\n]*", p)
+    assert len(single) <= 1, p
+    assert "BroadcastExchange" in p or "BroadcastHashJoin" in p, p

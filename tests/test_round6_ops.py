@@ -712,3 +712,31 @@ def test_stream_drop_audit_parity_with_batch(spark):
     assert stream.count() == batch.count()
     assert stream.exceptAll(batch).count() == 0
     assert batch.exceptAll(stream).count() == 0
+
+
+def test_quantile_normalized_is_monotone_and_distribution_preserving(spark):
+    """Within every source the normalized score is monotone in the raw
+    score (quantile mapping preserves within-source order), and every
+    normalized value is an actual global order statistic (a quality
+    value that exists in the corpus)."""
+    from redis_dataflow_realtime_analytics_spark.operators import sampling
+
+    df = sampling.quality_quantile_normalized(spark, SF_SMOKE).cache()
+    try:
+        rows = df.collect()
+        by_src: dict = {}
+        for r in rows:
+            by_src.setdefault(r.source, []).append((r.quality, r.doc_id, r.norm_quality))
+        for src, vals in by_src.items():
+            vals.sort()
+            norms = [v[2] for v in vals]
+            assert norms == sorted(norms), f"non-monotone mapping in {src}"
+        corpus_scores = {r.quality for r in rows}
+        assert all(r.norm_quality in corpus_scores for r in rows)
+        # extremes: each source's best doc maps to (near) the global max
+        gmax = max(r.quality for r in rows)
+        for src, vals in by_src.items():
+            if len(vals) > 1:
+                assert vals[-1][2] == gmax, (src, vals[-1])
+    finally:
+        df.unpersist()
