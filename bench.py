@@ -182,8 +182,10 @@ HEADLINE = [
     "corpus_epoch_shuffle",
     "corpus_drop_audit",
     "stream_drop_audit",
-    # new in r6 (cont. 9): cross-source quantile score normalization
+    # new in r6 (cont. 9): cross-source quantile score normalization +
+    # sweep-line interval concurrency
     "quality_quantile_normalized",
+    "active_sessions_per_minute",
 ]
 
 

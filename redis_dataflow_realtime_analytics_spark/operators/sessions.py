@@ -439,3 +439,84 @@ SELECT CAST(dayofweek(ts) + 1 AS INTEGER) AS day_of_week,
        count(*) AS n_events,
        count(DISTINCT user_id) AS n_users
 FROM ev GROUP BY 1, 2"""
+
+
+# --- Interval concurrency: active sessions per minute ------------------------
+def active_sessions_per_minute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concurrency over the session intervals: for every minute of the
+    observed axis, how many user sessions are active — the "concurrent
+    users" line on every operations dashboard, and the canonical
+    points-in-intervals aggregation.
+
+    Scale — SWEEP-LINE, not a range join: the naive plan (axis
+    BETWEEN-joined to intervals) compares every minute against every
+    overlapping session — O(axis × sessions) pairs for a
+    non-equi join Spark can only nested-loop. Instead each interval
+    contributes two boundary deltas (+1 at its first covered minute,
+    −1 one past its last), deltas collapse to one net value per minute
+    (a map-side-combined groupBy — the ONLY corpus-sized shuffle), and
+    a running sum over the minute axis rebuilds the concurrency curve.
+    The axis is bounded (525 600 minutes/year), so the one
+    unpartitioned running window is axis-sized by construction — the
+    same deliberate exception as ``visit_anomalies``, never
+    corpus-sized.
+
+    A session covers minute ``m`` iff it overlaps ``[m, m+1min)`` under
+    the half-open ``[session_start, session_end)`` convention — the
+    oracle asserts exactly that predicate with the naive LEFT JOIN, so
+    the driver hash-gates sweep-line == quadratic semantics.
+
+    Output: (minute, active_sessions), int64 count, zero-filled on idle
+    minutes.
+    """
+    s = user_sessions(spark, sf_dir).select(
+        F.date_trunc("minute", F.col("session_start")).alias("m_first"),
+        F.date_trunc(
+            "minute", F.col("session_end") - F.expr("INTERVAL 1 MICROSECOND")
+        ).alias("m_last"),
+    )
+    deltas = s.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("m_first").alias("minute"), F.lit(1).alias("d")),
+                F.struct(
+                    (F.col("m_last") + F.expr("INTERVAL 1 MINUTE")).alias("minute"),
+                    F.lit(-1).alias("d"),
+                ),
+            )
+        ).alias("x")
+    ).select("x.minute", "x.d")
+    net = deltas.groupBy("minute").agg(F.sum("d").alias("nd"))
+    bounds = s.agg(
+        F.min("m_first").alias("lo"), F.max("m_last").alias("hi")
+    )
+    axis = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 MINUTE"))).alias(
+            "minute"
+        )
+    )
+    w = Window.orderBy("minute").rowsBetween(Window.unboundedPreceding, 0)
+    return axis.join(net, "minute", "left").select(
+        "minute",
+        F.coalesce(F.sum("nd").over(w), F.lit(0)).cast("bigint").alias(
+            "active_sessions"
+        ),
+    )
+
+
+def oracle_active_sessions_per_minute(ev_cte: str) -> str:
+    """DuckDB twin of :func:`active_sessions_per_minute` — the NAIVE
+    quadratic range join the sweep-line must reproduce exactly."""
+    sessions_sql = oracle_user_sessions(ev_cte)
+    return f"""WITH s AS ({sessions_sql}),
+b AS (
+  SELECT min(date_trunc('minute', session_start)) AS lo,
+         max(date_trunc('minute', session_end - INTERVAL 1 MICROSECOND)) AS hi
+  FROM s),
+axis AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 MINUTE)) AS minute FROM b)
+SELECT axis.minute, CAST(count(s.user_id) AS BIGINT) AS active_sessions
+FROM axis LEFT JOIN s
+  ON s.session_start < axis.minute + INTERVAL 1 MINUTE
+ AND s.session_end > axis.minute
+GROUP BY 1"""

@@ -535,6 +535,15 @@ GROUP BY 1 HAVING count(*) > 100""",
 # ---------------------------------------------------------------------------
 q("sliding_visits", sessions.sliding_visits, sessions.oracle_sliding_visits(EV_CTE))
 q("user_sessions", sessions.user_sessions, sessions.oracle_user_sessions(EV_CTE))
+# Interval concurrency (active sessions per minute) via SWEEP-LINE:
+# boundary deltas + one axis-bounded running sum instead of the naive
+# O(axis x sessions) BETWEEN join — which is exactly what the oracle
+# runs, so the driver hash-gates sweep-line == quadratic semantics.
+q(
+    "active_sessions_per_minute",
+    sessions.active_sessions_per_minute,
+    sessions.oracle_active_sessions_per_minute(EV_CTE),
+)
 q(
     "user_event_features",
     sessions.user_event_features,
@@ -3141,6 +3150,7 @@ _PRIORITY = [
     "corpus_drop_audit",
     "stream_drop_audit",
     "quality_quantile_normalized",
+    "active_sessions_per_minute",
     # (multimodal_image_ahash gave up its freshness re-check slot to the
     # new corpus_epoch_shuffle key: dedup_image_ahash_pairs carries
     # multimodal.py's aHash-path coverage this round;
@@ -3154,9 +3164,11 @@ _PRIORITY = [
     # comments preserved in COVERAGE.md's rotation log) ---
     "q2_best_supplier_per_part",
     "q3_shipping_priority",
-    # (q4_order_priority gave up its slot to stream_drop_audit and
-    # q15_top_supplier to quality_quantile_normalized; both multi-round
-    # green with unchanged sources, both rotate to the r7 pool)
+    # (q4_order_priority gave up its slot to stream_drop_audit,
+    # q15_top_supplier to quality_quantile_normalized, and
+    # q17_small_quantity_revenue to active_sessions_per_minute; all
+    # multi-round green with unchanged sources, all rotate to the r7
+    # pool)
     # (q6_forecast_revenue gave up its re-check slot to the new
     # corpus_drift_psi key; rotates to the r7 pool)
     # (q8_market_share gave up its re-check slot to the new
@@ -3169,7 +3181,6 @@ _PRIORITY = [
     # q13_customer_distribution gave up its re-check slot to the new
     # corpus_constraint_report key and q14_promo_revenue to
     # stream_entity_probe; both rotate to the r7 pool)
-    "q17_small_quantity_revenue",
     "q20_heavy_part_suppliers",
     "q22_dormant_customers",
     # (cube_quantity_by_flag_status gave up its re-check slot to the new

@@ -689,3 +689,15 @@ def test_quantile_normalized_no_per_source_or_global_doc_sort(spark):
     single = re.findall(r"Exchange SinglePartition[^\n]*", p)
     assert len(single) <= 1, p
     assert "BroadcastExchange" in p or "BroadcastHashJoin" in p, p
+
+
+def test_active_sessions_no_nested_loop_range_join(spark):
+    """The concurrency curve must compile to the sweep-line (equi-join +
+    axis window), never the naive non-equi interval join (nested loop /
+    cartesian over axis x sessions)."""
+    from redis_dataflow_realtime_analytics_spark.operators import sessions
+
+    df = sessions.active_sessions_per_minute(spark, SF_SMOKE)
+    p = plans.plan_string(df)
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p

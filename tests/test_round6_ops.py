@@ -740,3 +740,45 @@ def test_quantile_normalized_is_monotone_and_distribution_preserving(spark):
                 assert vals[-1][2] == gmax, (src, vals[-1])
     finally:
         df.unpersist()
+
+
+def test_active_sessions_sweepline_invariants(spark):
+    """Total minute-coverage equals the sum of each session's covered
+    minutes (the sweep-line conserves area), concurrency is never
+    negative, and the curve starts and ends at a session boundary."""
+    from redis_dataflow_realtime_analytics_spark.operators import sessions
+
+    curve = sessions.active_sessions_per_minute(spark, SF_SMOKE).cache()
+    try:
+        assert curve.where("active_sessions < 0").count() == 0
+        total = curve.agg(F.sum("active_sessions")).collect()[0][0]
+        per_session = (
+            sessions.user_sessions(spark, SF_SMOKE)
+            .select(
+                (
+                    (
+                        F.unix_timestamp(
+                            F.date_trunc(
+                                "minute",
+                                F.col("session_end")
+                                - F.expr("INTERVAL 1 MICROSECOND"),
+                            )
+                        )
+                        - F.unix_timestamp(
+                            F.date_trunc("minute", F.col("session_start"))
+                        )
+                    )
+                    / 60
+                    + 1
+                ).alias("mins")
+            )
+            .agg(F.sum("mins"))
+            .collect()[0][0]
+        )
+        assert total == int(per_session), (total, per_session)
+        first, last = curve.orderBy("minute").first(), curve.orderBy(
+            F.desc("minute")
+        ).first()
+        assert first.active_sessions > 0 and last.active_sessions > 0
+    finally:
+        curve.unpersist()
