@@ -186,6 +186,8 @@ HEADLINE = [
     # sweep-line interval concurrency
     "quality_quantile_normalized",
     "active_sessions_per_minute",
+    # new in r6 (cont. 10): RAKE keyphrase extraction
+    "text_rake_keyphrases",
 ]
 
 

@@ -2113,3 +2113,138 @@ SELECT d.doc_id, count(*) AS n_words,
        count(*) = count(CASE WHEN dec.decoded = d.w THEN 1 END) AS roundtrip_ok
 FROM dec JOIN dw d ON d.doc_id = dec.doc_id AND d.wpos = dec.wpos
 GROUP BY 1"""
+
+
+# --- RAKE keyphrase extraction ------------------------------------------------
+
+RAKE_MIN_LEN = 2
+RAKE_MAX_LEN = 4
+RAKE_MIN_DOCS = 2
+
+
+def rake_keyphrases(
+    spark: SparkSession,
+    sf_dir: str,
+    min_len: int = RAKE_MIN_LEN,
+    max_len: int = RAKE_MAX_LEN,
+    min_docs: int = RAKE_MIN_DOCS,
+) -> DataFrame:
+    """RAKE keyphrase extraction over the corpus (Rose et al. 2010):
+    candidate phrases are maximal runs of non-stopword tokens; each
+    word's score is degree/frequency over the phrase co-occurrence
+    graph; a phrase scores the sum of its words — the unsupervised
+    corpus-exploration tool a curator runs to see WHAT a source is
+    actually about before mixing it in.
+
+    Determinism (the tfidf lesson): phrase MEMBERSHIP is decided by
+    integer filters only (run length in [min_len, max_len], appears in
+    ≥ min_docs docs) — the float score is a reported value, never a
+    membership or ranking key; per-word degree/frequency are exact
+    global int64 counts, each word score is one correctly-rounded
+    double division, and the phrase score folds through DECIMAL(38,12)
+    (the ``oracle_dsum12`` convention), so summation order cannot move
+    a bit.
+
+    Plan (100 TB): one corpus scan explodes tokens; the run-id window
+    is doc-partitioned (bounded partitions); word stats are one
+    token-keyed count shuffle (stopwords — the hottest keys — are
+    already gone, which trims the skew tail); phrase stats shuffle on
+    the phrase string; the word-score join back to phrase words carries
+    one row per distinct (phrase, word) — all uniform keys.
+
+    Output: (phrase, n_occurrences, n_docs, rake_score).
+    """
+    docs = spread(load(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim(F.lower(F.col("text"))), TOKEN_RE)).alias(
+            "pos", "token"
+        ),
+    )
+    is_stop = F.col("token").isin(QUALITY_STOPWORDS) | (F.col("token") == "")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    marked = toks.select(
+        "doc_id",
+        "pos",
+        "token",
+        F.sum(is_stop.cast("int")).over(w).alias("run_id"),
+        is_stop.alias("is_stop"),
+    )
+    words = marked.where(~F.col("is_stop")).select("doc_id", "run_id", "pos", "token")
+    runs = (
+        words.groupBy("doc_id", "run_id")
+        .agg(
+            F.concat_ws(
+                " ", F.array_sort(F.collect_list(F.struct("pos", "token"))).token
+            ).alias("phrase"),
+            F.count("*").alias("len"),
+        )
+        .where(F.col("len").between(min_len, max_len))
+    )
+    occ_words = words.join(runs.select("doc_id", "run_id", "len"), ["doc_id", "run_id"])
+    wstats = occ_words.groupBy("token").agg(
+        F.count("*").alias("freq"), F.sum("len").alias("deg")
+    )
+    phrases = (
+        runs.groupBy("phrase")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .where(F.col("n_docs") >= min_docs)
+    )
+    pw = phrases.select("phrase", F.explode(F.split("phrase", " ")).alias("token"))
+    word_score = F.col("deg").cast("double") / F.col("freq")
+    scored = (
+        pw.join(wstats, "token")
+        .groupBy("phrase")
+        .agg(F.sum(word_score.cast("decimal(38,12)")).cast("double").alias("rake_score"))
+    )
+    return phrases.join(scored, "phrase").select(
+        "phrase", "n_occurrences", "n_docs", "rake_score"
+    )
+
+
+def oracle_rake_keyphrases(
+    min_len: int = RAKE_MIN_LEN,
+    max_len: int = RAKE_MAX_LEN,
+    min_docs: int = RAKE_MIN_DOCS,
+) -> str:
+    """DuckDB twin of :func:`rake_keyphrases` — same run segmentation,
+    same integer membership filters, same decimal-folded score."""
+    stops = ", ".join(f"'{s}'" for s in QUALITY_STOPWORDS)
+    toks = f"string_split_regex(trim(lower(text)), '{TOKEN_SQL}')"
+    return f"""WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
+p AS (SELECT doc_id, toks,
+             unnest(generate_series(1, len(toks))) AS pos
+      FROM t),
+tok AS (SELECT doc_id, pos, toks[pos] AS token FROM p),
+m AS (
+  SELECT doc_id, pos, token,
+         sum(CASE WHEN token IN ({stops}) OR token = '' THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos) AS run_id,
+         (token IN ({stops}) OR token = '') AS is_stop
+  FROM tok),
+words AS (SELECT doc_id, run_id, pos, token FROM m WHERE NOT is_stop),
+runs AS (
+  SELECT doc_id, run_id,
+         string_agg(token, ' ' ORDER BY pos) AS phrase,
+         count(*) AS len
+  FROM words GROUP BY 1, 2
+  HAVING count(*) BETWEEN {min_len} AND {max_len}),
+occw AS (
+  SELECT w.token, r.len
+  FROM words w JOIN runs r USING (doc_id, run_id)),
+ws AS (SELECT token, count(*) AS freq, CAST(sum(len) AS BIGINT) AS deg
+       FROM occw GROUP BY 1),
+ph AS (
+  SELECT phrase, CAST(count(*) AS BIGINT) AS n_occurrences,
+         CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+  FROM runs GROUP BY 1
+  HAVING count(DISTINCT doc_id) >= {min_docs}),
+pw AS (SELECT phrase, unnest(string_split(phrase, ' ')) AS token FROM ph),
+sc AS (
+  SELECT phrase, {oracle_dsum12("CAST(deg AS DOUBLE) / freq")} AS rake_score
+  FROM pw JOIN ws USING (token) GROUP BY 1)
+SELECT ph.phrase, ph.n_occurrences, ph.n_docs, sc.rake_score
+FROM ph JOIN sc USING (phrase)"""

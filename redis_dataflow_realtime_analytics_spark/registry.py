@@ -609,6 +609,11 @@ q("text_sentence_stats", text.sentence_stats, text.oracle_sentence_stats())
 # Collocation mining (word2phrase precursor): top-k bigrams by INTEGER
 # count (ulp-proof membership) with PMI carried as a value column.
 q("text_collocations_pmi", text.collocations_pmi, text.oracle_collocations_pmi())
+# RAKE keyphrases: stopword-delimited candidate runs scored by word
+# degree/frequency — phrase MEMBERSHIP is integer-decided (run length,
+# doc support) and the float score folds through DECIMAL(38,12), so the
+# report hash-gates despite being score-bearing (the tfidf lesson).
+q("text_rake_keyphrases", text.rake_keyphrases, text.oracle_rake_keyphrases())
 # The assembled filter stack: one verdict row per doc with a boolean per
 # gate (quality / entropy / repetition) — the curator's audit table.
 q("corpus_quality_gate", text.corpus_quality_gate, text.oracle_corpus_quality_gate())
@@ -3151,6 +3156,7 @@ _PRIORITY = [
     "stream_drop_audit",
     "quality_quantile_normalized",
     "active_sessions_per_minute",
+    "text_rake_keyphrases",
     # (multimodal_image_ahash gave up its freshness re-check slot to the
     # new corpus_epoch_shuffle key: dedup_image_ahash_pairs carries
     # multimodal.py's aHash-path coverage this round;
@@ -3165,10 +3171,10 @@ _PRIORITY = [
     "q2_best_supplier_per_part",
     "q3_shipping_priority",
     # (q4_order_priority gave up its slot to stream_drop_audit,
-    # q15_top_supplier to quality_quantile_normalized, and
-    # q17_small_quantity_revenue to active_sessions_per_minute; all
-    # multi-round green with unchanged sources, all rotate to the r7
-    # pool)
+    # q15_top_supplier to quality_quantile_normalized,
+    # q17_small_quantity_revenue to active_sessions_per_minute, and
+    # q20_heavy_part_suppliers to text_rake_keyphrases; all multi-round
+    # green with unchanged sources, all rotate to the r7 pool)
     # (q6_forecast_revenue gave up its re-check slot to the new
     # corpus_drift_psi key; rotates to the r7 pool)
     # (q8_market_share gave up its re-check slot to the new
@@ -3181,7 +3187,6 @@ _PRIORITY = [
     # q13_customer_distribution gave up its re-check slot to the new
     # corpus_constraint_report key and q14_promo_revenue to
     # stream_entity_probe; both rotate to the r7 pool)
-    "q20_heavy_part_suppliers",
     "q22_dormant_customers",
     # (cube_quantity_by_flag_status gave up its re-check slot to the new
     # variant_minute_interpolated key, monthly_order_revenue to

@@ -782,3 +782,35 @@ def test_active_sessions_sweepline_invariants(spark):
         assert first.active_sessions > 0 and last.active_sessions > 0
     finally:
         curve.unpersist()
+
+
+def test_rake_keyphrases_structure(spark, tmp_path):
+    """Planted corpus with a known repeated keyphrase: phrases contain
+    no stopwords, respect the length bounds, and the planted phrase
+    surfaces with the expected doc support and the hand-computed RAKE
+    score (isolated phrase => each word scores len, phrase scores
+    len^2)."""
+    from redis_dataflow_realtime_analytics_spark.operators import text as t
+
+    filler = [" ".join(f"u{i}w{j}" for j in range(6)) for i in range(3)]
+    rows = [
+        (1, "machine learning models and " + filler[0]),
+        (2, "machine learning models in " + filler[1]),
+        (3, filler[2]),
+    ]
+    d = tmp_path / "rake_sf"
+    spark.createDataFrame(rows, ["doc_id", "text"]).write.parquet(
+        str(d / "documents.parquet")
+    )
+    out = {r.phrase: r for r in t.rake_keyphrases(spark, str(d)).collect()}
+    stops = set(t.QUALITY_STOPWORDS)
+    for phrase, r in out.items():
+        ws = phrase.split(" ")
+        assert t.RAKE_MIN_LEN <= len(ws) <= t.RAKE_MAX_LEN
+        assert not (set(ws) & stops), phrase
+        assert r.n_docs >= t.RAKE_MIN_DOCS
+    # 'machine learning models' occurs isolated in 2 docs: every word has
+    # freq=2, deg=2*3 => word score 3.0, phrase score 9.0
+    key = out["machine learning models"]
+    assert key.n_occurrences == 2 and key.n_docs == 2
+    assert key.rake_score == 9.0
