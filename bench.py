@@ -186,8 +186,9 @@ HEADLINE = [
     # sweep-line interval concurrency
     "quality_quantile_normalized",
     "active_sessions_per_minute",
-    # new in r6 (cont. 10): RAKE keyphrase extraction
+    # new in r6 (cont. 10): RAKE keyphrases + sentence-aware chunking
     "text_rake_keyphrases",
+    "chunk_documents_sentences",
 ]
 
 

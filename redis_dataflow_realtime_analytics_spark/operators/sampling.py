@@ -1853,3 +1853,88 @@ pos AS (
   FROM scored)
 SELECT pos.doc_id, pos.source, pos.quality, gstat.norm_quality
 FROM pos JOIN gstat ON gstat.g = pos.p"""
+
+
+def chunk_documents_sentences(
+    spark: SparkSession, sf_dir: str, width: int = 400
+) -> DataFrame:
+    """Sentence-boundary-respecting chunking (the RAG chunker upgrade):
+    documents split into sentences (maximal ``[.!?]``-delimited segments
+    with content), consecutive sentences packed into chunks of ~``width``
+    characters — a chunk boundary NEVER cuts a sentence, the failure
+    mode of both fixed-width chunkers (:func:`chunk_documents`,
+    :func:`chunk_documents_overlap`) that retrieval quality pays for.
+
+    Chunk assignment is bin-by-cumsum (the :func:`pack_documents`
+    pattern): ``chunk_id = chars_before div width`` over the in-doc
+    sentence order, so a sentence longer than ``width`` still lands in
+    exactly one chunk (next-fit semantics — budget is a target, the
+    boundary rule is absolute).
+
+    Plan: one (doc_id-keyed) shuffle serves the in-doc cumsum window and
+    the chunk reassembly groupBy; partitions are doc-bounded. No float
+    anywhere — pure integer/string logic hash-gates trivially.
+
+    Output: (doc_id, chunk_id, n_sentences, n_chars, chunk_text).
+    """
+    docs = load(spark, sf_dir, "documents")
+    sent = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.expr("filter(split(text, '[.!?]+'), s -> trim(s) != '')")
+        ).alias("sidx", "seg"),
+    ).select("doc_id", "sidx", F.trim(F.col("seg")).alias("sentence"))
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("sidx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    chars_before = F.coalesce(
+        F.sum(F.length("sentence").cast("bigint")).over(w), F.lit(0)
+    )
+    assigned = sent.select(
+        "doc_id", "sidx", "sentence", chars_before.alias("chars_before")
+    ).select(
+        "doc_id",
+        "sidx",
+        "sentence",
+        F.expr(f"chars_before div {width}").alias("chunk_id"),
+    )
+    return (
+        assigned.groupBy("doc_id", "chunk_id")
+        .agg(
+            F.count("*").alias("n_sentences"),
+            F.sum(F.length("sentence")).cast("bigint").alias("n_chars"),
+            F.concat_ws(
+                " ",
+                F.array_sort(F.collect_list(F.struct("sidx", "sentence"))).sentence,
+            ).alias("chunk_text"),
+        )
+        .select("doc_id", "chunk_id", "n_sentences", "n_chars", "chunk_text")
+    )
+
+
+def oracle_chunk_documents_sentences(width: int = 400) -> str:
+    """DuckDB twin of :func:`chunk_documents_sentences` — same
+    segmentation, same strictly-prior cumsum binning, same ordered
+    reassembly."""
+    return f"""WITH segs AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '[.!?]+'),
+                     s -> trim(s) <> '') AS ss
+  FROM documents),
+sent AS (
+  SELECT doc_id, i AS sidx, trim(ss[i]) AS sentence
+  FROM segs, unnest(generate_series(1, len(ss))) AS t(i)),
+assigned AS (
+  SELECT doc_id, sidx, sentence,
+         CAST(COALESCE(SUM(length(sentence)) OVER (
+           PARTITION BY doc_id ORDER BY sidx
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS BIGINT) // {width} AS chunk_id
+  FROM sent)
+SELECT doc_id, chunk_id,
+       CAST(count(*) AS BIGINT) AS n_sentences,
+       CAST(sum(length(sentence)) AS BIGINT) AS n_chars,
+       string_agg(sentence, ' ' ORDER BY sidx) AS chunk_text
+FROM assigned GROUP BY 1, 2"""

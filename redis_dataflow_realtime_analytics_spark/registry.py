@@ -2103,6 +2103,17 @@ q(
     sampling.shard_manifest,
     sampling.oracle_shard_manifest(),
 )
+# Sentence-boundary-respecting RAG chunker: bin-by-cumsum over in-doc
+# sentence order — a chunk boundary never cuts a sentence. NOTE: the
+# synthetic fixture has no sentence punctuation (1 segment/doc), so the
+# fixture rows are 1 chunk/doc; the multi-sentence behavior is pinned
+# by the planted-corpus pytest. Queued for the r7 window (overflow
+# policy) — builder-verified green at sf0.01 AND sf0.1.
+q(
+    "chunk_documents_sentences",
+    sampling.chunk_documents_sentences,
+    sampling.oracle_chunk_documents_sentences(),
+)
 # Deterministic per-epoch global shuffle order (training permutation):
 # md5(doc_id ':' epoch) order key ranked by the same two-level exact
 # rank as the shard layout — no single-partition sort ever touches the

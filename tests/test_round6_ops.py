@@ -814,3 +814,35 @@ def test_rake_keyphrases_structure(spark, tmp_path):
     key = out["machine learning models"]
     assert key.n_occurrences == 2 and key.n_docs == 2
     assert key.rake_score == 9.0
+
+
+def test_sentence_chunker_never_cuts_a_sentence(spark, tmp_path):
+    """Planted multi-sentence doc: chunk boundaries land only between
+    sentences, in-order reassembly of the chunks reproduces the full
+    sentence sequence, and an oversized sentence still lands in exactly
+    one chunk (next-fit semantics)."""
+    from redis_dataflow_realtime_analytics_spark.operators import sampling
+
+    sents = [f"sentence number {i} with some words here" for i in range(20)]
+    long_sent = "x" * 900  # longer than any width budget
+    rows = [(1, ". ".join(sents) + "."), (2, long_sent + ". short tail.")]
+    d = tmp_path / "chunk_sf"
+    spark.createDataFrame(rows, ["doc_id", "text"]).write.parquet(
+        str(d / "documents.parquet")
+    )
+    out = sampling.chunk_documents_sentences(spark, str(d), width=120).collect()
+    by_doc: dict = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    d1 = sorted(by_doc[1], key=lambda r: r.chunk_id)
+    assert len(d1) > 1  # the budget actually splits the doc
+    joined = " ".join(r.chunk_text for r in d1)
+    assert joined == " ".join(s.strip() for s in sents)
+    # every chunk holds whole sentences only
+    for r in d1:
+        for piece in r.chunk_text.split(" with some words here"):
+            assert piece == "" or piece.strip().startswith("sentence number"), r
+    d2 = sorted(by_doc[2], key=lambda r: r.chunk_id)
+    big = [r for r in d2 if str(r.chunk_text).startswith("xxx")]
+    assert len(big) == 1 and big[0].n_sentences == 1
+    assert big[0].n_chars == 900
