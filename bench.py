@@ -186,9 +186,12 @@ HEADLINE = [
     # sweep-line interval concurrency
     "quality_quantile_normalized",
     "active_sessions_per_minute",
-    # new in r6 (cont. 10): RAKE keyphrases + sentence-aware chunking
+    # new in r6 (cont. 10): RAKE keyphrases + sentence-aware chunking +
+    # continuous-aggregate time hierarchy
     "text_rake_keyphrases",
     "chunk_documents_sentences",
+    "events_hierarchical_rollup",
+    "stream_hierarchical_rollup",
 ]
 
 

@@ -307,3 +307,66 @@ def heavy_hitter_users_cms(
         .where(F.col("est_count") >= F.col("_total") * phi)
         .select("user_id", "est_count")
     )
+
+
+# --- Hierarchical time rollup (continuous-aggregate algebra) -----------------
+def hierarchical_time_rollup(events: DataFrame) -> DataFrame:
+    """TimescaleDB-style continuous-aggregate hierarchy: minute partials
+    roll up to hours, hour partials roll up to days — each level is
+    computed FROM THE LEVEL BELOW, never from raw events, which is the
+    property that makes a 100 TB metrics store serve a 90-day dashboard
+    from O(days) pre-aggregated rows instead of re-scanning history.
+
+    Only MERGEABLE measures live in the hierarchy (counts and sums
+    compose by addition; distinct counts do NOT — that is exactly why
+    the sketch store exists, see ``streaming/pipeline.SketchStoreWriter``).
+    The double sum stays DECIMAL(38,12) through every level (decimal
+    addition is associative, so partial-of-partial == direct-from-raw
+    bit-exactly — which is what the oracle computes per grain), cast to
+    double once at the output edge.
+
+    Output: (grain ∈ {minute, hour, day}, bucket timestamp, visits,
+    value_sum) — one frame, all three levels from ONE raw scan.
+    """
+    m = events.groupBy(
+        F.date_trunc("minute", F.col("ts")).alias("bucket")
+    ).agg(
+        F.count("*").alias("visits"),
+        F.sum(F.col("value").cast("decimal(38,12)")).alias("vsum"),
+    )
+    h = m.groupBy(F.date_trunc("hour", F.col("bucket")).alias("bucket")).agg(
+        F.sum("visits").alias("visits"), F.sum("vsum").alias("vsum")
+    )
+    d = h.groupBy(F.date_trunc("day", F.col("bucket")).alias("bucket")).agg(
+        F.sum("visits").alias("visits"), F.sum("vsum").alias("vsum")
+    )
+
+    def shape(df: DataFrame, grain: str) -> DataFrame:
+        return df.select(
+            F.lit(grain).alias("grain"),
+            "bucket",
+            F.col("visits").cast("bigint").alias("visits"),
+            F.col("vsum").cast("double").alias("value_sum"),
+        )
+
+    return shape(m, "minute").unionAll(shape(h, "hour")).unionAll(shape(d, "day"))
+
+
+def oracle_hierarchical_time_rollup(ev_cte: str) -> str:
+    """DuckDB twin of :func:`hierarchical_time_rollup` — each grain
+    aggregated DIRECTLY from raw events; equality with the engine's
+    partial-of-partial hierarchy proves the rollup algebra exact."""
+    from ..functions.numeric import oracle_dsum12
+
+    def grain(g: str) -> str:
+        return f"""SELECT '{g}' AS grain, date_trunc('{g}', ts) AS bucket,
+       CAST(count(*) AS BIGINT) AS visits,
+       {oracle_dsum12("value")} AS value_sum
+FROM ev GROUP BY 2"""
+
+    return f"""{ev_cte}
+{grain("minute")}
+UNION ALL
+{grain("hour")}
+UNION ALL
+{grain("day")}"""

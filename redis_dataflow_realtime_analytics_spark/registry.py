@@ -2943,6 +2943,32 @@ SELECT variant_a, variant_b, n,
 FROM g""",
 )
 
+# Hierarchical time rollup (the continuous-aggregate / hypertable-rollup
+# shape): hour rolls up from MINUTE PARTIALS and day from hour partials —
+# never from raw — while the oracle aggregates each grain directly from
+# raw events, so the hash gate proves the partial-composition algebra
+# exact (decimal sums associative). Queued for the r7 window (overflow
+# policy) — builder-verified green at sf0.01 AND sf0.1.
+q(
+    "events_hierarchical_rollup",
+    lambda s, d: metrics.hierarchical_time_rollup(_ev(s, d)),
+    metrics.oracle_hierarchical_time_rollup(EV_CTE),
+)
+# Streaming twin — the continuous-aggregate REFRESH path: per-shipment
+# minute partials appended to the store (ts-chunked replay makes minutes
+# straddle shipments), merged + rolled up at read; same oracle. Queued
+# for the r7 window — builder-verified green at sf0.01 AND sf0.1.
+def _stream_hierarchical_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming import pipeline as sp
+
+    return sp.stream_hierarchical_rollup(spark, f"{sf_dir}/events.parquet")
+
+
+q(
+    "stream_hierarchical_rollup",
+    _stream_hierarchical_rollup,
+    metrics.oracle_hierarchical_time_rollup(EV_CTE),
+)
 # Monitoring extension: trailing z-score anomaly flags on the visit series
 # (strictly-prior ROWS frame; integer power sums -> deterministic doubles).
 q(

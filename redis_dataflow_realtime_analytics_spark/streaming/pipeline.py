@@ -688,6 +688,52 @@ def stream_quality_filtered_docs(spark: SparkSession, docs_path: str) -> DataFra
 
 _DOCS_REPLAY_DIRS: dict[tuple[str, int, int], str] = {}
 
+_EVENTS_REPLAY_DIRS: dict[tuple[str, int, int], str] = {}
+
+
+def _chunked_events_replay_dir(events_path: str, n_chunks: int = 3) -> str:
+    """ts-ordered multi-file replay of the events fixture (one micro-batch
+    per file) — the single-file fixture otherwise replays as ONE batch,
+    which never exercises cross-batch state. Chunk boundaries fall wherever
+    the ts order puts them, so events of the same minute routinely straddle
+    two shipments — exactly the condition the partial-merge twins must
+    survive. Same _COMPLETE-marker pattern as the docs replay."""
+    import hashlib
+    import tempfile
+    import time as _time
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    key = (events_path, os.stat(events_path).st_mtime_ns, n_chunks)
+    if key in _EVENTS_REPLAY_DIRS:
+        return _EVENTS_REPLAY_DIRS[key]
+    tag = hashlib.md5(f"{events_path}:{key[1]}:{n_chunks}".encode()).hexdigest()[:16]
+    out = os.path.join(tempfile.gettempdir(), f"events_replay_{tag}")
+    marker = os.path.join(out, "_COMPLETE")
+    if os.path.isfile(marker):
+        _EVENTS_REPLAY_DIRS[key] = out
+        return out
+
+    tbl = pq.read_table(events_path)
+    tbl = tbl.take(pc.sort_indices(tbl, sort_keys=[("ts", "ascending")]))
+    os.makedirs(out, exist_ok=True)
+    n = tbl.num_rows
+    step = max(1, (n + n_chunks - 1) // n_chunks)
+    paths = []
+    for i in range(0, n, step):
+        fp = os.path.join(out, f"chunk_{i // step:04d}.parquet")
+        pq.write_table(tbl.slice(i, step), fp)
+        paths.append(fp)
+    base = _time.time() - 2 * len(paths)
+    for i, fp in enumerate(paths):
+        os.utime(fp, (base + 2 * i, base + 2 * i))
+    with open(marker, "w") as fh:
+        fh.write("ok\n")
+    _EVENTS_REPLAY_DIRS[key] = out
+    return out
+
+
 
 def _chunked_docs_replay_dir(docs_path: str, n_chunks: int = 3) -> str:
     """Materialize the documents fixture as a doc_id-ordered multi-file
@@ -980,6 +1026,76 @@ def stream_drop_audit(
     )
     q.awaitTermination()
     return spark.read.parquet(out_dir)
+
+
+def stream_hierarchical_rollup(
+    spark: SparkSession, events_path: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """Streaming twin of ``metrics.hierarchical_time_rollup`` — the
+    continuous-aggregate REFRESH path: each event shipment appends its
+    own minute-grain partials (count + DECIMAL(38,12) value sum) to the
+    store; the read side merges partials per minute and rolls the merged
+    minute frame up to hours and days. Two shipments landing events in
+    the SAME minute leave two partial rows — the read-side merge is what
+    makes the hierarchy correct under out-of-order arrivals, and decimal
+    addition's associativity is what makes it bit-equal to the batch
+    operator (same oracle, aggregated directly from raw).
+
+    Per-shipment cost: one map-side-combined minute groupBy over the
+    batch — no state store, no watermark; store size is O(minutes ×
+    shipments-touching-the-minute), compacted by any later rewrite.
+    """
+    import tempfile
+    import uuid
+
+    from ..sources.events import normalize_events, read_events_stream
+
+    replay = _chunked_events_replay_dir(events_path)
+    stream = normalize_events(
+        read_events_stream(spark, replay, max_files_per_trigger)
+    )
+    store = os.path.join(tempfile.gettempdir(), f"ca_store_{uuid.uuid4().hex[:12]}")
+
+    def ingest(batch: DataFrame, _batch_id: int) -> None:
+        (
+            batch.groupBy(F.date_trunc("minute", F.col("ts")).alias("bucket"))
+            .agg(
+                F.count("*").alias("visits"),
+                F.sum(F.col("value").cast("decimal(38,12)")).alias("vsum"),
+            )
+            .write.mode("append")
+            .parquet(store)
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", f"{store}_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    m = (
+        spark.read.parquet(store)
+        .groupBy("bucket")
+        .agg(F.sum("visits").alias("visits"), F.sum("vsum").alias("vsum"))
+    )
+    h = m.groupBy(F.date_trunc("hour", F.col("bucket")).alias("bucket")).agg(
+        F.sum("visits").alias("visits"), F.sum("vsum").alias("vsum")
+    )
+    d = h.groupBy(F.date_trunc("day", F.col("bucket")).alias("bucket")).agg(
+        F.sum("visits").alias("visits"), F.sum("vsum").alias("vsum")
+    )
+
+    def shape(df: DataFrame, grain: str) -> DataFrame:
+        return df.select(
+            F.lit(grain).alias("grain"),
+            "bucket",
+            F.col("visits").cast("bigint").alias("visits"),
+            F.col("vsum").cast("double").alias("value_sum"),
+        )
+
+    return shape(m, "minute").unionAll(shape(h, "hour")).unionAll(shape(d, "day"))
 
 
 def stream_image_ingest_features(
