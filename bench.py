@@ -192,6 +192,8 @@ HEADLINE = [
     "chunk_documents_sentences",
     "events_hierarchical_rollup",
     "stream_hierarchical_rollup",
+    # new in r6 (cont. 11): market-basket affinity
+    "basket_part_pairs",
 ]
 
 

@@ -1204,3 +1204,118 @@ def oracle_constraint_report() -> str:
          count(CASE WHEN n_chars >= 100 THEN 1 END) AS c_min100
   FROM documents)
 {body}"""
+
+
+# --- Market-basket affinity ---------------------------------------------------
+
+BASKET_MIN_SUPPORT = 2
+BASKET_MAX_ITEMS = 1000
+
+
+def basket_part_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    min_support: int = BASKET_MIN_SUPPORT,
+    max_items: int = BASKET_MAX_ITEMS,
+) -> DataFrame:
+    """Market-basket affinity: part pairs co-purchased in the same order,
+    with per-pair support and lift — the first A-priori pass every
+    recommender/affinity analysis starts from.
+
+    Determinism: pair MEMBERSHIP is integer-decided (co-order count ≥
+    ``min_support``); lift = ``n_pair·N / (n_a·n_b)`` is exact integers
+    into one dquant'd double expression.
+
+    Scale: baskets collapse to DISTINCT (order, part) map-side; the pair
+    generator is a self-equi-join keyed by the uniform order key with
+    per-order fan-out bounded by basket size squared (TPC-H baskets are
+    ≤13 items; ``max_items`` guards the pathological mega-basket — a
+    basket over the cap is dropped and at 100 TB would be routed to a
+    top-k-per-basket variant instead); support joins carry one row per
+    surviving pair side. No cross join, no skew surface beyond basket
+    size, which the guard bounds.
+
+    Output: (part_a, part_b, n_orders_pair, n_orders_a, n_orders_b,
+    lift) for pairs with support ≥ min_support; part_a < part_b.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    basket = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    sizes = basket.groupBy("ok").agg(F.count("*").alias("sz"))
+    basket = basket.join(
+        sizes.where(F.col("sz") <= max_items).select("ok"), "ok", "left_semi"
+    )
+    a = basket.alias("a")
+    b = basket.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")))
+        .groupBy(
+            F.col("a.pk").alias("part_a"), F.col("b.pk").alias("part_b")
+        )
+        .agg(F.count("*").alias("n_orders_pair"))
+        .where(F.col("n_orders_pair") >= min_support)
+    )
+    supp = basket.groupBy(F.col("pk")).agg(F.count("*").alias("n"))
+    n_orders = basket.select("ok").distinct().agg(
+        F.count("*").cast("bigint").alias("n_orders")
+    )
+    from ..functions.numeric import dquant
+
+    lift = (
+        F.col("n_orders_pair").cast("double")
+        * F.col("n_orders").cast("double")
+        / (F.col("n_orders_a").cast("double") * F.col("n_orders_b").cast("double"))
+    )
+    return (
+        pairs.join(
+            supp.select(F.col("pk").alias("part_a"), F.col("n").alias("n_orders_a")),
+            "part_a",
+        )
+        .join(
+            supp.select(F.col("pk").alias("part_b"), F.col("n").alias("n_orders_b")),
+            "part_b",
+        )
+        .join(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            "n_orders_pair",
+            "n_orders_a",
+            "n_orders_b",
+            dquant(lift, "lift"),
+        )
+    )
+
+
+def oracle_basket_part_pairs(
+    min_support: int = BASKET_MIN_SUPPORT, max_items: int = BASKET_MAX_ITEMS
+) -> str:
+    """DuckDB twin of :func:`basket_part_pairs`."""
+    from ..functions.numeric import oracle_dquant
+
+    lift = (
+        "CAST(n_orders_pair AS DOUBLE) * CAST(n_orders AS DOUBLE)"
+        " / (CAST(n_orders_a AS DOUBLE) * CAST(n_orders_b AS DOUBLE))"
+    )
+    return f"""WITH basket0 AS (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+basket AS (
+  SELECT * FROM basket0
+  WHERE ok IN (SELECT ok FROM basket0 GROUP BY ok HAVING count(*) <= {max_items})),
+pairs AS (
+  SELECT a.pk AS part_a, b.pk AS part_b, count(*) AS n_orders_pair
+  FROM basket a JOIN basket b ON b.ok = a.ok AND a.pk < b.pk
+  GROUP BY 1, 2 HAVING count(*) >= {min_support}),
+supp AS (SELECT pk, count(*) AS n FROM basket GROUP BY 1),
+tot AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_orders FROM basket),
+j AS (
+  SELECT part_a, part_b, n_orders_pair,
+         sa.n AS n_orders_a, sb.n AS n_orders_b, n_orders
+  FROM pairs
+  JOIN supp sa ON sa.pk = part_a
+  JOIN supp sb ON sb.pk = part_b
+  CROSS JOIN tot)
+SELECT part_a, part_b, n_orders_pair, n_orders_a, n_orders_b,
+       {oracle_dquant(lift)} AS lift
+FROM j"""

@@ -2794,6 +2794,16 @@ FROM tf JOIN dl ON dl.doc_id = tf.doc_id""",
 # equality with the exact clustering on planted dups asserted in tests.
 q("dedup_lsh_components", dedup.lsh_components)
 
+# Market-basket affinity (A-priori first pass): co-purchased part pairs
+# with support + lift; pair membership integer-decided, lift dquant'd;
+# order-keyed self-join with basket-size-bounded fan-out. Queued for the
+# r7 window (overflow policy) — builder-green at sf0.01 AND sf0.1.
+q(
+    "basket_part_pairs",
+    relational.basket_part_pairs,
+    relational.oracle_basket_part_pairs(),
+)
+
 # ---------------------------------------------------------------------------
 # Histogram, distributed moments, unpivot
 # ---------------------------------------------------------------------------

@@ -898,3 +898,23 @@ def test_stream_rollup_merges_cross_batch_partials(spark):
     replay = sp._chunked_events_replay_dir(f"{SF_SMOKE}/events.parquet")
     files = [f for f in os.listdir(replay) if f.endswith(".parquet")]
     assert len(files) >= 3
+
+
+def test_basket_pairs_symmetric_support_and_lift(spark):
+    """Pair supports never exceed either side's item support, part_a <
+    part_b everywhere, and lift reproduces the integer ratio."""
+    from redis_dataflow_realtime_analytics_spark.operators import relational
+
+    rows = relational.basket_part_pairs(spark, SF_SMOKE).collect()
+    assert rows
+    n_orders = (
+        relational.load(spark, SF_SMOKE, "lineitem")
+        .select("l_orderkey")
+        .distinct()
+        .count()
+    )
+    for r in rows[:200]:
+        assert r.part_a < r.part_b
+        assert r.n_orders_pair <= min(r.n_orders_a, r.n_orders_b)
+        expect = r.n_orders_pair * n_orders / (r.n_orders_a * r.n_orders_b)
+        assert abs(r.lift - expect) < 1e-9, r
