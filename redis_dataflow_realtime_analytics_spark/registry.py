@@ -2107,8 +2107,8 @@ q(
 # sentence order — a chunk boundary never cuts a sentence. NOTE: the
 # synthetic fixture has no sentence punctuation (1 segment/doc), so the
 # fixture rows are 1 chunk/doc; the multi-sentence behavior is pinned
-# by the planted-corpus pytest. Queued for the r7 window (overflow
-# policy) — builder-verified green at sf0.01 AND sf0.1.
+# by the planted-corpus pytest. Window-slotted (round-3 policy:
+# never-green keys outrank re-checks) — builder-green at both SFs.
 q(
     "chunk_documents_sentences",
     sampling.chunk_documents_sentences,
@@ -2796,8 +2796,8 @@ q("dedup_lsh_components", dedup.lsh_components)
 
 # Market-basket affinity (A-priori first pass): co-purchased part pairs
 # with support + lift; pair membership integer-decided, lift dquant'd;
-# order-keyed self-join with basket-size-bounded fan-out. Queued for the
-# r7 window (overflow policy) — builder-green at sf0.01 AND sf0.1.
+# order-keyed self-join with basket-size-bounded fan-out. Window-slotted (never-green
+# outranks re-checks) — builder-green at sf0.01 AND sf0.1.
 q(
     "basket_part_pairs",
     relational.basket_part_pairs,
@@ -2957,8 +2957,8 @@ FROM g""",
 # shape): hour rolls up from MINUTE PARTIALS and day from hour partials —
 # never from raw — while the oracle aggregates each grain directly from
 # raw events, so the hash gate proves the partial-composition algebra
-# exact (decimal sums associative). Queued for the r7 window (overflow
-# policy) — builder-verified green at sf0.01 AND sf0.1.
+# exact (decimal sums associative). Window-slotted (round-3 policy:
+# never-green keys outrank re-checks) — builder-green at both SFs.
 q(
     "events_hierarchical_rollup",
     lambda s, d: metrics.hierarchical_time_rollup(_ev(s, d)),
@@ -2966,8 +2966,8 @@ q(
 )
 # Streaming twin — the continuous-aggregate REFRESH path: per-shipment
 # minute partials appended to the store (ts-chunked replay makes minutes
-# straddle shipments), merged + rolled up at read; same oracle. Queued
-# for the r7 window — builder-verified green at sf0.01 AND sf0.1.
+# straddle shipments), merged + rolled up at read; same oracle. Window-slotted
+# (never-green outranks re-checks) — builder-green at both SFs.
 def _stream_hierarchical_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .streaming import pipeline as sp
 
@@ -3204,6 +3204,16 @@ _PRIORITY = [
     "quality_quantile_normalized",
     "active_sessions_per_minute",
     "text_rake_keyphrases",
+    "chunk_documents_sentences",
+    "events_hierarchical_rollup",
+    "stream_hierarchical_rollup",
+    "basket_part_pairs",
+    # (the four rows above were briefly queued for r7 behind promised
+    # re-checks; the round-3 policy test — never-green keys outrank ANY
+    # ever-green re-check while slots are held — put them back in the
+    # window, displacing q2/q3/q22/q18: all multi-round green with
+    # unchanged sources, all rotate to the r7 pool. q1 keeps the
+    # oracle_dsum/davg idiom duty alone this round.)
     # (multimodal_image_ahash gave up its freshness re-check slot to the
     # new corpus_epoch_shuffle key: dedup_image_ahash_pairs carries
     # multimodal.py's aHash-path coverage this round;
@@ -3215,8 +3225,6 @@ _PRIORITY = [
     # --- 4. the r5->r6 rotated relational pool: every key that gave up
     # its r5 slot to a mid-round 3b addition (see the r5 rotation
     # comments preserved in COVERAGE.md's rotation log) ---
-    "q2_best_supplier_per_part",
-    "q3_shipping_priority",
     # (q4_order_priority gave up its slot to stream_drop_audit,
     # q15_top_supplier to quality_quantile_normalized,
     # q17_small_quantity_revenue to active_sessions_per_minute, and
@@ -3234,7 +3242,11 @@ _PRIORITY = [
     # q13_customer_distribution gave up its re-check slot to the new
     # corpus_constraint_report key and q14_promo_revenue to
     # stream_entity_probe; both rotate to the r7 pool)
-    "q22_dormant_customers",
+    # (q2_best_supplier_per_part, q3_shipping_priority,
+    # q22_dormant_customers and q18_large_volume_customers gave up the
+    # last rotated-pool re-check slots to the four late-late-r6 keys
+    # above, per the round-3 policy: never-green keys outrank any
+    # ever-green re-check; all four rotate to the r7 pool)
     # (cube_quantity_by_flag_status gave up its re-check slot to the new
     # variant_minute_interpolated key, monthly_order_revenue to
     # dedup_entity_resolved; both rotate to the r7 pool)
@@ -3260,9 +3272,8 @@ _PRIORITY = [
     # r5 state)
     "q1_pricing_summary",
     # (q5_local_supplier_volume gave up its slot to the
-    # corpus_length_deciles engine-change re-check; q1/q18 keep the
-    # dsum/davg idiom duty, q5 rotates to the r7 pool)
-    "q18_large_volume_customers",
+    # corpus_length_deciles engine-change re-check; q1 keeps the
+    # dsum/davg idiom duty alone, q5 and q18 rotate to the r7 pool)
     # (price_moments_by_flag gave up its slot to the new ann_ivfpq_topk
     # key, and rolling_week_user_value to stream_bpe_encode; both rotate
     # to the r7 pool with q5)
@@ -3270,7 +3281,8 @@ _PRIORITY = [
     # in r7): user_gap_profile, pack_documents_boundary and
     # corpus_version_history (displaced above — functions unchanged,
     # files touched additively), and ordinary staleness re-checks for
-    # whatever r7 edits. The 16 r6-new keys above must hold their slots
+    # whatever r7 edits, plus q2/q3/q18/q22 (displaced by the late-late-r6
+    # never-green keys). The r6-new keys above must hold their slots
     # until CORRECTNESS_r06 records their first external rows.
 ]
 
