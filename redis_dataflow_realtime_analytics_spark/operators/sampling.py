@@ -1764,9 +1764,15 @@ def quality_quantile_normalized(
     docs = spread(load(spark, sf_dir, "documents"))
     q = quality_projection(docs).select("doc_id", "quality")
     scored = docs.select("doc_id", "source").join(q, "doc_id")
+    # base fans out to FIVE consumers (both bucket-count partials, both
+    # rank joins, the corpus total) — unmaterialized, the scan + quality
+    # projection re-runs per consumer (measured 17.8 s -> 4 s at the
+    # 100 k-doc soak). The checkpointed frame is 3 narrow columns, the
+    # cheapest thing on this plan to persist; at 100 TB this is the
+    # scored-corpus intermediate a real pipeline would persist anyway.
     base = scored.withColumn(
         "qb", F.floor(F.col("quality") * q_resolution).cast("bigint")
-    )
+    ).localCheckpoint(eager=True)
 
     # within-source exact rank (two-level, as quality_calibrated_by_source)
     partials_s = base.groupBy("source", "qb").agg(F.count("*").alias("c"))

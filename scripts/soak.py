@@ -714,6 +714,49 @@ def main(n_events: int = 10_000_000, doc_mult: int = 20) -> None:
 
         section("stream_decontamination", _stream_decon)
 
+        # --- r6 additions: training permutation, pipeline drop audit,
+        # quantile normalization, RAKE, sentence chunking (n_docs scale),
+        # and the continuous-aggregate hierarchy (n_events scale) --------
+        def _r6_ops() -> None:
+            from redis_dataflow_realtime_analytics_spark.operators import (
+                relational,
+                sampling,
+                text,
+            )
+            from redis_dataflow_realtime_analytics_spark.operators.metrics import (
+                hierarchical_time_rollup,
+            )
+
+            for name, fn in {
+                "epoch_shuffle": lambda: sampling.epoch_shuffle(spark, sf_dir),
+                "drop_audit": lambda: dedup.corpus_drop_audit(spark, sf_dir),
+                "quantile_norm": lambda: sampling.quality_quantile_normalized(
+                    spark, sf_dir
+                ),
+                "rake_keyphrases": lambda: text.rake_keyphrases(spark, sf_dir),
+                "sentence_chunks": lambda: sampling.chunk_documents_sentences(
+                    spark, sf_dir
+                ),
+            }.items():
+                t0 = time.perf_counter()
+                fn().write.mode("overwrite").format("noop").save()
+                dt = time.perf_counter() - t0
+                out[f"{name}_s"] = round(dt, 2)
+                out[f"{name}_docs_per_s"] = int(n_docs / dt)
+
+            rev = ev.withColumn(
+                "value", (F.xxhash64("user_id") % 1000).cast("double") / 10.0
+            )
+            t0 = time.perf_counter()
+            hierarchical_time_rollup(rev).write.mode("overwrite").format(
+                "noop"
+            ).save()
+            dt = time.perf_counter() - t0
+            out["hier_rollup_s"] = round(dt, 2)
+            out["hier_rollup_events_per_s"] = int(n_events / dt)
+
+        section("r6_ops", _r6_ops)
+
     out["n_events"] = n_events
     print(json.dumps(out))
 
