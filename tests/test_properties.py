@@ -317,3 +317,38 @@ def test_lpa_equals_synchronous_reference(spark, edges):
             nxt[n] = best
         labels = nxt
     assert got == labels
+
+
+doc_ids_strategy = st.lists(
+    st.integers(0, 10_000), min_size=1, max_size=40, unique=True
+)
+
+
+@given(ids=doc_ids_strategy)
+@settings(**SETTINGS)
+def test_epoch_shuffle_equals_flat_permutation(spark, ids):
+    """The two-level permutation rank must equal the naive flat
+    sort-by-md5 permutation for ANY doc_id set — including ids that
+    collide into one hex-prefix bucket or spread across all 256, which
+    the fixture can't control. The reference order is computed in
+    Python (hashlib md5 == Spark md5 on UTF-8)."""
+    import hashlib
+    import os
+    import tempfile
+
+    from redis_dataflow_realtime_analytics_spark.operators import sampling
+
+    d = tempfile.mkdtemp(prefix="epoch_prop_")
+    spark.createDataFrame(
+        [(i,) for i in ids], "doc_id long"
+    ).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    got = {
+        (r.epoch, r.doc_id): r.shuffle_pos
+        for r in sampling.epoch_shuffle(spark, d).collect()
+    }
+    for e in (0, 1):
+        expect = sorted(
+            ids, key=lambda i: (hashlib.md5(f"{i}:{e}".encode()).hexdigest(), i)
+        )
+        for pos, i in enumerate(expect):
+            assert got[(e, i)] == pos, (e, i, got[(e, i)], pos)
