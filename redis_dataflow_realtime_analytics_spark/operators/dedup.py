@@ -2272,3 +2272,101 @@ SELECT doc_id,
             WHEN is_contaminated THEN 4
             ELSE 5 END AS BIGINT) AS stage
 FROM audit"""
+
+
+# --- Weighted MinHash (bag similarity) ----------------------------------------
+def _shingles_with_tf(docs: DataFrame, k: int = NGRAM_K) -> DataFrame:
+    """k-token shingles WITH multiplicity: (doc_id, shingle, tf). The
+    non-distinct sibling of :func:`_shingles` — one explode + one
+    map-side-combined count."""
+    arr = F.expr(
+        f"transform(sequence(0, greatest(size(split(trim(text), '{TOKEN_EXPR}')) - {k}, 0)), "
+        f"i -> concat_ws(' ', slice(split(trim(text), '{TOKEN_EXPR}'), i + 1, {k})))"
+    )
+    return (
+        docs.select("doc_id", F.explode(arr).alias("shingle"))
+        .groupBy("doc_id", "shingle")
+        .agg(F.count("*").alias("tf"))
+    )
+
+
+def weighted_minhash_signatures(docs: DataFrame, k: int = NGRAM_K) -> DataFrame:
+    """Integer-weight MinHash by tf-replication: a shingle with tf = n
+    contributes replicas ``shingle#1 .. shingle#n`` to the hashed set, so
+    the per-seed min estimates WEIGHTED Jaccard Σmin(tf)/Σmax(tf) — the
+    bag-similarity near-dup signal plain (set) MinHash is blind to
+    (keyword-stuffed or loop-generated docs share the vocabulary of
+    their source but not its token distribution).
+
+    Plan: explode shingles → tf count (map-side combined) → explode
+    ``sequence(1, tf)`` replicas → 32 codegen min-aggregates. Replica
+    volume equals total (non-distinct) shingle count, i.e. the same
+    row count :func:`duplicate_spans` already explodes — not a new cost
+    class. Seeded xxhash64 ⇒ engine-specific ⇒ rows-only; gated by the
+    recall/bag-sensitivity suite in tests/test_dedup.py.
+    """
+    reps = (
+        _shingles_with_tf(docs, k)
+        .select(
+            "doc_id",
+            "shingle",
+            F.explode(F.expr("sequence(1, tf)")).alias("rep"),
+        )
+        .select(
+            "doc_id",
+            F.concat_ws("#", F.col("shingle"), F.col("rep").cast("string")).alias("r"),
+        )
+    )
+    aggs = [
+        F.min(F.xxhash64(F.lit(i), F.col("r"))).alias(f"h{i}")
+        for i in range(N_HASHES)
+    ]
+    return reps.groupBy("doc_id").agg(*aggs)
+
+
+def weighted_minhash_pairs(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.5
+) -> DataFrame:
+    """Near-dup pairs under WEIGHTED Jaccard via LSH banding over the
+    tf-replicated signatures: same 8×4 banding as the set-MinHash path,
+    same shuffle shape (band/bucket equi-join, never all-pairs); the
+    signature-agreement estimate gates pairs at ``threshold``.
+
+    Output: (doc_a, doc_b, est_wjaccard).
+    """
+    docs = _spread(load(spark, sf_dir, "documents"))
+    sig = weighted_minhash_signatures(docs)
+    band_cols = [
+        F.xxhash64(
+            F.lit(b), *[F.col(f"h{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
+        ).alias(f"band{b}")
+        for b in range(N_BANDS)
+    ]
+    banded = sig.select("doc_id", *band_cols).select(
+        "doc_id",
+        F.posexplode(F.array(*[F.col(f"band{b}") for b in range(N_BANDS)])).alias(
+            "band", "bucket"
+        ),
+    )
+    cands = (
+        banded.alias("a")
+        .join(banded.alias("b"), ["band", "bucket"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    sa = sig.select(F.col("doc_id").alias("doc_a"), *[F.col(f"h{i}").alias(f"a{i}") for i in range(N_HASHES)])
+    sb = sig.select(F.col("doc_id").alias("doc_b"), *[F.col(f"h{i}").alias(f"b{i}") for i in range(N_HASHES)])
+    est = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(N_HASHES)
+    ) / float(N_HASHES)
+    return (
+        cands.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", est.alias("est_wjaccard"))
+        .where(F.col("est_wjaccard") >= threshold)
+    )

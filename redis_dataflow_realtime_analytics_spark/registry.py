@@ -682,6 +682,11 @@ q(
 # recall/precision vs exact Jaccard is asserted in tests/test_dedup.py.
 q("dedup_minhash_neardup_pairs", dedup.minhash_neardup_pairs)
 q("dedup_simhash_neardup_pairs", dedup.simhash_neardup_pairs)
+# Weighted (bag) MinHash via tf-replication — estimates weighted Jaccard
+# Sum-min(tf)/Sum-max(tf), the repetition-sensitive signal set-MinHash is
+# blind to; seeded xxhash64 => rows-only, gated by the bag-contrast +
+# recall suite in tests/test_dedup.py.
+q("dedup_minhash_weighted_pairs", dedup.weighted_minhash_pairs)
 
 # ---------------------------------------------------------------------------
 # Similarity search (north-star: embeddings table)

@@ -339,3 +339,71 @@ def test_remove_boilerplate_consistent_with_span_inventory(spark):
             assert spans[r.doc_id] > 0
         if spans[r.doc_id] == 0:
             assert r.n_removed == 0
+
+
+def _wjaccard(c1: dict, c2: dict) -> float:
+    keys = set(c1) | set(c2)
+    num = sum(min(c1.get(k, 0), c2.get(k, 0)) for k in keys)
+    den = sum(max(c1.get(k, 0), c2.get(k, 0)) for k in keys)
+    return num / den
+
+
+@pytest.fixture(scope="module")
+def bag_corpus(spark, tmp_path_factory):
+    """Docs with IDENTICAL vocabulary but different token distributions:
+    set-Jaccard over shingles is blind to the difference; weighted
+    Jaccard is not. Pairs: (0,1) near-identical bags (high J_w), (0,2)
+    same vocabulary, skewed counts (low J_w)."""
+    base = ("alpha bravo charlie " * 30).split()
+    near = list(base)
+    near[5] = "alpha"  # one token changed: J_w stays high
+    skew = ("alpha " * 80 + "bravo charlie " * 5).split()
+    rows = [
+        (0, " ".join(base)),
+        (1, " ".join(near)),
+        (2, " ".join(skew)),
+    ]
+    d = tmp_path_factory.mktemp("wmh_sf")
+    spark.createDataFrame(rows, ["doc_id", "text"]).write.parquet(
+        str(d / "documents.parquet")
+    )
+    return str(d), rows
+
+
+def test_weighted_minhash_sees_bag_structure(spark, bag_corpus):
+    sf_dir, rows = bag_corpus
+    from collections import Counter
+
+    def shingle_bag(text):
+        toks = text.split()
+        return Counter(
+            " ".join(toks[i : i + 3]) for i in range(max(len(toks) - 2, 1))
+        )
+
+    bags = {i: shingle_bag(t) for i, t in rows}
+    jw01 = _wjaccard(bags[0], bags[1])
+    jw02 = _wjaccard(bags[0], bags[2])
+    assert jw01 > 0.8 and jw02 < 0.5  # the planted contrast
+
+    pairs = {
+        (r.doc_a, r.doc_b): r.est_wjaccard
+        for r in dedup.weighted_minhash_pairs(spark, sf_dir, threshold=0.0).collect()
+    }
+    # high-J_w pair surfaces with an estimate near truth
+    assert (0, 1) in pairs
+    assert abs(pairs[(0, 1)] - jw01) < 0.25
+    # the skewed pair, if banding surfaces it at all, must estimate LOW —
+    # set-MinHash would estimate ~1.0 here (identical shingle SETS)
+    if (0, 2) in pairs:
+        assert pairs[(0, 2)] < jw02 + 0.25
+
+
+def test_weighted_minhash_recall_on_planted_bags(spark, corpus):
+    """On the planted near-dup corpus (exact copies J_w = 1), the
+    weighted path recalls every exact-copy pair at threshold 0.9."""
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.weighted_minhash_pairs(spark, corpus, threshold=0.9).collect()
+    }
+    expected = {(i, i + 1) for i in range(0, 60, 3)}  # base, exact copy
+    assert expected <= pairs
