@@ -687,6 +687,11 @@ q("dedup_simhash_neardup_pairs", dedup.simhash_neardup_pairs)
 # blind to; seeded xxhash64 => rows-only, gated by the bag-contrast +
 # recall suite in tests/test_dedup.py.
 q("dedup_minhash_weighted_pairs", dedup.weighted_minhash_pairs)
+# One-permutation MinHash (OPH, rotation-densified): 1 hash/shingle in
+# the same one-shuffle shape. Honest soak verdict in the docstring:
+# AGG-bound at this shape, 32-perm stays the default; OPH is the
+# documented formulation for hash-dominated inputs. rows-only (seeded).
+q("dedup_minhash_oph_pairs", dedup.oph_minhash_pairs)
 
 # ---------------------------------------------------------------------------
 # Similarity search (north-star: embeddings table)

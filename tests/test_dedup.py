@@ -407,3 +407,29 @@ def test_weighted_minhash_recall_on_planted_bags(spark, corpus):
     }
     expected = {(i, i + 1) for i in range(0, 60, 3)}  # base, exact copy
     assert expected <= pairs
+
+
+def test_oph_minhash_recall_and_estimate(spark, corpus):
+    """OPH with rotation densification recalls every planted exact-copy
+    pair (J = 1: every slot agrees regardless of binning) and estimates
+    the near-copy pairs' Jaccard within the same band the 32-perm path
+    is held to; signatures are fully dense after densification."""
+    sigs = dedup.oph_minhash_signatures(
+        dedup._spread(dedup.load(spark, corpus, "documents"))
+    ).collect()
+    assert all(None not in r.sig and len(r.sig) == 32 for r in sigs)
+
+    pairs = {
+        (r.doc_a, r.doc_b): r.est_jaccard
+        for r in dedup.oph_minhash_pairs(spark, corpus, threshold=0.0).collect()
+    }
+    exact_copies = {(i, i + 1) for i in range(0, 60, 3)}
+    assert exact_copies <= set(pairs)
+    assert all(pairs[p] == 1.0 for p in exact_copies)
+    # near-copies (1 of 40 tokens changed => shingle Jaccard ~0.85+):
+    # banding must surface most, and estimates must not collapse
+    near = {(i, i + 2) for i in range(0, 60, 3)}
+    found = near & set(pairs)
+    assert len(found) >= len(near) * 0.7
+    for p in found:
+        assert pairs[p] >= 0.5, (p, pairs[p])
