@@ -192,8 +192,11 @@ HEADLINE = [
     "chunk_documents_sentences",
     "events_hierarchical_rollup",
     "stream_hierarchical_rollup",
-    # new in r6 (cont. 11): market-basket affinity
+    # new in r6 (cont. 11): market-basket affinity + the weighted / OPH
+    # MinHash variants
     "basket_part_pairs",
+    "dedup_minhash_weighted_pairs",
+    "dedup_minhash_oph_pairs",
 ]
 
 
