@@ -867,9 +867,15 @@ def stream_decontamination_gate(
 
     replay = _chunked_docs_replay_dir(docs_path, n_chunks)
     schema = spark.read.parquet(docs_path).schema
+    # Replay chunking A/B'd (interleaved, one process, sf0.1): mFPT=1
+    # 12.3 s vs mFPT=2 13.0 s — NO harness win here, unlike the r5
+    # stream_click_error_left_join case: this twin's cost is the
+    # per-document ladder (gate gram shuffle + shingle join), which is
+    # batch-size-invariant in total, not per-batch setup. Default stays
+    # 1 micro-batch per chunk — the stronger cross-batch index exercise.
     stream = (
         spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(replay)
     )
     bench_sh = (
@@ -906,7 +912,10 @@ def stream_decontamination_gate(
 
 
 def stream_drop_audit(
-    spark: SparkSession, docs_path: str, n_chunks: int = 3
+    spark: SparkSession,
+    docs_path: str,
+    n_chunks: int = 3,
+    max_files_per_trigger: int = 1,
 ) -> DataFrame:
     """Streaming arrival-path twin of ``dedup.corpus_drop_audit``: each
     documents shipment is pushed through the SAME first-failing-stage
