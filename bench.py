@@ -197,7 +197,45 @@ HEADLINE = [
     "basket_part_pairs",
     "dedup_minhash_weighted_pairs",
     "dedup_minhash_oph_pairs",
+    # new in r7: maximal duplicated spans (substring-dedup cut list),
+    # watermark late-drop audit (out-of-order replay), and the df-capped
+    # Jaccard scale path (now SQL-oracled)
+    "dedup_maximal_spans",
+    "stream_late_arrivals_audit",
+    "dedup_ngram_jaccard_pairs_capped",
 ]
+
+
+#: Hard ceiling for the FINAL printed line. The driver captures a bounded
+#: tail of stdout and parses the last JSON line; in r4 and r5 the
+#: per-query dict outgrew that window mid-line and the round's bench
+#: artifact came back "parsed": null. The summary line is O(1) in
+#: len(HEADLINE) by construction — tests/test_bench_contract.py asserts
+#: this stays true as the headline set grows.
+MAX_FINAL_LINE_BYTES = 512
+
+
+def summary_line(times: dict[str, float], sf_val) -> str:
+    """The bounded final line: total + count + pointer to bench_out.json,
+    never the per-query dict (that goes to the file and the one-per-line
+    records printed as each query is measured)."""
+    line = json.dumps(
+        {
+            "metric": "headline_queries_total",
+            "value": round(sum(times.values()), 3),
+            "unit": "sec",
+            "sf": sf_val,
+            "n_queries": len(times),
+            "queries_file": "bench_out.json",
+        },
+        separators=(",", ":"),
+    )
+    if len(line.encode()) > MAX_FINAL_LINE_BYTES:  # pragma: no cover
+        raise AssertionError(
+            f"bench summary line grew to {len(line)} bytes; the driver's "
+            "tail capture will truncate it — keep the final line bounded"
+        )
+    return line
 
 
 def main() -> None:
@@ -257,15 +295,7 @@ def main() -> None:
     # file (per-query numbers were also printed one-per-line above).
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_out.json"), "w") as f:
         f.write(json.dumps(full, separators=(",", ":")) + "\n")
-    summary = {
-        "metric": "headline_queries_total",
-        "value": full["value"],
-        "unit": "sec",
-        "sf": sf_val,
-        "n_queries": len(times),
-        "queries_file": "bench_out.json",
-    }
-    print(json.dumps(summary, separators=(",", ":")))
+    print(summary_line(times, sf_val))
 
 
 if __name__ == "__main__":

@@ -217,9 +217,25 @@ def ngram_jaccard_pairs(
     )
 
 
-def oracle_ngram_jaccard_pairs(threshold: float = 0.06) -> str:
-    """DuckDB twin of :func:`ngram_jaccard_pairs`."""
+def oracle_ngram_jaccard_pairs(
+    threshold: float = 0.06, max_shingle_df: int | None = None
+) -> str:
+    """DuckDB twin of :func:`ngram_jaccard_pairs` — with
+    ``max_shingle_df`` set, the inverted index is df-capped exactly like
+    the Spark side (set sizes stay TRUE sizes, so the capped result is a
+    precision-1 subset of the exact pairs; the cap itself is a pure
+    function of the data, no hashing, hence SQL-oracle-able)."""
     toks = f"string_split_regex(trim(text), '{TOKEN_SQL}')"
+    idx = "sh"
+    cap_cte = ""
+    if max_shingle_df is not None:
+        idx = "idx"
+        cap_cte = f""",
+idx AS (
+  SELECT sh.doc_id, sh.shingle FROM sh
+  JOIN (SELECT shingle FROM sh GROUP BY shingle
+        HAVING count(*) <= {max_shingle_df}) rare USING (shingle)
+)"""
     return f"""WITH pos AS (
   SELECT doc_id, toks,
          unnest(generate_series(1, greatest(len(toks) - {NGRAM_K - 1}, 1))) AS i
@@ -230,10 +246,10 @@ sh AS (
          array_to_string(toks[i : i + {NGRAM_K - 1}], ' ') AS shingle
   FROM pos
 ),
-sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1){cap_cte},
 common AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM {idx} a JOIN {idx} b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
 SELECT doc_a, doc_b,
@@ -498,6 +514,112 @@ SELECT doc_id,
          AS dup_span_frac
 FROM sh JOIN c USING (h)
 GROUP BY doc_id"""
+
+
+def maximal_duplicate_spans(
+    spark: SparkSession, sf_dir: str, k: int = SPAN_K
+) -> DataFrame:
+    """Per-document MAXIMAL duplicated spans — the actual Lee et al. 2021
+    deliverable that :func:`duplicate_spans` only inventories: merge
+    overlapping/contiguous duplicated ``k``-token windows into maximal
+    token intervals, one row per (doc, interval).
+
+    Semantics: a window (token positions ``i..i+k-1``) is *duplicated*
+    when its text occurs ≥ 2 times anywhere in the corpus — across docs
+    OR repeated inside one doc (stricter than :func:`duplicate_spans`'
+    distinct-per-doc ≥2-docs rule: self-repetition is duplication a
+    substring-deduper must also cut). Two duplicated windows at positions
+    ``i < j`` of the same doc belong to one maximal span while their
+    union stays contiguous (``j − i ≤ k``); the emitted interval is
+    clamped to the doc's real token count.
+
+    Output: (doc_id, span_start, span_end, span_tokens, n_windows),
+    1-based inclusive token positions.
+
+    Plan shape (100 TB): windows are one map-side ``transform`` over the
+    token array; the occurrence count and the span→doc join both shuffle
+    16-byte ``md5`` keys (uniform, never the window text). The interval
+    merge is a ``lag`` + running-sum window PARTITIONED BY doc_id — the
+    frame is bounded by a single document's window count, so no
+    single-reducer sort exists anywhere (contrast the unpartitioned
+    Window hazards noted in SCALE.md). Cost is O(total tokens).
+    """
+    docs = _spread(load(spark, sf_dir, "documents"))
+    # struct(pos, h) per sliding window; positions are 1-based. Single
+    # reference -> inline under explode (formulation note on
+    # _shingle_array). md5 inside the transform keeps the shuffle rows
+    # fixed-width.
+    wexpr = (
+        f"transform(sequence(1, greatest(size(split(trim(text), '{TOKEN_EXPR}')) - {k - 1}, 1)), "
+        f"i -> struct(CAST(i AS BIGINT) AS pos, "
+        f"md5(concat_ws(' ', slice(split(trim(text), '{TOKEN_EXPR}'), i, {k}))) AS h))"
+    )
+    w = docs.select(
+        "doc_id",
+        F.expr(f"CAST(size(split(trim(text), '{TOKEN_EXPR}')) AS BIGINT)").alias(
+            "n_toks"
+        ),
+        F.explode(F.expr(wexpr)).alias("w"),
+    ).select("doc_id", "n_toks", F.col("w.pos").alias("pos"), F.col("w.h").alias("h"))
+    occ = w.groupBy("h").agg(F.count("*").alias("occ"))
+    dup = w.join(occ.where(F.col("occ") >= 2), "h").select("doc_id", "n_toks", "pos")
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    brk = F.when(F.col("pos") - F.lag("pos").over(win) > k, 1).otherwise(0)
+    isl = dup.withColumn("brk", brk).withColumn(
+        "island", F.sum("brk").over(win)
+    )
+    return isl.groupBy("doc_id", "island").agg(
+        F.min("pos").alias("span_start"),
+        F.least(F.max("pos") + (k - 1), F.min("n_toks")).alias("span_end"),
+        (
+            F.least(F.max("pos") + (k - 1), F.min("n_toks"))
+            - F.min("pos")
+            + 1
+        ).alias("span_tokens"),
+        F.count("*").alias("n_windows"),
+    ).drop("island")
+
+
+def oracle_maximal_duplicate_spans(k: int = SPAN_K) -> str:
+    """DuckDB twin of :func:`maximal_duplicate_spans` — identical window
+    inventory, occurrence rule, and lag/running-sum island merge."""
+    toks = f"string_split_regex(trim(text), '{TOKEN_SQL}')"
+    return f"""WITH base AS (
+  SELECT doc_id, {toks} AS toks FROM documents
+),
+pos AS (
+  SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_toks,
+         unnest(generate_series(1, greatest(len(toks) - {k - 1}, 1))) AS i
+  FROM base
+),
+w AS (
+  SELECT doc_id, n_toks, CAST(i AS BIGINT) AS pos,
+         md5(array_to_string(toks[i : i + {k - 1}], ' ')) AS h
+  FROM pos
+),
+c AS (SELECT h, count(*) AS occ FROM w GROUP BY 1),
+dup AS (
+  SELECT doc_id, n_toks, pos FROM w JOIN c USING (h) WHERE occ >= 2
+),
+flag AS (
+  SELECT doc_id, n_toks, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > {k}
+              THEN 1 ELSE 0 END AS brk
+  FROM dup
+),
+isl AS (
+  SELECT doc_id, n_toks, pos,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS UNBOUNDED PRECEDING) AS island
+  FROM flag
+)
+SELECT doc_id,
+       CAST(min(pos) AS BIGINT) AS span_start,
+       CAST(least(max(pos) + {k - 1}, min(n_toks)) AS BIGINT) AS span_end,
+       CAST(least(max(pos) + {k - 1}, min(n_toks)) - min(pos) + 1 AS BIGINT)
+         AS span_tokens,
+       CAST(count(*) AS BIGINT) AS n_windows
+FROM isl GROUP BY doc_id, island"""
 
 
 # --- MinHash + LSH -----------------------------------------------------------

@@ -671,9 +671,21 @@ q(
     dedup.duplicate_spans,
     dedup.oracle_duplicate_spans(),
 )
+# r7 depth upgrade: maximal duplicated spans — overlapping/contiguous
+# duplicated windows merged into per-doc maximal token intervals (the
+# substring-dedup cut list itself, not just the coverage measure). The
+# interval merge is a lag + running-sum window partitioned by doc_id, so
+# the frame is bounded by one doc's windows.
+q(
+    "dedup_maximal_spans",
+    dedup.maximal_duplicate_spans,
+    dedup.oracle_maximal_duplicate_spans(),
+)
 # Near-dup twin of the incremental batch-vs-corpus check (LSH band join
-# against the persisted signature index) — rows-only (xxhash64), planted-
-# replica recall asserted in tests.
+# against the persisted signature index) — rows-only: the band keys are
+# seeded Spark ``xxhash64``, a primitive DuckDB does not expose (its
+# ``hash()`` is a different function family), so no SQL oracle can
+# re-derive the candidate set; planted-replica recall asserted in tests.
 q(
     "dedup_incremental_neardup",
     lambda s, d: dedup.incremental_neardup_candidates(s, d),
@@ -1301,6 +1313,30 @@ q(
         f"regexp_replace(lower(trim(text)), '{text.TOKEN_SQL}', ' ', 'g')"
     ),
 )
+
+
+# Watermark/late-data observability (r7, SURVEY §2.5's semantic delta made
+# measurable): per-minute count of events a watermarked streaming agg
+# drops, over a deterministic out-of-order arrival replay. The arrival
+# order, chunk boundaries, and watermark sequence are pure functions of
+# the fixture, so the DuckDB oracle re-derives the drop set exactly;
+# engine parity (append-mode windowed count drops exactly these rows) is
+# pinned in tests/test_streaming_late.py.
+def _stream_late_arrivals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming import pipeline as sp
+
+    return sp.stream_late_arrivals_audit(spark, f"{sf_dir}/events.parquet")
+
+
+def _oracle_stream_late_arrivals() -> str:
+    # local import: registry keeps streaming modules off its import path
+    # (same laziness as every _stream_* query fn above)
+    from .streaming.pipeline import oracle_stream_late_arrivals
+
+    return oracle_stream_late_arrivals()
+
+
+q("stream_late_arrivals_audit", _stream_late_arrivals, _oracle_stream_late_arrivals())
 # Streaming multimodal ingest: the Catalyst blob synthesis + Arrow
 # histogram per micro-batch (stateless); batch-parity histogram oracle.
 def _stream_image_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1442,10 +1478,11 @@ SELECT variant, count(DISTINCT user_id) AS unique_users FROM ev GROUP BY 1""",
 # EventTimeTimeout): open sessions live in the state store and are
 # evicted-and-emitted when the watermark passes last_event + gap —
 # state bounded by OPEN sessions, the production shape the NoTimeout
-# uniques op deliberately isn't. Registered rows-only per the custom-
-# stateful convention; the hard gate is the pytest proving exact
-# equality with the batch session_window twin (heartbeat replay closes
-# every real session deterministically).
+# uniques op deliberately isn't. r7: converted rows-only -> SQL-oracled —
+# the heartbeat replay advances the watermark past every real session, so
+# the emitted set deterministically equals batch ``sessions.user_sessions``
+# (the equality the parity pytest has pinned since r4); the batch oracle
+# therefore gates it directly, same as stream_user_sessions.
 def _stream_sessions_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .streaming import stateful
 
@@ -1458,7 +1495,7 @@ def _stream_sessions_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-q("stream_sessions_ttl", _stream_sessions_ttl, None)
+q("stream_sessions_ttl", _stream_sessions_ttl, sessions.oracle_user_sessions(EV_CTE))
 
 # ---------------------------------------------------------------------------
 # Wire-level parity: the reference's literal Redis key/command catalog
@@ -2336,9 +2373,12 @@ WHERE c.variant = 'click'""",
 
 # Stop-shingle-capped Jaccard — the 100 TB scale path (precision-preserving
 # subset of the exact result; subset/ordering asserted in tests/test_dedup.py).
+# r7: converted rows-only -> SQL-oracled — the df cap is a pure function of
+# the data (no hashing), so the oracle df-caps its own inverted index.
 q(
     "dedup_ngram_jaccard_pairs_capped",
     lambda s, d: dedup.ngram_jaccard_pairs(s, d, max_shingle_df=20),
+    dedup.oracle_ngram_jaccard_pairs(max_shingle_df=20),
 )
 
 # Pairs -> clusters: iterative min-label connected components (the step that
@@ -3161,139 +3201,90 @@ q(
 # that carries its coverage in the meantime.
 # ---------------------------------------------------------------------------
 _PRIORITY = [
-    # ===================== ROUND 6 WINDOW =====================
-    # --- 1. the 4 r5 red rows, fixed (one root cause: uncast integer
-    # SUM in the oracle -> DuckDB HUGEINT -> pandas float64 -> "4568.0"
-    # vs "4568"; the r3 corpus_mix_report lesson repeated). Values were
-    # exact; the fix is CAST(... AS BIGINT) at text.py (n_tokens,
-    # pair_count) and sampling.py (total_tokens/n_oversize,
-    # tokens_before/shard_id). Guarded forever by
-    # tests/test_oracle_dtypes.py + the pandas-path driver_check. ---
-    "text_token_entropy",
-    "text_bpe_merges",
-    "pack_efficiency_report",
-    "corpus_shard_assignment",
-    # --- 2. changed engine this round (same oracle): two-level exact
-    # rank replaced the per-source whole-corpus sort window (calibrated
-    # ranks), then the same rework landed on the decile profile (ntile
-    # by closed form over the two-level rank) ---
-    "quality_calibrated_by_source",
-    "corpus_length_deciles",
-    # --- 3. never-checked r6-new keys ---
-    "text_bpe_encode",
-    "corpus_shard_incremental",
-    "dedup_image_ahash_probe",
-    "text_bpe_compression",
-    "corpus_shard_manifest",
-    "text_redact_pii",
-    "quality_perceptron_scores",
-    "stream_shard_assignment",
-    "stream_image_ahash_probe",
-    "dedup_label_propagation",
-    "pack_bpe_sequences",
-    "quality_perceptron_model",
-    "corpus_version_diff",
-    "quality_perceptron_persisted_scores",
-    "stream_model_scores",
-    "dedup_keep_best_by_model",
-    "ann_ivfpq_topk",
-    "stream_bpe_encode",
-    "dedup_entity_matches",
-    "dedup_entity_resolved",
-    "stream_entity_probe",
-    "corpus_constraint_report",
-    "text_bpe_roundtrip",
-    "ann_ivfpq_persisted_topk",
-    "stream_constraint_report",
-    "ann_truncation_recall",
-    "corpus_drift_psi",
-    "variant_minute_interpolated",
-    "corpus_epoch_shuffle",
-    "corpus_drop_audit",
-    "stream_drop_audit",
-    "quality_quantile_normalized",
-    "active_sessions_per_minute",
-    "text_rake_keyphrases",
-    "chunk_documents_sentences",
-    "events_hierarchical_rollup",
-    "stream_hierarchical_rollup",
-    "basket_part_pairs",
-    # (the four rows above were briefly queued for r7 behind promised
-    # re-checks; the round-3 policy test — never-green keys outrank ANY
-    # ever-green re-check while slots are held — put them back in the
-    # window, displacing q2/q3/q22/q18: all multi-round green with
-    # unchanged sources, all rotate to the r7 pool. q1 keeps the
-    # oracle_dsum/davg idiom duty alone this round.)
-    # (multimodal_image_ahash gave up its freshness re-check slot to the
-    # new corpus_epoch_shuffle key: dedup_image_ahash_pairs carries
-    # multimodal.py's aHash-path coverage this round;
-    # zipf_slope_by_source gave its slot to corpus_drop_audit — the
-    # text.py tokenization duty is carried by text_tfidf_top_terms and
-    # text_collocations_pmi, which keep theirs; and q4_order_priority
-    # gave its rotated-pool re-check slot to stream_drop_audit — all
-    # three rotate to r7)
-    # --- 4. the r5->r6 rotated relational pool: every key that gave up
-    # its r5 slot to a mid-round 3b addition (see the r5 rotation
-    # comments preserved in COVERAGE.md's rotation log) ---
-    # (q4_order_priority gave up its slot to stream_drop_audit,
-    # q15_top_supplier to quality_quantile_normalized,
-    # q17_small_quantity_revenue to active_sessions_per_minute, and
-    # q20_heavy_part_suppliers to text_rake_keyphrases; all multi-round
-    # green with unchanged sources, all rotate to the r7 pool)
-    # (q6_forecast_revenue gave up its re-check slot to the new
-    # corpus_drift_psi key; rotates to the r7 pool)
-    # (q8_market_share gave up its re-check slot to the new
-    # ann_truncation_recall key; rotates to the r7 pool)
-    # (q9_product_profit gave up its re-check slot to the new
-    # stream_constraint_report key and q10_returned_items to
-    # ann_ivfpq_persisted_topk; both rotate to the r7 pool)
-    # (q11_important_part_values gave up its re-check slot to the new
-    # text_bpe_roundtrip key; rotates to the r7 pool.
-    # q13_customer_distribution gave up its re-check slot to the new
-    # corpus_constraint_report key and q14_promo_revenue to
-    # stream_entity_probe; both rotate to the r7 pool)
-    # (q2_best_supplier_per_part, q3_shipping_priority,
-    # q22_dormant_customers and q18_large_volume_customers gave up the
-    # last rotated-pool re-check slots to the four late-late-r6 keys
-    # above, per the round-3 policy: never-green keys outrank any
-    # ever-green re-check; all four rotate to the r7 pool)
-    # (cube_quantity_by_flag_status gave up its re-check slot to the new
-    # variant_minute_interpolated key, monthly_order_revenue to
-    # dedup_entity_resolved; both rotate to the r7 pool)
-    # (running_revenue_per_supplier gave up its re-check slot to the new
-    # dedup_entity_matches key; rotates to the r7 pool)
-    # --- 5. freshness re-checks: oracled keys whose operator source was
-    # touched by this round's refactors and fixes — their green rows
-    # should postdate the change. corpus_quality_gate shares text.py's
-    # quality/entropy expressions; the tfidf/pmi/zipf family shares the
-    # text.py tokenization the BPE work sits next to; pagerank/kcore
-    # share dedup.py; the retained q1/q5/q18 + price/rolling pair keep
-    # the oracle_dsum/davg idiom re-check duty from r5 ---
-    "corpus_quality_gate",
-    "text_tfidf_top_terms",
-    "text_collocations_pmi",
-    "dedup_kcore_membership",
-    "dedup_image_ahash_pairs",
-    # (user_gap_profile, pack_documents_boundary and
-    # corpus_version_history gave up their re-check slots to the three
-    # late-r6 serving/composition keys: sessions.py is untouched this
-    # round, and the sampling.py changes were additive appends — the
-    # three functions themselves are character-identical to their green
-    # r5 state)
-    "q1_pricing_summary",
-    # (q5_local_supplier_volume gave up its slot to the
-    # corpus_length_deciles engine-change re-check; q1 keeps the
-    # dsum/davg idiom duty alone, q5 and q18 rotate to the r7 pool)
-    # (price_moments_by_flag gave up its slot to the new ann_ivfpq_topk
-    # key, and rolling_week_user_value to stream_bpe_encode; both rotate
-    # to the r7 pool with q5)
-    # R7 POOL (rotate in next round, plus anything whose source changes
-    # in r7): user_gap_profile, pack_documents_boundary and
-    # corpus_version_history (displaced above — functions unchanged,
-    # files touched additively), and ordinary staleness re-checks for
-    # whatever r7 edits, plus q2/q3/q18/q22 (displaced by the late-late-r6
-    # never-green keys). The r6-new keys above must hold their slots
-    # until CORRECTNESS_r06 records their first external rows.
+    # ===================== ROUND 7 WINDOW =====================
+    # The consolidation window VERDICT r6 item 1 promised: zero
+    # never-green oracled keys remain, so after the four r7 new/changed
+    # pairings the whole budget goes to the rotated re-check pool and
+    # the oldest-staleness freshness debt (65 oracled keys' last
+    # external green predates r3).
+    # --- 2. (query, oracle) pairings new or changed this round ---
+    # new depth op: maximal duplicated spans (Lee et al. cut list)
+    "dedup_maximal_spans",
+    # new observability op: watermark late-drop audit (SURVEY 2.5 delta)
+    "stream_late_arrivals_audit",
+    # rows-only -> oracled conversions (VERDICT r6 item 3)
+    "dedup_ngram_jaccard_pairs_capped",
+    "stream_sessions_ttl",
+    # --- 4a. the full promised r7 re-check pool (every key displaced
+    # from the r5/r6 windows; see COVERAGE.md rotation log) ---
+    "q2_best_supplier_per_part",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q11_important_part_values",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "q20_heavy_part_suppliers",
+    "q22_dormant_customers",
+    "price_moments_by_flag",
+    "rolling_week_user_value",
+    "running_revenue_per_supplier",
+    "cube_quantity_by_flag_status",
+    "monthly_order_revenue",
+    "user_gap_profile",
+    "pack_documents_boundary",
+    "corpus_version_history",
+    "multimodal_image_ahash",
+    "zipf_slope_by_source",
+    # --- 4b. oldest-staleness re-checks: every remaining key whose only
+    # green row is r1 ---
+    "active_entity_keys_union",
+    "customer_keys_intersect_orders",
+    "customer_keys_minus_orders",
+    "customers_with_orders",
+    "customers_without_orders",
+    "ev_grouping_sets_uniques",
+    "order_scalar_projections",
+    "priciest_parts_per_brand",
+    "r2_visits_timeseries_last10",
+    "returnflag_discount_profile",
+    "rollup_orders_by_status_priority",
+    "text_quality_score",
+    "top_orders_by_value",
+    # --- 4c. the rest of the budget: r2-stale keys, preferring those
+    # whose source was touched this round (dedup.py gained the span
+    # machinery and oracle_ngram_jaccard_pairs grew the df-cap param —
+    # its uncapped output string is byte-identical, re-checked anyway)
+    # plus the anchors/oracle-sharers ---
+    "dedup_ngram_jaccard_pairs",
+    "dedup_duplicate_spans",
+    "w1_visits_per_minute",
+    "user_sessions",
+    "ev_cube_uniques",
+    "stream_stateful_uniques_per_variant",
+    "r2_visits_timeseries",
+    # R8 POOL (rotate in next round, plus anything r8 edits): the
+    # remaining r2-stale keys — ann_topk_bruteforce, chunk_documents,
+    # customers_by_nation_segment_pivot, dedup_exact_groups,
+    # pack_documents_512, q21_suppliers_kept_waiting, r1_time_axis,
+    # r3_users_timeseries, r4_experiments_timeseries, r5_variant_overlap,
+    # sample_documents_hash, similar_documents_report, sliding_visits,
+    # stream_deduped_visits, stream_sliding_visits,
+    # stream_uniques_per_ev_minute, stream_user_sessions,
+    # text_fingerprints, text_lang_id, text_normalize_mask,
+    # text_token_stats, top_orders_per_customer, train_corpus_pipeline,
+    # user_event_features, w11_uniques_per_minute,
+    # w2_uniques_per_experiment_variant_minute, w3_uniques_per_variant,
+    # w3_uniques_per_variant_salted, w4_user_sets_per_variant,
+    # w5_uniques_per_experiment, w7_experiments_per_minute,
+    # w9_variants_per_minute — then the r3-stale tier.
 ]
 
 

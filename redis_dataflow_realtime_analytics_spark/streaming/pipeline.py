@@ -735,6 +735,203 @@ def _chunked_events_replay_dir(events_path: str, n_chunks: int = 3) -> str:
 
 
 
+_LATE_REPLAY_DIRS: dict[tuple[str, int, int], str] = {}
+
+#: Deterministic per-event delivery delay for the late-arrival replay:
+#: most events arrive within minutes (``event_id % 13`` minutes of
+#: network jitter); every 50th event is a buffered offline client that
+#: flushes ``event_id % 20`` DAYS late — the heavy-tailed arrival
+#: distribution that actually exercises watermark drops on a fixture
+#: whose event-time span (30 days / 3 replay chunks) dwarfs any
+#: minutes-scale jitter. Both the replay writer and the DuckDB oracle
+#: derive the same delay from ``event_id``, so arrival order is a pure
+#: function of the data.
+LATE_EVERY = 50
+LATE_DAYS_MOD = 20
+JITTER_MINUTES_MOD = 13
+
+
+def _late_arrival_replay_dir(events_path: str, n_chunks: int = 3) -> str:
+    """Materialize the events fixture ordered by simulated ARRIVAL time
+    (event time + deterministic per-event delay, ties by event_id) as an
+    n-chunk multi-file replay — the out-of-order delivery the ts-ordered
+    replay (:func:`_chunked_events_replay_dir`) deliberately cannot
+    produce. Same mtime-ordering + _COMPLETE-marker pattern; ``ts`` is
+    rewritten as µs so downstream never hits the NANOS branch."""
+    import hashlib
+    import tempfile
+    import time as _time
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    key = (events_path, os.stat(events_path).st_mtime_ns, n_chunks)
+    if key in _LATE_REPLAY_DIRS:
+        return _LATE_REPLAY_DIRS[key]
+    tag = hashlib.md5(f"late:{events_path}:{key[1]}:{n_chunks}".encode()).hexdigest()[
+        :16
+    ]
+    out = os.path.join(tempfile.gettempdir(), f"late_replay_{tag}")
+    marker = os.path.join(out, "_COMPLETE")
+    if os.path.isfile(marker):
+        _LATE_REPLAY_DIRS[key] = out
+        return out
+
+    tbl = pq.read_table(events_path)
+    ts_idx = tbl.schema.get_field_index("ts")
+    tbl = tbl.set_column(ts_idx, "ts", tbl["ts"].cast(pa.timestamp("us")))
+    eid = tbl["event_id"].to_numpy()
+    ts_us = tbl["ts"].cast(pa.int64()).to_numpy()
+    delay_us = np.where(
+        eid % LATE_EVERY == 0,
+        (eid % LATE_DAYS_MOD) * 86_400_000_000,
+        (eid % JITTER_MINUTES_MOD) * 60_000_000,
+    )
+    arrival = pa.array(ts_us + delay_us, pa.int64())
+    order = pc.sort_indices(
+        pa.table({"arrival": arrival, "event_id": tbl["event_id"]}),
+        sort_keys=[("arrival", "ascending"), ("event_id", "ascending")],
+    )
+    tbl = tbl.take(order)
+    os.makedirs(out, exist_ok=True)
+    n = tbl.num_rows
+    step = max(1, (n + n_chunks - 1) // n_chunks)
+    paths = []
+    for i in range(0, n, step):
+        fp = os.path.join(out, f"chunk_{i // step:04d}.parquet")
+        pq.write_table(tbl.slice(i, step), fp)
+        paths.append(fp)
+    base = _time.time() - 2 * len(paths)
+    for i, fp in enumerate(paths):
+        os.utime(fp, (base + 2 * i, base + 2 * i))
+    with open(marker, "w") as fh:
+        fh.write("ok\n")
+    _LATE_REPLAY_DIRS[key] = out
+    return out
+
+
+def stream_late_arrivals_audit(
+    spark: SparkSession,
+    events_path: str,
+    n_chunks: int = 3,
+    delay_minutes: int = 10,
+) -> DataFrame:
+    """Late-data observability: per-minute count of events that a
+    watermarked streaming aggregation WOULD DROP — the measurable face of
+    the semantic delta SURVEY §2.5 documents (the reference's Redis legs
+    accept arbitrarily late events forever; Spark's watermark does not).
+
+    Replays the fixture in simulated ARRIVAL order
+    (:func:`_late_arrival_replay_dir`) one chunk per micro-batch and
+    applies Spark's own drop rule per batch: the watermark entering a
+    batch is ``max(event time over all PRIOR batches) − delay`` (Spark
+    advances the watermark at batch boundaries, never mid-batch), and a
+    row is dropped when its 1-minute window END ≤ that watermark — the
+    exact ``StateStoreSave`` late-row filter for a windowed aggregation.
+    The audit emits (minute, late_events) for the dropped rows; a real
+    pipeline would wire the same side-aggregation into ``foreachBatch``
+    next to the main sink (or read the equivalent
+    ``observe()``/StreamingQueryProgress ``droppedRowsByWatermark``
+    counter, which reports totals only, not per-minute attribution).
+
+    Determinism: arrival order, chunk boundaries, and the watermark
+    sequence are all pure functions of the fixture, so a DuckDB oracle
+    (:func:`oracle_stream_late_arrivals`) re-derives the result exactly.
+    Parity with the real engine is pinned by
+    tests/test_streaming_late.py: an append-mode windowed count over the
+    same replay drops exactly the audited rows.
+
+    Scale notes: the per-batch watermark is one MAX aggregate (driver
+    receives a single long — the same information a StreamingQuery's
+    progress carries); the late-row count is a map-side filter + partial
+    aggregation, no extra shuffle beyond the per-minute groupBy the main
+    query already does.
+    """
+    import tempfile
+    import uuid
+
+    replay = _late_arrival_replay_dir(events_path, n_chunks)
+    stream = read_events_stream(spark, replay, max_files_per_trigger=1)
+    delay_us = delay_minutes * 60 * 1_000_000
+    out_dir = os.path.join(
+        tempfile.gettempdir(), f"late_audit_{uuid.uuid4().hex[:12]}"
+    )
+    # Sequential micro-batches (availableNow) make this closure-held
+    # high-watermark exact; a multi-query production deployment would
+    # read it from StreamingQueryProgress instead.
+    hwm = {"max_us": None}
+
+    def audit(batch: DataFrame, _batch_id: int) -> None:
+        prior = hwm["max_us"]
+        if prior is not None:
+            wmark_us = prior - delay_us
+            (
+                batch.where(
+                    F.unix_micros(F.date_trunc("minute", F.col("ts")))
+                    + 60_000_000
+                    <= F.lit(wmark_us)
+                )
+                .groupBy(F.date_trunc("minute", F.col("ts")).alias("minute"))
+                .agg(F.count("*").alias("late_events"))
+                .write.mode("append")
+                .parquet(out_dir)
+            )
+        else:
+            os.makedirs(out_dir, exist_ok=True)
+        mx = batch.agg(F.max(F.unix_micros("ts"))).first()[0]
+        if mx is not None:
+            hwm["max_us"] = mx if prior is None else max(prior, mx)
+
+    q = (
+        stream.writeStream.foreachBatch(audit)
+        .option("checkpointLocation", f"{out_dir}_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.schema("minute timestamp, late_events bigint")
+        .parquet(out_dir)
+        .groupBy("minute")
+        .agg(F.sum("late_events").cast("bigint").alias("late_events"))
+    )
+
+
+def oracle_stream_late_arrivals(n_chunks: int = 3, delay_minutes: int = 10) -> str:
+    """DuckDB twin of :func:`stream_late_arrivals_audit` — same arrival
+    order, chunking, per-chunk watermark sequence, and drop rule."""
+    return f"""WITH b AS (
+  SELECT ts, event_id,
+         ts + CASE WHEN event_id % {LATE_EVERY} = 0
+                   THEN to_days(CAST(event_id % {LATE_DAYS_MOD} AS INT))
+                   ELSE to_minutes(CAST(event_id % {JITTER_MINUTES_MOD} AS INT))
+              END AS arrival
+  FROM events
+),
+n AS (SELECT CAST(ceil(count(*) / {n_chunks}.0) AS BIGINT) AS step FROM b),
+e AS (
+  SELECT ts,
+         (row_number() OVER (ORDER BY arrival, event_id) - 1)
+           // (SELECT step FROM n) AS chunk
+  FROM b
+),
+mx AS (SELECT chunk, max(ts) AS mts FROM e GROUP BY 1),
+wm AS (
+  SELECT chunk,
+         max(mts) OVER (ORDER BY chunk
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           - INTERVAL {delay_minutes} MINUTE AS wmark
+  FROM mx
+)
+SELECT date_trunc('minute', e.ts) AS minute,
+       CAST(count(*) AS BIGINT) AS late_events
+FROM e JOIN wm USING (chunk)
+WHERE date_trunc('minute', e.ts) + INTERVAL 1 MINUTE <= wm.wmark
+GROUP BY 1"""
+
+
 def _chunked_docs_replay_dir(docs_path: str, n_chunks: int = 3) -> str:
     """Materialize the documents fixture as a doc_id-ordered multi-file
     replay (one micro-batch per file) — the streaming analogue of a crawl

@@ -757,6 +757,90 @@ def main(n_events: int = 10_000_000, doc_mult: int = 20) -> None:
 
         section("r6_ops", _r6_ops)
 
+        # --- r7 soak refresh (VERDICT r6 item 5): the r6-new families that
+        # only had fixture-scale timings — perceptron train/serve, ED-Join
+        # entity resolution, BPE closure — plus the r7-new ops (maximal
+        # duplicated spans, late-arrival audit). Doc-family ops run at
+        # doc_mult x sf0.1; IVFPQ runs on the (unscaled) embeddings table
+        # like the other ANN sections; the late audit replays the
+        # n_events-scale generated table.
+        def _r7_ops() -> None:
+            from redis_dataflow_realtime_analytics_spark.operators import (
+                classifier,
+                similarity,
+                text,
+            )
+
+            for name, fn in {
+                "perceptron_train_scores": lambda: classifier.perceptron_scores(
+                    spark, sf_dir
+                ),
+                "perceptron_persisted_scores": (
+                    lambda: classifier.perceptron_persisted_scores(spark, sf_dir)
+                ),
+                "entity_matches": lambda: dedup.entity_match_pairs(spark, sf_dir),
+                "entity_resolved": lambda: dedup.entity_resolve(spark, sf_dir),
+                "bpe_merges": lambda: text.bpe_merges(spark, sf_dir),
+                "bpe_encode": lambda: text.bpe_encode(spark, sf_dir),
+                "maximal_spans": lambda: dedup.maximal_duplicate_spans(
+                    spark, sf_dir
+                ),
+            }.items():
+                t0 = time.perf_counter()
+                fn().write.mode("overwrite").format("noop").save()
+                dt = time.perf_counter() - t0
+                out[f"{name}_s"] = round(dt, 2)
+                out[f"{name}_docs_per_s"] = int(n_docs / dt)
+
+            for name, fn in {
+                "ivfpq_topk": lambda: similarity.ann_ivfpq_topk(
+                    spark, "/root/testdata/sf0.1"
+                ),
+                "ivfpq_persisted_topk": lambda: similarity.ann_ivfpq_persisted_topk(
+                    spark, "/root/testdata/sf0.1"
+                ),
+            }.items():
+                t0 = time.perf_counter()
+                fn().write.mode("overwrite").format("noop").save()
+                out[f"{name}_s"] = round(time.perf_counter() - t0, 2)
+
+        section("r7_ops", _r7_ops)
+
+        def _r7_late_audit() -> None:
+            from redis_dataflow_realtime_analytics_spark.streaming import (
+                pipeline as sp,
+            )
+
+            # single-file events parquet for the replay writer
+            one = f"{tmp}/events_one.parquet"
+            spark.read.parquet(ev_path).withColumn(
+                "event_id", F.xxhash64("uid", "timestamp")
+            ).select(
+                "event_id",
+                F.col("timestamp").alias("ts"),
+                F.col("uid").cast("long").alias("user_id"),
+                F.col("variant").alias("event_type"),
+                F.lit(1.0).alias("value"),
+                F.concat(F.lit('{"k": "'), "experiment_id", F.lit('"}')).alias(
+                    "props"
+                ),
+            ).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/events_one")
+            import glob as _glob
+            import shutil
+
+            shutil.move(
+                _glob.glob(f"{tmp}/events_one/part-*.parquet")[0], one
+            )
+            t0 = time.perf_counter()
+            sp.stream_late_arrivals_audit(spark, one).write.mode(
+                "overwrite"
+            ).format("noop").save()
+            dt = time.perf_counter() - t0
+            out["late_audit_s"] = round(dt, 2)
+            out["late_audit_events_per_s"] = int(n_events / dt)
+
+        section("r7_late_audit", _r7_late_audit)
+
     out["n_events"] = n_events
     print(json.dumps(out))
 

@@ -96,6 +96,11 @@ def test_priority_window_covers_every_unchecked_oracled_key():
         # the oracle dtype-drift bug fixed in r6 — those keys hold r6
         # window slots). The r6 window consumes this record.
         "CORRECTNESS_r05.json",
+        # r6 came back 50/50 green — the first fully-green round; every
+        # oracled key now has an external green row. The r7 window
+        # consumes this record: its only non-re-check slots are the four
+        # r7 new/changed pairings.
+        "CORRECTNESS_r06.json",
     ]
     green: set[str] = set()
     for fname in green_rounds:

@@ -1,0 +1,114 @@
+"""Round-7 operators: maximal duplicated spans (the Lee et al. 2021
+cut-list deliverable) and the rows-only -> oracled conversions."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from redis_dataflow_realtime_analytics_spark.operators import dedup
+
+K = dedup.SPAN_K  # 8
+
+
+def _words(prefix: str, n: int) -> list[str]:
+    return [f"{prefix}{i}" for i in range(n)]
+
+
+def _write_docs(path: str, texts: list[str]) -> None:
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(1, len(texts) + 1), pa.int64()),
+            "text": pa.array(texts),
+            "source": pa.array(["t"] * len(texts)),
+            "lang": pa.array(["en"] * len(texts)),
+        }
+    )
+    pq.write_table(tbl, path)
+
+
+def test_maximal_spans_merges_overlapping_windows(spark, tmp_path):
+    """A shared 12-token phrase produces 5 overlapping duplicated k=8
+    windows per doc; they must merge into ONE maximal interval covering
+    exactly the phrase."""
+    phrase = " ".join(_words("dup", 12))
+    d1 = " ".join(_words("a", 6)) + " " + phrase + " " + " ".join(_words("b", 6))
+    d2 = " ".join(_words("c", 10)) + " " + phrase
+    path = str(tmp_path / "documents.parquet")
+    _write_docs(path, [d1, d2])
+    rows = {
+        (r["doc_id"], r["span_start"]): r
+        for r in dedup.maximal_duplicate_spans(spark, str(tmp_path)).collect()
+    }
+    # doc1: phrase occupies tokens 7..18 -> windows at 7..11 (5 windows)
+    r1 = rows[(1, 7)]
+    assert (r1["span_end"], r1["span_tokens"], r1["n_windows"]) == (18, 12, 5)
+    # doc2: phrase occupies tokens 11..22
+    r2 = rows[(2, 11)]
+    assert (r2["span_end"], r2["span_tokens"], r2["n_windows"]) == (22, 12, 5)
+    assert len(rows) == 2
+
+
+def test_maximal_spans_counts_self_repetition(spark, tmp_path):
+    """The occurrence rule is global (>= 2 occurrences anywhere), so a
+    phrase repeated INSIDE one document — invisible to duplicate_spans'
+    distinct-per-doc >= 2-docs rule — still yields spans; far-apart
+    repeats stay separate islands."""
+    phrase = " ".join(_words("rep", K))  # exactly one window per occurrence
+    filler = " ".join(_words("f", 20))
+    doc = phrase + " " + filler + " " + phrase
+    path = str(tmp_path / "documents.parquet")
+    _write_docs(path, [doc])
+    rows = sorted(
+        dedup.maximal_duplicate_spans(spark, str(tmp_path)).collect(),
+        key=lambda r: r["span_start"],
+    )
+    assert [(r["span_start"], r["span_end"]) for r in rows] == [
+        (1, K),
+        (K + 21, 2 * K + 20),
+    ]
+    assert all(r["n_windows"] == 1 for r in rows)
+
+
+def test_maximal_spans_intervals_disjoint_and_bounded(spark):
+    """Structural invariants on the real fixture: per doc, intervals are
+    disjoint (gap > 0 between consecutive spans), ordered, within the
+    doc's token count, and each covers >= k tokens' worth of windows."""
+    out = dedup.maximal_duplicate_spans(spark, "/root/testdata/sf0.001")
+    df = out.withColumn(
+        "prev_end",
+        F.lag("span_end").over(Window.partitionBy("doc_id").orderBy("span_start")),
+    )
+    bad = df.where(
+        (F.col("span_start") <= F.col("prev_end"))
+        | (F.col("span_end") < F.col("span_start"))
+        | (F.col("span_tokens") != F.col("span_end") - F.col("span_start") + 1)
+    ).count()
+    assert bad == 0
+    assert out.count() > 0
+
+
+def test_capped_jaccard_oracle_is_subset_of_exact(spark):
+    """The df-capped oracle (r7 conversion) must select a precision-1
+    subset of the exact pairs — same invariant the Spark side has had
+    since r2, now asserted on the ORACLE SQL too."""
+    import duckdb
+
+    con = duckdb.connect()
+    sf = "/root/testdata/sf0.001"
+    for t in ("documents",):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    exact = set(
+        map(tuple, con.execute(dedup.oracle_ngram_jaccard_pairs()).fetchall())
+    )
+    capped = set(
+        map(
+            tuple,
+            con.execute(
+                dedup.oracle_ngram_jaccard_pairs(max_shingle_df=20)
+            ).fetchall(),
+        )
+    )
+    assert {(a, b) for a, b, _ in capped} <= {(a, b) for a, b, _ in exact}
