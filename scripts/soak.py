@@ -775,7 +775,12 @@ def main(n_events: int = 10_000_000, doc_mult: int = 20) -> None:
                 "perceptron_train_scores": lambda: classifier.perceptron_scores(
                     spark, sf_dir
                 ),
-                "perceptron_persisted_scores": (
+                # first call trains + persists the artifact (cold; the tmp
+                # fixture is always fresh), second call is the warm serve
+                "perceptron_persisted_cold": (
+                    lambda: classifier.perceptron_persisted_scores(spark, sf_dir)
+                ),
+                "perceptron_persisted_warm": (
                     lambda: classifier.perceptron_persisted_scores(spark, sf_dir)
                 ),
                 "entity_matches": lambda: dedup.entity_match_pairs(spark, sf_dir),
