@@ -203,6 +203,8 @@ HEADLINE = [
     "dedup_maximal_spans",
     "stream_late_arrivals_audit",
     "dedup_ngram_jaccard_pairs_capped",
+    # new in r7 (cont.): the cut list applied
+    "corpus_cut_duplicate_spans",
 ]
 
 

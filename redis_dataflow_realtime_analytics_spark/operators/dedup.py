@@ -622,6 +622,90 @@ SELECT doc_id,
 FROM isl GROUP BY doc_id, island"""
 
 
+def cut_duplicate_spans(
+    spark: SparkSession, sf_dir: str, k: int = SPAN_K
+) -> DataFrame:
+    """APPLY the :func:`maximal_duplicate_spans` cut list: excise every
+    token covered by a maximal duplicated span and reassemble the
+    remainder in order — the aggressive substring-dedup variant (cut ALL
+    occurrences) Lee et al. 2021 evaluate alongside keep-one. The
+    keep-one policy is a downstream choice (join the cut list against a
+    canonical-owner table first); the cut mechanics are identical.
+
+    Output: (doc_id, n_toks, removed_tokens, kept_tokens, cleaned_text).
+    ``cleaned_text`` is the kept tokens joined by single spaces (token
+    reassembly, like :func:`corpus_remove_boilerplate`'s ordered
+    rebuild — original inter-token whitespace is not preserved).
+
+    Plan shape (100 TB): the cut list is tiny relative to the corpus
+    (per-doc maximal intervals); it aggregates to one array per doc_id
+    [one small shuffle] and joins back onto the corpus [doc_id-keyed
+    shuffle, AQE-broadcast when it fits]. The excision itself is one
+    map-side higher-order expression (filter positions not covered by
+    any interval — O(n_toks x n_intervals) per doc, both bounded by the
+    document), so no per-token rows ever shuffle.
+    """
+    docs = _spread(load(spark, sf_dir, "documents"))
+    spans = (
+        maximal_duplicate_spans(spark, sf_dir, k)
+        .groupBy("doc_id")
+        .agg(
+            F.collect_list(
+                F.struct(F.col("span_start").alias("s"), F.col("span_end").alias("e"))
+            ).alias("iv")
+        )
+    )
+    toks = F.split(F.trim(F.col("text")), TOKEN_RE)
+    base = docs.select("doc_id", toks.alias("toks")).join(spans, "doc_id", "left")
+    kept_pos = F.expr(
+        "filter(sequence(1, size(toks)), p -> NOT exists(coalesce(iv, array()), "
+        "x -> p >= x.s AND p <= x.e))"
+    )
+    return base.select(
+        "doc_id",
+        "toks",
+        F.size("toks").cast("bigint").alias("n_toks"),
+        kept_pos.alias("kp"),
+    ).select(
+        "doc_id",
+        "n_toks",
+        (F.col("n_toks") - F.size("kp")).cast("bigint").alias("removed_tokens"),
+        F.size("kp").cast("bigint").alias("kept_tokens"),
+        F.expr("concat_ws(' ', transform(kp, p -> toks[p - 1]))").alias(
+            "cleaned_text"
+        ),
+    )
+
+
+def oracle_cut_duplicate_spans(k: int = SPAN_K) -> str:
+    """DuckDB twin of :func:`cut_duplicate_spans` — the maximal-span
+    oracle as a CTE, then per-token covered test + ordered reassembly."""
+    toks = f"string_split_regex(trim(text), '{TOKEN_SQL}')"
+    return f"""WITH spans AS ({oracle_maximal_duplicate_spans(k)}),
+tk AS (
+  SELECT doc_id, CAST(len(t) AS BIGINT) AS n_toks,
+         unnest(t) AS tok,
+         CAST(generate_subscripts(t, 1) AS BIGINT) AS pos
+  FROM (SELECT doc_id, {toks} AS t FROM documents) d
+),
+marked AS (
+  SELECT tk.doc_id, tk.n_toks, tk.tok, tk.pos,
+         EXISTS (SELECT 1 FROM spans s
+                 WHERE s.doc_id = tk.doc_id
+                   AND tk.pos BETWEEN s.span_start AND s.span_end) AS covered
+  FROM tk
+)
+SELECT doc_id,
+       CAST(min(n_toks) AS BIGINT) AS n_toks,
+       CAST(sum(CASE WHEN covered THEN 1 ELSE 0 END) AS BIGINT)
+         AS removed_tokens,
+       CAST(sum(CASE WHEN covered THEN 0 ELSE 1 END) AS BIGINT)
+         AS kept_tokens,
+       coalesce(string_agg(CASE WHEN covered THEN NULL ELSE tok END, ' '
+                           ORDER BY pos), '') AS cleaned_text
+FROM marked GROUP BY doc_id"""
+
+
 # --- MinHash + LSH -----------------------------------------------------------
 def minhash_signatures(docs: DataFrame) -> DataFrame:
     """32-permutation MinHash signature per doc over 3-token shingles.

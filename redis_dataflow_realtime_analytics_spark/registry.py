@@ -681,6 +681,15 @@ q(
     dedup.maximal_duplicate_spans,
     dedup.oracle_maximal_duplicate_spans(),
 )
+# ... and the cut list APPLIED: every covered token excised, remainder
+# reassembled in order (cut-all-occurrences variant; keep-one is a
+# downstream join against a canonical-owner table). Map-side excision —
+# per-token rows never shuffle.
+q(
+    "corpus_cut_duplicate_spans",
+    dedup.cut_duplicate_spans,
+    dedup.oracle_cut_duplicate_spans(),
+)
 # Near-dup twin of the incremental batch-vs-corpus check (LSH band join
 # against the persisted signature index) — rows-only: the band keys are
 # seeded Spark ``xxhash64``, a primitive DuckDB does not expose (its
@@ -3210,6 +3219,11 @@ _PRIORITY = [
     # --- 2. (query, oracle) pairings new or changed this round ---
     # new depth op: maximal duplicated spans (Lee et al. cut list)
     "dedup_maximal_spans",
+    # ... and the applied cut (never-green; took the r2_visits_timeseries
+    # 4c re-check slot — green r2, engine shared with the in-window
+    # r2_visits_timeseries_last10, which carries timeseries.py's
+    # axis-join coverage; rotates to the r8 pool)
+    "corpus_cut_duplicate_spans",
     # new observability op: watermark late-drop audit (SURVEY 2.5 delta)
     "stream_late_arrivals_audit",
     # rows-only -> oracled conversions (VERDICT r6 item 3)
@@ -3269,8 +3283,11 @@ _PRIORITY = [
     "user_sessions",
     "ev_cube_uniques",
     "stream_stateful_uniques_per_variant",
-    "r2_visits_timeseries",
-    # R8 POOL (rotate in next round, plus anything r8 edits): the
+    # (r2_visits_timeseries gave up the last 4c slot to the late-r7
+    # corpus_cut_duplicate_spans key — never-green outranks any
+    # ever-green re-check; rotates to the r8 pool)
+    # R8 POOL (rotate in next round, plus anything r8 edits):
+    # r2_visits_timeseries (displaced above), then the
     # remaining r2-stale keys — ann_topk_bruteforce, chunk_documents,
     # customers_by_nation_segment_pivot, dedup_exact_groups,
     # pack_documents_512, q21_suppliers_kept_waiting, r1_time_axis,

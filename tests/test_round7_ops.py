@@ -90,6 +90,41 @@ def test_maximal_spans_intervals_disjoint_and_bounded(spark):
     assert out.count() > 0
 
 
+def test_cut_duplicate_spans_excises_exactly_the_intervals(spark, tmp_path):
+    """The applied cut removes precisely the shared phrase's tokens from
+    BOTH docs (cut-all-occurrences) and reassembles the rest in order."""
+    phrase = " ".join(_words("dup", 12))
+    a_toks, b_toks = _words("a", 6) + _words("b", 6), _words("c", 10)
+    d1 = " ".join(a_toks[:6]) + " " + phrase + " " + " ".join(a_toks[6:])
+    d2 = " ".join(b_toks) + " " + phrase
+    path = str(tmp_path / "documents.parquet")
+    _write_docs(path, [d1, d2])
+    rows = {
+        r["doc_id"]: r
+        for r in dedup.cut_duplicate_spans(spark, str(tmp_path)).collect()
+    }
+    assert rows[1]["cleaned_text"] == " ".join(a_toks)
+    assert rows[2]["cleaned_text"] == " ".join(b_toks)
+    for r in rows.values():
+        assert r["removed_tokens"] == 12
+        assert r["kept_tokens"] + r["removed_tokens"] == r["n_toks"]
+
+
+def test_cut_duplicate_spans_keeps_clean_docs_verbatim(spark, tmp_path):
+    """Docs with no duplicated spans come back with zero removed tokens
+    and their (whitespace-normalized) text intact."""
+    texts = [" ".join(_words(p, 30)) for p in ("x", "y", "z")]
+    path = str(tmp_path / "documents.parquet")
+    _write_docs(path, texts)
+    rows = sorted(
+        dedup.cut_duplicate_spans(spark, str(tmp_path)).collect(),
+        key=lambda r: r["doc_id"],
+    )
+    for r, t in zip(rows, texts):
+        assert r["removed_tokens"] == 0
+        assert r["cleaned_text"] == t
+
+
 def test_capped_jaccard_oracle_is_subset_of_exact(spark):
     """The df-capped oracle (r7 conversion) must select a precision-1
     subset of the exact pairs — same invariant the Spark side has had
