@@ -790,6 +790,7 @@ def main(n_events: int = 10_000_000, doc_mult: int = 20) -> None:
                 "maximal_spans": lambda: dedup.maximal_duplicate_spans(
                     spark, sf_dir
                 ),
+                "cut_spans": lambda: dedup.cut_duplicate_spans(spark, sf_dir),
             }.items():
                 t0 = time.perf_counter()
                 fn().write.mode("overwrite").format("noop").save()

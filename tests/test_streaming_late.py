@@ -92,6 +92,15 @@ def test_parity_with_real_watermark_drop(spark, tmp_path):
             .start()
         )
         q.awaitTermination()
+        # the engine's OWN counter must agree with the audit total — the
+        # strongest form of the parity claim (totals only; the audit adds
+        # the per-minute attribution the counter can't give)
+        dropped_counter = sum(
+            op.get("numRowsDroppedByWatermark", 0)
+            for p in q.recentProgress
+            for op in p.get("stateOperators", [])
+        )
+    assert dropped_counter == sum(audit.values())
     streamed = {
         r["minute"]: r["n"]
         for r in spark.table(name)
