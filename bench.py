@@ -203,8 +203,9 @@ HEADLINE = [
     "dedup_maximal_spans",
     "stream_late_arrivals_audit",
     "dedup_ngram_jaccard_pairs_capped",
-    # new in r7 (cont.): the cut list applied
+    # new in r7 (cont.): the cut list applied + the late-backfill repair
     "corpus_cut_duplicate_spans",
+    "stream_visits_late_backfill",
 ]
 
 

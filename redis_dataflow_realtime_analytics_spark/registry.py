@@ -1346,6 +1346,26 @@ def _oracle_stream_late_arrivals() -> str:
 
 
 q("stream_late_arrivals_audit", _stream_late_arrivals, _oracle_stream_late_arrivals())
+
+
+# ... and the REPAIR: update-mode watermarked count (drops the audited
+# rows) merged with the audited late counts = the batch W1 series
+# exactly — so the oracle is the plain per-minute count, no replay
+# modeling. The Lambda-style late-backfill correction as a first-class,
+# hash-gated op.
+def _stream_visits_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming import pipeline as sp
+
+    return sp.stream_visits_with_late_backfill(spark, f"{sf_dir}/events.parquet")
+
+
+q(
+    "stream_visits_late_backfill",
+    _stream_visits_backfill,
+    """SELECT date_trunc('minute', ts) AS minute,
+       CAST(count(*) AS BIGINT) AS visits
+FROM events GROUP BY 1""",
+)
 # Streaming multimodal ingest: the Catalyst blob synthesis + Arrow
 # histogram per micro-batch (stateless); batch-parity histogram oracle.
 def _stream_image_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3226,6 +3246,11 @@ _PRIORITY = [
     "corpus_cut_duplicate_spans",
     # new observability op: watermark late-drop audit (SURVEY 2.5 delta)
     "stream_late_arrivals_audit",
+    # ... and its repair: streamed + audited-late = batch W1 exactly
+    # (never-green; took the ev_cube_uniques 4c re-check slot — green r2
+    # AND judge-re-verified the day of the r6 verdict; its engine twin
+    # ev_grouping_sets_uniques keeps its slot above; rotates to r8)
+    "stream_visits_late_backfill",
     # rows-only -> oracled conversions (VERDICT r6 item 3)
     "dedup_ngram_jaccard_pairs_capped",
     "stream_sessions_ttl",
@@ -3281,8 +3306,11 @@ _PRIORITY = [
     "dedup_duplicate_spans",
     "w1_visits_per_minute",
     "user_sessions",
-    "ev_cube_uniques",
     "stream_stateful_uniques_per_variant",
+    # (ev_cube_uniques gave up its 4c slot to the late-r7
+    # stream_visits_late_backfill key — green r2 and judge-re-verified
+    # the day of the r6 verdict; ev_grouping_sets_uniques keeps the
+    # cube-family slot above; rotates to the r8 pool)
     # (r2_visits_timeseries gave up the last 4c slot to the late-r7
     # corpus_cut_duplicate_spans key — never-green outranks any
     # ever-green re-check; rotates to the r8 pool)

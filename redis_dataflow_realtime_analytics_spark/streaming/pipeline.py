@@ -735,19 +735,21 @@ def _chunked_events_replay_dir(events_path: str, n_chunks: int = 3) -> str:
 
 
 
-_LATE_REPLAY_DIRS: dict[tuple[str, int, int], str] = {}
+_LATE_REPLAY_DIRS: dict[tuple, str] = {}
 
 #: Deterministic per-event delivery delay for the late-arrival replay:
 #: most events arrive within minutes (``event_id % 13`` minutes of
-#: network jitter); every 50th event is a buffered offline client that
-#: flushes ``event_id % 20`` DAYS late — the heavy-tailed arrival
+#: network jitter); every 25th event is a buffered offline client that
+#: flushes ``event_id % 40`` DAYS late — the heavy-tailed arrival
 #: distribution that actually exercises watermark drops on a fixture
 #: whose event-time span (30 days / 3 replay chunks) dwarfs any
-#: minutes-scale jitter. Both the replay writer and the DuckDB oracle
-#: derive the same delay from ``event_id``, so arrival order is a pure
-#: function of the data.
-LATE_EVERY = 50
-LATE_DAYS_MOD = 20
+#: minutes-scale jitter, sized so drops survive the engine's TWO-batch
+#: watermark enforcement lag (a drop needs ~2 chunk spans ≈ 20 days of
+#: delay; (25, 40) yields 8/76/758 late rows at sf0.001/0.01/0.1).
+#: Both the replay writer and the DuckDB oracle derive the same delay
+#: from ``event_id``, so arrival order is a pure function of the data.
+LATE_EVERY = 25
+LATE_DAYS_MOD = 40
 JITTER_MINUTES_MOD = 13
 
 
@@ -767,12 +769,15 @@ def _late_arrival_replay_dir(events_path: str, n_chunks: int = 3) -> str:
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
-    key = (events_path, os.stat(events_path).st_mtime_ns, n_chunks)
+    # the jitter constants are part of the key: a constant retune must
+    # never reuse a dir materialized under the old arrival order
+    jit = (LATE_EVERY, LATE_DAYS_MOD, JITTER_MINUTES_MOD)
+    key = (events_path, os.stat(events_path).st_mtime_ns, n_chunks, jit)
     if key in _LATE_REPLAY_DIRS:
         return _LATE_REPLAY_DIRS[key]
-    tag = hashlib.md5(f"late:{events_path}:{key[1]}:{n_chunks}".encode()).hexdigest()[
-        :16
-    ]
+    tag = hashlib.md5(
+        f"late:{events_path}:{key[1]}:{n_chunks}:{jit}".encode()
+    ).hexdigest()[:16]
     out = os.path.join(tempfile.gettempdir(), f"late_replay_{tag}")
     marker = os.path.join(out, "_COMPLETE")
     if os.path.isfile(marker):
@@ -825,16 +830,21 @@ def stream_late_arrivals_audit(
 
     Replays the fixture in simulated ARRIVAL order
     (:func:`_late_arrival_replay_dir`) one chunk per micro-batch and
-    applies Spark's own drop rule per batch: the watermark entering a
-    batch is ``max(event time over all PRIOR batches) − delay`` (Spark
-    advances the watermark at batch boundaries, never mid-batch), and a
-    row is dropped when its 1-minute window END ≤ that watermark — the
-    exact ``StateStoreSave`` late-row filter for a windowed aggregation.
-    The audit emits (minute, late_events) for the dropped rows; a real
-    pipeline would wire the same side-aggregation into ``foreachBatch``
-    next to the main sink (or read the equivalent
-    ``observe()``/StreamingQueryProgress ``droppedRowsByWatermark``
-    counter, which reports totals only, not per-minute attribution).
+    applies Spark's own drop rule per batch, MEASURED against the real
+    engine (not the folklore rule): the watermark that batch N's
+    late-row filter enforces is the one computed from event-time stats
+    through batch **N−2** — i.e. the value StreamingQueryProgress
+    REPORTS for batch N−1 — ms-truncated max minus the delay; a row is
+    dropped when its 1-minute window END ≤ that watermark. (The
+    folklore "max of all prior batches" lag-1 rule over-counts: on the
+    sf0.01 replay it predicts 66 drops where the engine's
+    ``numRowsDroppedByWatermark`` records exactly 1 — the lag-2 rule's
+    exact prediction, pinned by tests/test_streaming_late.py against
+    the engine counter.) The audit emits (minute, late_events) for the
+    dropped rows; a real pipeline would wire the same side-aggregation
+    into ``foreachBatch`` next to the main sink (or read the
+    ``droppedRowsByWatermark`` counter, which reports totals only, not
+    per-minute attribution).
 
     Determinism: arrival order, chunk boundaries, and the watermark
     sequence are all pure functions of the fixture, so a DuckDB oracle
@@ -859,14 +869,19 @@ def stream_late_arrivals_audit(
         tempfile.gettempdir(), f"late_audit_{uuid.uuid4().hex[:12]}"
     )
     # Sequential micro-batches (availableNow) make this closure-held
-    # high-watermark exact; a multi-query production deployment would
-    # read it from StreamingQueryProgress instead.
-    hwm = {"max_us": None}
+    # watermark state exact; a multi-query production deployment would
+    # read it from StreamingQueryProgress instead. Two-deep state
+    # mirrors the engine's enforcement lag: ``enforced`` is the
+    # watermark base through batch N−2 (what batch N's filter uses),
+    # ``pending`` is batch N−1's contribution, folded in only after the
+    # current batch was filtered. Max event times are ms-truncated
+    # before the delay subtraction, as the engine truncates.
+    hwm = {"enforced_us": None, "pending_us": None}
 
     def audit(batch: DataFrame, _batch_id: int) -> None:
-        prior = hwm["max_us"]
-        if prior is not None:
-            wmark_us = prior - delay_us
+        enforced = hwm["enforced_us"]
+        if enforced is not None:
+            wmark_us = (enforced // 1000) * 1000 - delay_us
             (
                 batch.where(
                     F.unix_micros(F.date_trunc("minute", F.col("ts")))
@@ -880,9 +895,16 @@ def stream_late_arrivals_audit(
             )
         else:
             os.makedirs(out_dir, exist_ok=True)
+        # fold batch N-1's max into the enforced base; stage this batch's
+        pend = hwm["pending_us"]
+        if pend is not None:
+            hwm["enforced_us"] = (
+                pend if enforced is None else max(enforced, pend)
+            )
         mx = batch.agg(F.max(F.unix_micros("ts"))).first()[0]
         if mx is not None:
-            hwm["max_us"] = mx if prior is None else max(prior, mx)
+            prev_pend = hwm["pending_us"]
+            hwm["pending_us"] = mx if prev_pend is None else max(prev_pend, mx)
 
     q = (
         stream.writeStream.foreachBatch(audit)
@@ -899,9 +921,70 @@ def stream_late_arrivals_audit(
     )
 
 
+def stream_visits_with_late_backfill(
+    spark: SparkSession,
+    events_path: str,
+    n_chunks: int = 3,
+) -> DataFrame:
+    """The production REPAIR of the watermark/late-data delta: a real
+    update-mode watermarked per-minute count over the out-of-order
+    arrival replay (drops late rows, exactly the
+    :func:`stream_late_arrivals_audit` set — engine-counter parity in
+    tests/test_streaming_late.py) MERGED with the audited late counts —
+    the Lambda-style late-backfill correction. The merged series equals
+    the batch W1 counts on the same events EXACTLY, which is the whole
+    point: the oracle is the plain w1 SQL, no replay modeling needed.
+
+    At 100 TB/day this is the standard shape: the streaming agg serves
+    fresh minutes with bounded state; late rows land in a side store
+    (here: the audit's per-minute counts) and a periodic backfill MERGE
+    corrects closed minutes — Spark's watermark bounds state without
+    silently losing the late tail the reference's Redis INCRBY legs
+    would have absorbed.
+
+    Output: (minute, visits).
+    """
+    import uuid
+
+    replay = _late_arrival_replay_dir(events_path, n_chunks)
+    late = stream_late_arrivals_audit(spark, events_path, n_chunks)
+    agg = (
+        read_events_stream(spark, replay, max_files_per_trigger=1)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 minute").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("minute"), "n")
+    )
+    name = f"backfill_{uuid.uuid4().hex}"
+    with _state_partitions(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    streamed = (
+        spark.table(name).groupBy("minute").agg(F.max("n").alias("n"))
+    )
+    return (
+        streamed.join(late, "minute", "full_outer")
+        .select(
+            "minute",
+            (
+                F.coalesce(F.col("n"), F.lit(0))
+                + F.coalesce(F.col("late_events"), F.lit(0))
+            ).cast("bigint").alias("visits"),
+        )
+    )
+
+
 def oracle_stream_late_arrivals(n_chunks: int = 3, delay_minutes: int = 10) -> str:
     """DuckDB twin of :func:`stream_late_arrivals_audit` — same arrival
-    order, chunking, per-chunk watermark sequence, and drop rule."""
+    order, chunking, drop rule, and the engine's measured enforcement
+    lag: chunk N filters against the ms-truncated max event time over
+    chunks ≤ N−2 (``2 PRECEDING``), minus the delay."""
     return f"""WITH b AS (
   SELECT ts, event_id,
          ts + CASE WHEN event_id % {LATE_EVERY} = 0
@@ -917,18 +1000,18 @@ e AS (
            // (SELECT step FROM n) AS chunk
   FROM b
 ),
-mx AS (SELECT chunk, max(ts) AS mts FROM e GROUP BY 1),
+mx AS (SELECT chunk, max(epoch_us(ts)) AS mus FROM e GROUP BY 1),
 wm AS (
   SELECT chunk,
-         max(mts) OVER (ORDER BY chunk
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-           - INTERVAL {delay_minutes} MINUTE AS wmark
+         (max(mus) OVER (ORDER BY chunk
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING)
+            // 1000) * 1000 - {delay_minutes * 60 * 1_000_000} AS wmark_us
   FROM mx
 )
 SELECT date_trunc('minute', e.ts) AS minute,
        CAST(count(*) AS BIGINT) AS late_events
 FROM e JOIN wm USING (chunk)
-WHERE date_trunc('minute', e.ts) + INTERVAL 1 MINUTE <= wm.wmark
+WHERE epoch_us(date_trunc('minute', e.ts)) + 60000000 <= wm.wmark_us
 GROUP BY 1"""
 
 

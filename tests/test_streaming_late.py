@@ -24,13 +24,14 @@ T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
 
 
 def _write_planted_events(path: str) -> dict:
-    """13 events: 12 on-time (event_id % 13 == 0 and % 50 != 0 -> zero
+    """13 events: 12 on-time (event_id % 13 == 0 and % 25 != 0 -> zero
     arrival jitter) hourly from T0+1h, plus ONE buffered-client event
-    (event_id=150: 150 % 50 == 0 -> 150 % 20 = 10 DAYS delay) with event
+    (event_id=150: 150 % 25 == 0 -> 150 % 40 = 30 DAYS delay) with event
     time T0+1h30m. Its arrival sorts after every on-time event, so with
-    n_chunks=3 (step = ceil(13/3) = 5) it lands in the last chunk, where
-    the watermark — max prior event time (T0+10h) − 10 min — is far past
-    its window end: exactly one late row."""
+    n_chunks=3 (step = ceil(13/3) = 5) it lands in the third chunk,
+    where the ENFORCED watermark — the engine applies the watermark from
+    two batches back, i.e. max(chunk 0) = T0+5h, minus 10 min — is far
+    past its window end: exactly one late row."""
     ids = [13 * i for i in range(1, 13)] + [150]
     ts = [T0 + dt.timedelta(hours=i) for i in range(1, 13)] + [
         T0 + dt.timedelta(hours=1, minutes=30)
