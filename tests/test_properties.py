@@ -439,3 +439,114 @@ def test_active_sessions_sweepline_equals_bruteforce(spark, rows):
         .collect()
     }
     assert curve == brute
+
+
+# --- Maximal duplicated spans vs brute force (r7) ---------------------------
+spans_corpus_strategy = st.lists(
+    st.lists(st.sampled_from(["aa", "bb", "cc", "dd"]), min_size=1, max_size=25),
+    min_size=2,
+    max_size=6,
+)
+
+
+def _brute_maximal_spans(token_docs: list[list[str]], k: int):
+    """Pure-Python reference: window inventory, global >=2 occurrence
+    rule, contiguity merge (gap <= k), clamp to doc length."""
+    from collections import Counter
+
+    wins = []  # (doc_id, pos, text)
+    for d, tk in enumerate(token_docs, start=1):
+        n = len(tk)
+        for i in range(1, max(n - k + 1, 1) + 1):
+            wins.append((d, i, " ".join(tk[i - 1 : i - 1 + k])))
+    occ = Counter(w for _, _, w in wins)
+    out = set()
+    for d, tk in enumerate(token_docs, start=1):
+        pos = sorted(i for dd, i, w in wins if dd == d and occ[w] >= 2)
+        islands: list[list[int]] = []
+        for p in pos:
+            if islands and p - islands[-1][-1] <= k:
+                islands[-1].append(p)
+            else:
+                islands.append([p])
+        n = len(tk)
+        for isl in islands:
+            s, e = isl[0], min(isl[-1] + k - 1, n)
+            out.add((d, s, e, e - s + 1, len(isl)))
+    return out
+
+
+@given(docs=spans_corpus_strategy)
+@settings(**SETTINGS)
+def test_maximal_spans_match_bruteforce(spark, docs):
+    """maximal_duplicate_spans == the brute-force inventory+merge on
+    random small-vocabulary corpora (small vocab => dense duplicated
+    windows, island merges, clamped short docs — shapes the fixture's
+    natural text never produces)."""
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from redis_dataflow_realtime_analytics_spark.operators import dedup
+
+    k = 3
+    with tempfile.TemporaryDirectory() as tmp:
+        tbl = pa.table(
+            {
+                "doc_id": pa.array(range(1, len(docs) + 1), pa.int64()),
+                "text": pa.array([" ".join(d) for d in docs]),
+                "source": pa.array(["t"] * len(docs)),
+                "lang": pa.array(["en"] * len(docs)),
+            }
+        )
+        pq.write_table(tbl, f"{tmp}/documents.parquet")
+        got = {
+            (r["doc_id"], r["span_start"], r["span_end"], r["span_tokens"], r["n_windows"])
+            for r in dedup.maximal_duplicate_spans(spark, tmp, k=k).collect()
+        }
+    assert got == _brute_maximal_spans(docs, k)
+
+
+@given(docs=spans_corpus_strategy)
+@settings(**SETTINGS)
+def test_cut_spans_match_bruteforce(spark, docs):
+    """cut_duplicate_spans == brute-force excision of the brute-force
+    span set, for any random corpus: counts AND the reassembled text."""
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from redis_dataflow_realtime_analytics_spark.operators import dedup
+
+    k = 3
+    spans = _brute_maximal_spans(docs, k)
+    expect = {}
+    for d, tk in enumerate(docs, start=1):
+        covered = set()
+        for dd, s, e, _, _ in spans:
+            if dd == d:
+                covered.update(range(s, e + 1))
+        kept = [t for i, t in enumerate(tk, start=1) if i not in covered]
+        expect[d] = (len(tk), len(tk) - len(kept), len(kept), " ".join(kept))
+    with tempfile.TemporaryDirectory() as tmp:
+        tbl = pa.table(
+            {
+                "doc_id": pa.array(range(1, len(docs) + 1), pa.int64()),
+                "text": pa.array([" ".join(d) for d in docs]),
+                "source": pa.array(["t"] * len(docs)),
+                "lang": pa.array(["en"] * len(docs)),
+            }
+        )
+        pq.write_table(tbl, f"{tmp}/documents.parquet")
+        got = {
+            r["doc_id"]: (
+                r["n_toks"],
+                r["removed_tokens"],
+                r["kept_tokens"],
+                r["cleaned_text"],
+            )
+            for r in dedup.cut_duplicate_spans(spark, tmp, k=k).collect()
+        }
+    assert got == expect
