@@ -143,3 +143,81 @@ def test_audit_chunk_count_changes_watermark_schedule(spark, tmp_path, n_chunks)
     _write_planted_events(path)
     out = sp.stream_late_arrivals_audit(spark, path, n_chunks=n_chunks).collect()
     assert sum(r["late_events"] for r in out) >= (1 if n_chunks >= 3 else 0)
+
+
+def _simulate_lag2_audit(rows, n_chunks=3, delay_minutes=10):
+    """Pure-Python reference of the measured engine rule: arrival =
+    ts + jitter(event_id); chunk by arrival rank; batch N filters
+    against ms-truncated max event time over chunks <= N-2, minus the
+    delay; drop iff window_end <= wm. rows = [(event_id, ts_us)]."""
+    from redis_dataflow_realtime_analytics_spark.streaming.pipeline import (
+        JITTER_MINUTES_MOD,
+        LATE_DAYS_MOD,
+        LATE_EVERY,
+    )
+
+    def jitter_us(eid):
+        if eid % LATE_EVERY == 0:
+            return (eid % LATE_DAYS_MOD) * 86_400_000_000
+        return (eid % JITTER_MINUTES_MOD) * 60_000_000
+
+    order = sorted(rows, key=lambda r: (r[1] + jitter_us(r[0]), r[0]))
+    step = max(1, -(-len(order) // n_chunks))
+    chunks = [order[i : i + step] for i in range(0, len(order), step)]
+    delay_us = delay_minutes * 60_000_000
+    late = {}
+    maxes = []
+    for i, ch in enumerate(chunks):
+        if i >= 2:
+            wm = (max(maxes[: i - 1]) // 1000) * 1000 - delay_us
+            for _, tus in ch:
+                minute = tus - (tus % 60_000_000)
+                if minute + 60_000_000 <= wm:
+                    late[minute] = late.get(minute, 0) + 1
+        maxes.append(max(t for _, t in ch))
+    return late
+
+
+def test_audit_matches_lag2_simulator_on_random_streams(spark, tmp_path):
+    """The audit over randomized event streams equals the pure-Python
+    simulator of the measured engine rule — shapes (ties at chunk
+    boundaries, multi-day gaps, repeated minutes) the fixture never
+    produces. Deterministic seed; several stream shapes."""
+    import random
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = random.Random(7)
+    base_us = 1_700_000_000_000_000
+    for case in range(4):
+        n = rng.randint(30, 120)
+        rows = []
+        for j in range(n):
+            eid = rng.randint(0, 10_000)
+            # seconds-resolution event times spread over up to 45 days
+            tus = base_us + rng.randint(0, 45 * 86_400) * 1_000_000
+            rows.append((eid * 1000 + j, tus))  # unique event_ids
+        path = str(tmp_path / f"ev_{case}.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                    "user_id": pa.array([0] * n, pa.int64()),
+                    "event_type": pa.array(["click"] * n),
+                    "value": pa.array([1.0] * n),
+                    "props": pa.array(['{"k": "1"}'] * n),
+                }
+            ),
+            path,
+        )
+        from pyspark.sql import functions as F2
+
+        got = {
+            int(r["m"]): r["late_events"]
+            for r in sp.stream_late_arrivals_audit(spark, path, n_chunks=3)
+            .select(F2.unix_micros("minute").alias("m"), "late_events")
+            .collect()
+        }
+        assert got == _simulate_lag2_audit(rows), f"case {case}"
