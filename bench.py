@@ -206,6 +206,10 @@ HEADLINE = [
     # new in r7 (cont.): the cut list applied + the late-backfill repair
     "corpus_cut_duplicate_spans",
     "stream_visits_late_backfill",
+    # new in r7 (cont. 2): the portable-permutation MinHash family (the
+    # SQL-oracled twins of the banded LSH pipeline)
+    "dedup_minhash_portable_pairs",
+    "dedup_incremental_neardup_portable",
 ]
 
 

@@ -22,7 +22,11 @@ Scale notes (100 TB):
 MinHash/SimHash use ``xxhash64`` (seeded) — deterministic across runs and
 cluster sizes, but engine-specific, so these register rows-only with the
 driver; their recall/precision is asserted against exact Jaccard in
-tests/test_dedup.py with planted near-duplicates.
+tests/test_dedup.py with planted near-duplicates. The PORTABLE MinHash
+family (:func:`portable_minhash_signatures` + the ``*_portable`` pair
+ops) swaps xxhash64 for md5-derived affine permutations both engines can
+compute, making the banded pipeline fully SQL-oracled — it exists to
+externally verify the banding logic; xxhash64 stays the scale path.
 """
 
 from __future__ import annotations
@@ -839,6 +843,289 @@ def minhash_neardup_pairs(
         .where(F.col("est_jaccard") >= threshold)
         .select("doc_a", "doc_b", "est_jaccard")
     )
+
+
+# --- Portable (oracle-derivable) MinHash + LSH --------------------------------
+#: Signature width and banding for the PORTABLE MinHash family (16 perms,
+#: 4 bands × 4 rows). Smaller than the xxhash64 family's 32 on purpose:
+#: the portable twin exists to prove the banded pipeline against an
+#: external SQL engine, not to replace the scale path.
+PORTABLE_PERMS = 16
+PORTABLE_BANDS = 4
+PORTABLE_ROWS = PORTABLE_PERMS // PORTABLE_BANDS
+#: Mersenne prime 2^31 − 1 — the affine-permutation modulus. The shingle
+#: key is 28 bits (7 hex chars of md5) and multipliers are < 2^31, so
+#: ``a·x + b < 2^60`` never overflows a signed 64-bit integer in EITHER
+#: engine — the whole computation is plain BIGINT arithmetic, no 128-bit
+#: intermediates, no wraparound semantics to reconcile.
+PORTABLE_P = 2_147_483_647
+
+
+def _portable_coeffs(n: int = PORTABLE_PERMS, seed: int = 0x5EED) -> list[tuple[int, int]]:
+    """Fixed affine coefficients (a_i, b_i) for the portable permutations,
+    derived from a constant-seed 64-bit LCG at import time. Both the Spark
+    expressions and the generated oracle SQL inline these as literals from
+    the SAME list, so engine/oracle agreement is by construction."""
+    s = seed
+    out = []
+    for _ in range(n):
+        s = (s * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        a = (s >> 33) % (PORTABLE_P - 1) + 1
+        s = (s * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        b = (s >> 33) % PORTABLE_P
+        out.append((a, b))
+    return out
+
+
+_PORT_COEF = _portable_coeffs()
+
+
+def portable_minhash_signatures(docs: DataFrame) -> DataFrame:
+    """MinHash signature per doc with ENGINE-PORTABLE permutations.
+
+    The xxhash64 family (:func:`minhash_signatures`) is the scale path —
+    one cheap 64-bit hash per (seed, shingle) — but its values exist only
+    inside Spark, which is why those keys register rows-only. Here each
+    permutation is the classic affine form over a shingle key both engines
+    can derive:
+
+        x   = first 7 hex chars of md5(shingle), parsed base-16  (28 bits)
+        h_i = (a_i · x + b_i) mod (2^31 − 1)
+
+    md5 is bit-identical everywhere, base-16 parse is ``conv`` in Spark /
+    ``CAST('0x…' AS BIGINT)`` in DuckDB, and the affine step is three
+    BIGINT ops — so DuckDB re-derives the exact signatures and the banded
+    near-dup pipeline becomes hash-checkable end to end (prototype match
+    verified cross-engine before landing).
+
+    Plan shape is identical to the xxhash64 family: one explode + one
+    groupBy with 16 min-aggregates inside whole-stage codegen; partial
+    aggregation collapses exploded shingles map-side. The md5 costs more
+    per shingle than xxhash64 — acceptable for a verification twin, and
+    it is computed once and shared by all 16 permutations (the xxhash64
+    family hashes per permutation)."""
+    sh = _shingles(docs)
+    x = F.conv(F.substring(F.md5("shingle"), 1, 7), 16, 10).cast("long")
+    aggs = [
+        F.min((F.lit(a) * x + F.lit(b)) % F.lit(PORTABLE_P)).alias(f"h{i}")
+        for i, (a, b) in enumerate(_PORT_COEF)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def _portable_banded(sig: DataFrame) -> DataFrame:
+    """(doc_id, band, bucket) rows — bucket is the concat of the band's
+    signature slots (a string both engines build identically; no second
+    hash needed, the values ARE the key)."""
+    band_cols = [
+        F.concat_ws(
+            "-", *[F.col(f"h{b * PORTABLE_ROWS + r}") for r in range(PORTABLE_ROWS)]
+        ).alias(f"band{b}")
+        for b in range(PORTABLE_BANDS)
+    ]
+    return sig.select("doc_id", *band_cols).select(
+        "doc_id",
+        F.posexplode(
+            F.array(*[F.col(f"band{b}") for b in range(PORTABLE_BANDS)])
+        ).alias("band", "bucket"),
+    )
+
+
+def minhash_portable_pairs(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.5
+) -> DataFrame:
+    """Near-dup pairs via the PORTABLE MinHash + LSH banding — the fully
+    SQL-oracled twin of :func:`minhash_neardup_pairs` (reference scope:
+    the reference dedups nothing; this is the LLM-pipeline surface, Lee
+    et al. 2021 / Broder 1997 minhash-LSH shape).
+
+    Output: (doc_a, doc_b, n_agree, est_jaccard) for every candidate pair
+    sharing ≥ 1 of the 4 band buckets whose signature agreement ≥
+    ``threshold``. Sub-quadratic exactly like the scale twin: pairs are
+    generated ONLY inside shared band buckets — the all-pairs formulation
+    exists nowhere in the engine (the oracle may do as it likes; it also
+    band-joins, keeping sf0.1 checks fast).
+
+    100-TB note: identical plan shape to the xxhash64 family — banded
+    bucket join, est-join on two signature projections sharing one
+    exchange. The banding math (4 bands × 4 rows ⇒ P(candidate) =
+    1 − (1 − j^4)^4) trades recall for bucket size the same way."""
+    docs = _spread(load(spark, sf_dir, "documents"))
+    sig = portable_minhash_signatures(docs)
+    banded = _portable_banded(sig)
+    cands = (
+        banded.alias("a")
+        .join(banded.alias("b"), ["band", "bucket"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    a = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"h{i}").alias(f"a{i}") for i in range(PORTABLE_PERMS)],
+    )
+    b = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"h{i}").alias(f"b{i}") for i in range(PORTABLE_PERMS)],
+    )
+    n_agree = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(PORTABLE_PERMS)
+    )
+    return (
+        cands.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn("n_agree", n_agree.cast("bigint"))
+        .withColumn(
+            "est_jaccard", F.col("n_agree").cast("double") / float(PORTABLE_PERMS)
+        )
+        .where(F.col("est_jaccard") >= threshold)
+        .select("doc_a", "doc_b", "n_agree", "est_jaccard")
+    )
+
+
+def incremental_neardup_portable(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.5
+) -> DataFrame:
+    """Portable-permutation twin of :func:`incremental_neardup_candidates`
+    — the per-ingest-batch near-dup probe (incoming = ``doc_id % 10 = 0``)
+    against the existing corpus's banded signature index, now externally
+    hash-checkable: (doc_id, neardup_of, n_agree, est_jaccard) with the
+    best (highest agreement, smallest id) existing match per incoming doc.
+
+    Same O(batch × bucket occupancy) probe shape as the scale twin. The
+    best-match window orders by the INTEGER ``n_agree`` (descending) with
+    the id as tie-break — no float ordering anywhere; the DOUBLE
+    ``est_jaccard`` is derived from the winner's integer afterwards."""
+    docs = _spread(load(spark, sf_dir, "documents"))
+    sig = portable_minhash_signatures(docs)
+    banded = _portable_banded(sig)
+    inc = banded.where(F.col("doc_id") % 10 == 0)
+    ex = banded.where(F.col("doc_id") % 10 != 0).select(
+        F.col("doc_id").alias("neardup_of"), "band", "bucket"
+    )
+    cands = (
+        inc.join(ex, ["band", "bucket"]).select("doc_id", "neardup_of").distinct()
+    )
+    a = sig.select(
+        "doc_id", *[F.col(f"h{i}").alias(f"a{i}") for i in range(PORTABLE_PERMS)]
+    )
+    b = sig.select(
+        F.col("doc_id").alias("neardup_of"),
+        *[F.col(f"h{i}").alias(f"b{i}") for i in range(PORTABLE_PERMS)],
+    )
+    n_agree = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(PORTABLE_PERMS)
+    )
+    scored = (
+        cands.join(a, "doc_id")
+        .join(b, "neardup_of")
+        .withColumn("n_agree", n_agree.cast("bigint"))
+        .where(F.col("n_agree") >= int(threshold * PORTABLE_PERMS))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("n_agree"), "neardup_of")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            "neardup_of",
+            "n_agree",
+            (F.col("n_agree").cast("double") / float(PORTABLE_PERMS)).alias(
+                "est_jaccard"
+            ),
+        )
+    )
+
+
+def _oracle_portable_sig_sql(k: int = NGRAM_K) -> str:
+    """Shared CTE text: documents → distinct shingles → 28-bit md5 keys →
+    16-column portable MinHash signature (``sig``)."""
+    toks = f"string_split_regex(trim(text), '{TOKEN_SQL}')"
+    mins = ",\n         ".join(
+        f"min(({a} * x + {b}) % {PORTABLE_P}) AS h{i}"
+        for i, (a, b) in enumerate(_PORT_COEF)
+    )
+    return f"""pos AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(1, greatest(len(toks) - {k - 1}, 1))) AS i
+  FROM (SELECT doc_id, {toks} AS toks FROM documents) d
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         CAST(('0x' || substr(md5(array_to_string(toks[i : i + {k - 1}], ' ')), 1, 7))
+              AS BIGINT) AS x
+  FROM pos
+),
+sig AS (
+  SELECT doc_id,
+         {mins}
+  FROM sh GROUP BY doc_id
+),
+bands AS (
+  {" UNION ALL ".join(
+      "SELECT doc_id, " + str(bb) + " AS band, concat_ws('-', "
+      + ", ".join(f"h{bb * PORTABLE_ROWS + r}" for r in range(PORTABLE_ROWS))
+      + ") AS bucket FROM sig"
+      for bb in range(PORTABLE_BANDS)
+  )}
+)"""
+
+
+def oracle_minhash_portable_pairs(threshold: float = 0.5) -> str:
+    """DuckDB twin of :func:`minhash_portable_pairs` — re-derives the
+    signatures from the raw text and band-joins exactly like the engine."""
+    agree = " + ".join(
+        f"CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END"
+        for i in range(PORTABLE_PERMS)
+    )
+    return f"""WITH {_oracle_portable_sig_sql()},
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       CAST({agree} AS BIGINT) AS n_agree,
+       CAST({agree} AS DOUBLE) / {float(PORTABLE_PERMS)} AS est_jaccard
+FROM cand c
+JOIN sig sa ON sa.doc_id = c.doc_a
+JOIN sig sb ON sb.doc_id = c.doc_b
+WHERE CAST({agree} AS DOUBLE) / {float(PORTABLE_PERMS)} >= {threshold}"""
+
+
+def oracle_incremental_neardup_portable(threshold: float = 0.5) -> str:
+    """DuckDB twin of :func:`incremental_neardup_portable`."""
+    agree = " + ".join(
+        f"CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END"
+        for i in range(PORTABLE_PERMS)
+    )
+    return f"""WITH {_oracle_portable_sig_sql()},
+cand AS (
+  SELECT DISTINCT a.doc_id, b.doc_id AS neardup_of
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket
+  WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+),
+scored AS (
+  SELECT c.doc_id, c.neardup_of, CAST({agree} AS BIGINT) AS n_agree
+  FROM cand c
+  JOIN sig sa ON sa.doc_id = c.doc_id
+  JOIN sig sb ON sb.doc_id = c.neardup_of
+  WHERE {agree} >= {int(threshold * PORTABLE_PERMS)}
+),
+best AS (
+  SELECT doc_id, neardup_of, n_agree,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY n_agree DESC, neardup_of) AS rn
+  FROM scored
+)
+SELECT doc_id, neardup_of, n_agree,
+       CAST(n_agree AS DOUBLE) / {float(PORTABLE_PERMS)} AS est_jaccard
+FROM best WHERE rn = 1"""
 
 
 # --- SimHash -----------------------------------------------------------------

@@ -699,6 +699,23 @@ q(
     "dedup_incremental_neardup",
     lambda s, d: dedup.incremental_neardup_candidates(s, d),
 )
+# PORTABLE MinHash + LSH (md5-derived 28-bit shingle keys, affine
+# permutations mod 2^31−1): the fully SQL-oracled twins of the two
+# xxhash64 keys above — DuckDB re-derives the signatures from raw text
+# and band-joins exactly like the engine, so the banded near-dup
+# pipeline is externally hash-checked end to end (answers the r6
+# "can the band join be oracle-derived?" question: yes, with a
+# portable permutation family; xxhash64 remains the scale path).
+q(
+    "dedup_minhash_portable_pairs",
+    dedup.minhash_portable_pairs,
+    dedup.oracle_minhash_portable_pairs(),
+)
+q(
+    "dedup_incremental_neardup_portable",
+    dedup.incremental_neardup_portable,
+    dedup.oracle_incremental_neardup_portable(),
+)
 # Hash-family dedup ops are engine-specific (xxhash64) → rows-only checks;
 # recall/precision vs exact Jaccard is asserted in tests/test_dedup.py.
 q("dedup_minhash_neardup_pairs", dedup.minhash_neardup_pairs)
@@ -3254,6 +3271,14 @@ _PRIORITY = [
     # rows-only -> oracled conversions (VERDICT r6 item 3)
     "dedup_ngram_jaccard_pairs_capped",
     "stream_sessions_ttl",
+    # ... and the portable-permutation MinHash family (new oracled twins
+    # of the two xxhash64 rows-only keys — never-green, take the
+    # dedup_ngram_jaccard_pairs + dedup_duplicate_spans 4c re-check
+    # slots; both displaced keys were green r2 with their engine's span/
+    # shingle machinery re-checked this round via dedup_maximal_spans and
+    # corpus_cut_duplicate_spans, and rotate to the r8 pool)
+    "dedup_minhash_portable_pairs",
+    "dedup_incremental_neardup_portable",
     # --- 4a. the full promised r7 re-check pool (every key displaced
     # from the r5/r6 windows; see COVERAGE.md rotation log) ---
     "q2_best_supplier_per_part",
@@ -3302,11 +3327,15 @@ _PRIORITY = [
     # machinery and oracle_ngram_jaccard_pairs grew the df-cap param —
     # its uncapped output string is byte-identical, re-checked anyway)
     # plus the anchors/oracle-sharers ---
-    "dedup_ngram_jaccard_pairs",
-    "dedup_duplicate_spans",
     "w1_visits_per_minute",
     "user_sessions",
     "stream_stateful_uniques_per_variant",
+    # (dedup_ngram_jaccard_pairs and dedup_duplicate_spans gave up their
+    # 4c slots to the never-green portable MinHash pair above — both
+    # green r2, and dedup.py's shingle/span machinery is already
+    # re-checked this round by dedup_maximal_spans,
+    # corpus_cut_duplicate_spans, and dedup_ngram_jaccard_pairs_capped
+    # which shares the ngram_jaccard_pairs engine; rotate to r8)
     # (ev_cube_uniques gave up its 4c slot to the late-r7
     # stream_visits_late_backfill key — green r2 and judge-re-verified
     # the day of the r6 verdict; ev_grouping_sets_uniques keeps the

@@ -147,3 +147,70 @@ def test_capped_jaccard_oracle_is_subset_of_exact(spark):
         )
     )
     assert {(a, b) for a, b, _ in capped} <= {(a, b) for a, b, _ in exact}
+
+
+# --- Portable MinHash (oracle-derivable permutations) ------------------------
+def _py_portable_sig(text: str) -> list[int]:
+    """Pure-Python reference of the portable MinHash signature — tokenize,
+    shingle, md5→28-bit key, affine-permute, min — independent of BOTH
+    Spark and DuckDB."""
+    import hashlib
+    import re
+
+    toks = re.split(r"[^0-9A-Za-z]+", text.strip())
+    k = dedup.NGRAM_K
+    n = max(len(toks) - k, 0)
+    shingles = {" ".join(toks[i : i + k]) for i in range(n + 1)}
+    keys = [
+        int(hashlib.md5(s.encode()).hexdigest()[:7], 16) for s in shingles
+    ]
+    return [
+        min((a * x + b) % dedup.PORTABLE_P for x in keys)
+        for a, b in dedup._PORT_COEF
+    ]
+
+
+def test_portable_signature_matches_python_reference(spark, tmp_path):
+    texts = [
+        "the quick brown fox jumps over the lazy dog near the river bank",
+        "pack my box with five dozen liquor jugs again and again today",
+    ]
+    path = str(tmp_path / "documents.parquet")
+    _write_docs(path, texts)
+    docs = spark.read.parquet(path)
+    got = {
+        r["doc_id"]: [r[f"h{i}"] for i in range(dedup.PORTABLE_PERMS)]
+        for r in dedup.portable_minhash_signatures(docs).collect()
+    }
+    for doc_id, text in enumerate(texts, start=1):
+        assert got[doc_id] == _py_portable_sig(text), doc_id
+
+
+def test_portable_pairs_find_planted_replica(spark, tmp_path):
+    """An exact replica agrees on all 16 slots (est=1.0) and MUST surface
+    through the band join; unrelated docs must not pair at threshold 0.5."""
+    base = " ".join(_words("w", 40))
+    other = " ".join(_words("z", 40))
+    path = str(tmp_path / "documents.parquet")
+    _write_docs(path, [base, base, other])
+    rows = dedup.minhash_portable_pairs(spark, str(tmp_path)).collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in rows} == {(1, 2)}
+    assert rows[0]["n_agree"] == dedup.PORTABLE_PERMS
+    assert rows[0]["est_jaccard"] == 1.0
+
+
+def test_portable_incremental_probe_flags_only_incoming(spark, tmp_path):
+    """Incoming = doc_id % 10 == 0. Plant a replica of doc 3 at doc 10:
+    the probe must flag doc 10 against neardup_of=3 and nothing else."""
+    texts = [" ".join(_words(f"t{i}", 30)) for i in range(9)]  # ids 1..9
+    texts.append(texts[2])  # id 10 replicates id 3
+    path = str(tmp_path / "documents.parquet")
+    _write_docs(path, texts)
+    rows = dedup.incremental_neardup_portable(spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["doc_id"], r["neardup_of"], r["n_agree"]) == (
+        10,
+        3,
+        dedup.PORTABLE_PERMS,
+    )
