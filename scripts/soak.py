@@ -791,6 +791,17 @@ def main(n_events: int = 10_000_000, doc_mult: int = 20) -> None:
                     spark, sf_dir
                 ),
                 "cut_spans": lambda: dedup.cut_duplicate_spans(spark, sf_dir),
+                # portable-permutation MinHash vs the xxhash64 scale path
+                # (minhash_pairs above): md5 once per shingle shared by 16
+                # perms vs 32 per-perm xxhash64 calls — sf0.1 benched the
+                # portable twin FASTER (1.45 vs 1.73 s); confirm at soak
+                # scale where the agg/join stages dominate differently
+                "minhash_portable_pairs": lambda: dedup.minhash_portable_pairs(
+                    spark, sf_dir
+                ),
+                "incremental_neardup_portable": (
+                    lambda: dedup.incremental_neardup_portable(spark, sf_dir)
+                ),
             }.items():
                 t0 = time.perf_counter()
                 fn().write.mode("overwrite").format("noop").save()
