@@ -207,9 +207,11 @@ HEADLINE = [
     "corpus_cut_duplicate_spans",
     "stream_visits_late_backfill",
     # new in r7 (cont. 2): the portable-permutation MinHash family (the
-    # SQL-oracled twins of the banded LSH pipeline)
+    # SQL-oracled twins of the banded LSH pipeline) + the keep-one
+    # span-cut policy
     "dedup_minhash_portable_pairs",
     "dedup_incremental_neardup_portable",
+    "corpus_cut_spans_keep_first",
 ]
 
 

@@ -710,6 +710,167 @@ SELECT doc_id,
 FROM marked GROUP BY doc_id"""
 
 
+def cut_duplicate_spans_keep_first(
+    spark: SparkSession, sf_dir: str, k: int = SPAN_K
+) -> DataFrame:
+    """The KEEP-ONE substring-dedup policy Lee et al. 2021 evaluate
+    alongside cut-all (:func:`cut_duplicate_spans`): every duplicated
+    ``k``-token window keeps its CANONICAL occurrence — the first by
+    ``(doc_id, pos)`` — and is excised everywhere else, so one copy of
+    each duplicated passage survives in the corpus.
+
+    Mechanics: the window inventory and ≥2-occurrence rule are exactly
+    :func:`maximal_duplicate_spans`'; the per-hash aggregate additionally
+    carries ``min(struct(doc_id, pos))`` (lexicographic struct min — the
+    canonical owner), a window occurrence is CUT iff it is duplicated and
+    not canonical, and the cut windows merge into maximal per-doc
+    intervals with the same lag + running-sum island pass. Token excision
+    and ordered reassembly are shared with the cut-all variant. A kept
+    canonical window can still lose overlap tokens to an ADJACENT cut
+    window's interval — coverage is per token, the same rule both
+    engines apply.
+
+    Output: (doc_id, n_toks, removed_tokens, kept_tokens, cleaned_text) —
+    the :func:`cut_duplicate_spans` schema, so the two policies diff
+    directly.
+
+    Plan shape (100 TB): identical to cut-all plus one extra field in the
+    md5-keyed occurrence aggregate (the canonical struct rides the same
+    shuffle); no high-cardinality window rank — canonical selection is a
+    groupBy aggregate, not a per-hash ``row_number``."""
+    docs = _spread(load(spark, sf_dir, "documents"))
+    wexpr = (
+        f"transform(sequence(1, greatest(size(split(trim(text), '{TOKEN_EXPR}')) - {k - 1}, 1)), "
+        f"i -> struct(CAST(i AS BIGINT) AS pos, "
+        f"md5(concat_ws(' ', slice(split(trim(text), '{TOKEN_EXPR}'), i, {k}))) AS h))"
+    )
+    w = docs.select(
+        "doc_id",
+        F.expr(f"CAST(size(split(trim(text), '{TOKEN_EXPR}')) AS BIGINT)").alias(
+            "n_toks"
+        ),
+        F.explode(F.expr(wexpr)).alias("w"),
+    ).select("doc_id", "n_toks", F.col("w.pos").alias("pos"), F.col("w.h").alias("h"))
+    occ = w.groupBy("h").agg(
+        F.count("*").alias("occ"),
+        F.min(F.struct(F.col("doc_id").alias("d"), F.col("pos").alias("p"))).alias(
+            "canon"
+        ),
+    )
+    cut = (
+        w.join(occ.where(F.col("occ") >= 2), "h")
+        .where(
+            ~(
+                (F.col("doc_id") == F.col("canon.d"))
+                & (F.col("pos") == F.col("canon.p"))
+            )
+        )
+        .select("doc_id", "n_toks", "pos")
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    brk = F.when(F.col("pos") - F.lag("pos").over(win) > k, 1).otherwise(0)
+    isl = cut.withColumn("brk", brk).withColumn("island", F.sum("brk").over(win))
+    spans = (
+        isl.groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").alias("s"),
+            F.least(F.max("pos") + (k - 1), F.min("n_toks")).alias("e"),
+        )
+        .groupBy("doc_id")
+        .agg(F.collect_list(F.struct("s", "e")).alias("iv"))
+    )
+    toks = F.split(F.trim(F.col("text")), TOKEN_RE)
+    base = docs.select("doc_id", toks.alias("toks")).join(spans, "doc_id", "left")
+    kept_pos = F.expr(
+        "filter(sequence(1, size(toks)), p -> NOT exists(coalesce(iv, array()), "
+        "x -> p >= x.s AND p <= x.e))"
+    )
+    return base.select(
+        "doc_id",
+        "toks",
+        F.size("toks").cast("bigint").alias("n_toks"),
+        kept_pos.alias("kp"),
+    ).select(
+        "doc_id",
+        "n_toks",
+        (F.col("n_toks") - F.size("kp")).cast("bigint").alias("removed_tokens"),
+        F.size("kp").cast("bigint").alias("kept_tokens"),
+        F.expr("concat_ws(' ', transform(kp, p -> toks[p - 1]))").alias(
+            "cleaned_text"
+        ),
+    )
+
+
+def oracle_cut_keep_first(k: int = SPAN_K) -> str:
+    """DuckDB twin of :func:`cut_duplicate_spans_keep_first` — canonical
+    selection via ``row_number`` over (doc_id, pos) per hash (equivalent
+    to the engine's lexicographic struct-min), then the shared island
+    merge + per-token covered test."""
+    toks = f"string_split_regex(trim(text), '{TOKEN_SQL}')"
+    return f"""WITH base AS (
+  SELECT doc_id, {toks} AS toks FROM documents
+),
+pos AS (
+  SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_toks,
+         unnest(generate_series(1, greatest(len(toks) - {k - 1}, 1))) AS i
+  FROM base
+),
+w AS (
+  SELECT doc_id, n_toks, CAST(i AS BIGINT) AS pos,
+         md5(array_to_string(toks[i : i + {k - 1}], ' ')) AS h
+  FROM pos
+),
+ranked AS (
+  SELECT doc_id, n_toks, pos,
+         row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn,
+         count(*) OVER (PARTITION BY h) AS occ
+  FROM w
+),
+cut AS (
+  SELECT doc_id, n_toks, pos FROM ranked WHERE occ >= 2 AND rn >= 2
+),
+flag AS (
+  SELECT doc_id, n_toks, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > {k}
+              THEN 1 ELSE 0 END AS brk
+  FROM cut
+),
+isl AS (
+  SELECT doc_id, n_toks, pos,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS UNBOUNDED PRECEDING) AS island
+  FROM flag
+),
+spans AS (
+  SELECT doc_id,
+         min(pos) AS span_start,
+         least(max(pos) + {k - 1}, min(n_toks)) AS span_end
+  FROM isl GROUP BY doc_id, island
+),
+tk AS (
+  SELECT doc_id, CAST(len(t) AS BIGINT) AS n_toks,
+         unnest(t) AS tok,
+         CAST(generate_subscripts(t, 1) AS BIGINT) AS pos
+  FROM (SELECT doc_id, {toks} AS t FROM documents) d
+),
+marked AS (
+  SELECT tk.doc_id, tk.n_toks, tk.tok, tk.pos,
+         EXISTS (SELECT 1 FROM spans s
+                 WHERE s.doc_id = tk.doc_id
+                   AND tk.pos BETWEEN s.span_start AND s.span_end) AS covered
+  FROM tk
+)
+SELECT doc_id,
+       CAST(min(n_toks) AS BIGINT) AS n_toks,
+       CAST(sum(CASE WHEN covered THEN 1 ELSE 0 END) AS BIGINT)
+         AS removed_tokens,
+       CAST(sum(CASE WHEN covered THEN 0 ELSE 1 END) AS BIGINT)
+         AS kept_tokens,
+       coalesce(string_agg(CASE WHEN covered THEN NULL ELSE tok END, ' '
+                           ORDER BY pos), '') AS cleaned_text
+FROM marked GROUP BY doc_id"""
+
+
 # --- MinHash + LSH -----------------------------------------------------------
 def minhash_signatures(docs: DataFrame) -> DataFrame:
     """32-permutation MinHash signature per doc over 3-token shingles.

@@ -690,6 +690,16 @@ q(
     dedup.cut_duplicate_spans,
     dedup.oracle_cut_duplicate_spans(),
 )
+# The KEEP-ONE policy twin: each duplicated window keeps its canonical
+# (first by doc_id, pos) occurrence — one copy of every duplicated
+# passage survives. Canonical selection is a struct-min field on the
+# SAME md5-keyed occurrence aggregate (the oracle's row_number twin is
+# equivalent); everything downstream is shared with cut-all.
+q(
+    "corpus_cut_spans_keep_first",
+    dedup.cut_duplicate_spans_keep_first,
+    dedup.oracle_cut_keep_first(),
+)
 # Near-dup twin of the incremental batch-vs-corpus check (LSH band join
 # against the persisted signature index) — rows-only: the band keys are
 # seeded Spark ``xxhash64``, a primitive DuckDB does not expose (its
@@ -3279,6 +3289,11 @@ _PRIORITY = [
     # corpus_cut_duplicate_spans, and rotate to the r8 pool)
     "dedup_minhash_portable_pairs",
     "dedup_incremental_neardup_portable",
+    # ... and the keep-one span-cut policy (never-green; takes the
+    # user_sessions 4c slot — green r2, and its EXACT oracle gates the
+    # in-window stream_sessions_ttl conversion, so sessions.py coverage
+    # is carried; rotates to the r8 pool)
+    "corpus_cut_spans_keep_first",
     # --- 4a. the full promised r7 re-check pool (every key displaced
     # from the r5/r6 windows; see COVERAGE.md rotation log) ---
     "q2_best_supplier_per_part",
@@ -3328,8 +3343,10 @@ _PRIORITY = [
     # its uncapped output string is byte-identical, re-checked anyway)
     # plus the anchors/oracle-sharers ---
     "w1_visits_per_minute",
-    "user_sessions",
     "stream_stateful_uniques_per_variant",
+    # (user_sessions gave up its 4c slot to the never-green keep-first
+    # span cut above — green r2, and its exact oracle gates the
+    # in-window stream_sessions_ttl; rotates to r8)
     # (dedup_ngram_jaccard_pairs and dedup_duplicate_spans gave up their
     # 4c slots to the never-green portable MinHash pair above — both
     # green r2, and dedup.py's shingle/span machinery is already

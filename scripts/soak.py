@@ -791,6 +791,9 @@ def main(n_events: int = 10_000_000, doc_mult: int = 20) -> None:
                     spark, sf_dir
                 ),
                 "cut_spans": lambda: dedup.cut_duplicate_spans(spark, sf_dir),
+                "cut_spans_keep_first": (
+                    lambda: dedup.cut_duplicate_spans_keep_first(spark, sf_dir)
+                ),
                 # portable-permutation MinHash vs the xxhash64 scale path
                 # (minhash_pairs above): md5 once per shingle shared by 16
                 # perms vs 32 per-perm xxhash64 calls — sf0.1 benched the

@@ -214,3 +214,54 @@ def test_portable_incremental_probe_flags_only_incoming(spark, tmp_path):
         3,
         dedup.PORTABLE_PERMS,
     )
+
+
+# --- keep-first span cut ------------------------------------------------------
+def test_keep_first_cut_preserves_canonical_occurrence(spark, tmp_path):
+    """A phrase shared by three docs survives ONLY in the lowest doc_id;
+    the other two lose exactly the phrase tokens."""
+    phrase = " ".join(_words("dup", K))  # exactly one window per occurrence
+    uniq = [" ".join(_words(f"u{i}", 12)) for i in range(3)]
+    texts = [f"{uniq[i]} {phrase}" for i in range(3)]
+    path = str(tmp_path / "documents.parquet")
+    _write_docs(path, texts)
+    rows = {
+        r["doc_id"]: r
+        for r in dedup.cut_duplicate_spans_keep_first(spark, str(tmp_path)).collect()
+    }
+    assert rows[1]["removed_tokens"] == 0
+    assert rows[1]["cleaned_text"] == texts[0]
+    for d in (2, 3):
+        assert rows[d]["removed_tokens"] == K
+        assert rows[d]["cleaned_text"] == uniq[d - 1]
+
+
+def test_keep_first_cut_keeps_first_self_repetition(spark, tmp_path):
+    """Intra-doc repetition: the FIRST occurrence survives, the later one
+    is excised (far apart so the islands stay separate)."""
+    phrase = " ".join(_words("rep", K))
+    filler = " ".join(_words("f", 20))
+    text = f"{phrase} {filler} {phrase}"
+    path = str(tmp_path / "documents.parquet")
+    _write_docs(path, [text])
+    r = dedup.cut_duplicate_spans_keep_first(spark, str(tmp_path)).collect()[0]
+    assert r["removed_tokens"] == K
+    assert r["cleaned_text"] == f"{phrase} {filler}"
+
+
+def test_keep_first_removes_no_more_than_cut_all(spark):
+    """On the real fixture the keep-one policy must excise a strict
+    subset of cut-all's tokens per doc (canonical occurrences survive),
+    and total removal must be positive (the fixture has planted dups)."""
+    sf = "/root/testdata/sf0.001"
+    cut_all = {
+        r["doc_id"]: r["removed_tokens"]
+        for r in dedup.cut_duplicate_spans(spark, sf).collect()
+    }
+    keep1 = {
+        r["doc_id"]: r["removed_tokens"]
+        for r in dedup.cut_duplicate_spans_keep_first(spark, sf).collect()
+    }
+    assert set(cut_all) == set(keep1)
+    assert all(keep1[d] <= cut_all[d] for d in cut_all)
+    assert sum(keep1.values()) < sum(cut_all.values())
