@@ -212,6 +212,7 @@ HEADLINE = [
     "dedup_minhash_portable_pairs",
     "dedup_incremental_neardup_portable",
     "corpus_cut_spans_keep_first",
+    "stream_neardup_probe",
 ]
 
 

@@ -2538,6 +2538,26 @@ q(
     _stream_entity_probe,
     dedup.oracle_entity_match(),
 )
+
+
+# Streaming near-dup probe: incoming docs (doc_id % 10 = 0) compute
+# portable MinHash signatures batch-locally and probe the persisted
+# banded index of the existing corpus — stateless per batch, union of
+# shipments = the batch probe exactly, so it shares
+# oracle_incremental_neardup_portable; portable permutations mean DuckDB
+# re-derives every signature from raw text: the stream path is
+# externally hash-checked end to end.
+def _stream_neardup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming import pipeline as sp
+
+    return sp.stream_neardup_probe(spark, f"{sf_dir}/documents.parquet")
+
+
+q(
+    "stream_neardup_probe",
+    _stream_neardup_probe,
+    dedup.oracle_incremental_neardup_portable(),
+)
 # Deequ-style data-validation suite: completeness/uniqueness/consistency/
 # containment/pattern/range verdicts from ONE corpus scan of conditional
 # counts; min_length_100 is strict enough to FAIL on the fixture (a gate
@@ -3294,6 +3314,11 @@ _PRIORITY = [
     # in-window stream_sessions_ttl conversion, so sessions.py coverage
     # is carried; rotates to the r8 pool)
     "corpus_cut_spans_keep_first",
+    # ... and the streaming near-dup probe (never-green; takes the
+    # stream_stateful_uniques_per_variant 4c slot — green r2, with the
+    # stateful machinery still pytest-gated by test_streaming.py and
+    # four other stream_* keys in-window; rotates to the r8 pool)
+    "stream_neardup_probe",
     # --- 4a. the full promised r7 re-check pool (every key displaced
     # from the r5/r6 windows; see COVERAGE.md rotation log) ---
     "q2_best_supplier_per_part",
@@ -3343,7 +3368,9 @@ _PRIORITY = [
     # its uncapped output string is byte-identical, re-checked anyway)
     # plus the anchors/oracle-sharers ---
     "w1_visits_per_minute",
-    "stream_stateful_uniques_per_variant",
+    # (stream_stateful_uniques_per_variant gave up its 4c slot to the
+    # never-green stream_neardup_probe — green r2, stateful machinery
+    # pytest-gated; rotates to r8)
     # (user_sessions gave up its 4c slot to the never-green keep-first
     # span cut above — green r2, and its exact oracle gates the
     # in-window stream_sessions_ttl; rotates to r8)

@@ -2039,6 +2039,107 @@ def stream_entity_probe(
     return spark.read.parquet(out_dir)
 
 
+def stream_neardup_probe(
+    spark: SparkSession, docs_path: str, n_chunks: int = 3
+) -> DataFrame:
+    """Streaming near-dup detection at ingest: each shipment's incoming
+    documents (``doc_id % 10 = 0``) compute their PORTABLE MinHash
+    signatures batch-locally and probe the PERSISTED banded index of the
+    existing corpus (``dedup._persisted_portable_index``) — the
+    arrival-path twin of ``dedup.incremental_neardup_portable``, closing
+    the near-dup gap in the streaming curation ladder (exact dedup,
+    decontamination, entity, and image-aHash probes already stream).
+
+    Stateless per batch: signatures depend only on the arriving text and
+    the index is static, so the union of per-shipment outputs equals the
+    batch probe exactly — the SAME SQL oracle gates both
+    (``dedup.oracle_incremental_neardup_portable``), and because the
+    permutations are portable, that oracle re-derives every signature
+    from raw text in DuckDB: the full stream path is externally
+    hash-checked.
+
+    100-TB shape: the batch side (one shipment) broadcasts into both
+    joins; the corpus-sized index frames stay partitioned — banded rows
+    written bucketed by (band, bucket) would confine the probe shuffle
+    to the batch itself. Per-batch cost is O(batch × bucket occupancy).
+    """
+    import tempfile
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ..operators import dedup as dd
+
+    replay = _chunked_docs_replay_dir(docs_path, n_chunks)
+    schema = spark.read.parquet(docs_path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(replay)
+    )
+    sf_dir = os.path.dirname(docs_path)
+    banded_ix, sig_ix = dd._persisted_portable_index(spark, sf_dir)
+    banded_ix = banded_ix.select(
+        F.col("doc_id").alias("neardup_of"), "band", "bucket"
+    ).localCheckpoint(eager=True)
+    sig_ix = sig_ix.select(
+        F.col("doc_id").alias("neardup_of"),
+        *[F.col(f"h{i}").alias(f"b{i}") for i in range(dd.PORTABLE_PERMS)],
+    ).localCheckpoint(eager=True)
+    out_dir = os.path.join(
+        tempfile.gettempdir(), f"stream_neardup_{uuid.uuid4().hex[:12]}"
+    )
+    n_agree = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(dd.PORTABLE_PERMS)
+    )
+
+    def ingest(batch: DataFrame, _batch_id: int) -> None:
+        incoming = batch.where(F.col("doc_id") % 10 == 0)
+        if incoming.isEmpty():
+            return
+        sig = dd.portable_minhash_signatures(incoming)
+        bands = dd._portable_banded(sig)
+        cands = (
+            banded_ix.join(F.broadcast(bands), ["band", "bucket"])
+            .select("doc_id", "neardup_of")
+            .distinct()
+        )
+        a = sig.select(
+            "doc_id",
+            *[F.col(f"h{i}").alias(f"a{i}") for i in range(dd.PORTABLE_PERMS)],
+        )
+        scored = (
+            sig_ix.join(F.broadcast(cands.join(a, "doc_id")), "neardup_of")
+            .withColumn("n_agree", n_agree.cast("bigint"))
+            .where(F.col("n_agree") >= dd.PORTABLE_PERMS // 2)
+        )
+        w = Window.partitionBy("doc_id").orderBy(F.desc("n_agree"), "neardup_of")
+        (
+            scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select(
+                "doc_id",
+                "neardup_of",
+                "n_agree",
+                (
+                    F.col("n_agree").cast("double") / float(dd.PORTABLE_PERMS)
+                ).alias("est_jaccard"),
+            )
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", f"{out_dir}_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir)
+
+
 def stream_constraint_report(
     spark: SparkSession, docs_path: str, n_chunks: int = 3
 ) -> DataFrame:

@@ -265,3 +265,24 @@ def test_keep_first_removes_no_more_than_cut_all(spark):
     assert set(cut_all) == set(keep1)
     assert all(keep1[d] <= cut_all[d] for d in cut_all)
     assert sum(keep1.values()) < sum(cut_all.values())
+
+
+def test_stream_neardup_probe_equals_batch_probe(spark):
+    """Stateless-per-batch + static index ⇒ the union of per-shipment
+    outputs must equal the batch probe EXACTLY (same rows, same
+    integers) — the identity that lets the streaming key share the
+    batch oracle."""
+    from redis_dataflow_realtime_analytics_spark.streaming import pipeline as sp
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        tuple(r)
+        for r in sp.stream_neardup_probe(
+            spark, f"{sf}/documents.parquet"
+        ).collect()
+    }
+    want = {
+        tuple(r)
+        for r in dedup.incremental_neardup_portable(spark, sf).collect()
+    }
+    assert got == want and len(want) > 0
