@@ -213,6 +213,7 @@ HEADLINE = [
     "dedup_incremental_neardup_portable",
     "corpus_cut_spans_keep_first",
     "stream_neardup_probe",
+    "dedup_lsh_exact_jaccard_portable",
 ]
 
 

@@ -1289,6 +1289,86 @@ SELECT doc_id, neardup_of, n_agree,
 FROM best WHERE rn = 1"""
 
 
+def lsh_exact_jaccard_portable(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.5
+) -> DataFrame:
+    """The two-stage production dedup layout — LSH candidates, then EXACT
+    Jaccard verification — under PORTABLE permutations, which makes the
+    whole architecture SQL-oracled (its xxhash64 twin
+    :func:`lsh_exact_jaccard_pairs` is rows-only): DuckDB re-derives the
+    candidate set from raw text AND re-verifies each candidate's exact
+    Jaccard, so both stages are externally hash-checked, not just the
+    final pair list.
+
+    Same verify mechanics as the twin: one row-local ``array_intersect``
+    per candidate; integer set sizes ⇒ one correctly-rounded double
+    division, bit-equal across engines. The quadratic formulation exists
+    nowhere — candidates only surface from shared band buckets."""
+    docs = _spread(load(spark, sf_dir, "documents"))
+    sig = portable_minhash_signatures(docs)
+    banded = _portable_banded(sig)
+    cands = (
+        banded.alias("a")
+        .join(banded.alias("b"), ["band", "bucket"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    arr = _shingle_docs(docs)
+    a = arr.select(F.col("doc_id").alias("doc_a"), F.col("arr").alias("arr_a"))
+    b = arr.select(F.col("doc_id").alias("doc_b"), F.col("arr").alias("arr_b"))
+    inter = F.size(F.array_intersect("arr_a", "arr_b"))
+    union = F.size("arr_a") + F.size("arr_b") - inter
+    return (
+        cands.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn("jaccard", inter / union)
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def oracle_lsh_exact_jaccard_portable(threshold: float = 0.5) -> str:
+    """DuckDB twin of :func:`lsh_exact_jaccard_portable`: the portable
+    signature/banding CTEs produce the candidate set, a separate
+    shingle-STRING inventory re-verifies exact Jaccard on it (candidates
+    with zero common shingles fall out of the inner join — they can't
+    reach any positive threshold)."""
+    toks = f"string_split_regex(trim(text), '{TOKEN_SQL}')"
+    return f"""WITH {_oracle_portable_sig_sql()},
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+pos2 AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(1, greatest(len(toks) - {NGRAM_K - 1}, 1))) AS i
+  FROM (SELECT doc_id, {toks} AS toks FROM documents) d
+),
+shs AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(toks[i : i + {NGRAM_K - 1}], ' ') AS shingle
+  FROM pos2
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM shs GROUP BY 1),
+common AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_common
+  FROM cand c
+  JOIN shs a ON a.doc_id = c.doc_a
+  JOIN shs b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       n_common / (sa.n + sb.n - n_common) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE n_common / (sa.n + sb.n - n_common) >= {threshold}"""
+
+
 _PORTABLE_INDEX_CACHE: dict = {}
 
 

@@ -3164,6 +3164,14 @@ q(
     "dedup_lsh_exact_jaccard_pairs",
     lambda s, d: dedup.lsh_exact_jaccard_pairs(s, d),
 )
+# ... and its PORTABLE-permutation twin: both stages (candidate banding
+# AND exact-Jaccard verify) re-derived by DuckDB from raw text — the
+# two-stage production layout, externally hash-checked end to end.
+q(
+    "dedup_lsh_exact_jaccard_portable",
+    dedup.lsh_exact_jaccard_portable,
+    dedup.oracle_lsh_exact_jaccard_portable(),
+)
 
 # Retrieval + metadata join: top-k neighbors enriched with the neighbor
 # document's language/source (broadcast dimension join on the ANN output).
@@ -3319,6 +3327,12 @@ _PRIORITY = [
     # stateful machinery still pytest-gated by test_streaming.py and
     # four other stream_* keys in-window; rotates to the r8 pool)
     "stream_neardup_probe",
+    # ... and the portable two-stage LSH + exact-Jaccard verify
+    # (never-green; takes the customers_without_orders 4b slot — a
+    # 0-row-result re-check whose anti-join machinery is carried by the
+    # in-window customers_with_orders + customer_keys_minus_orders;
+    # rotates to the r8 pool)
+    "dedup_lsh_exact_jaccard_portable",
     # --- 4a. the full promised r7 re-check pool (every key displaced
     # from the r5/r6 windows; see COVERAGE.md rotation log) ---
     "q2_best_supplier_per_part",
@@ -3353,7 +3367,9 @@ _PRIORITY = [
     "customer_keys_intersect_orders",
     "customer_keys_minus_orders",
     "customers_with_orders",
-    "customers_without_orders",
+    # (customers_without_orders gave up its 4b slot to the never-green
+    # portable two-stage key above — 0-row result at sf0.01, machinery
+    # carried by its two in-window siblings; rotates to r8)
     "ev_grouping_sets_uniques",
     "order_scalar_projections",
     "priciest_parts_per_brand",

@@ -286,3 +286,22 @@ def test_stream_neardup_probe_equals_batch_probe(spark):
         for r in dedup.incremental_neardup_portable(spark, sf).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_portable_two_stage_is_precision_one_subset(spark):
+    """The portable two-stage pairs must carry EXACT Jaccard values: every
+    emitted pair appears in the quadratic exact pair list with the same
+    value (precision 1); recall on the fixture's planted dups ≥ the
+    banding floor asserted for the xxhash64 twin."""
+    sf = "/root/testdata/sf0.001"
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(spark, sf, threshold=0.5).collect()
+    }
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.lsh_exact_jaccard_portable(spark, sf).collect()
+    }
+    assert set(got) <= set(exact)
+    assert all(abs(got[k] - exact[k]) < 1e-12 for k in got)
+    assert len(got) > 0
