@@ -214,6 +214,7 @@ HEADLINE = [
     "corpus_cut_spans_keep_first",
     "stream_neardup_probe",
     "dedup_lsh_exact_jaccard_portable",
+    "dedup_simhash_portable_pairs",
 ]
 
 

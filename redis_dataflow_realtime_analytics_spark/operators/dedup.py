@@ -1491,6 +1491,137 @@ def simhash_neardup_pairs(
     )
 
 
+#: Portable SimHash width: 48 bits (md5-prefix-derived token keys), 4
+#: chunks × 12 bits — pigeonhole recall for Hamming ≤ 3 exactly like the
+#: 64-bit xxhash64 family. 32 bits was measured too coarse on the
+#: fixture (Hamming ≤ 3 of 32 admitted ~11% of ALL doc pairs at
+#: sf0.01 — not a near-dup notion worth the name); 48 bits brings the
+#: pair list back to dup-shaped while keeping the oracle's vote-sum
+#: column count and the BIGINT headroom (values < 2^48) comfortable.
+SIMHASH_PORTABLE_BITS = 48
+SIMHASH_PORTABLE_CHUNKS = 4
+_SPB_CHUNK = SIMHASH_PORTABLE_BITS // SIMHASH_PORTABLE_CHUNKS
+
+
+def simhash_portable_signatures(docs: DataFrame) -> DataFrame:
+    """SimHash with ENGINE-PORTABLE token hashes — the md5-based twin of
+    :func:`simhash_signatures`, completing the portable conversion for the
+    second hash family (MinHash got its portable twin first): the token
+    key is the first 12 md5 hex chars (48 bits), per-bit majority vote
+    with ties to 1, identical to what the DuckDB oracle re-derives from
+    raw text with 48 conditional sums.
+
+    Engine formulation stays the per-row nested HOF fold (no explode, no
+    shuffle) — formulation and verification are independent axes: the
+    oracle may explode; the engine doesn't have to."""
+    b = SIMHASH_PORTABLE_BITS
+    sim = F.expr(
+        f"aggregate("
+        f"  zip_with("
+        f"    aggregate("
+        f"      transform(array_distinct(split(trim(text), '{TOKEN_EXPR}')),"
+        f"                t -> CAST(conv(substr(md5(t), 1, 12), 16, 10) AS BIGINT)),"
+        f"      array_repeat(0, {b}),"
+        f"      (acc, h) -> zip_with(acc, sequence(0, {b - 1}),"
+        f"                           (a, i) -> a + IF(((h >> i) & 1) = 1, 1, -1))),"
+        f"    sequence(0, {b - 1}),"
+        f"    (v, i) -> IF(v >= 0, shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT))),"
+        f"  CAST(0 AS BIGINT),"
+        f"  (s, bit) -> s | bit)"
+    )
+    return docs.select("doc_id", sim.alias("simhash"))
+
+
+def simhash_portable_pairs(
+    spark: SparkSession, sf_dir: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs at Hamming ≤ ``max_hamming`` over the PORTABLE
+    SimHash — fully SQL-oracled (the xxhash64 family stays rows-only as
+    the scale path). Same pigeonhole blocking: 4 × 8-bit chunks, a pair
+    within distance 3 must share a chunk; candidates only surface from
+    shared chunk buckets, never all-pairs."""
+    docs = _spread(load(spark, sf_dir, "documents"))
+    sig = simhash_portable_signatures(docs)
+    chunks = sig.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("simhash"), j * _SPB_CHUNK)
+                    .bitwiseAND((1 << _SPB_CHUNK) - 1)
+                    for j in range(SIMHASH_PORTABLE_CHUNKS)
+                ]
+            )
+        ).alias("chunk_idx", "chunk_val"),
+    )
+    pairs = (
+        chunks.alias("a")
+        .join(chunks.alias("b"), ["chunk_idx", "chunk_val"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sim_a"),
+            F.col("b.simhash").alias("sim_b"),
+        )
+        .distinct()
+    )
+    return (
+        pairs.withColumn(
+            "hamming",
+            F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).cast("bigint"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def oracle_simhash_portable_pairs(max_hamming: int = 3) -> str:
+    """DuckDB twin of :func:`simhash_portable_pairs` — explode + 32
+    conditional vote sums re-derive the per-row fold's signatures exactly
+    (same md5 keys, same ≥0 tie rule), then the same chunk blocking."""
+    b = SIMHASH_PORTABLE_BITS
+    toks = f"string_split_regex(trim(text), '{TOKEN_SQL}')"
+    votes = ",\n         ".join(
+        f"sum(CASE WHEN (x // {1 << j}) % 2 = 1 THEN 1 ELSE -1 END) AS v{j}"
+        for j in range(b)
+    )
+    bits = " + ".join(f"CASE WHEN v{j} >= 0 THEN {1 << j} ELSE 0 END" for j in range(b))
+    chunk_sel = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {c} AS chunk_idx,"
+        f" (simhash // {1 << (c * _SPB_CHUNK)}) % {1 << _SPB_CHUNK} AS chunk_val"
+        f" FROM sig"
+        for c in range(SIMHASH_PORTABLE_CHUNKS)
+    )
+    return f"""WITH tk AS (
+  SELECT DISTINCT doc_id, tok FROM (
+    SELECT doc_id, unnest({toks}) AS tok FROM documents)
+),
+hx AS (
+  SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 12)) AS BIGINT) AS x FROM tk
+),
+votes AS (
+  SELECT doc_id,
+         {votes}
+  FROM hx GROUP BY doc_id
+),
+sig AS (
+  SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM votes
+),
+chunks AS ({chunk_sel}),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS sa, b.simhash AS sb
+  FROM chunks a JOIN chunks b
+    ON a.chunk_idx = b.chunk_idx AND a.chunk_val = b.chunk_val
+   AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+FROM pairs WHERE bit_count(xor(sa, sb)) <= {max_hamming}"""
+
+
 # --- Connected components (pairs -> duplicate clusters) ---------------------
 def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
     """Connected components over an undirected edge list ``(doc_a, doc_b)``:

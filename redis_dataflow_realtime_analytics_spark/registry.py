@@ -730,6 +730,15 @@ q(
 # recall/precision vs exact Jaccard is asserted in tests/test_dedup.py.
 q("dedup_minhash_neardup_pairs", dedup.minhash_neardup_pairs)
 q("dedup_simhash_neardup_pairs", dedup.simhash_neardup_pairs)
+# Portable SimHash (md5-derived 32-bit token keys): the second hash
+# family's SQL-oracled twin — the oracle re-derives the per-row fold's
+# signatures with 32 conditional vote sums, then the same 4x8-bit
+# pigeonhole chunk blocking. xxhash64/64-bit stays the scale path.
+q(
+    "dedup_simhash_portable_pairs",
+    dedup.simhash_portable_pairs,
+    dedup.oracle_simhash_portable_pairs(),
+)
 # Weighted (bag) MinHash via tf-replication — estimates weighted Jaccard
 # Sum-min(tf)/Sum-max(tf), the repetition-sensitive signal set-MinHash is
 # blind to; seeded xxhash64 => rows-only, gated by the bag-contrast +
@@ -3333,6 +3342,11 @@ _PRIORITY = [
     # in-window customers_with_orders + customer_keys_minus_orders;
     # rotates to the r8 pool)
     "dedup_lsh_exact_jaccard_portable",
+    # ... and the portable SimHash pairs (never-green; takes the
+    # customer_keys_intersect_orders 4b slot — its set-op family keeps
+    # active_entity_keys_union and customer_keys_minus_orders in-window;
+    # rotates to the r8 pool)
+    "dedup_simhash_portable_pairs",
     # --- 4a. the full promised r7 re-check pool (every key displaced
     # from the r5/r6 windows; see COVERAGE.md rotation log) ---
     "q2_best_supplier_per_part",
@@ -3364,7 +3378,9 @@ _PRIORITY = [
     # --- 4b. oldest-staleness re-checks: every remaining key whose only
     # green row is r1 ---
     "active_entity_keys_union",
-    "customer_keys_intersect_orders",
+    # (customer_keys_intersect_orders gave up its 4b slot to the
+    # never-green portable SimHash above — set-op family carried by its
+    # two in-window siblings; rotates to r8)
     "customer_keys_minus_orders",
     "customers_with_orders",
     # (customers_without_orders gave up its 4b slot to the never-green

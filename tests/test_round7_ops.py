@@ -305,3 +305,49 @@ def test_portable_two_stage_is_precision_one_subset(spark):
     assert set(got) <= set(exact)
     assert all(abs(got[k] - exact[k]) < 1e-12 for k in got)
     assert len(got) > 0
+
+
+# --- Portable SimHash ---------------------------------------------------------
+def _py_portable_simhash(text: str) -> int:
+    """Pure-Python reference: 48-bit SimHash over distinct tokens, token
+    key = first 12 md5 hex chars, majority vote with ties to 1."""
+    import hashlib
+    import re
+
+    toks = set(re.split(r"[^0-9A-Za-z]+", text.strip()))
+    keys = [int(hashlib.md5(t.encode()).hexdigest()[:12], 16) for t in toks]
+    sig = 0
+    for j in range(dedup.SIMHASH_PORTABLE_BITS):
+        vote = sum(1 if (x >> j) & 1 else -1 for x in keys)
+        if vote >= 0:
+            sig |= 1 << j
+    return sig
+
+
+def test_portable_simhash_matches_python_reference(spark, tmp_path):
+    texts = [
+        "the quick brown fox jumps over the lazy dog near the river bank",
+        "pack my box with five dozen liquor jugs again and again today",
+    ]
+    path = str(tmp_path / "documents.parquet")
+    _write_docs(path, texts)
+    docs = spark.read.parquet(path)
+    got = {
+        r["doc_id"]: r["simhash"]
+        for r in dedup.simhash_portable_signatures(docs).collect()
+    }
+    for doc_id, text in enumerate(texts, start=1):
+        assert got[doc_id] == _py_portable_simhash(text), doc_id
+
+
+def test_portable_simhash_pairs_replica_and_bound(spark, tmp_path):
+    """A replica pair surfaces at hamming 0; every emitted pair respects
+    the hamming bound; unrelated docs don't pair unless genuinely close."""
+    base = " ".join(_words("w", 40))
+    other = " ".join(_words("z", 40))
+    path = str(tmp_path / "documents.parquet")
+    _write_docs(path, [base, base, other])
+    rows = dedup.simhash_portable_pairs(spark, str(tmp_path)).collect()
+    got = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in rows}
+    assert got.get((1, 2)) == 0
+    assert all(h <= 3 for h in got.values())
