@@ -215,6 +215,7 @@ HEADLINE = [
     "stream_neardup_probe",
     "dedup_lsh_exact_jaccard_portable",
     "dedup_simhash_portable_pairs",
+    "ann_lsh_portable_topk",
 ]
 
 

@@ -250,6 +250,162 @@ def ann_lsh_topk(
     )
 
 
+#: Portable LSH: integer hyperplanes in [-1000, 1000] from a constant-seed
+#: LCG, sized to the fixture embedding width. Both the Spark expressions
+#: and the oracle SQL inline the SAME literals, so bucket assignment is
+#: engine-portable by construction (the float-hyperplane family above is
+#: rows-only: numpy RandomState is not re-derivable in SQL).
+PORTABLE_LSH_DIM = 64
+
+
+def _portable_planes(
+    n_bits: int = LSH_BITS, dim: int = PORTABLE_LSH_DIM, seed: int = 0xA17E
+) -> list[list[int]]:
+    """n_bits × dim integer hyperplane matrix from the repo's constant-seed
+    64-bit LCG (same generator family as ``dedup._portable_coeffs``)."""
+    s = seed
+    planes = []
+    for _ in range(n_bits):
+        row = []
+        for _ in range(dim):
+            s = (s * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+            row.append((s >> 33) % 2001 - 1000)
+        planes.append(row)
+    return planes
+
+
+def ann_lsh_portable_topk(
+    spark: SparkSession, sf_dir: str, k: int = 10, n_bits: int = LSH_BITS
+) -> DataFrame:
+    """Random-hyperplane LSH top-k under PORTABLE integer hyperplanes —
+    the fully SQL-oracled twin of :func:`ann_lsh_topk`, and incidentally
+    a JVM-only formulation: the sign-bit dot products against the literal
+    plane vectors run as Catalyst higher-order functions inside codegen,
+    so the Arrow round-trip of the numpy bucketer disappears entirely.
+
+    Bucket = Σ_p 2^p·[⟨plane_p, qvec⟩ ≥ 0] over the FIXED-POINT vector
+    (|w| ≤ 2^10, |qx| ≤ 2^23, dim 64 ⇒ |dot| ≤ 2^39 — exact int64).
+    Probing (own bucket + every Hamming-1 neighbor) and the exact-cosine
+    rerank are identical to the float twin; output schema matches
+    :func:`ann_topk_bruteforce`."""
+    planes = _portable_planes(n_bits)
+    emb = (
+        load(spark, sf_dir, "embeddings")
+        .select("vec_id", V.quantize("embedding").alias("qvec"))
+        .withColumn("n2", V.qnorm2("qvec"))
+    )
+    dot_exprs = [
+        F.expr(
+            f"aggregate(zip_with(qvec, array({', '.join(f'CAST({w} AS BIGINT)' for w in row)}), "
+            f"(x, w) -> x * w), CAST(0 AS BIGINT), (s, v) -> s + v)"
+        )
+        for row in planes
+    ]
+    bucket = sum(
+        F.when(dot_exprs[p] >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+        for p in range(n_bits)
+    ).cast("long")
+    emb = emb.withColumn("bucket", bucket).cache()
+
+    q = emb.where(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qvec").alias("q_qvec"),
+        F.col("n2").alias("q_n2"),
+        F.explode(
+            F.array(
+                F.col("bucket"),
+                *[
+                    F.col("bucket").bitwiseXOR(F.lit(1 << i).cast("long"))
+                    for i in range(n_bits)
+                ],
+            )
+        ).alias("probe_bucket"),
+    )
+    scored = (
+        emb.join(
+            F.broadcast(q),
+            (F.col("bucket") == F.col("probe_bucket"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .withColumn("dot", V.qdot("qvec", "q_qvec"))
+        .withColumn("cosine", V.cosine("dot", "n2", "q_n2"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "cosine", "rank")
+    )
+
+
+def oracle_ann_lsh_portable(k: int = 10, n_bits: int = LSH_BITS) -> str:
+    """DuckDB twin of :func:`ann_lsh_portable_topk`: the literal plane
+    matrix as a VALUES table, per-vector sign-bit buckets via one
+    (vec × plane-component) aggregation, Hamming-1 probe expansion, exact
+    fixed-point cosine rerank."""
+    from ..functions.vectors import oracle_qdot, oracle_quantize
+
+    planes = _portable_planes(n_bits)
+    vals = ", ".join(
+        f"({p}, {1 << p}, {d + 1}, {w})"
+        for p, row in enumerate(planes)
+        for d, w in enumerate(row)
+    )
+    probes = " UNION ALL ".join(
+        ["SELECT vec_id AS query_id, bucket AS probe FROM bk WHERE vec_id % "
+         f"{QUERY_MOD} = 0"]
+        + [
+            f"SELECT vec_id, xor(bucket, {1 << i}) FROM bk WHERE vec_id % {QUERY_MOD} = 0"
+            for i in range(n_bits)
+        ]
+    )
+    cos = "CAST({d} AS DOUBLE) / (sqrt(CAST({a} AS DOUBLE)) * sqrt(CAST({b} AS DOUBLE)))"
+    return f"""WITH e AS (
+  SELECT vec_id, {oracle_quantize('embedding')} AS qv FROM embeddings
+),
+n AS (
+  SELECT vec_id, {oracle_qdot('x', 'x')} AS n2
+  FROM (SELECT vec_id, unnest(qv) AS x FROM e) GROUP BY vec_id
+),
+pl(p, pw, d, w) AS (VALUES {vals}),
+pd AS (
+  SELECT e.vec_id, pl.p, max(pl.pw) AS pw, sum(e.qv[pl.d] * pl.w) AS dot
+  FROM e, pl GROUP BY 1, 2
+),
+bk AS (
+  SELECT vec_id,
+         CAST(sum(CASE WHEN dot >= 0 THEN pw ELSE 0 END) AS BIGINT) AS bucket
+  FROM pd GROUP BY vec_id
+),
+probes AS ({probes}),
+cand AS (
+  SELECT DISTINCT pr.query_id, b.vec_id AS neighbor_id
+  FROM probes pr JOIN bk b ON b.bucket = pr.probe
+  WHERE b.vec_id <> pr.query_id
+),
+z AS (
+  SELECT c.query_id, c.neighbor_id, unnest(list_zip(eq.qv, en.qv)) AS z
+  FROM cand c
+  JOIN e eq ON eq.vec_id = c.query_id
+  JOIN e en ON en.vec_id = c.neighbor_id
+),
+d AS (
+  SELECT query_id, neighbor_id, {oracle_qdot('z[1]', 'z[2]')} AS dot
+  FROM z GROUP BY 1, 2
+),
+c AS (
+  SELECT d.query_id, d.neighbor_id,
+         {cos.format(d='d.dot', a='nq.n2', b='nn.n2')} AS cosine
+  FROM d
+  JOIN n nq ON nq.vec_id = d.query_id
+  JOIN n nn ON nn.vec_id = d.neighbor_id
+)
+SELECT query_id, neighbor_id, cosine,
+       CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
+FROM c QUALIFY rank <= {k}"""
+
+
 def ann_ivf_topk(
     spark: SparkSession, sf_dir: str, k: int = 10, nprobe: int = 3
 ) -> DataFrame:

@@ -1615,6 +1615,15 @@ q("g1_generated_events", _g1_events)
 # bucket ids are engine-hash-specific, so rows-only; recall vs the exact
 # baseline is asserted in tests/test_similarity.py.
 q("ann_lsh_topk", similarity.ann_lsh_topk)
+# ... and its PORTABLE twin: integer hyperplanes (constant-seed LCG
+# literals inlined into both engines), JVM-only sign-bit buckets — the
+# embedding-domain member of the r7 portable-conversion family; DuckDB
+# re-derives buckets, probes, and the exact-cosine rerank end to end.
+q(
+    "ann_lsh_portable_topk",
+    similarity.ann_lsh_portable_topk,
+    similarity.oracle_ann_lsh_portable(),
+)
 
 # LSH-bucketed embedding near-dup (the 100 TB path for
 # embedding_neardup_pairs) — bucket ids engine-specific → rows-only;
@@ -3347,6 +3356,10 @@ _PRIORITY = [
     # active_entity_keys_union and customer_keys_minus_orders in-window;
     # rotates to the r8 pool)
     "dedup_simhash_portable_pairs",
+    # ... and the portable LSH ANN (never-green; takes the
+    # top_orders_by_value 4b slot — plain sort+limit, carried by the
+    # in-window q3/q10/q18 and priciest_parts_per_brand; rotates to r8)
+    "ann_lsh_portable_topk",
     # --- 4a. the full promised r7 re-check pool (every key displaced
     # from the r5/r6 windows; see COVERAGE.md rotation log) ---
     "q2_best_supplier_per_part",
@@ -3393,7 +3406,9 @@ _PRIORITY = [
     "returnflag_discount_profile",
     "rollup_orders_by_status_priority",
     "text_quality_score",
-    "top_orders_by_value",
+    # (top_orders_by_value gave up its 4b slot to the never-green
+    # portable LSH ANN above — sort+limit carried by in-window
+    # q3/q10/q18 + priciest_parts_per_brand; rotates to r8)
     # --- 4c. the rest of the budget: r2-stale keys, preferring those
     # whose source was touched this round (dedup.py gained the span
     # machinery and oracle_ngram_jaccard_pairs grew the df-cap param —

@@ -351,3 +351,26 @@ def test_portable_simhash_pairs_replica_and_bound(spark, tmp_path):
     got = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in rows}
     assert got.get((1, 2)) == 0
     assert all(h <= 3 for h in got.values())
+
+
+def test_portable_lsh_recall_vs_bruteforce(spark):
+    """The portable integer hyperplanes must preserve LSH locality: every
+    query surfaces (own bucket always probed), results are drawn from the
+    exact candidate pool, and mean recall beats the random-scan floor —
+    the same gate the float-hyperplane twin passes."""
+    from redis_dataflow_realtime_analytics_spark.operators import similarity
+
+    sf = "/root/testdata/sf0.001"
+
+    def topk_sets(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return out
+
+    exact = topk_sets(similarity.ann_topk_bruteforce(spark, sf, k=10))
+    approx = topk_sets(similarity.ann_lsh_portable_topk(spark, sf, k=10))
+    assert set(approx) == set(exact)
+    recalls = [len(exact[q] & approx[q]) / 10 for q in exact]
+    mean_recall = sum(recalls) / len(recalls)
+    assert mean_recall >= 0.27, f"portable LSH mean recall {mean_recall}"
