@@ -160,11 +160,21 @@ SELECT window_start, count(*) AS visits FROM x GROUP BY 1"""
 
 
 def oracle_user_sessions(ev_cte: str) -> str:
+    """DuckDB twin of :func:`user_sessions`.
+
+    Boundary rule (MEASURED, r7): Spark ``session_window`` keeps an
+    event arriving EXACTLY at ``last + gap`` in the same session — two
+    events precisely 30:00.000000 apart are ONE session; a microsecond
+    more is two (pinned in tests/test_properties.py). The split
+    predicate here is therefore STRICT ``>``; the original ``>=`` only
+    stayed green because the fixture's microsecond timestamps never
+    produce an exact 30-minute gap — the hypothesis sweep found the
+    divergence."""
     return f"""{ev_cte},
 o AS (
   SELECT user_id, ts,
          CASE WHEN lag(ts) OVER w IS NULL
-                OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
               THEN 1 ELSE 0 END AS new_s
   FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts)
 ),

@@ -139,15 +139,21 @@ def stream_sessions_ttl(
             ts = ts  # first event counted in the loop below
         closed = []
         for t in ts:
-            if t - cur_l >= gap_us and cur_n > 0:
+            # STRICT > matches Spark session_window's measured boundary
+            # (an event at exactly last+gap stays in the session — the
+            # r7 hypothesis sweep caught the >= variant diverging from
+            # the batch twin on a planted exact-gap pair)
+            if t - cur_l > gap_us and cur_n > 0:
                 closed.append(row(cur_s, cur_l, cur_n))
                 cur_s, cur_l, cur_n = t, t, 1
             else:
                 cur_l = t
                 cur_n += 1
         state.update((cur_s, cur_l, cur_n))
-        # evict when the watermark passes the open session's end
-        state.setTimeoutTimestamp((cur_l + gap_us) // 1000)
+        # evict when the watermark passes the open session's end; +1 ms
+        # so an event arriving exactly AT the boundary (which belongs to
+        # this session under the strict-> rule) can't race the eviction
+        state.setTimeoutTimestamp((cur_l + gap_us) // 1000 + 1)
         if closed:
             yield pd.DataFrame(closed)
 

@@ -396,7 +396,10 @@ def test_active_sessions_sweepline_equals_bruteforce(spark, rows):
         ms = sorted(ms)
         start = prev = ms[0]
         for m in ms[1:]:
-            if m - prev >= 30:
+            # strict >: session_window keeps an event at exactly
+            # last+gap in the SAME session (measured; the >= variant
+            # was this test's own falsifying example in r7)
+            if m - prev > 30:
                 expect_intervals.append((start, prev + 30))
                 start = m
             prev = m

@@ -374,3 +374,30 @@ def test_portable_lsh_recall_vs_bruteforce(spark):
     recalls = [len(exact[q] & approx[q]) / 10 for q in exact]
     mean_recall = sum(recalls) / len(recalls)
     assert mean_recall >= 0.27, f"portable LSH mean recall {mean_recall}"
+
+
+def test_session_gap_boundary_exact_ttl(spark):
+    """The r7 hypothesis find, pinned forever: two events EXACTLY 30:00
+    apart are ONE session (Spark session_window keeps an event at
+    last+gap), a microsecond more is two — and the DuckDB oracle's
+    strict-> split agrees, as does the stateful twin's in-batch rule."""
+    import duckdb
+
+    from redis_dataflow_realtime_analytics_spark.operators import sessions
+
+    base = 1_700_000_000_000_000
+    for extra_us, want in [(0, 1), (1, 2)]:
+        ev = spark.createDataFrame(
+            [(1, base), (1, base + 30 * 60_000_000 + extra_us)], ["u", "us"]
+        ).select("u", F.expr("timestamp_micros(us)").alias("ts"))
+        n = ev.groupBy("u", F.session_window("ts", "30 minutes")).count().count()
+        assert n == want, f"session_window extra_us={extra_us}"
+
+        con = duckdb.connect()
+        cte = (
+            "WITH ev AS (SELECT 1 AS user_id, "
+            f"make_timestamp({base}) AS ts UNION ALL SELECT 1, "
+            f"make_timestamp({base + 30 * 60_000_000 + extra_us}))"
+        )
+        got = con.execute(sessions.oracle_user_sessions(cte)).fetchall()
+        assert len(got) == want, f"oracle extra_us={extra_us}"
