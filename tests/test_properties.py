@@ -553,3 +553,128 @@ def test_cut_spans_match_bruteforce(spark, docs):
             for r in dedup.cut_duplicate_spans(spark, tmp, k=k).collect()
         }
     assert got == expect
+
+
+# --- keep-first span cut vs brute force (r7) ---------------------------------
+def _brute_keep_first(token_docs: list[list[str]], k: int):
+    """Pure-Python reference for the keep-one policy: window inventory,
+    canonical = min (doc_id, pos) per duplicated window text, cut the
+    non-canonical occurrences, same island merge + per-token cover."""
+    from collections import Counter, defaultdict
+
+    wins = []
+    for d, tk in enumerate(token_docs, start=1):
+        n = len(tk)
+        for i in range(1, max(n - k + 1, 1) + 1):
+            wins.append((d, i, " ".join(tk[i - 1 : i - 1 + k])))
+    occ = Counter(w for _, _, w in wins)
+    canon = {}
+    for d, i, w in sorted(wins):
+        canon.setdefault(w, (d, i))
+    cut = defaultdict(list)
+    for d, i, w in wins:
+        if occ[w] >= 2 and canon[w] != (d, i):
+            cut[d].append(i)
+    expect = {}
+    for d, tk in enumerate(token_docs, start=1):
+        islands: list[list[int]] = []
+        for p in sorted(cut.get(d, [])):
+            if islands and p - islands[-1][-1] <= k:
+                islands[-1].append(p)
+            else:
+                islands.append([p])
+        n = len(tk)
+        covered = set()
+        for isl in islands:
+            covered.update(range(isl[0], min(isl[-1] + k - 1, n) + 1))
+        kept = [t for i, t in enumerate(tk, start=1) if i not in covered]
+        expect[d] = (n, n - len(kept), len(kept), " ".join(kept))
+    return expect
+
+
+@given(docs=spans_corpus_strategy)
+@settings(**SETTINGS)
+def test_keep_first_cut_matches_bruteforce(spark, docs):
+    """cut_duplicate_spans_keep_first == the brute-force canonical-owner
+    excision for any random small-vocab corpus — counts AND text."""
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from redis_dataflow_realtime_analytics_spark.operators import dedup
+
+    k = 3
+    expect = _brute_keep_first(docs, k)
+    with tempfile.TemporaryDirectory() as tmp:
+        tbl = pa.table(
+            {
+                "doc_id": pa.array(range(1, len(docs) + 1), pa.int64()),
+                "text": pa.array([" ".join(d) for d in docs]),
+                "source": pa.array(["t"] * len(docs)),
+                "lang": pa.array(["en"] * len(docs)),
+            }
+        )
+        pq.write_table(tbl, f"{tmp}/documents.parquet")
+        got = {
+            r["doc_id"]: (
+                r["n_toks"],
+                r["removed_tokens"],
+                r["kept_tokens"],
+                r["cleaned_text"],
+            )
+            for r in dedup.cut_duplicate_spans_keep_first(spark, tmp, k=k).collect()
+        }
+    assert got == expect
+
+
+# --- boundary packing vs brute force (r7) ------------------------------------
+pack_docs_strategy = st.lists(
+    st.integers(min_value=1, max_value=12), min_size=1, max_size=40
+)
+
+
+@given(sizes=pack_docs_strategy)
+@settings(**SETTINGS)
+def test_pack_boundary_matches_python_nextfit(spark, sizes):
+    """pack_documents_boundary == a direct Python next-fit replay for any
+    random size sequence at a tiny capacity (8 tokens) — exact fits,
+    overflow-on-boundary, oversize singletons, oversize-first streams:
+    the cases fixture text sizes never hit."""
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from redis_dataflow_realtime_analytics_spark.operators import sampling
+
+    cap = 8
+    # one lang, doc_ids 16 apart => one (lang, shard) stream, walk order = doc_id
+    doc_ids = [1 + 16 * i for i in range(len(sizes))]
+    texts = [" ".join(f"t{j}" for j in range(n)) for n in sizes]
+    expect = {}
+    fill, pack, started = 0, 0, False
+    for did, n in zip(doc_ids, sizes):
+        if started and fill + n > cap:
+            pack += 1
+            fill = 0
+        started = True
+        expect[did] = (pack, n > cap)
+        fill += n
+    with tempfile.TemporaryDirectory() as tmp:
+        tbl = pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "text": pa.array(texts),
+                "source": pa.array(["t"] * len(sizes)),
+                "lang": pa.array(["en"] * len(sizes)),
+            }
+        )
+        pq.write_table(tbl, f"{tmp}/documents.parquet")
+        got = {
+            r["doc_id"]: (r["pack_id"], r["oversize"])
+            for r in sampling.pack_documents_boundary(
+                spark, tmp, max_tokens=cap
+            ).collect()
+        }
+    assert got == expect
