@@ -678,3 +678,68 @@ def test_pack_boundary_matches_python_nextfit(spark, sizes):
             ).collect()
         }
     assert got == expect
+
+
+# --- portable MinHash banding vs brute force (r7) ----------------------------
+@given(docs=spans_corpus_strategy)
+@settings(**SETTINGS)
+def test_portable_minhash_pairs_match_bruteforce(spark, docs):
+    """minhash_portable_pairs == a pure-Python replay of the whole
+    pipeline (signatures -> 4-band buckets -> candidate pairs ->
+    agreement filter) on dense small-vocab corpora, where band-bucket
+    collisions are far denser than fixture text produces."""
+    import hashlib
+    import re
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from redis_dataflow_realtime_analytics_spark.operators import dedup
+
+    def sig_of(text: str) -> list[int]:
+        toks = re.split(r"[^0-9A-Za-z]+", text.strip())
+        k = dedup.NGRAM_K
+        n = max(len(toks) - k, 0)
+        shingles = {" ".join(toks[i : i + k]) for i in range(n + 1)}
+        keys = [int(hashlib.md5(s.encode()).hexdigest()[:7], 16) for s in shingles]
+        return [
+            min((a * x + b) % dedup.PORTABLE_P for x in keys)
+            for a, b in dedup._PORT_COEF
+        ]
+
+    texts = [" ".join(d) for d in docs]
+    sigs = {i + 1: sig_of(t) for i, t in enumerate(texts)}
+    buckets: dict = {}
+    for d, s in sigs.items():
+        for b in range(dedup.PORTABLE_BANDS):
+            key = (b, tuple(s[b * dedup.PORTABLE_ROWS : (b + 1) * dedup.PORTABLE_ROWS]))
+            buckets.setdefault(key, []).append(d)
+    cands = {
+        (a, b)
+        for ds in buckets.values()
+        for i, a in enumerate(ds)
+        for b in ds[i + 1 :]
+        if a != b
+    }
+    expect = {}
+    for a, b in cands:
+        a, b = min(a, b), max(a, b)
+        n_agree = sum(1 for i in range(dedup.PORTABLE_PERMS) if sigs[a][i] == sigs[b][i])
+        if n_agree / dedup.PORTABLE_PERMS >= 0.5:
+            expect[(a, b)] = n_agree
+    with tempfile.TemporaryDirectory() as tmp:
+        tbl = pa.table(
+            {
+                "doc_id": pa.array(range(1, len(texts) + 1), pa.int64()),
+                "text": pa.array(texts),
+                "source": pa.array(["t"] * len(texts)),
+                "lang": pa.array(["en"] * len(texts)),
+            }
+        )
+        pq.write_table(tbl, f"{tmp}/documents.parquet")
+        got = {
+            (r["doc_a"], r["doc_b"]): r["n_agree"]
+            for r in dedup.minhash_portable_pairs(spark, tmp).collect()
+        }
+    assert got == expect
