@@ -805,6 +805,12 @@ def main(n_events: int = 10_000_000, doc_mult: int = 20) -> None:
                 "incremental_neardup_portable": (
                     lambda: dedup.incremental_neardup_portable(spark, sf_dir)
                 ),
+                "lsh_exact_jaccard_portable": (
+                    lambda: dedup.lsh_exact_jaccard_portable(spark, sf_dir)
+                ),
+                "simhash_portable_pairs": (
+                    lambda: dedup.simhash_portable_pairs(spark, sf_dir)
+                ),
             }.items():
                 t0 = time.perf_counter()
                 fn().write.mode("overwrite").format("noop").save()
