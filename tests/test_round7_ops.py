@@ -401,3 +401,40 @@ def test_session_gap_boundary_exact_ttl(spark):
         )
         got = con.execute(sessions.oracle_user_sessions(cte)).fetchall()
         assert len(got) == want, f"oracle extra_us={extra_us}"
+
+
+def test_portable_family_empty_and_singleton_inputs(spark, tmp_path):
+    """Empty corpus → schema-stable empty results; single-doc corpus →
+    no pairs anywhere and the keep-first cut removes nothing (every
+    window is its own canonical occurrence)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "text": pa.array([], pa.string()),
+            "source": pa.array([], pa.string()),
+            "lang": pa.array([], pa.string()),
+        }
+    )
+    pq.write_table(tbl, str(empty / "documents.parquet"))
+    for fn in (
+        dedup.minhash_portable_pairs,
+        dedup.incremental_neardup_portable,
+        dedup.lsh_exact_jaccard_portable,
+        dedup.simhash_portable_pairs,
+        dedup.cut_duplicate_spans_keep_first,
+    ):
+        out = fn(spark, str(empty))
+        assert out.count() == 0 and len(out.schema.fields) > 0, fn.__name__
+
+    single = tmp_path / "single"
+    single.mkdir()
+    _write_docs(str(single / "documents.parquet"), [" ".join(_words("s", 30))])
+    assert dedup.minhash_portable_pairs(spark, str(single)).count() == 0
+    assert dedup.simhash_portable_pairs(spark, str(single)).count() == 0
+    r = dedup.cut_duplicate_spans_keep_first(spark, str(single)).collect()[0]
+    assert r["removed_tokens"] == 0 and r["kept_tokens"] == 30
