@@ -53,10 +53,18 @@ def cosine(dot_col: str, n2_a: str, n2_b: str) -> Column:
 
     int64→double casts and ``sqrt`` are IEEE-exact/correctly-rounded, so the
     result is deterministic across engines given identical integer inputs.
+
+    Zero-norm convention (r7 adversarial-fixture find): a zero vector made
+    every consumer crash under ANSI mode (DIVIDE_BY_ZERO) — and at 100 TB
+    a zero embedding WILL occur (failed encoder, padded batch). cosine
+    with a zero vector is defined here as 0.0 (no similarity evidence);
+    the oracle applies the identical CASE so both engines agree exactly.
     """
-    return F.col(dot_col).cast("double") / (
-        F.sqrt(F.col(n2_a).cast("double")) * F.sqrt(F.col(n2_b).cast("double"))
-    )
+    denom = F.sqrt(F.col(n2_a).cast("double")) * F.sqrt(F.col(n2_b).cast("double"))
+    return F.when(
+        (F.col(n2_a) > 0) & (F.col(n2_b) > 0),
+        F.col(dot_col).cast("double") / denom,
+    ).otherwise(F.lit(0.0))
 
 
 # --- int8 scalar quantization (compressed-ANN path) --------------------------
@@ -90,6 +98,18 @@ def quantize_int8(col: str, maxabs_col: str) -> Column:
 
 
 # --- DuckDB oracle twins -----------------------------------------------------
+def oracle_cosine(d: str, a: str, b: str) -> str:
+    """SQL twin of :func:`cosine`, INCLUDING the zero-norm convention:
+    CASE-guarded 0.0 when either squared norm is 0 — the same rule the
+    engine applies, so a zero embedding hashes identically instead of
+    crashing one engine and NaN-ing the other."""
+    return (
+        f"CASE WHEN {a} > 0 AND {b} > 0 THEN CAST({d} AS DOUBLE) / "
+        f"(sqrt(CAST({a} AS DOUBLE)) * sqrt(CAST({b} AS DOUBLE))) "
+        f"ELSE 0.0 END"
+    )
+
+
 def oracle_quantize(col: str) -> str:
     return f"list_transform({col}, x -> CAST(floor(CAST(x AS DOUBLE) * {SCALE}) AS BIGINT))"
 

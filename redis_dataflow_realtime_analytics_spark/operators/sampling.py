@@ -99,8 +99,13 @@ def chunk_documents(
     packing). Row expansion is narrow — no shuffle; chunk_idx is 0-based."""
     docs = load(spark, sf_dir, "documents")
     n_chunks = F.floor((F.col("n_chars") - 1) / F.lit(float(width))).cast("bigint")
+    # empty docs chunk to NOTHING — without the filter, n_chunks = -1 and
+    # Spark's sequence(0, -1) generates a DESCENDING sequence, emitting
+    # two phantom chunks (idx 0 and -1) the oracle never produces (r7
+    # adversarial-fixture find; same sequence trap as text_fingerprints)
     return (
-        docs.select(
+        docs.where(F.col("n_chars") > 0)
+        .select(
             "doc_id",
             F.explode(F.sequence(F.lit(0).cast("bigint"), n_chunks)).alias("chunk_idx"),
             "text",

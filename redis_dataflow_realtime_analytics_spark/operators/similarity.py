@@ -359,7 +359,10 @@ def oracle_ann_lsh_portable(k: int = 10, n_bits: int = LSH_BITS) -> str:
             for i in range(n_bits)
         ]
     )
-    cos = "CAST({d} AS DOUBLE) / (sqrt(CAST({a} AS DOUBLE)) * sqrt(CAST({b} AS DOUBLE)))"
+    cos = (
+        "CASE WHEN {a} > 0 AND {b} > 0 THEN CAST({d} AS DOUBLE) / "
+        "(sqrt(CAST({a} AS DOUBLE)) * sqrt(CAST({b} AS DOUBLE))) ELSE 0.0 END"
+    )
     return f"""WITH e AS (
   SELECT vec_id, {oracle_quantize('embedding')} AS qv FROM embeddings
 ),
@@ -778,13 +781,16 @@ def embedding_outlier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id",
             "label",
-            (
+            F.when(
+                (V.qnorm2("qv") > 0) & (F.col("ns2") > 0),
                 dot_xs.cast("double")
                 / (
                     F.sqrt(V.qnorm2("qv").cast("double"))
                     * F.sqrt(F.col("ns2").cast("double"))
-                )
-            ).alias("cos_centroid"),
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("cos_centroid"),
         )
     )
 
@@ -800,7 +806,9 @@ def oracle_embedding_outliers() -> str:
   FROM pos p JOIN cent c USING (label, i) GROUP BY 1, 2
 )
 SELECT d.vec_id, d.label,
-       CAST(dot_xs AS DOUBLE) / (sqrt(CAST(nx2 AS DOUBLE)) * sqrt(CAST(ns2 AS DOUBLE)))
+       CASE WHEN nx2 > 0 AND ns2 > 0
+            THEN CAST(dot_xs AS DOUBLE) / (sqrt(CAST(nx2 AS DOUBLE)) * sqrt(CAST(ns2 AS DOUBLE)))
+            ELSE 0.0 END
          AS cos_centroid
 FROM dots d JOIN ns2 USING (label)"""
 
@@ -847,13 +855,16 @@ def centroid_pairwise_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "label_a",
             "label_b",
-            (
+            F.when(
+                (F.col("na2") > 0) & (F.col("nb2") > 0),
                 F.col("dot_ab").cast("double")
                 / (
                     F.sqrt(F.col("na2").cast("double"))
                     * F.sqrt(F.col("nb2").cast("double"))
-                )
-            ).alias("cos_centroids"),
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("cos_centroids"),
         )
     )
 
@@ -869,8 +880,10 @@ def oracle_centroid_pairwise_cosine() -> str:
   WHERE a.label < b.label GROUP BY 1, 2
 )
 SELECT label_a, label_b,
-       CAST(dot_ab AS DOUBLE)
-         / (sqrt(CAST(na.ns2 AS DOUBLE)) * sqrt(CAST(nb.ns2 AS DOUBLE)))
+       CASE WHEN na.ns2 > 0 AND nb.ns2 > 0
+            THEN CAST(dot_ab AS DOUBLE)
+                 / (sqrt(CAST(na.ns2 AS DOUBLE)) * sqrt(CAST(nb.ns2 AS DOUBLE)))
+            ELSE 0.0 END
          AS cos_centroids
 FROM dots
 JOIN ns2 na ON na.label = dots.label_a
@@ -1487,8 +1500,10 @@ sc AS (
   FROM pd GROUP BY 1, 2),
 cs AS (
   SELECT query_id, vec_id AS neighbor_id,
-         CAST(adc_dot AS DOUBLE)
-           / (sqrt(CAST(q_n2 AS DOUBLE)) * sqrt(CAST(r_n2 AS DOUBLE)))
+         CASE WHEN q_n2 > 0 AND r_n2 > 0
+              THEN CAST(adc_dot AS DOUBLE)
+                   / (sqrt(CAST(q_n2 AS DOUBLE)) * sqrt(CAST(r_n2 AS DOUBLE)))
+              ELSE 0.0 END
            AS approx_cosine
   FROM sc)
 SELECT query_id, neighbor_id, approx_cosine,
@@ -1994,8 +2009,10 @@ cd AS (
   FROM cp GROUP BY 1, 2),
 cs AS (
   SELECT cd.query_id, cd.neighbor_id,
-         CAST(cd.dot AS DOUBLE)
-           / (sqrt(CAST(nq.n2 AS DOUBLE)) * sqrt(CAST(nn.n2 AS DOUBLE))) AS cosine
+         CASE WHEN nq.n2 > 0 AND nn.n2 > 0
+              THEN CAST(cd.dot AS DOUBLE)
+                   / (sqrt(CAST(nq.n2 AS DOUBLE)) * sqrt(CAST(nn.n2 AS DOUBLE)))
+              ELSE 0.0 END AS cosine
   FROM cd
   JOIN n nq ON nq.vec_id = cd.query_id
   JOIN n nn ON nn.vec_id = cd.neighbor_id)
@@ -2409,8 +2426,10 @@ sc AS (
   FROM pd GROUP BY 1, 2),
 sl AS (
   SELECT query_id, vec_id,
-         CAST(adc_dot AS DOUBLE)
-           / (sqrt(CAST(q_n2 AS DOUBLE)) * sqrt(CAST(r_n2 AS DOUBLE))) AS ac
+         CASE WHEN q_n2 > 0 AND r_n2 > 0
+              THEN CAST(adc_dot AS DOUBLE)
+                   / (sqrt(CAST(q_n2 AS DOUBLE)) * sqrt(CAST(r_n2 AS DOUBLE)))
+              ELSE 0.0 END AS ac
   FROM sc
   QUALIFY row_number() OVER (PARTITION BY query_id
                              ORDER BY ac DESC, vec_id) <= {shortlist}),
@@ -2425,8 +2444,10 @@ rd AS (
   FROM rp GROUP BY 1, 2),
 cs AS (
   SELECT rd.query_id, rd.neighbor_id,
-         CAST(rd.dot AS DOUBLE)
-           / (sqrt(CAST(nq.n2 AS DOUBLE)) * sqrt(CAST(nn.n2 AS DOUBLE))) AS cosine
+         CASE WHEN nq.n2 > 0 AND nn.n2 > 0
+              THEN CAST(rd.dot AS DOUBLE)
+                   / (sqrt(CAST(nq.n2 AS DOUBLE)) * sqrt(CAST(nn.n2 AS DOUBLE)))
+              ELSE 0.0 END AS cosine
   FROM rd
   JOIN n nq ON nq.vec_id = rd.query_id
   JOIN n nn ON nn.vec_id = rd.neighbor_id)
@@ -2690,12 +2711,12 @@ def oracle_ann_truncation_recall(k: int = 10) -> str:
         per_dim.append(f"""t{d} AS (
   SELECT query_id, neighbor_id FROM (
     SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
-           CAST((SELECT COALESCE(sum(z[1] * z[2]), 0)
+           COALESCE(CAST((SELECT COALESCE(sum(z[1] * z[2]), 0)
                  FROM unnest(list_zip(v.qv[1:{d}], q.qv[1:{d}])) s(z)) AS DOUBLE)
-             / (sqrt(CAST((SELECT COALESCE(sum(z[1] * z[2]), 0)
+             / NULLIF(sqrt(CAST((SELECT COALESCE(sum(z[1] * z[2]), 0)
                  FROM unnest(list_zip(v.qv[1:{d}], v.qv[1:{d}])) s(z)) AS DOUBLE))
                 * sqrt(CAST((SELECT COALESCE(sum(z[1] * z[2]), 0)
-                 FROM unnest(list_zip(q.qv[1:{d}], q.qv[1:{d}])) s(z)) AS DOUBLE)))
+                 FROM unnest(list_zip(q.qv[1:{d}], q.qv[1:{d}])) s(z)) AS DOUBLE)), 0.0), 0.0)
              AS cosine
     FROM e v JOIN e q ON q.vec_id % {QUERY_MOD} = 0 AND v.vec_id <> q.vec_id)
   QUALIFY row_number() OVER (PARTITION BY query_id
@@ -2712,9 +2733,9 @@ h{d} AS (
 fullk AS (
   SELECT query_id, neighbor_id FROM (
     SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
-           CAST((SELECT COALESCE(sum(z[1] * z[2]), 0)
+           COALESCE(CAST((SELECT COALESCE(sum(z[1] * z[2]), 0)
                  FROM unnest(list_zip(v.qv, q.qv)) s(z)) AS DOUBLE)
-             / (sqrt(CAST(nv.n2 AS DOUBLE)) * sqrt(CAST(nq.n2 AS DOUBLE)))
+             / NULLIF(sqrt(CAST(nv.n2 AS DOUBLE)) * sqrt(CAST(nq.n2 AS DOUBLE)), 0.0), 0.0)
              AS cosine
     FROM e v
     JOIN e q ON q.vec_id % {QUERY_MOD} = 0 AND v.vec_id <> q.vec_id

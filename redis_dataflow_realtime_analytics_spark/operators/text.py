@@ -97,7 +97,12 @@ def quality_projection(docs: DataFrame) -> DataFrame:
     n_tokens = F.size(toks)
     punct = F.regexp_count(F.col("text"), F.lit(rf"[^a-z0-9{WS}]"))
     stop_hits = _member_count(toks, QUALITY_STOPWORDS, distinct=False)
-    punct_ratio = punct / F.length("text")
+    # empty text -> punct_ratio 0.0 (no character evidence), NOT a crash:
+    # ANSI division by length('') = 0 took down every quality consumer on
+    # the r7 adversarial fixture, and empty docs exist in any real corpus
+    punct_ratio = F.when(
+        F.length("text") > 0, punct / F.length("text")
+    ).otherwise(F.lit(0.0))
     stop_ratio = stop_hits / n_tokens
     return docs.select(
         "doc_id",
@@ -164,9 +169,14 @@ def fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokd = docs.select(
         "doc_id", "text", F.expr(f"split(trim(text), '{TOKEN_EXPR}')").alias("t")
     )
+    # <5 tokens -> NULL (no 5-token shingle exists; row is kept). The
+    # unguarded form CRASHED on short docs: Spark sequence(0, n) with
+    # n < 0 generates a DESCENDING sequence, so slice() saw start 0.
     shingle_min = F.expr(
+        "CASE WHEN size(t) >= 5 THEN "
         "array_min(transform(sequence(0, size(t) - 5), "
-        "i -> md5(concat_ws(' ', slice(t, i + 1, 5)))))"
+        "i -> md5(concat_ws(' ', slice(t, i + 1, 5))))) "
+        "ELSE NULL END"
     )
     return tokd.select(
         "doc_id", F.md5(norm).alias("fingerprint"), shingle_min.alias("min_shingle_fp")
@@ -194,13 +204,15 @@ def oracle_quality_score() -> str:
     return f"""SELECT doc_id,
   CAST(length(text) AS INTEGER) AS n_chars_measured,
   CAST(len({_SQL_TOKENS}) AS INTEGER) AS n_tokens,
-  CAST(len(regexp_extract_all(text, '[^a-z0-9{WS_SQL}]')) AS INTEGER)
-    / CAST(length(text) AS INTEGER) AS punct_ratio,
+  CASE WHEN length(text) > 0
+       THEN CAST(len(regexp_extract_all(text, '[^a-z0-9{WS_SQL}]')) AS INTEGER)
+            / CAST(length(text) AS INTEGER) ELSE 0.0 END AS punct_ratio,
   CAST(len(list_filter({_SQL_TOKENS}, t -> t IN ({stop}))) AS INTEGER)
     / CAST(len({_SQL_TOKENS}) AS INTEGER) AS stopword_ratio,
   least(CAST(len({_SQL_TOKENS}) AS INTEGER), 100) / 100.0 * 0.5
-    + (1.0 - CAST(len(regexp_extract_all(text, '[^a-z0-9{WS_SQL}]')) AS INTEGER)
-        / CAST(length(text) AS INTEGER)) * 0.3
+    + (1.0 - CASE WHEN length(text) > 0
+              THEN CAST(len(regexp_extract_all(text, '[^a-z0-9{WS_SQL}]')) AS INTEGER)
+                   / CAST(length(text) AS INTEGER) ELSE 0.0 END) * 0.3
     + CAST(len(list_filter({_SQL_TOKENS}, t -> t IN ({stop}))) AS INTEGER)
         / CAST(len({_SQL_TOKENS}) AS INTEGER) * 0.2 AS quality
 FROM documents"""
@@ -230,20 +242,21 @@ FROM scored"""
 
 
 def oracle_fingerprints() -> str:
+    # NOTE the short-doc rule matches the engine: <5 tokens -> NULL min
+    # shingle, row KEPT (the old unnest() formulation silently DROPPED
+    # short docs while the engine crashed — two different wrongs).
     return f"""WITH toks AS (
   SELECT doc_id,
          md5(regexp_replace(lower(trim(text)), '{TOKEN_SQL}', ' ', 'g')) AS fingerprint,
          {_SQL_TOKENS} AS tokens
   FROM documents
-),
-pos AS (
-  SELECT doc_id, fingerprint, tokens,
-         unnest(generate_series(1, len(tokens) - 4)) AS i
-  FROM toks
 )
 SELECT doc_id, fingerprint,
-       min(md5(array_to_string(tokens[i : i + 4], ' '))) AS min_shingle_fp
-FROM pos GROUP BY 1, 2"""
+       CASE WHEN len(tokens) >= 5 THEN
+         list_aggregate(list_transform(generate_series(1, len(tokens) - 4),
+           i -> md5(array_to_string(tokens[i : i + 4], ' '))), 'min')
+       ELSE NULL END AS min_shingle_fp
+FROM toks"""
 
 
 # --- Corpus-wide n-gram statistics -------------------------------------------

@@ -760,8 +760,13 @@ n AS (
 )"""
 
 #: cosine from int64 dot + norms — identical formula on the Spark side
-#: (functions.vectors.cosine).
-_ORACLE_COS = "CAST({d} AS DOUBLE) / (sqrt(CAST({a} AS DOUBLE)) * sqrt(CAST({b} AS DOUBLE)))"
+#: (functions.vectors.cosine), INCLUDING the zero-norm→0.0 guard (r7
+#: adversarial-fixture find: a zero embedding crashed every ANN consumer
+#: under ANSI mode).
+_ORACLE_COS = (
+    "CASE WHEN {a} > 0 AND {b} > 0 THEN CAST({d} AS DOUBLE) / "
+    "(sqrt(CAST({a} AS DOUBLE)) * sqrt(CAST({b} AS DOUBLE))) ELSE 0.0 END"
+)
 
 #: Brute-force exact-cosine oracle — also a CTE input to the retrieval
 #: evaluation report below, so it is built once and reused.
@@ -2376,8 +2381,15 @@ def _stream_deduped_visits(spark: SparkSession, sf_dir: str) -> DataFrame:
 q(
     "stream_deduped_visits",
     _stream_deduped_visits,
+    # count(DISTINCT event_id), not count(*): the op's contract is
+    # redelivery repair keyed on event_id, so an id duplicated IN THE
+    # SOURCE collapses too (r7 adversarial-fixture find — the plain
+    # count only matched because the natural fixture's event_ids are
+    # unique; redeliveries carry the same event time, so per-minute
+    # distinct equals the engine's keep-first exactly).
     f"""{EV_CTE}
-SELECT date_trunc('minute', ts) AS minute, count(*) AS visits
+SELECT date_trunc('minute', ts) AS minute,
+       count(DISTINCT event_id) AS visits
 FROM ev GROUP BY 1""",
 )
 

@@ -1537,9 +1537,11 @@ def stream_ivf_assign(spark: SparkSession, emb_path: str) -> DataFrame:
     )
     best = F.expr(
         "array_max(transform(cents, c -> struct("
+        " CASE WHEN n2 > 0 AND c.cn2 > 0 THEN"
         " CAST(aggregate(zip_with(qvec, c.cqv, (x, y) -> x * y),"
         "      CAST(0 AS BIGINT), (acc, v) -> acc + v) AS DOUBLE)"
-        " / (sqrt(CAST(n2 AS DOUBLE)) * sqrt(CAST(c.cn2 AS DOUBLE))) AS c_cos,"
+        " / (sqrt(CAST(n2 AS DOUBLE)) * sqrt(CAST(c.cn2 AS DOUBLE)))"
+        " ELSE 0.0 END AS c_cos,"
         " -c.cid AS neg_id)))"
     )
     assigned = (

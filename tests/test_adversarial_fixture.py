@@ -1,0 +1,44 @@
+"""Adversarial-fixture regression gate (r7): rebuild the tie-dense
+degenerate-row fixture (`scripts/adversarial_fixture.py`) and re-run the
+REPRESENTATIVE once-failing key of each of the five divergence classes the
+r7 sweep found, engine vs oracle. Keeps zero-norm embeddings, empty/short
+documents, phantom chunks, and source-duplicated event_ids permanently
+covered without sweeping all 246 keys per test run."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from redis_dataflow_realtime_analytics_spark import registry  # noqa: E402
+
+from .oracle import compare  # noqa: E402
+
+#: one representative per r7 failure class, plus the portable ANN twin
+#: (query-side zero-vector path) and a quality downstream consumer
+KEYS = [
+    "ann_topk_bruteforce",        # class 1: zero-norm cosine (engine+oracle guard)
+    "ann_lsh_portable_topk",      # class 1 on the portable JVM-side planes
+    "ann_ivfpq_topk",             # class 1 deepest pipeline (ADC + exact rerank)
+    "text_quality_score",         # class 2: empty-text punct ratio
+    "corpus_quality_gate",        # class 2 downstream consumer
+    "text_fingerprints",          # class 3: short-doc sequence trap + kept rows
+    "chunk_documents",            # class 4: phantom chunks on empty docs
+    "stream_deduped_visits",      # class 5: source-duplicated event_ids
+]
+
+
+@pytest.fixture(scope="module")
+def adv_sf(tmp_path_factory):
+    from scripts.adversarial_fixture import build
+
+    return build(dst=str(tmp_path_factory.mktemp("adv") / "sf"))
+
+
+@pytest.mark.parametrize("key", KEYS)
+def test_adversarial_key_matches_oracle(spark, adv_sf, key):
+    compare(registry.QUERIES[key](spark, adv_sf), registry.ORACLE[key], adv_sf)
