@@ -50,7 +50,9 @@ def build(src: str = "/root/testdata/sf0.001", dst: str = "/tmp/adv_sf") -> str:
         )
     # events: 20% of timestamps floored to exact minutes (bucket-edge
     # ties), 5% of rows duplicated EXACTLY (at-least-once redelivery in
-    # the source itself)
+    # the source itself), plus one synthetic user (990990) whose four
+    # events sit EXACTLY 30:00.000000 apart — the session_window boundary
+    # the r7 hypothesis sweep caught (strict-> keeps them in ONE session)
     con.execute(
         f"""COPY (
   SELECT * REPLACE (CASE WHEN event_id % 5 = 0
@@ -58,6 +60,10 @@ def build(src: str = "/root/testdata/sf0.001", dst: str = "/tmp/adv_sf") -> str:
   FROM '{src}/events.parquet'
   UNION ALL
   SELECT * FROM '{src}/events.parquet' WHERE event_id % 20 = 7
+  UNION ALL
+  SELECT 900000 + g.g, TIMESTAMP '2024-01-01 00:00:00' + to_minutes(30 * g.g),
+         990990, 'click', 1.0, '{{"k": 1}}'
+  FROM generate_series(0, 3) g(g)
 ) TO '{dst}/events.parquet' (FORMAT PARQUET)"""
     )
     # documents: empty text, single token, whitespace-only, a prefix of an

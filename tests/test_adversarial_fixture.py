@@ -29,6 +29,11 @@ KEYS = [
     "text_fingerprints",          # class 3: short-doc sequence trap + kept rows
     "chunk_documents",            # class 4: phantom chunks on empty docs
     "stream_deduped_visits",      # class 5: source-duplicated event_ids
+    # session-gap boundary (the hypothesis find): user 990990's events sit
+    # EXACTLY 30:00.000000 apart — one session under the strict-> rule,
+    # in the batch op, the stateful TTL twin, and the oracle alike
+    "user_sessions",
+    "stream_sessions_ttl",
 ]
 
 
