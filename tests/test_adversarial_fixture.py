@@ -34,6 +34,10 @@ KEYS = [
     # in the batch op, the stateful TTL twin, and the oracle alike
     "user_sessions",
     "stream_sessions_ttl",
+    # rank/top-k windows on the planted VALUE TIES (rounded monetary
+    # columns): green on first sweep — total-order tie-breaks verified
+    "top_orders_by_value",
+    "priciest_parts_per_brand",
 ]
 
 
