@@ -701,3 +701,40 @@ def test_active_sessions_no_nested_loop_range_join(spark):
     p = plans.plan_string(df)
     assert "CartesianProduct" not in p, p
     assert "BroadcastNestedLoopJoin" not in p, p
+
+
+# --- r7 portable family -------------------------------------------------------
+def test_portable_minhash_pairs_no_cartesian(spark):
+    """The portable banding must surface candidates ONLY through the
+    (band, bucket) equi-join — a CartesianProduct/NestedLoop anywhere in
+    this plan is the O(n²) formulation the banding exists to avoid."""
+    from redis_dataflow_realtime_analytics_spark.operators import dedup
+
+    p = plans.plan_string(dedup.minhash_portable_pairs(spark, SF_SMOKE))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p, p
+
+
+def test_portable_lsh_ann_is_jvm_only_and_broadcasts_queries(spark):
+    """The portable LSH ANN's bucket math runs as Catalyst HOFs — no
+    Python/Arrow stage may appear in the plan — and the query side
+    broadcasts exactly like every other ANN strategy."""
+    from redis_dataflow_realtime_analytics_spark.operators import similarity
+
+    df = similarity.ann_lsh_portable_topk(spark, SF_SMOKE)
+    p = plans.plan_string(df)
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p, p
+    assert plans.has_broadcast_join(df)
+
+
+def test_keep_first_cut_no_extra_shuffle_vs_cut_all(spark):
+    """Keep-first adds only a struct-min FIELD to cut-all's occurrence
+    aggregate — the shuffle count must not grow."""
+    from redis_dataflow_realtime_analytics_spark.operators import dedup
+
+    n_all = plans.plan_string(dedup.cut_duplicate_spans(spark, SF_SMOKE)).count(
+        "Exchange"
+    )
+    n_k1 = plans.plan_string(
+        dedup.cut_duplicate_spans_keep_first(spark, SF_SMOKE)
+    ).count("Exchange")
+    assert n_k1 <= n_all + 1, (n_all, n_k1)
