@@ -743,3 +743,56 @@ def test_portable_minhash_pairs_match_bruteforce(spark, docs):
             for r in dedup.minhash_portable_pairs(spark, tmp).collect()
         }
     assert got == expect
+
+
+# --- overlap chunker vs brute force (r7) -------------------------------------
+chunk_params_strategy = st.tuples(
+    st.integers(min_value=0, max_value=60),   # n_chars
+    st.integers(min_value=2, max_value=12),   # width
+    st.integers(min_value=1, max_value=12),   # stride (may exceed width)
+)
+
+
+@given(params=st.lists(chunk_params_strategy, min_size=1, max_size=8))
+@settings(**SETTINGS)
+def test_overlap_chunker_matches_python_reference(spark, params):
+    """chunk_documents_overlap == a direct Python slicer for any
+    (n_chars, width, stride) — exact multiples, text shorter than width,
+    stride > width, empty text (one empty chunk by contract). Full-cover
+    property asserted independently."""
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from redis_dataflow_realtime_analytics_spark.operators import sampling
+
+    for n_chars, width, stride in params:
+        text = "".join(chr(ord("a") + (i % 26)) for i in range(n_chars))
+        expect = {}
+        import math
+
+        last = math.ceil(max(n_chars - width, 0) / stride)
+        for i in range(last + 1):
+            expect[i] = text[i * stride : i * stride + width]
+        # python reference covers every char when stride <= width
+        if stride <= width and n_chars:
+            assert set("".join(expect.values())) == set(text)
+        with tempfile.TemporaryDirectory() as tmp:
+            tbl = pa.table(
+                {
+                    "doc_id": pa.array([1], pa.int64()),
+                    "text": pa.array([text]),
+                    "lang": pa.array(["en"]),
+                    "source": pa.array(["t"]),
+                    "n_chars": pa.array([n_chars], pa.int64()),
+                }
+            )
+            pq.write_table(tbl, f"{tmp}/documents.parquet")
+            got = {
+                r["chunk_idx"]: r["chunk_text"]
+                for r in sampling.chunk_documents_overlap(
+                    spark, tmp, width=width, stride=stride
+                ).collect()
+            }
+        assert got == expect, (n_chars, width, stride)
