@@ -438,3 +438,27 @@ def test_portable_family_empty_and_singleton_inputs(spark, tmp_path):
     assert dedup.simhash_portable_pairs(spark, str(single)).count() == 0
     r = dedup.cut_duplicate_spans_keep_first(spark, str(single)).collect()[0]
     assert r["removed_tokens"] == 0 and r["kept_tokens"] == 30
+
+
+def test_no_portable_neardup_pair_straddles_leakage_free_split(spark):
+    """Integration property: every exact-verified near-dup pair from the
+    portable two-stage detector must land in ONE split of
+    leakage_free_split (its pairs are a subset of the exact-Jaccard
+    edges the split's clusters are built from, so a straddle would mean
+    train/test contamination the split exists to prevent)."""
+    from redis_dataflow_realtime_analytics_spark.operators import sampling
+
+    sf = "/root/testdata/sf0.001"
+    split = {
+        r["doc_id"]: r["split"]
+        for r in sampling.leakage_free_split(spark, sf).collect()
+    }
+    pairs = dedup.lsh_exact_jaccard_portable(spark, sf).collect()
+    assert len(pairs) > 0
+    for r in pairs:
+        assert split[r["doc_a"]] == split[r["doc_b"]], (
+            r["doc_a"],
+            r["doc_b"],
+            split[r["doc_a"]],
+            split[r["doc_b"]],
+        )
