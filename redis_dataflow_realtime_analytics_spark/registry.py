@@ -3372,6 +3372,19 @@ _PRIORITY = [
     # top_orders_by_value 4b slot — plain sort+limit, carried by the
     # in-window q3/q10/q18 and priciest_parts_per_brand; rotates to r8)
     "ann_lsh_portable_topk",
+    # --- 2b. pairings whose ORACLE text changed late-r7 (adversarial
+    # sweep fixes) — a green row must postdate the change, so they take
+    # three more re-check slots (see displacement notes below). The
+    # OTHER changed-oracle families are already stamped through
+    # in-window keys sharing the changed text: text_quality_score (the
+    # punct-guard root; its derived consumers queue first in R8),
+    # ann_lsh_portable_topk (the guarded _ORACLE_COS formula),
+    # stream_sessions_ttl (the strict-> session oracle user_sessions
+    # shares). All changed keys were locally swept green post-change at
+    # sf0.01 AND on the adversarial fixture.
+    "stream_deduped_visits",
+    "text_fingerprints",
+    "chunk_documents",
     # --- 4a. the full promised r7 re-check pool (every key displaced
     # from the r5/r6 windows; see COVERAGE.md rotation log) ---
     "q2_best_supplier_per_part",
@@ -3391,10 +3404,15 @@ _PRIORITY = [
     "q20_heavy_part_suppliers",
     "q22_dormant_customers",
     "price_moments_by_flag",
-    "rolling_week_user_value",
+    # (rolling_week_user_value gave up its 4a slot likewise — its
+    # window-frame machinery is carried by running_revenue_per_supplier
+    # below; rotates to r8)
     "running_revenue_per_supplier",
-    "cube_quantity_by_flag_status",
-    "monthly_order_revenue",
+    # (cube_quantity_by_flag_status and monthly_order_revenue gave up
+    # their 4a slots to the late-r7 changed pairings above — green r2
+    # with unchanged engines; grouping-sets machinery is carried by the
+    # in-window ev_grouping_sets_uniques and the month-trunc aggregate
+    # by the in-window q-family; both rotate to r8)
     "user_gap_profile",
     "pack_documents_boundary",
     "corpus_version_history",
@@ -3447,8 +3465,25 @@ _PRIORITY = [
     # corpus_cut_duplicate_spans key — never-green outranks any
     # ever-green re-check; rotates to the r8 pool)
     # R8 POOL (rotate in next round, plus anything r8 edits):
-    # r2_visits_timeseries (displaced above), then the
-    # remaining r2-stale keys — ann_topk_bruteforce, chunk_documents,
+    # FIRST the remaining changed-oracle-text consumers whose root/
+    # formula IS stamped in-window but whose own row predates the r7
+    # guard edits (all swept green post-change at sf0.01 + adversarial):
+    # quality family (corpus_quality_gate, quality_calibrated_by_source,
+    # quality_quantile_normalized, corpus_curated_pipeline,
+    # corpus_drop_audit, stream_quality_filtered_docs,
+    # stream_curated_ingest, stream_drop_audit,
+    # dedup_keep_best_per_cluster — punct guard rooted at the in-window
+    # text_quality_score) and the ANN/embedding cosine-guard family
+    # (ann_*, similar_documents_report, embedding_outlier_scores,
+    # embedding_centroid_cosines, dedup_semantic_components,
+    # stream_ivf_assign — formula stamped via ann_lsh_portable_topk),
+    # plus user_sessions / active_sessions_per_minute (strict-> oracle
+    # stamped via stream_sessions_ttl + the in-window user-less twin).
+    # THEN the r7 displacements: ev_cube_uniques, r2_visits_timeseries,
+    # dedup_ngram_jaccard_pairs, dedup_duplicate_spans, user_sessions,
+    # stream_stateful_uniques_per_variant, customers_without_orders,
+    # customer_keys_intersect_orders, top_orders_by_value.
+    # THEN the remaining r2-stale keys — ann_topk_bruteforce, chunk_documents,
     # customers_by_nation_segment_pivot, dedup_exact_groups,
     # pack_documents_512, q21_suppliers_kept_waiting, r1_time_axis,
     # r3_users_timeseries, r4_experiments_timeseries, r5_variant_overlap,
