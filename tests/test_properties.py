@@ -796,3 +796,55 @@ def test_overlap_chunker_matches_python_reference(spark, params):
                 ).collect()
             }
         assert got == expect, (n_chars, width, stride)
+
+
+# --- session oracle vs session_window on random patterns (r7) ----------------
+session_minutes_strategy = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 120)),  # (user, minute)
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(rows=session_minutes_strategy)
+@settings(**SETTINGS)
+def test_session_oracle_matches_session_window(spark, rows):
+    """The DuckDB session oracle (strict-> split) must equal Spark
+    session_window for ANY event pattern — including gap multiples of
+    exactly 30 minutes, which the strategy produces constantly. Closes
+    the triangle: engine↔python (sweepline test), exact-boundary
+    regression, and now engine↔oracle on random inputs."""
+    import duckdb
+
+    from redis_dataflow_realtime_analytics_spark.operators import sessions
+
+    base = 1_700_000_000_000_000
+    ev = spark.createDataFrame(
+        [(u, base + m * 60_000_000) for u, m in rows], ["user_id", "us"]
+    ).select("user_id", F.expr("timestamp_micros(us)").alias("ts"))
+    got = {
+        (r["user_id"], str(r["session_start"]), str(r["session_end"]), r["n_events"])
+        for r in ev.groupBy(
+            "user_id", F.session_window("ts", "30 minutes").alias("w")
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+        .collect()
+    }
+    vals = " UNION ALL ".join(
+        f"SELECT {u} AS user_id, make_timestamp({base + m * 60_000_000}) AS ts"
+        for u, m in rows
+    )
+    con = duckdb.connect()
+    want = {
+        (r[0], str(r[1]), str(r[2]), r[3])
+        for r in con.execute(
+            sessions.oracle_user_sessions(f"WITH ev AS ({vals})")
+        ).fetchall()
+    }
+    assert got == want
