@@ -169,18 +169,34 @@ def oracle_user_sessions(ev_cte: str) -> str:
     predicate here is therefore STRICT ``>``; the original ``>=`` only
     stayed green because the fixture's microsecond timestamps never
     produce an exact 30-minute gap — the hypothesis sweep found the
-    divergence."""
+    divergence.
+
+    Tie rule (also a hypothesis find, later r7): with DUPLICATE
+    (user_id, ts) rows, two separate windows each ordered by the
+    non-unique ``ts`` may order the ties DIFFERENTLY — the lag window
+    and the running-sum window then disagree about which duplicate is
+    "first" and the sessionization corrupts (one observed output split
+    a 2-event tie across two sessions sharing a start). The engine's
+    ``session_window`` is multiset-based and immune. Fix: materialize
+    ONE total order (``row_number``) and drive BOTH windows with it —
+    any consistent tie order yields the same sessions (tied gaps are 0,
+    which never splits)."""
     return f"""{ev_cte},
-o AS (
+r AS (
   SELECT user_id, ts,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+  FROM ev
+),
+o AS (
+  SELECT user_id, ts, rn,
          CASE WHEN lag(ts) OVER w IS NULL
                 OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
               THEN 1 ELSE 0 END AS new_s
-  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+  FROM r WINDOW w AS (PARTITION BY user_id ORDER BY rn)
 ),
 s AS (
   SELECT user_id, ts,
-         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY rn
                           ROWS UNBOUNDED PRECEDING) AS sid
   FROM o
 )
