@@ -31,6 +31,8 @@ externally verify the banding logic; xxhash64 stays the scale path.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1185,7 +1187,11 @@ def incremental_neardup_portable(
         cands.join(a, "doc_id")
         .join(b, "neardup_of")
         .withColumn("n_agree", n_agree.cast("bigint"))
-        .where(F.col("n_agree") >= int(threshold * PORTABLE_PERMS))
+        # ceil, not floor: n_agree >= ceil(t*P) <=> n_agree/P >= t for
+        # integer n_agree, so this integer cutoff admits exactly the
+        # same pairs as the sibling twins' est_jaccard >= threshold
+        # filter at EVERY threshold, not just ones where t*P is whole.
+        .where(F.col("n_agree") >= math.ceil(threshold * PORTABLE_PERMS))
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("n_agree"), "neardup_of")
     return (
@@ -1276,7 +1282,7 @@ scored AS (
   FROM cand c
   JOIN sig sa ON sa.doc_id = c.doc_id
   JOIN sig sb ON sb.doc_id = c.neardup_of
-  WHERE {agree} >= {int(threshold * PORTABLE_PERMS)}
+  WHERE {agree} >= {math.ceil(threshold * PORTABLE_PERMS)}
 ),
 best AS (
   SELECT doc_id, neardup_of, n_agree,
@@ -1397,7 +1403,15 @@ def _persisted_portable_index(
     if key not in _PORTABLE_INDEX_CACHE:
         tag = hashlib.md5(repr(key).encode()).hexdigest()[:16]
         out = os.path.join(tempfile.gettempdir(), f"portable_ndx_{tag}")
-        if not os.path.isfile(os.path.join(out, "sig", "_SUCCESS")):
+        # Gate the rebuild-skip on BOTH legs' _SUCCESS markers: sig is
+        # written before bands, so a crash between the two writes would
+        # otherwise leave a directory that passes a sig-only guard with
+        # bands missing — and the deterministic tag would make every
+        # later run fail reading bands until the temp dir was removed.
+        if not all(
+            os.path.isfile(os.path.join(out, leg, "_SUCCESS"))
+            for leg in ("sig", "bands")
+        ):
             docs = _spread(load(spark, sf_dir, "documents")).where(
                 F.col("doc_id") % 10 != 0
             )
@@ -1537,9 +1551,10 @@ def simhash_portable_pairs(
 ) -> DataFrame:
     """Near-dup pairs at Hamming ≤ ``max_hamming`` over the PORTABLE
     SimHash — fully SQL-oracled (the xxhash64 family stays rows-only as
-    the scale path). Same pigeonhole blocking: 4 × 8-bit chunks, a pair
-    within distance 3 must share a chunk; candidates only surface from
-    shared chunk buckets, never all-pairs."""
+    the scale path). Same pigeonhole blocking: SIMHASH_PORTABLE_CHUNKS=4
+    chunks of 12 bits each (48-bit signature), a pair within distance 3
+    must share a chunk; candidates only surface from shared chunk
+    buckets, never all-pairs."""
     docs = _spread(load(spark, sf_dir, "documents"))
     sig = simhash_portable_signatures(docs)
     chunks = sig.select(

@@ -121,9 +121,18 @@ FEATURE_SCHEMA = "user_id bigint, n_events bigint, n_variants bigint, median_gap
 
 
 def user_event_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-user behavioral features via an Arrow-batched grouped map:
-    event count, distinct variants, and the median inter-arrival time in
-    microseconds (NULL for single-event users).
+    """UDF-SURFACE DEMONSTRATOR — per-user behavioral features via an
+    Arrow-batched grouped map (``applyInPandas``): event count, distinct
+    variants, and the median inter-arrival time in microseconds (NULL
+    for single-event users).
+
+    This op exists to exercise and oracle-gate the grouped-map Pandas
+    UDF surface; it is NOT the idiomatic formulation. Everything it
+    computes fits built-in JVM expressions (``count``,
+    ``count_distinct``, ``percentile(gap, 0.5)`` over a lag window) —
+    see :func:`user_gap_profile` above for the built-in, whole-stage-
+    codegen shape you should copy for new per-user aggregates. Keep
+    ``applyInPandas`` for genuinely non-SQL per-group logic only.
 
     Gaps are computed on integer microseconds so the median is
     bit-deterministic and oracle-checkable (epoch_us in DuckDB).

@@ -730,10 +730,11 @@ q(
 # recall/precision vs exact Jaccard is asserted in tests/test_dedup.py.
 q("dedup_minhash_neardup_pairs", dedup.minhash_neardup_pairs)
 q("dedup_simhash_neardup_pairs", dedup.simhash_neardup_pairs)
-# Portable SimHash (md5-derived 32-bit token keys): the second hash
-# family's SQL-oracled twin — the oracle re-derives the per-row fold's
-# signatures with 32 conditional vote sums, then the same 4x8-bit
-# pigeonhole chunk blocking. xxhash64/64-bit stays the scale path.
+# Portable SimHash (md5-derived SIMHASH_PORTABLE_BITS=48-bit token keys):
+# the second hash family's SQL-oracled twin — the oracle re-derives the
+# per-row fold's signatures with 48 conditional vote sums, then the same
+# 4 × 12-bit pigeonhole chunk blocking. xxhash64/64-bit stays the scale
+# path.
 q(
     "dedup_simhash_portable_pairs",
     dedup.simhash_portable_pairs,
@@ -2381,16 +2382,23 @@ def _stream_deduped_visits(spark: SparkSession, sf_dir: str) -> DataFrame:
 q(
     "stream_deduped_visits",
     _stream_deduped_visits,
-    # count(DISTINCT event_id), not count(*): the op's contract is
-    # redelivery repair keyed on event_id, so an id duplicated IN THE
-    # SOURCE collapses too (r7 adversarial-fixture find — the plain
-    # count only matched because the natural fixture's event_ids are
-    # unique; redeliveries carry the same event time, so per-minute
-    # distinct equals the engine's keep-first exactly).
+    # Dedup by id FIRST (keep min(ts) per event_id), THEN group by
+    # minute — not count(DISTINCT event_id) per minute: the op's
+    # contract is redelivery repair keyed on event_id, so each id must
+    # count exactly ONCE overall, not once per distinct minute it
+    # appears in (r8 hardening of the r7 adversarial-fixture find — a
+    # per-minute DISTINCT would double-count an id re-emitted into a
+    # different minute). The engine's keep-first is arrival-order;
+    # because the replay harness redelivers the SAME file, every copy
+    # carries the original event time and min(ts) = the kept row, so
+    # minute attribution matches exactly. Cross-minute SOURCE
+    # duplicates (distinct events sharing an id) are out of contract —
+    # documented here so the assumption is explicit.
     f"""{EV_CTE}
-SELECT date_trunc('minute', ts) AS minute,
-       count(DISTINCT event_id) AS visits
-FROM ev GROUP BY 1""",
+SELECT date_trunc('minute', min_ts) AS minute,
+       count(*) AS visits
+FROM (SELECT event_id, min(ts) AS min_ts FROM ev GROUP BY event_id)
+GROUP BY 1""",
 )
 
 
