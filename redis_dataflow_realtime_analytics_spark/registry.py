@@ -1545,6 +1545,27 @@ SELECT variant, count(DISTINCT user_id) AS unique_users FROM ev GROUP BY 1""",
 )
 
 
+def _stream_stateful_uniques_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming import stateful
+
+    return stateful.stream_exact_uniques_per_variant_tws(
+        spark, f"{sf_dir}/events.parquet"
+    )
+
+
+# The same op on Spark 4's transformWithStateInPandas (SPARK-49564) — the
+# API Structured Streaming steers new stateful code to: named ListState
+# with APPEND-ONLY delta writes per batch (the legacy tuple state rewrites
+# the whole uid set every batch), RocksDB-backed. Same oracle; the two
+# twins prove the engine's stateful surface covers both entry points.
+q(
+    "stream_stateful_uniques_tws",
+    _stream_stateful_uniques_tws,
+    f"""{EV_CTE}
+SELECT variant, count(DISTINCT user_id) AS unique_users FROM ev GROUP BY 1""",
+)
+
+
 # TTL-EVICTING stateful sessionization (applyInPandasWithState +
 # EventTimeTimeout): open sessions live in the state store and are
 # evicted-and-emitted when the watermark passes last_event + gap —
@@ -1567,6 +1588,26 @@ def _stream_sessions_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 q("stream_sessions_ttl", _stream_sessions_ttl, sessions.oracle_user_sessions(EV_CTE))
+
+
+def _stream_sessions_ttl_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming import stateful
+
+    return stateful.stream_sessions_ttl_tws(
+        spark, f"{sf_dir}/events.parquet", max_files_per_trigger=2
+    )
+
+
+# TTL sessionization on transformWithStateInPandas: explicit EVENT-TIME
+# TIMERS (register/delete per extension, handleExpiredTimer evicts) where
+# the legacy op has the one implicit GroupStateTimeout — the Spark-4-native
+# shape of the same bounded-by-open-sessions contract. Identical heartbeat
+# replay and batch oracle; a parity pytest additionally pins TWS == legacy.
+q(
+    "stream_sessions_ttl_tws",
+    _stream_sessions_ttl_tws,
+    sessions.oracle_user_sessions(EV_CTE),
+)
 
 # ---------------------------------------------------------------------------
 # Wire-level parity: the reference's literal Redis key/command catalog

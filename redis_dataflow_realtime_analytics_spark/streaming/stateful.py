@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import uuid
 from collections.abc import Iterator
+from contextlib import contextmanager
 from typing import Any
 
 import pandas as pd
@@ -176,6 +177,345 @@ def stream_sessions_ttl(
 
     name = f"state_sess_{uuid.uuid4().hex}"
     with _state_partitions(spark):
+        q = (
+            updates.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return (
+        spark.table(name)
+        .where(F.col("user_id") >= 0)  # drop heartbeat rows
+        .select(
+            "user_id",
+            F.timestamp_micros("start_us").alias("session_start"),
+            F.timestamp_micros("end_us").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# transformWithState twins (Spark 4's successor of applyInPandasWithState)
+# ---------------------------------------------------------------------------
+# Spark 4 steers new stateful code to ``transformWithStateInPandas``
+# (SPARK-49564): named state variables (value/list/map), first-class
+# event-time TIMERS instead of one implicit timeout, and RocksDB-only
+# state. The two operators above are re-expressed here against that API
+# and gated by the SAME oracles — the engine's stateful surface covers
+# both the legacy and the Spark-4-native entry points.
+#
+# Sandbox note: the TWS Python<->JVM state protocol needs the
+# ``google.protobuf`` runtime, which this container doesn't ship on
+# sys.path. :func:`_protobuf_shim_path` locates a vendored runtime and
+# exposes ONLY its ``google/protobuf`` package via a symlink shim (plus a
+# local no-op version validator, since the vendored runtime may trail the
+# gencode in pyspark.zip by a patch release). On a real cluster protobuf
+# is a standard pyspark dependency and the shim is a no-op.
+
+_PROTOBUF_VENDOR_CANDIDATES = (
+    "/usr/lib/google-cloud-sdk/platform/google_appengine/google/protobuf",
+)
+
+_NOOP_RUNTIME_VERSION = '''\
+"""Shim runtime_version: accept any gencode version.
+
+The vendored protobuf runtime may trail pyspark.zip's generated
+StateMessage_pb2 by a patch release; wire compatibility holds across
+patch releases, so validation is relaxed to major-version equality.
+"""
+from enum import Enum
+
+
+class Domain(Enum):
+    GOOGLE_INTERNAL = 1
+    PUBLIC = 2
+
+
+class VersionError(Exception):
+    pass
+
+
+MAJOR, MINOR, PATCH, SUFFIX = 6, 99, 0, ""
+
+
+def ValidateProtobufRuntimeVersion(domain, major, minor, patch, suffix, location):
+    if major != MAJOR:
+        raise VersionError(
+            f"protobuf gencode major {major} != shim runtime major {MAJOR} "
+            f"({location})"
+        )
+'''
+
+
+def _protobuf_shim_path() -> str | None:
+    """Path to prepend to the workers' PYTHONPATH so ``google.protobuf``
+    imports, or ``None`` if it already does / no vendored runtime exists.
+
+    Built once per machine in the temp dir: symlinks to every module of
+    the vendored runtime, with ``runtime_version.py`` replaced by the
+    no-op validator above (the only file NOT symlinked)."""
+    import os
+    import tempfile
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return None  # real runtime present; no shim needed
+    except ImportError:
+        pass
+    src = next(
+        (p for p in _PROTOBUF_VENDOR_CANDIDATES if os.path.isdir(p)), None
+    )
+    if src is None:
+        return None
+    shim = os.path.join(tempfile.gettempdir(), "spark_tws_protobuf_shim")
+    pkg = os.path.join(shim, "google", "protobuf")
+    marker = os.path.join(shim, "_COMPLETE")
+    if not os.path.isfile(marker):
+        os.makedirs(pkg, exist_ok=True)
+        for name in os.listdir(src):
+            dst = os.path.join(pkg, name)
+            if name == "runtime_version.py" or os.path.lexists(dst):
+                continue
+            os.symlink(os.path.join(src, name), dst)
+        with open(os.path.join(pkg, "runtime_version.py"), "w") as fh:
+            fh.write(_NOOP_RUNTIME_VERSION)
+        with open(marker, "w") as fh:
+            fh.write("ok\n")
+    return shim
+
+
+def tws_available() -> bool:
+    """True when transformWithStateInPandas can run here: the API exists
+    and a protobuf runtime (real or shimmed) is reachable."""
+    try:
+        from pyspark.sql.streaming.stateful_processor import (  # noqa: F401
+            StatefulProcessor,
+        )
+    except ImportError:
+        return False
+    import importlib.util
+
+    if importlib.util.find_spec("google") is not None:
+        try:
+            from google.protobuf import descriptor  # noqa: F401
+
+            return True
+        except ImportError:
+            pass
+    return _protobuf_shim_path() is not None
+
+
+@contextmanager
+def _tws_session(spark: SparkSession):
+    """Scope the two things TWS needs onto an otherwise-plain session:
+
+    * the protobuf shim on the PYTHON WORKERS' path — injected through
+      ``sc.environment`` (serialized into every PythonFunction, so the
+      TWS driver-worker and executors both see it) AND the driver's own
+      ``sys.path`` (the processor class pickles by value, but pyspark's
+      client-side schema handling imports StateMessage_pb2 too);
+    * the RocksDB state-store provider, which transformWithState
+      requires (virtual column families) — restored after the query.
+    """
+    import sys
+
+    shim = _protobuf_shim_path()
+    env = spark.sparkContext.environment
+    key = "spark.sql.streaming.stateStore.providerClass"
+    old_provider = spark.conf.get(key, None)
+    old_env = env.get("PYTHONPATH")
+    added_sys = False
+    if shim:
+        env["PYTHONPATH"] = shim + (f":{old_env}" if old_env else "")
+        if shim not in sys.path:
+            sys.path.insert(0, shim)
+            added_sys = True
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        yield
+    finally:
+        if old_provider is not None:
+            spark.conf.set(key, old_provider)
+        else:
+            spark.conf.unset(key)
+        if shim:
+            if old_env is None:
+                env.pop("PYTHONPATH", None)
+            else:
+                env["PYTHONPATH"] = old_env
+            if added_sys and shim in sys.path:
+                sys.path.remove(shim)
+
+
+def stream_exact_uniques_per_variant_tws(
+    spark: SparkSession, events_path: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """``transformWithStateInPandas`` twin of
+    :func:`stream_exact_uniques_per_variant` — exact all-time distinct
+    users per variant, replayed availableNow, same oracle.
+
+    State design: one ListState of uids per variant (TWS's named-state
+    analogue of the legacy tuple state). Each batch appends only the
+    NOT-YET-SEEN uids — the delta — so per-batch state-store writes are
+    O(new uids), not O(all uids): the legacy op rewrites its whole set
+    every batch, which is exactly the pattern RocksDB ListState's
+    append-only merge avoids at scale. Counts are monotone, so the final
+    answer is the per-key max over the update-mode sink."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class UniqueUsers(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self.seen = handle.getListState("seen", "uid string")
+
+        def handleInputRows(self, key, rows, timerValues):
+            old = {r.uid for r in self.seen.get()}
+            new: set[str] = set()
+            for pdf in rows:
+                new.update(str(u) for u in pdf["user_id"].tolist())
+            fresh = sorted(new - old)
+            if fresh:
+                self.seen.appendList([(u,) for u in fresh])
+            yield pd.DataFrame(
+                {"variant": [key[0]], "unique_users": [len(old) + len(fresh)]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    ev = normalize_events(
+        read_events_stream(spark, events_path, max_files_per_trigger)
+    )
+    from .pipeline import _state_partitions
+
+    name = f"tws_uniq_{uuid.uuid4().hex}"
+    with _tws_session(spark), _state_partitions(spark):
+        updates = (
+            ev.select("variant", "user_id")
+            .groupBy("variant")
+            .transformWithStateInPandas(
+                UniqueUsers(), OUTPUT_SCHEMA, "Update", "None"
+            )
+        )
+        q = (
+            updates.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return (
+        spark.table(name)
+        .groupBy("variant")
+        .agg(F.max("unique_users").alias("unique_users"))
+    )
+
+
+def stream_sessions_ttl_tws(
+    spark: SparkSession,
+    events_path: str,
+    gap_minutes: int = 30,
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """``transformWithStateInPandas`` twin of :func:`stream_sessions_ttl`
+    — gap-based sessionization with EVENT-TIME TIMERS doing the TTL
+    eviction, same heartbeat replay, same oracle (batch
+    ``sessions.user_sessions``).
+
+    Where the legacy op gets ONE implicit timeout per key
+    (``GroupStateTimeout.EventTimeTimeout`` + ``setTimeoutTimestamp``),
+    TWS gives explicit timers: the open session's eviction time is a
+    registered timer, re-registered (old one deleted) whenever new
+    events extend the session, and ``handleExpiredTimer`` emits the
+    closed session when the watermark passes it. Boundary semantics are
+    identical to the batch twin: an event at exactly ``last + gap``
+    stays in the session (strict-> split), and the timer fires at
+    ``last + gap`` + 1ms so a boundary event can't race its own
+    eviction."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    class Sessions(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self.handle = handle
+            self.open = handle.getValueState(
+                "open", "start bigint, last bigint, n bigint"
+            )
+
+        def _row(self, uid, s: int, l: int, n: int) -> dict:
+            return {
+                "user_id": uid,
+                "start_us": s,
+                "end_us": l + gap_us,
+                "n_events": n,
+            }
+
+        def handleInputRows(self, key, rows, timerValues):
+            ts = sorted(
+                int(v) for pdf in rows for v in pdf["tus"].tolist()
+            )
+            if not ts:
+                return
+            if self.open.exists():
+                cur_s, cur_l, cur_n = self.open.get()
+                for t in list(self.handle.listTimers()):
+                    self.handle.deleteTimer(t)
+            else:
+                cur_s, cur_l, cur_n = ts[0], ts[0], 0
+            closed = []
+            for t in ts:
+                # strict >: an event at exactly last+gap extends the
+                # session (measured session_window boundary rule, r7)
+                if t - cur_l > gap_us and cur_n > 0:
+                    closed.append(self._row(key[0], cur_s, cur_l, cur_n))
+                    cur_s, cur_l, cur_n = t, t, 1
+                else:
+                    cur_l = t
+                    cur_n += 1
+            self.open.update((cur_s, cur_l, cur_n))
+            self.handle.registerTimer((cur_l + gap_us) // 1000 + 1)
+            if closed:
+                yield pd.DataFrame(closed)
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            if self.open.exists():
+                s, l, n = self.open.get()
+                self.open.clear()
+                yield pd.DataFrame([self._row(key[0], s, l, n)])
+
+        def close(self) -> None:
+            pass
+
+    from .pipeline import _heartbeat_replay_dir, _state_partitions
+
+    replay_dir = _heartbeat_replay_dir(events_path)
+    ev = (
+        normalize_events(
+            read_events_stream(spark, replay_dir, max_files_per_trigger)
+        )
+        .withWatermark("ts", "10 minutes")
+        .select("user_id", "ts", F.unix_micros("ts").alias("tus"))
+    )
+    name = f"tws_sess_{uuid.uuid4().hex}"
+    with _tws_session(spark), _state_partitions(spark):
+        updates = ev.groupBy("user_id").transformWithStateInPandas(
+            Sessions(), SESSION_OUT_SCHEMA, "Append", "EventTime"
+        )
         q = (
             updates.writeStream.format("memory")
             .queryName(name)
