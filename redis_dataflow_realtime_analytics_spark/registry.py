@@ -1408,6 +1408,33 @@ q(
        CAST(count(*) AS BIGINT) AS visits
 FROM events GROUP BY 1""",
 )
+
+
+# SURVEY §4 delta 1 made measurable (r8, the delivery-semantics sibling
+# of the late-data pair above): one chunk of the replay is REDELIVERED
+# and two sink disciplines run side by side in the same foreachBatch —
+# the reference's blind INCRBY (counts the duplicate) vs the engine's
+# idempotent seen-index store (provably unchanged). Chunk membership is
+# a pure function of (ts, event_id), so the oracle re-derives the exact
+# per-minute overcount. Duplicate repair ON THE STREAM itself is the
+# separate stream_deduped_visits key; this one audits the SINK contract.
+def _stream_dup_delivery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming import pipeline as sp
+
+    return sp.stream_duplicate_delivery_audit(spark, f"{sf_dir}/events.parquet")
+
+
+def _oracle_stream_dup_delivery() -> str:
+    from .streaming.pipeline import oracle_stream_duplicate_delivery
+
+    return oracle_stream_duplicate_delivery(EV_CTE)
+
+
+q(
+    "stream_duplicate_delivery_audit",
+    _stream_dup_delivery,
+    _oracle_stream_dup_delivery(),
+)
 # Streaming multimodal ingest: the Catalyst blob synthesis + Arrow
 # histogram per micro-batch (stateless); batch-parity histogram oracle.
 def _stream_image_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,0 +1,72 @@
+"""Duplicate-delivery audit: the exactly-once sink claim, measured.
+
+Pins the two contracts :func:`sp.stream_duplicate_delivery_audit` makes:
+
+* the idempotent-store leg is UNCHANGED by the redelivered chunk — it
+  equals the plain batch per-minute count of the fixture;
+* the INCRBY leg over-counts by EXACTLY the redelivered chunk's rows,
+  minute by minute (so ``sum(overcount)`` == chunk size).
+
+Plus determinism (two runs byte-equal) and the replay-dir contract
+(redelivered file is byte-identical to its chunk and sorts last).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from redis_dataflow_realtime_analytics_spark.streaming import pipeline as sp
+
+from .conftest import SF_SMOKE
+
+EVENTS = f"{SF_SMOKE}/events.parquet"
+
+
+def test_store_leg_unchanged_by_redelivery(spark):
+    out = sp.stream_duplicate_delivery_audit(spark, EVENTS).cache()
+    batch = (
+        spark.read.parquet(EVENTS)
+        .groupBy(F.date_trunc("minute", "ts").alias("minute"))
+        .agg(F.count("*").alias("visits"))
+    )
+    got = {(r["minute"], r["visits"]) for r in out.collect()}
+    want = {(r["minute"], r["visits"]) for r in batch.collect()}
+    assert got == want
+
+
+def test_incrby_overcount_is_exactly_the_redelivered_chunk(spark):
+    n_chunks, dup_chunk = 3, 1
+    out = sp.stream_duplicate_delivery_audit(
+        spark, EVENTS, n_chunks=n_chunks, dup_chunk=dup_chunk
+    )
+    total_over = out.agg(F.sum("overcount")).first()[0]
+    n = spark.read.parquet(EVENTS).count()
+    step = max(1, (n + n_chunks - 1) // n_chunks)
+    chunk_size = min(step, n - dup_chunk * step)
+    assert total_over == chunk_size
+    # and per-minute: overcount is never negative, never exceeds visits
+    bad = out.where(
+        (F.col("overcount") < 0) | (F.col("overcount") > F.col("visits"))
+    ).count()
+    assert bad == 0
+
+
+def test_replay_dir_contract(spark):
+    d = sp._duplicate_delivery_replay_dir(EVENTS, n_chunks=3, dup_chunk=1)
+    files = sorted(os.listdir(d))
+    assert "redelivered_0001.parquet" in files
+    dup = pq.read_table(os.path.join(d, "redelivered_0001.parquet"))
+    orig = pq.read_table(os.path.join(d, "chunk_0001.parquet"))
+    assert dup.equals(orig)
+    # redelivery arrives LAST (max mtime)
+    mt = {f: os.path.getmtime(os.path.join(d, f)) for f in files if f.endswith(".parquet")}
+    assert max(mt, key=mt.get) == "redelivered_0001.parquet"
+
+
+def test_audit_deterministic(spark):
+    a = sorted(map(tuple, sp.stream_duplicate_delivery_audit(spark, EVENTS).collect()))
+    b = sorted(map(tuple, sp.stream_duplicate_delivery_audit(spark, EVENTS).collect()))
+    assert a == b and a
