@@ -3403,3 +3403,296 @@ def oph_minhash_pairs(
         .select("doc_a", "doc_b", est.alias("est_jaccard"))
         .where(F.col("est_jaccard") >= threshold)
     )
+
+
+# --- Portable twins of the weighted / OPH families (r8) ----------------------
+# The tf-replication (weighted) and one-permutation (OPH) constructions
+# compose with the portable affine permutations exactly as VERDICT r7
+# item 3 predicted: only the per-replica / per-shingle KEY changes, the
+# banding and estimator are the shared portable machinery. These twins
+# make the last two architecture-bearing rows-only families externally
+# hash-checkable; the xxhash64 originals stay the scale path.
+
+
+def weighted_portable_signatures(docs: DataFrame, k: int = NGRAM_K) -> DataFrame:
+    """PORTABLE weighted (bag) MinHash via tf-replication: replica
+    ``shingle#r`` (r = 1..tf) → 28-bit md5 key → the same 16 affine
+    permutations as :func:`portable_minhash_signatures`. Estimates
+    weighted Jaccard Σmin(tf)/Σmax(tf) with values DuckDB re-derives
+    bit-identically (md5 + BIGINT affine, no engine hash).
+
+    Plan: explode shingles → map-side tf count → explode replicas →
+    ONE md5 per replica shared by all 16 permutations → 16 codegen
+    min-aggregates. Same replica volume as the xxhash64 weighted twin
+    (:func:`weighted_minhash_signatures`), which hashes per-seed."""
+    reps = (
+        _shingles_with_tf(docs, k)
+        .select(
+            "doc_id",
+            "shingle",
+            F.explode(F.expr("sequence(1, tf)")).alias("rep"),
+        )
+        .select(
+            "doc_id",
+            F.concat_ws(
+                "#", F.col("shingle"), F.col("rep").cast("string")
+            ).alias("r"),
+        )
+    )
+    x = F.conv(F.substring(F.md5("r"), 1, 7), 16, 10).cast("long")
+    aggs = [
+        F.min((F.lit(a) * x + F.lit(b)) % F.lit(PORTABLE_P)).alias(f"h{i}")
+        for i, (a, b) in enumerate(_PORT_COEF)
+    ]
+    return reps.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_weighted_portable_pairs(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.5
+) -> DataFrame:
+    """Near-dup pairs under WEIGHTED Jaccard via the portable replicated
+    signatures — the SQL-oracled twin of :func:`weighted_minhash_pairs`.
+    Same 4×4 banding, same bucket-join candidate generation (never
+    all-pairs), same integer agreement estimator as the portable set
+    family.
+
+    Output: (doc_a, doc_b, n_agree, est_wjaccard)."""
+    docs = _spread(load(spark, sf_dir, "documents"))
+    sig = weighted_portable_signatures(docs)
+    banded = _portable_banded(sig)
+    cands = (
+        banded.alias("a")
+        .join(banded.alias("b"), ["band", "bucket"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    a = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"h{i}").alias(f"a{i}") for i in range(PORTABLE_PERMS)],
+    )
+    b = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"h{i}").alias(f"b{i}") for i in range(PORTABLE_PERMS)],
+    )
+    n_agree = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(PORTABLE_PERMS)
+    )
+    return (
+        cands.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn("n_agree", n_agree.cast("bigint"))
+        .withColumn(
+            "est_wjaccard",
+            F.col("n_agree").cast("double") / float(PORTABLE_PERMS),
+        )
+        .where(F.col("est_wjaccard") >= threshold)
+        .select("doc_a", "doc_b", "n_agree", "est_wjaccard")
+    )
+
+
+def _oracle_portable_weighted_sig_sql(k: int = NGRAM_K) -> str:
+    """Shared CTE text for the weighted portable family: documents →
+    shingles WITH tf → replicas → 28-bit md5 keys → 16-column signature
+    (``sig``) → band buckets (``bands``). Mirrors
+    :func:`_oracle_portable_sig_sql` with the replica step added."""
+    toks = f"string_split_regex(trim(text), '{TOKEN_SQL}')"
+    mins = ",\n         ".join(
+        f"min(({a} * x + {b}) % {PORTABLE_P}) AS h{i}"
+        for i, (a, b) in enumerate(_PORT_COEF)
+    )
+    return f"""pos AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(1, greatest(len(toks) - {k - 1}, 1))) AS i
+  FROM (SELECT doc_id, {toks} AS toks FROM documents) d
+),
+shtf AS (
+  SELECT doc_id, s, count(*) AS tf
+  FROM (SELECT doc_id, array_to_string(toks[i : i + {k - 1}], ' ') AS s FROM pos)
+  GROUP BY 1, 2
+),
+reps AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(s || '#' || CAST(rep AS VARCHAR)), 1, 7))
+              AS BIGINT) AS x
+  FROM (SELECT doc_id, s, unnest(generate_series(1, tf)) AS rep FROM shtf)
+),
+sig AS (
+  SELECT doc_id,
+         {mins}
+  FROM reps GROUP BY doc_id
+),
+bands AS (
+  {" UNION ALL ".join(
+      "SELECT doc_id, " + str(bb) + " AS band, concat_ws('-', "
+      + ", ".join(f"h{bb * PORTABLE_ROWS + r}" for r in range(PORTABLE_ROWS))
+      + ") AS bucket FROM sig"
+      for bb in range(PORTABLE_BANDS)
+  )}
+)"""
+
+
+def oracle_minhash_weighted_portable_pairs(threshold: float = 0.5) -> str:
+    """DuckDB twin of :func:`minhash_weighted_portable_pairs`."""
+    agree = " + ".join(
+        f"CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END"
+        for i in range(PORTABLE_PERMS)
+    )
+    return f"""WITH {_oracle_portable_weighted_sig_sql()},
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       CAST({agree} AS BIGINT) AS n_agree,
+       CAST({agree} AS DOUBLE) / {float(PORTABLE_PERMS)} AS est_wjaccard
+FROM cand c
+JOIN sig sa ON sa.doc_id = c.doc_a
+JOIN sig sb ON sb.doc_id = c.doc_b
+WHERE CAST({agree} AS DOUBLE) / {float(PORTABLE_PERMS)} >= {threshold}"""
+
+
+def oph_portable_signatures(docs: DataFrame, k: int = NGRAM_K) -> DataFrame:
+    """PORTABLE one-permutation MinHash with rotation densification:
+    ONE affine permutation (the family's coefficient 0) over the 28-bit
+    md5 shingle keys, binned into ``PORTABLE_PERMS`` buckets by
+    ``h % PORTABLE_PERMS`` (h ≥ 0, so ``%`` agrees across engines);
+    each bucket keeps its min; an empty bucket borrows the nearest
+    non-empty bucket clockwise (Shrivastava 2017), exactly like the
+    xxhash64 OPH (:func:`oph_minhash_signatures`) — whose MEASURED
+    finding stands: at this shingle shape signature cost is
+    aggregation-bound, so OPH is the documented formulation for
+    hash-dominated inputs, not the default path.
+
+    Output: (doc_id, h0..h15) — densified, column-per-slot so the
+    shared banding/estimator machinery applies unchanged."""
+    a0, b0 = _PORT_COEF[0]
+    sh = _shingles(docs, k)
+    x = F.conv(F.substring(F.md5("shingle"), 1, 7), 16, 10).cast("long")
+    h = (F.lit(a0) * x + F.lit(b0)) % F.lit(PORTABLE_P)
+    n = PORTABLE_PERMS
+    binned = sh.select("doc_id", h.alias("h"))
+    raw = binned.groupBy("doc_id").agg(
+        *[
+            F.min(F.when(F.col("h") % n == i, F.col("h"))).alias(f"b{i}")
+            for i in range(n)
+        ]
+    )
+    slots = [
+        F.coalesce(*[F.col(f"b{(i + j) % n}") for j in range(n)]).alias(f"h{i}")
+        for i in range(n)
+    ]
+    return raw.select("doc_id", *slots)
+
+
+def minhash_oph_portable_pairs(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.5
+) -> DataFrame:
+    """Near-dup pairs from the portable OPH signatures — the SQL-oracled
+    twin of :func:`oph_minhash_pairs`: same 4×4 banding and bucket join
+    as the portable set family, only the signature construction differs
+    (one permutation + densification instead of 16 permutations).
+
+    Output: (doc_a, doc_b, n_agree, est_jaccard)."""
+    docs = _spread(load(spark, sf_dir, "documents"))
+    sig = oph_portable_signatures(docs)
+    banded = _portable_banded(sig)
+    cands = (
+        banded.alias("a")
+        .join(banded.alias("b"), ["band", "bucket"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    a = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"h{i}").alias(f"a{i}") for i in range(PORTABLE_PERMS)],
+    )
+    b = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"h{i}").alias(f"b{i}") for i in range(PORTABLE_PERMS)],
+    )
+    n_agree = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(PORTABLE_PERMS)
+    )
+    return (
+        cands.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn("n_agree", n_agree.cast("bigint"))
+        .withColumn(
+            "est_jaccard",
+            F.col("n_agree").cast("double") / float(PORTABLE_PERMS),
+        )
+        .where(F.col("est_jaccard") >= threshold)
+        .select("doc_a", "doc_b", "n_agree", "est_jaccard")
+    )
+
+
+def oracle_minhash_oph_portable_pairs(threshold: float = 0.5) -> str:
+    """DuckDB twin of :func:`minhash_oph_portable_pairs` — re-derives the
+    one-permutation bins and the clockwise densification as an unrolled
+    coalesce, then the same band join."""
+    a0, b0 = _PORT_COEF[0]
+    n = PORTABLE_PERMS
+    k = NGRAM_K
+    toks = f"string_split_regex(trim(text), '{TOKEN_SQL}')"
+    bins = ",\n         ".join(
+        f"min(CASE WHEN h % {n} = {i} THEN h END) AS b{i}" for i in range(n)
+    )
+    slots = ",\n         ".join(
+        "coalesce(" + ", ".join(f"b{(i + j) % n}" for j in range(n)) + f") AS h{i}"
+        for i in range(n)
+    )
+    agree = " + ".join(
+        f"CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END" for i in range(n)
+    )
+    bands = " UNION ALL ".join(
+        "SELECT doc_id, " + str(bb) + " AS band, concat_ws('-', "
+        + ", ".join(f"h{bb * PORTABLE_ROWS + r}" for r in range(PORTABLE_ROWS))
+        + ") AS bucket FROM sig"
+        for bb in range(PORTABLE_BANDS)
+    )
+    return f"""WITH pos AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(1, greatest(len(toks) - {k - 1}, 1))) AS i
+  FROM (SELECT doc_id, {toks} AS toks FROM documents) d
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         CAST(('0x' || substr(md5(array_to_string(toks[i : i + {k - 1}], ' ')), 1, 7))
+              AS BIGINT) AS x
+  FROM pos
+),
+hv AS (SELECT doc_id, ({a0} * x + {b0}) % {PORTABLE_P} AS h FROM sh),
+raw AS (
+  SELECT doc_id,
+         {bins}
+  FROM hv GROUP BY doc_id
+),
+sig AS (
+  SELECT doc_id,
+         {slots}
+  FROM raw
+),
+bands AS (
+  {bands}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       CAST({agree} AS BIGINT) AS n_agree,
+       CAST({agree} AS DOUBLE) / {float(n)} AS est_jaccard
+FROM cand c
+JOIN sig sa ON sa.doc_id = c.doc_a
+JOIN sig sb ON sb.doc_id = c.doc_b
+WHERE CAST({agree} AS DOUBLE) / {float(n)} >= {threshold}"""

@@ -745,11 +745,28 @@ q(
 # blind to; seeded xxhash64 => rows-only, gated by the bag-contrast +
 # recall suite in tests/test_dedup.py.
 q("dedup_minhash_weighted_pairs", dedup.weighted_minhash_pairs)
+# ... and its PORTABLE twin (r8): tf-replication composes with the md5 +
+# affine-permutation family — replica key md5(shingle#r) — so the bag
+# near-dup architecture is externally hash-checked end to end, same as
+# the set family was in r7. xxhash64 stays the scale path.
+q(
+    "dedup_minhash_weighted_portable_pairs",
+    dedup.minhash_weighted_portable_pairs,
+    dedup.oracle_minhash_weighted_portable_pairs(),
+)
 # One-permutation MinHash (OPH, rotation-densified): 1 hash/shingle in
 # the same one-shuffle shape. Honest soak verdict in the docstring:
 # AGG-bound at this shape, 32-perm stays the default; OPH is the
 # documented formulation for hash-dominated inputs. rows-only (seeded).
 q("dedup_minhash_oph_pairs", dedup.oph_minhash_pairs)
+# ... and its PORTABLE twin (r8): one affine permutation over the md5
+# keys, % 16 binning, clockwise rotation densification — DuckDB
+# re-derives bins, densified slots, bands, and estimator exactly.
+q(
+    "dedup_minhash_oph_portable_pairs",
+    dedup.minhash_oph_portable_pairs,
+    dedup.oracle_minhash_oph_portable_pairs(),
+)
 
 # ---------------------------------------------------------------------------
 # Similarity search (north-star: embeddings table)
