@@ -577,6 +577,11 @@ def video_scene_cuts(blobs: DataFrame, threshold: int = SCENE_CUT_SAD) -> DataFr
             sads: list[int] = []
             for doc_id, blob in zip(pdf["doc_id"], pdf["content"]):
                 frames = _parse_y4m(bytes(blob))
+                # a header-only (0-frame) or single-frame stream has no
+                # consecutive pair: no rows (the 0-frame reshape would
+                # otherwise crash — r8 degenerate-blob sweep find)
+                if len(frames) < 2:
+                    continue
                 y = frames[:, 0].reshape(len(frames), -1).astype(np.int64)
                 sad = np.abs(y[1:] - y[:-1]).sum(axis=1)
                 for i, v in enumerate(sad, start=1):
@@ -925,10 +930,19 @@ def decode_features(blobs: DataFrame, fake: bool = False) -> DataFrame:
                 out["width"].append(w)
                 out["height"].append(h)
                 out["n_channels"].append(img.shape[2])
-                out["mean_byte"].append(float(img.mean()))
-                out["channel_means"].append(
-                    [float(x) for x in img.mean(axis=(0, 1))]
-                )
+                # empty raster (0-width/height header is VALID Netpbm):
+                # mean of no pixels is pinned to 0.0, not NaN — the same
+                # degenerate-input convention as the zero-norm cosine and
+                # empty-doc quality guards (r7), so downstream aggregates
+                # and the driver hash stay deterministic
+                if img.size == 0:
+                    out["mean_byte"].append(0.0)
+                    out["channel_means"].append([0.0] * img.shape[2])
+                else:
+                    out["mean_byte"].append(float(img.mean()))
+                    out["channel_means"].append(
+                        [float(x) for x in img.mean(axis=(0, 1))]
+                    )
             yield pd.DataFrame(out)
 
     return blobs.mapInPandas(_decode, schema=FEATURE_SCHEMA)

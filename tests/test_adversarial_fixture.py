@@ -38,6 +38,22 @@ KEYS = [
     # columns): green on first sweep — total-order tie-breaks verified
     "top_orders_by_value",
     "priciest_parts_per_brand",
+    # r8 sweep extension (VERDICT r7 item 5): ALL 13 multimodal and ALL
+    # 32 stream_* oracled keys were swept against this fixture — every
+    # one green (the r7 guards held; the only new find was the 0-frame
+    # Y4M crash, which the fixture can't produce — pinned by
+    # test_multimodal_degenerate.py instead). Representatives kept in
+    # the permanent gate: the deepest decode pipelines over the planted
+    # empty/short/duplicate docs, and the stateful/audit streaming keys
+    # over the planted duplicate ids + exact-minute event times.
+    "multimodal_image_ahash",
+    "multimodal_decode_features",
+    "multimodal_video_scene_cuts",
+    "multimodal_decode_audio",
+    "stream_visits_per_minute",
+    "stream_uniques_per_ev_minute",
+    "stream_duplicate_delivery_audit",
+    "stream_stateful_uniques_tws",
 ]
 
 
