@@ -3408,188 +3408,86 @@ q(
 # that carries its coverage in the meantime.
 # ---------------------------------------------------------------------------
 _PRIORITY = [
-    # ===================== ROUND 7 WINDOW =====================
-    # The consolidation window VERDICT r6 item 1 promised: zero
-    # never-green oracled keys remain, so after the four r7 new/changed
-    # pairings the whole budget goes to the rotated re-check pool and
-    # the oldest-staleness freshness debt (65 oracled keys' last
-    # external green predates r3).
+    # ===================== ROUND 8 WINDOW =====================
+    # VERDICT r7 item 1 executed: this window spends its whole budget on
+    # (a) the round's new/changed pairings and (b) the ENTIRE stale pool
+    # — all 40 oracled keys whose latest external green predated r3 fit,
+    # so after this round no key's record is older than r3. The previous
+    # windows' keys (all green r6/r7) rotate out; rotation history lives
+    # in COVERAGE.md "Driver-window rotation log".
     # --- 2. (query, oracle) pairings new or changed this round ---
-    # new depth op: maximal duplicated spans (Lee et al. cut list)
-    "dedup_maximal_spans",
-    # ... and the applied cut (never-green; took the r2_visits_timeseries
-    # 4c re-check slot — green r2, engine shared with the in-window
-    # r2_visits_timeseries_last10, which carries timeseries.py's
-    # axis-join coverage; rotates to the r8 pool)
-    "corpus_cut_duplicate_spans",
-    # new observability op: watermark late-drop audit (SURVEY 2.5 delta)
-    "stream_late_arrivals_audit",
-    # ... and its repair: streamed + audited-late = batch W1 exactly
-    # (never-green; took the ev_cube_uniques 4c re-check slot — green r2
-    # AND judge-re-verified the day of the r6 verdict; its engine twin
-    # ev_grouping_sets_uniques keeps its slot above; rotates to r8)
-    "stream_visits_late_backfill",
-    # rows-only -> oracled conversions (VERDICT r6 item 3)
-    "dedup_ngram_jaccard_pairs_capped",
-    "stream_sessions_ttl",
-    # ... and the portable-permutation MinHash family (new oracled twins
-    # of the two xxhash64 rows-only keys — never-green, take the
-    # dedup_ngram_jaccard_pairs + dedup_duplicate_spans 4c re-check
-    # slots; both displaced keys were green r2 with their engine's span/
-    # shingle machinery re-checked this round via dedup_maximal_spans and
-    # corpus_cut_duplicate_spans, and rotate to the r8 pool)
-    "dedup_minhash_portable_pairs",
-    "dedup_incremental_neardup_portable",
-    # ... and the keep-one span-cut policy (never-green; takes the
-    # user_sessions 4c slot — green r2, and its EXACT oracle gates the
-    # in-window stream_sessions_ttl conversion, so sessions.py coverage
-    # is carried; rotates to the r8 pool)
-    "corpus_cut_spans_keep_first",
-    # ... and the streaming near-dup probe (never-green; takes the
-    # stream_stateful_uniques_per_variant 4c slot — green r2, with the
-    # stateful machinery still pytest-gated by test_streaming.py and
-    # four other stream_* keys in-window; rotates to the r8 pool)
-    "stream_neardup_probe",
-    # ... and the portable two-stage LSH + exact-Jaccard verify
-    # (never-green; takes the customers_without_orders 4b slot — a
-    # 0-row-result re-check whose anti-join machinery is carried by the
-    # in-window customers_with_orders + customer_keys_minus_orders;
-    # rotates to the r8 pool)
-    "dedup_lsh_exact_jaccard_portable",
-    # ... and the portable SimHash pairs (never-green; takes the
-    # customer_keys_intersect_orders 4b slot — its set-op family keeps
-    # active_entity_keys_union and customer_keys_minus_orders in-window;
-    # rotates to the r8 pool)
-    "dedup_simhash_portable_pairs",
-    # ... and the portable LSH ANN (never-green; takes the
-    # top_orders_by_value 4b slot — plain sort+limit, carried by the
-    # in-window q3/q10/q18 and priciest_parts_per_brand; rotates to r8)
-    "ann_lsh_portable_topk",
-    # --- 2b. pairings whose ORACLE text changed late-r7 (adversarial
-    # sweep fixes) — a green row must postdate the change, so they take
-    # three more re-check slots (see displacement notes below). The
-    # OTHER changed-oracle families are already stamped through
-    # in-window keys sharing the changed text: text_quality_score (the
-    # punct-guard root; its derived consumers queue first in R8),
-    # ann_lsh_portable_topk (the guarded _ORACLE_COS formula),
-    # stream_sessions_ttl (the strict-> session oracle user_sessions
-    # shares). All changed keys were locally swept green post-change at
-    # sf0.01 AND on the adversarial fixture.
+    # exactly-once sink audit (SURVEY §4 delta 1 made measurable)
+    "stream_duplicate_delivery_audit",
+    # portable twins of the last two architecture-bearing rows-only
+    # dedup families (VERDICT item 3)
+    "dedup_minhash_weighted_portable_pairs",
+    "dedup_minhash_oph_portable_pairs",
+    # Spark-4-native stateful twins (transformWithStateInPandas)
+    "stream_stateful_uniques_tws",
+    "stream_sessions_ttl_tws",
+    # oracle text changed r8 (dedup-by-min-ts before the minute
+    # grouping — the r7 advice's cross-minute duplicate-id hardening)
     "stream_deduped_visits",
-    "text_fingerprints",
-    "chunk_documents",
-    # --- 4a. the full promised r7 re-check pool (every key displaced
-    # from the r5/r6 windows; see COVERAGE.md rotation log) ---
-    "q2_best_supplier_per_part",
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_items",
-    "q11_important_part_values",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customers",
-    "q20_heavy_part_suppliers",
-    "q22_dormant_customers",
-    "price_moments_by_flag",
-    # (rolling_week_user_value gave up its 4a slot likewise — its
-    # window-frame machinery is carried by running_revenue_per_supplier
-    # below; rotates to r8)
-    "running_revenue_per_supplier",
-    # (cube_quantity_by_flag_status and monthly_order_revenue gave up
-    # their 4a slots to the late-r7 changed pairings above — green r2
-    # with unchanged engines; grouping-sets machinery is carried by the
-    # in-window ev_grouping_sets_uniques and the month-trunc aggregate
-    # by the in-window q-family; both rotate to r8)
-    "user_gap_profile",
-    "pack_documents_boundary",
-    "corpus_version_history",
-    "multimodal_image_ahash",
-    "zipf_slope_by_source",
-    # --- 4b. oldest-staleness re-checks: every remaining key whose only
-    # green row is r1 ---
-    "active_entity_keys_union",
-    # (customer_keys_intersect_orders gave up its 4b slot to the
-    # never-green portable SimHash above — set-op family carried by its
-    # two in-window siblings; rotates to r8)
-    "customer_keys_minus_orders",
-    "customers_with_orders",
-    # (customers_without_orders gave up its 4b slot to the never-green
-    # portable two-stage key above — 0-row result at sf0.01, machinery
-    # carried by its two in-window siblings; rotates to r8)
-    "ev_grouping_sets_uniques",
-    "order_scalar_projections",
-    "priciest_parts_per_brand",
-    "r2_visits_timeseries_last10",
-    "returnflag_discount_profile",
-    "rollup_orders_by_status_priority",
-    "text_quality_score",
-    # (top_orders_by_value gave up its 4b slot to the never-green
-    # portable LSH ANN above — sort+limit carried by in-window
-    # q3/q10/q18 + priciest_parts_per_brand; rotates to r8)
-    # --- 4c. the rest of the budget: r2-stale keys, preferring those
-    # whose source was touched this round (dedup.py gained the span
-    # machinery and oracle_ngram_jaccard_pairs grew the df-cap param —
-    # its uncapped output string is byte-identical, re-checked anyway)
-    # plus the anchors/oracle-sharers ---
-    "w1_visits_per_minute",
-    # (stream_stateful_uniques_per_variant gave up its 4c slot to the
-    # never-green stream_neardup_probe — green r2, stateful machinery
-    # pytest-gated; rotates to r8)
-    # (user_sessions gave up its 4c slot to the never-green keep-first
-    # span cut above — green r2, and its exact oracle gates the
-    # in-window stream_sessions_ttl; rotates to r8)
-    # (dedup_ngram_jaccard_pairs and dedup_duplicate_spans gave up their
-    # 4c slots to the never-green portable MinHash pair above — both
-    # green r2, and dedup.py's shingle/span machinery is already
-    # re-checked this round by dedup_maximal_spans,
-    # corpus_cut_duplicate_spans, and dedup_ngram_jaccard_pairs_capped
-    # which shares the ngram_jaccard_pairs engine; rotate to r8)
-    # (ev_cube_uniques gave up its 4c slot to the late-r7
-    # stream_visits_late_backfill key — green r2 and judge-re-verified
-    # the day of the r6 verdict; ev_grouping_sets_uniques keeps the
-    # cube-family slot above; rotates to the r8 pool)
-    # (r2_visits_timeseries gave up the last 4c slot to the late-r7
-    # corpus_cut_duplicate_spans key — never-green outranks any
-    # ever-green re-check; rotates to the r8 pool)
-    # R8 POOL (rotate in next round, plus anything r8 edits):
-    # FIRST the remaining changed-oracle-text consumers whose root/
-    # formula IS stamped in-window but whose own row predates the r7
-    # guard edits (all swept green post-change at sf0.01 + adversarial):
-    # quality family (corpus_quality_gate, quality_calibrated_by_source,
-    # quality_quantile_normalized, corpus_curated_pipeline,
-    # corpus_drop_audit, stream_quality_filtered_docs,
-    # stream_curated_ingest, stream_drop_audit,
-    # dedup_keep_best_per_cluster — punct guard rooted at the in-window
-    # text_quality_score) and the ANN/embedding cosine-guard family
-    # (ann_*, similar_documents_report, embedding_outlier_scores,
-    # embedding_centroid_cosines, dedup_semantic_components,
-    # stream_ivf_assign — formula stamped via ann_lsh_portable_topk),
-    # plus user_sessions / active_sessions_per_minute (strict-> oracle
-    # stamped via stream_sessions_ttl + the in-window user-less twin).
-    # THEN the r7 displacements: ev_cube_uniques, r2_visits_timeseries,
-    # dedup_ngram_jaccard_pairs, dedup_duplicate_spans, user_sessions,
-    # stream_stateful_uniques_per_variant, customers_without_orders,
-    # customer_keys_intersect_orders, top_orders_by_value.
-    # THEN the remaining r2-stale keys — ann_topk_bruteforce, chunk_documents,
-    # customers_by_nation_segment_pivot, dedup_exact_groups,
-    # pack_documents_512, q21_suppliers_kept_waiting, r1_time_axis,
-    # r3_users_timeseries, r4_experiments_timeseries, r5_variant_overlap,
-    # sample_documents_hash, similar_documents_report, sliding_visits,
-    # stream_deduped_visits, stream_sliding_visits,
-    # stream_uniques_per_ev_minute, stream_user_sessions,
-    # text_fingerprints, text_lang_id, text_normalize_mask,
-    # text_token_stats, top_orders_per_customer, train_corpus_pipeline,
-    # user_event_features, w11_uniques_per_minute,
-    # w2_uniques_per_experiment_variant_minute, w3_uniques_per_variant,
-    # w3_uniques_per_variant_salted, w4_user_sets_per_variant,
-    # w5_uniques_per_experiment, w7_experiments_per_minute,
-    # w9_variants_per_minute — then the r3-stale tier.
+    # engine+oracle cutoff changed r8 (ceil(threshold*PERMS))
+    "dedup_incremental_neardup_portable",
+    # --- 4. re-checks whose operator file changed this round ---
+    # multimodal.py gained the empty-raster and 0-frame guards
+    "multimodal_decode_features",
+    "multimodal_video_scene_cuts",
+    # --- 4b. the r1-stale tier (oldest first) ---
+    "customer_keys_intersect_orders",
+    "customers_without_orders",
+    "monthly_order_revenue",
+    "top_orders_by_value",
+    # --- 4c. the ENTIRE r2-stale tier (36 keys) ---
+    "ann_topk_bruteforce",
+    "cube_quantity_by_flag_status",
+    "customers_by_nation_segment_pivot",
+    "dedup_exact_groups",
+    "dedup_ngram_jaccard_pairs",
+    "ev_cube_uniques",
+    "pack_documents_512",
+    "q21_suppliers_kept_waiting",
+    "r1_time_axis",
+    "r2_visits_timeseries",
+    "r3_users_timeseries",
+    "r4_experiments_timeseries",
+    "r5_variant_overlap",
+    "sample_documents_hash",
+    "similar_documents_report",
+    "sliding_visits",
+    "stream_sliding_visits",
+    "stream_stateful_uniques_per_variant",
+    "stream_uniques_per_ev_minute",
+    "stream_user_sessions",
+    "stream_visits_per_minute",
+    "text_lang_id",
+    "text_normalize_mask",
+    "text_token_stats",
+    "top_orders_per_customer",
+    "train_corpus_pipeline",
+    "user_event_features",
+    "user_sessions",
+    "w11_uniques_per_minute",
+    "w2_uniques_per_experiment_variant_minute",
+    "w3_uniques_per_variant",
+    "w3_uniques_per_variant_salted",
+    "w4_user_sets_per_variant",
+    "w5_uniques_per_experiment",
+    "w7_experiments_per_minute",
+    "w9_variants_per_minute",
+    # --- 4d. slot 50: the front of the r3-stale tier (next round's
+    # pool starts here — the remaining 32 r3-green keys, then r4) ---
+    "asof_last_click_before_error",
+    # R9 POOL (rotate in next round, plus anything r9 edits): the rest
+    # of the r3-stale tier — corpus_upsample_by_language,
+    # dedup_connected_components, dedup_documents,
+    # dedup_incremental_new_docs, dedup_neardup_survivors,
+    # embedding_neardup_pairs, events_enriched_with_customer,
+    # full_outer_nation_counts, funnel_conversion_by_experiment,
+    # multimodal_blob_stats, multimodal_frame_sample_offsets, and the
+    # remaining r3 keys enumerated by the staleness query — then the r4
+    # tier (42 keys incl. dedup_duplicate_spans).
 ]
 
 

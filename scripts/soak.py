@@ -867,6 +867,90 @@ def main(n_events: int = 10_000_000, doc_mult: int = 20) -> None:
 
         section("r7_late_audit", _r7_late_audit)
 
+        def _r8_ops() -> None:
+            """r8 additions: the portable weighted/OPH twins (doc-family
+            slope rows), the duplicate-delivery audit, and the
+            transformWithState pair (vs their legacy siblings)."""
+            from redis_dataflow_realtime_analytics_spark.streaming import (
+                pipeline as sp,
+                stateful,
+            )
+
+            for name, fn in {
+                "weighted_portable_pairs": (
+                    lambda: dedup.minhash_weighted_portable_pairs(spark, sf_dir)
+                ),
+                "oph_portable_pairs": (
+                    lambda: dedup.minhash_oph_portable_pairs(spark, sf_dir)
+                ),
+            }.items():
+                t0 = time.perf_counter()
+                fn().write.mode("overwrite").format("noop").save()
+                dt = time.perf_counter() - t0
+                out[f"{name}_s"] = round(dt, 2)
+                out[f"{name}_docs_per_s"] = int(n_docs / dt)
+
+            # single-file events parquet (same shape the r7 late-audit
+            # section builds) for the replay-based ops
+            one = f"{tmp}/events_one_r8.parquet"
+            spark.read.parquet(ev_path).withColumn(
+                "event_id", F.xxhash64("uid", "timestamp")
+            ).select(
+                "event_id",
+                F.col("timestamp").alias("ts"),
+                F.col("uid").cast("long").alias("user_id"),
+                F.col("variant").alias("event_type"),
+                F.lit(1.0).alias("value"),
+                F.concat(F.lit('{"k": "'), "experiment_id", F.lit('"}')).alias(
+                    "props"
+                ),
+            ).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/events_one_r8")
+            import glob as _glob
+            import shutil
+
+            shutil.move(
+                _glob.glob(f"{tmp}/events_one_r8/part-*.parquet")[0], one
+            )
+
+            t0 = time.perf_counter()
+            sp.stream_duplicate_delivery_audit(spark, one).write.mode(
+                "overwrite"
+            ).format("noop").save()
+            dt = time.perf_counter() - t0
+            out["dup_delivery_audit_s"] = round(dt, 2)
+            out["dup_delivery_audit_events_per_s"] = int(n_events / dt)
+
+            if stateful.tws_available():
+                for name, fn in {
+                    "tws_uniques": (
+                        lambda: stateful.stream_exact_uniques_per_variant_tws(
+                            spark, one, max_files_per_trigger=4
+                        )
+                    ),
+                    "legacy_uniques": (
+                        lambda: stateful.stream_exact_uniques_per_variant(
+                            spark, one, max_files_per_trigger=4
+                        )
+                    ),
+                    "tws_sessions": (
+                        lambda: stateful.stream_sessions_ttl_tws(
+                            spark, one, max_files_per_trigger=4
+                        )
+                    ),
+                    "legacy_sessions": (
+                        lambda: stateful.stream_sessions_ttl(
+                            spark, one, max_files_per_trigger=4
+                        )
+                    ),
+                }.items():
+                    t0 = time.perf_counter()
+                    fn().write.mode("overwrite").format("noop").save()
+                    dt = time.perf_counter() - t0
+                    out[f"{name}_s"] = round(dt, 2)
+                    out[f"{name}_events_per_s"] = int(n_events / dt)
+
+        section("r8_ops", _r8_ops)
+
     out["n_events"] = n_events
     print(json.dumps(out))
 
