@@ -216,6 +216,14 @@ HEADLINE = [
     "dedup_lsh_exact_jaccard_portable",
     "dedup_simhash_portable_pairs",
     "ann_lsh_portable_topk",
+    # new in r8: exactly-once sink audit (redelivered-chunk replay), the
+    # portable twins of the weighted/OPH families, and the Spark-4
+    # transformWithState stateful pair (vs their legacy siblings above)
+    "stream_duplicate_delivery_audit",
+    "dedup_minhash_weighted_portable_pairs",
+    "dedup_minhash_oph_portable_pairs",
+    "stream_stateful_uniques_tws",
+    "stream_sessions_ttl_tws",
 ]
 
 
