@@ -479,6 +479,32 @@ def read_heavy_hitters(
     )
 
 
+def _ts_micros(tbl):
+    """Normalize an arrow events table's ``ts`` to timestamp[us] before a
+    replay writer re-shards it.
+
+    Every replay writer round-trips the source file through pyarrow; a
+    source written by THIS engine's session (e.g. the soak harness) is
+    INT96, which pyarrow reads as timestamp[ns] and would re-write as
+    INT64 TIMESTAMP(NANOS) — an encoding the streaming scan's explicit
+    µs schema refuses (measured: FAILED_READ_FILE.PARQUET_COLUMN_
+    DATA_TYPE_MISMATCH at the r8 soak), and one that silently breaks
+    any µs-unit epoch arithmetic on the cast column (the late-arrival
+    delay model). Truncating ns → µs is the engine's own convention
+    (``timestamp_micros(ts DIV 1000)`` in read_events). µs inputs (the
+    driver fixtures) pass through untouched, so verified paths see
+    byte-identical replay dirs."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    f = tbl.schema.field("ts")
+    if getattr(f.type, "unit", None) == "us":
+        return tbl
+    i = tbl.schema.get_field_index("ts")
+    cast = pc.cast(tbl["ts"], pa.timestamp("us", tz=f.type.tz), safe=False)
+    return tbl.set_column(i, pa.field("ts", cast.type), cast)
+
+
 #: Replay-dir cache for the outer-join heartbeat harness, keyed on the
 #: source file's (path, mtime_ns) — nanosecond mtime, the same rule the
 #: events schema probe follows (round-3 ADVICE), so an in-process fixture
@@ -532,7 +558,7 @@ def _heartbeat_replay_dir(events_path: str, n_chunks: int = 3) -> str:
         _OUTER_REPLAY_DIRS[key] = out
         return out
 
-    tbl = pq.read_table(events_path)
+    tbl = _ts_micros(pq.read_table(events_path))
     tbl = tbl.take(pc.sort_indices(tbl, sort_keys=[("ts", "ascending")]))
     os.makedirs(out, exist_ok=True)
     n = tbl.num_rows
@@ -715,7 +741,7 @@ def _chunked_events_replay_dir(events_path: str, n_chunks: int = 3) -> str:
         _EVENTS_REPLAY_DIRS[key] = out
         return out
 
-    tbl = pq.read_table(events_path)
+    tbl = _ts_micros(pq.read_table(events_path))
     tbl = tbl.take(pc.sort_indices(tbl, sort_keys=[("ts", "ascending")]))
     os.makedirs(out, exist_ok=True)
     n = tbl.num_rows
@@ -784,7 +810,7 @@ def _late_arrival_replay_dir(events_path: str, n_chunks: int = 3) -> str:
         _LATE_REPLAY_DIRS[key] = out
         return out
 
-    tbl = pq.read_table(events_path)
+    tbl = _ts_micros(pq.read_table(events_path))
     ts_idx = tbl.schema.get_field_index("ts")
     tbl = tbl.set_column(ts_idx, "ts", tbl["ts"].cast(pa.timestamp("us")))
     eid = tbl["event_id"].to_numpy()
@@ -2276,7 +2302,7 @@ def _duplicate_delivery_replay_dir(
         _DUP_REPLAY_DIRS[key] = out
         return out
 
-    tbl = pq.read_table(events_path)
+    tbl = _ts_micros(pq.read_table(events_path))
     tbl = tbl.take(
         pc.sort_indices(
             tbl, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]

@@ -738,3 +738,72 @@ def test_keep_first_cut_no_extra_shuffle_vs_cut_all(spark):
         dedup.cut_duplicate_spans_keep_first(spark, SF_SMOKE)
     ).count("Exchange")
     assert n_k1 <= n_all + 1, (n_all, n_k1)
+
+
+def test_weighted_portable_no_cartesian_jvm_only_signatures(spark):
+    """The weighted portable twin must band-join (never all-pairs) and
+    keep the whole signature computation JVM-side: tf counting, replica
+    explode, md5, and the 16 affine mins are all Catalyst expressions —
+    a Python eval node in this plan would mean the construction fell
+    off the codegen path."""
+    from redis_dataflow_realtime_analytics_spark.operators import dedup
+
+    p = plans.plan_string(dedup.minhash_weighted_portable_pairs(spark, SF_SMOKE))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p, p
+
+
+def test_oph_portable_single_signature_shuffle(spark):
+    """OPH's whole point is ONE hash pass + ONE per-doc aggregate: the
+    signature stage must contribute exactly one Exchange (the doc_id
+    groupBy of 16 conditional mins); densification is pure projection."""
+    from redis_dataflow_realtime_analytics_spark.operators import dedup
+    from redis_dataflow_realtime_analytics_spark.tables import load
+
+    sig = dedup.oph_portable_signatures(load(spark, SF_SMOKE, "documents"))
+    assert plans.count_exchanges(sig) == 1, plans.plan_string(sig)
+    p = plans.plan_string(dedup.minhash_oph_portable_pairs(spark, SF_SMOKE))
+    assert "CartesianProduct" not in p, p
+
+
+def test_tws_plan_uses_transform_with_state_operator(spark):
+    """The TWS twins must compile to the TransformWithState physical
+    operator (not fall back to a generic Python eval): pin the node name
+    so an API regression (e.g. a silent downgrade to
+    applyInPandasWithState semantics) is caught at plan level."""
+    from redis_dataflow_realtime_analytics_spark.sources.events import (
+        normalize_events,
+        read_events_stream,
+    )
+    from redis_dataflow_realtime_analytics_spark.streaming import stateful
+
+    if not stateful.tws_available():
+        import pytest as _pytest
+
+        _pytest.skip("transformWithStateInPandas unavailable here")
+
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    class Noop(StatefulProcessor):
+        def init(self, handle):
+            pass
+
+        def handleInputRows(self, key, rows, timerValues):
+            yield from ()
+
+        def close(self):
+            pass
+
+    ev = normalize_events(
+        read_events_stream(spark, f"{SF_SMOKE}/events.parquet", 1)
+    )
+    out = (
+        ev.select("variant", "user_id")
+        .groupBy("variant")
+        .transformWithStateInPandas(
+            Noop(), "variant string, unique_users bigint", "Update", "None"
+        )
+    )
+    # streaming frames can't .explain() pre-start; the logical string
+    # carries the operator node
+    assert "transformWithState" in out._jdf.queryExecution().logical().toString()
