@@ -101,6 +101,11 @@ def test_priority_window_covers_every_unchecked_oracled_key():
         # consumes this record: its only non-re-check slots are the four
         # r7 new/changed pairings.
         "CORRECTNESS_r06.json",
+        # r7 also 50/50 green (stamping the 16 r7-new/changed pairings).
+        # The r8 window consumes this record: its 9 non-re-check slots
+        # are the r8 new/changed pairings, and the rest is the entire
+        # pre-r3 stale pool (see COVERAGE.md rotation log).
+        "CORRECTNESS_r07.json",
     ]
     green: set[str] = set()
     for fname in green_rounds:
