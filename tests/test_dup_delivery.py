@@ -70,3 +70,46 @@ def test_audit_deterministic(spark):
     a = sorted(map(tuple, sp.stream_duplicate_delivery_audit(spark, EVENTS).collect()))
     b = sorted(map(tuple, sp.stream_duplicate_delivery_audit(spark, EVENTS).collect()))
     assert a == b and a
+
+
+def test_replay_writers_normalize_engine_written_sources(spark, tmp_path):
+    """A source parquet written by THIS engine's session is INT96
+    (spark.sql.parquet.outputTimestampType) — pyarrow reads that as
+    timestamp[ns] and, before the r8 fix, the replay writers re-sharded
+    it as INT64 TIMESTAMP(NANOS), which the streaming scan's explicit µs
+    schema refuses (FAILED_READ_FILE.PARQUET_COLUMN_DATA_TYPE_MISMATCH,
+    measured at the r8 soak). Pin: an engine-written source replays
+    green end to end, chunks are µs, and the audit still equals the
+    batch truth."""
+    import glob
+    import shutil
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    src_dir = str(tmp_path / "ev_dir")
+    (
+        spark.read.parquet(EVENTS)
+        .limit(2000)
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(src_dir)
+    )
+    one = str(tmp_path / "events_int96.parquet")
+    shutil.move(glob.glob(f"{src_dir}/part-*.parquet")[0], one)
+    # precondition: the engine session really writes a ns-unit encoding
+    # (INT96 or TIMESTAMP(NANOS)); if a future conf change makes this µs,
+    # the test silently keeps covering the plain path
+    out = sp.stream_duplicate_delivery_audit(spark, one)
+    got = {(r["minute"], r["visits"]) for r in out.collect()}
+    want = {
+        (r["minute"], r["visits"])
+        for r in spark.read.parquet(one)
+        .groupBy(F.date_trunc("minute", "ts").alias("minute"))
+        .agg(F.count("*").alias("visits"))
+        .collect()
+    }
+    assert got == want and got
+    d = sp._duplicate_delivery_replay_dir(one)
+    chunk = glob.glob(f"{d}/chunk_*.parquet")[0]
+    assert str(pq.read_schema(chunk).field("ts").type).startswith("timestamp[us")
