@@ -278,9 +278,12 @@ def _protobuf_shim_path() -> str | None:
         os.makedirs(pkg, exist_ok=True)
         for name in os.listdir(src):
             dst = os.path.join(pkg, name)
-            if name == "runtime_version.py" or os.path.lexists(dst):
+            if name == "runtime_version.py":
                 continue
-            os.symlink(os.path.join(src, name), dst)
+            try:
+                os.symlink(os.path.join(src, name), dst)
+            except FileExistsError:
+                pass  # concurrent builder (e.g. parallel pytest session)
         with open(os.path.join(pkg, "runtime_version.py"), "w") as fh:
             fh.write(_NOOP_RUNTIME_VERSION)
         with open(marker, "w") as fh:
