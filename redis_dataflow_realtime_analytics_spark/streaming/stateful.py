@@ -323,9 +323,22 @@ def _tws_session(spark: SparkSession):
       client-side schema handling imports StateMessage_pb2 too);
     * the RocksDB state-store provider, which transformWithState
       requires (virtual column families) — restored after the query.
+
+    Raises a clear RuntimeError up front when no protobuf runtime (real
+    or shimmable) exists — better than the opaque
+    STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE the TWS driver
+    worker dies with otherwise.
     """
     import sys
 
+    if not tws_available():
+        raise RuntimeError(
+            "transformWithStateInPandas needs a google.protobuf runtime "
+            "on the Python workers (its state protocol is protobuf-"
+            "based); none is importable and no vendored copy was found "
+            "to shim. Install protobuf, or use the applyInPandasWithState "
+            "twins (stream_exact_uniques_per_variant / stream_sessions_ttl)."
+        )
     shim = _protobuf_shim_path()
     env = spark.sparkContext.environment
     key = "spark.sql.streaming.stateStore.providerClass"
