@@ -88,6 +88,7 @@ def stream_sessions_ttl(
     events_path: str,
     gap_minutes: int = 30,
     max_files_per_trigger: int = 1,
+    prebuilt_replay: bool = False,
 ) -> DataFrame:
     """Gap-based sessionization as a TTL-EVICTING stateful streaming
     operator — ``applyInPandasWithState`` with **EventTimeTimeout**: a
@@ -148,7 +149,16 @@ def stream_sessions_ttl(
                 closed.append(row(cur_s, cur_l, cur_n))
                 cur_s, cur_l, cur_n = t, t, 1
             else:
-                cur_l = t
+                # order-insensitive merge: a late event admitted by the
+                # watermark in a LATER micro-batch may precede the open
+                # session's last (or even first) event — min/max instead
+                # of blind assignment, so `last` never moves backwards
+                # and the eviction timer equals the true session end.
+                # (An admitted event older than start − gap would need a
+                # list of open sessions per key; with watermark delay ≤
+                # gap that case is the session_window merge anyway.)
+                cur_s = min(cur_s, t)
+                cur_l = max(cur_l, t)
                 cur_n += 1
         state.update((cur_s, cur_l, cur_n))
         # evict when the watermark passes the open session's end; +1 ms
@@ -160,7 +170,11 @@ def stream_sessions_ttl(
 
     from .pipeline import _heartbeat_replay_dir
 
-    replay_dir = _heartbeat_replay_dir(events_path)
+    # prebuilt_replay: events_path IS a replay directory (chunk files +
+    # watermark heartbeats, mtime-ordered) built by the caller — the
+    # out-of-order-delivery tests use this to inject late micro-batches
+    # the ts-sorted default harness can never produce.
+    replay_dir = events_path if prebuilt_replay else _heartbeat_replay_dir(events_path)
     ev = (
         normalize_events(read_events_stream(spark, replay_dir, max_files_per_trigger))
         .withWatermark("ts", "10 minutes")
@@ -250,28 +264,35 @@ def ValidateProtobufRuntimeVersion(domain, major, minor, patch, suffix, location
 '''
 
 
-def _protobuf_shim_path() -> str | None:
+def _protobuf_shim_path(base_dir: str | None = None) -> str | None:
     """Path to prepend to the workers' PYTHONPATH so ``google.protobuf``
     imports, or ``None`` if it already does / no vendored runtime exists.
 
-    Built once per machine in the temp dir: symlinks to every module of
-    the vendored runtime, with ``runtime_version.py`` replaced by the
-    no-op validator above (the only file NOT symlinked)."""
+    Built once per machine in the temp dir (``base_dir`` overrides, for
+    tests): symlinks to every module of the vendored runtime, with
+    ``runtime_version.py`` replaced by the no-op validator above (the
+    only file NOT symlinked). Both generated files are written to a
+    temp name and ``os.rename``d into place so a concurrent builder
+    (parallel pytest / driver session) can never expose a torn
+    ``runtime_version.py`` to a worker that is already importing it —
+    rename is atomic on POSIX, and the ``_COMPLETE`` marker only ever
+    appears after a fully-written shim."""
     import os
     import tempfile
 
-    try:
-        from google.protobuf import descriptor  # noqa: F401
+    if base_dir is None:
+        try:
+            from google.protobuf import descriptor  # noqa: F401
 
-        return None  # real runtime present; no shim needed
-    except ImportError:
-        pass
+            return None  # real runtime present; no shim needed
+        except ImportError:
+            pass
     src = next(
         (p for p in _PROTOBUF_VENDOR_CANDIDATES if os.path.isdir(p)), None
     )
     if src is None:
         return None
-    shim = os.path.join(tempfile.gettempdir(), "spark_tws_protobuf_shim")
+    shim = os.path.join(base_dir or tempfile.gettempdir(), "spark_tws_protobuf_shim")
     pkg = os.path.join(shim, "google", "protobuf")
     marker = os.path.join(shim, "_COMPLETE")
     if not os.path.isfile(marker):
@@ -284,32 +305,98 @@ def _protobuf_shim_path() -> str | None:
                 os.symlink(os.path.join(src, name), dst)
             except FileExistsError:
                 pass  # concurrent builder (e.g. parallel pytest session)
-        with open(os.path.join(pkg, "runtime_version.py"), "w") as fh:
-            fh.write(_NOOP_RUNTIME_VERSION)
-        with open(marker, "w") as fh:
-            fh.write("ok\n")
+
+        def _atomic_write(path: str, content: str) -> None:
+            tmp = f"{path}.tmp.{os.getpid()}"
+            with open(tmp, "w") as fh:
+                fh.write(content)
+            os.rename(tmp, path)
+
+        _atomic_write(os.path.join(pkg, "runtime_version.py"), _NOOP_RUNTIME_VERSION)
+        _atomic_write(marker, "ok\n")
     return shim
+
+
+def _probe_gencode(shim: str | None) -> bool:
+    """Import pyspark's TWS gencode (``StateMessage_pb2``) against the
+    reachable protobuf runtime — ``shim`` prepended to ``sys.path`` when
+    given. This is the exact import the TWS driver worker performs, so
+    it exercises runtime_version validation AND descriptor construction:
+    a same-major-but-incompatible gencode (the case the relaxed shim
+    validator can't vouch for) fails HERE, on the driver, instead of as
+    an opaque VersionError inside the streaming Python runner.
+
+    The probe is HERMETIC: tracked modules (``google.*`` and the
+    gencode) are popped from ``sys.modules`` first so the import is a
+    REAL import — a cached ``StateMessage_pb2`` would make the probe a
+    vacuous no-op — and the prior cache is restored afterwards. Leaving
+    shim-resolved modules cached would make a later
+    ``_protobuf_shim_path()`` conclude a REAL runtime exists and skip
+    setting the workers' PYTHONPATH — the workers would then crash on
+    the import the driver only passed via its own cache."""
+    import importlib
+    import sys
+
+    def _tracked() -> list[str]:
+        return [
+            m
+            for m in sys.modules
+            if m == "google"
+            or m.startswith("google.")
+            or m == "pyspark.sql.streaming.proto.StateMessage_pb2"
+        ]
+
+    before = {m: sys.modules.pop(m) for m in _tracked()}
+    added = False
+    if shim and shim not in sys.path:
+        sys.path.insert(0, shim)
+        added = True
+    try:
+        importlib.import_module("pyspark.sql.streaming.proto.StateMessage_pb2")
+        return True
+    except Exception:
+        return False
+    finally:
+        if added:
+            sys.path.remove(shim)
+        for m in _tracked():
+            if m not in before:
+                sys.modules.pop(m, None)
+        sys.modules.update(before)
 
 
 def tws_available() -> bool:
     """True when transformWithStateInPandas can run here: the API exists
-    and a protobuf runtime (real or shimmed) is reachable."""
+    and a protobuf runtime (real or shimmed) PROVABLY loads pyspark's
+    TWS gencode (probe-imported once, result cached). Any runtime the
+    probe can't vouch for — missing, wrong major, or same-major but
+    descriptor-incompatible — reports unavailable, so callers hit the
+    documented RuntimeError in :func:`_tws_session` (or a pytest skip)
+    rather than a worker-side VersionError."""
+    global _TWS_PROBE
+    if _TWS_PROBE is not None:
+        return _TWS_PROBE
     try:
         from pyspark.sql.streaming.stateful_processor import (  # noqa: F401
             StatefulProcessor,
         )
     except ImportError:
+        _TWS_PROBE = False
         return False
     import importlib.util
 
-    if importlib.util.find_spec("google") is not None:
-        try:
-            from google.protobuf import descriptor  # noqa: F401
+    ok = False
+    if importlib.util.find_spec("google") is not None and _probe_gencode(None):
+        ok = True
+    else:
+        shim = _protobuf_shim_path()
+        ok = shim is not None and _probe_gencode(shim)
+    _TWS_PROBE = ok
+    return ok
 
-            return True
-        except ImportError:
-            pass
-    return _protobuf_shim_path() is not None
+
+#: memoized tws_available() verdict (None = not yet probed)
+_TWS_PROBE: bool | None = None
 
 
 @contextmanager
@@ -372,25 +459,60 @@ def _tws_session(spark: SparkSession):
 
 
 def stream_exact_uniques_per_variant_tws(
-    spark: SparkSession, events_path: str, max_files_per_trigger: int = 1
+    spark: SparkSession,
+    events_path: str,
+    max_files_per_trigger: int = 1,
+    state_impl: str = "map",
 ) -> DataFrame:
     """``transformWithStateInPandas`` twin of
     :func:`stream_exact_uniques_per_variant` — exact all-time distinct
     users per variant, replayed availableNow, same oracle.
 
-    State design: one ListState of uids per variant (TWS's named-state
-    analogue of the legacy tuple state). Each batch appends only the
-    NOT-YET-SEEN uids — the delta — so per-batch state-store writes are
-    O(new uids), not O(all uids): the legacy op rewrites its whole set
-    every batch, which is exactly the pattern RocksDB ListState's
-    append-only merge avoids at scale. Counts are monotone, so the final
-    answer is the per-key max over the update-mode sink."""
+    State design (``state_impl="map"``, the default): a MapState keyed
+    by uid (value is a 1-byte placeholder) plus a ValueState running
+    count. Membership is ``containsKey`` per DISTINCT incoming uid, so
+    per-batch state READS are O(batch uids) point lookups and WRITES are
+    O(new uids) puts — both deltas. At 100 TB uid cardinality that is
+    the only viable shape: RocksDB point-gets against an all-time set
+    that never has to be materialized in memory.
+
+    ``state_impl="list"`` keeps the r8 formulation (one ListState of
+    uids, append-only delta writes but a FULL list read per key per
+    batch — the read side the r8 verdict flagged as the pattern that
+    dies at scale). It stays selectable for the soak A/B in BASELINE.md;
+    the legacy ``applyInPandasWithState`` op additionally rewrites the
+    whole set every batch. Counts are monotone, so the final answer is
+    the per-key max over the update-mode sink."""
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
         StatefulProcessorHandle,
     )
 
-    class UniqueUsers(StatefulProcessor):
+    if state_impl not in ("map", "list"):
+        raise ValueError(f"state_impl must be 'map' or 'list', got {state_impl!r}")
+
+    class UniqueUsersMap(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self.seen = handle.getMapState("seen", "uid string", "one byte")
+            self.n = handle.getValueState("n", "n bigint")
+
+        def handleInputRows(self, key, rows, timerValues):
+            count = self.n.get()[0] if self.n.exists() else 0
+            batch: set[str] = set()
+            for pdf in rows:
+                batch.update(str(u) for u in pdf["user_id"].tolist())
+            fresh = [u for u in sorted(batch) if not self.seen.containsKey((u,))]
+            for u in fresh:
+                self.seen.updateValue((u,), (1,))
+            if fresh:
+                count += len(fresh)
+                self.n.update((count,))
+            yield pd.DataFrame({"variant": [key[0]], "unique_users": [count]})
+
+        def close(self) -> None:
+            pass
+
+    class UniqueUsersList(StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle) -> None:
             self.seen = handle.getListState("seen", "uid string")
 
@@ -409,6 +531,8 @@ def stream_exact_uniques_per_variant_tws(
         def close(self) -> None:
             pass
 
+    processor = UniqueUsersMap() if state_impl == "map" else UniqueUsersList()
+
     ev = normalize_events(
         read_events_stream(spark, events_path, max_files_per_trigger)
     )
@@ -420,7 +544,7 @@ def stream_exact_uniques_per_variant_tws(
             ev.select("variant", "user_id")
             .groupBy("variant")
             .transformWithStateInPandas(
-                UniqueUsers(), OUTPUT_SCHEMA, "Update", "None"
+                processor, OUTPUT_SCHEMA, "Update", "None"
             )
         )
         q = (
@@ -443,6 +567,7 @@ def stream_sessions_ttl_tws(
     events_path: str,
     gap_minutes: int = 30,
     max_files_per_trigger: int = 1,
+    prebuilt_replay: bool = False,
 ) -> DataFrame:
     """``transformWithStateInPandas`` twin of :func:`stream_sessions_ttl`
     — gap-based sessionization with EVENT-TIME TIMERS doing the TTL
@@ -501,7 +626,11 @@ def stream_sessions_ttl_tws(
                     closed.append(self._row(key[0], cur_s, cur_l, cur_n))
                     cur_s, cur_l, cur_n = t, t, 1
                 else:
-                    cur_l = t
+                    # order-insensitive merge (see the legacy twin): a
+                    # watermark-admitted late event must not move the
+                    # open session's `last` backwards.
+                    cur_s = min(cur_s, t)
+                    cur_l = max(cur_l, t)
                     cur_n += 1
             self.open.update((cur_s, cur_l, cur_n))
             self.handle.registerTimer((cur_l + gap_us) // 1000 + 1)
@@ -519,7 +648,9 @@ def stream_sessions_ttl_tws(
 
     from .pipeline import _heartbeat_replay_dir, _state_partitions
 
-    replay_dir = _heartbeat_replay_dir(events_path)
+    # see stream_sessions_ttl: prebuilt_replay injects a caller-built
+    # (possibly out-of-order) replay directory
+    replay_dir = events_path if prebuilt_replay else _heartbeat_replay_dir(events_path)
     ev = (
         normalize_events(
             read_events_stream(spark, replay_dir, max_files_per_trigger)
