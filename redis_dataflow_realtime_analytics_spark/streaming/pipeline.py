@@ -2390,14 +2390,21 @@ def stream_duplicate_delivery_audit(
             .write.mode("append")
             .parquet(incrby_dir)
         )
-        # idempotent-store discipline: first delivery only
+        # idempotent-store discipline: first delivery only. Two layers:
+        # the anti-join drops event_ids persisted by earlier batches, and
+        # the groupBy drops duplicates INSIDE the batch (one event_id
+        # delivered twice in one trigger — maxFilesPerTrigger > 1, or a
+        # source that reuses ids within a chunk), keeping the event's
+        # earliest ts in the batch so the surviving row is deterministic.
+        # Without the second layer the exactly-once claim would hold only
+        # because the harness pins one file per trigger (r8 advice).
         sess = batch.sparkSession
         if state["has_seen"]:
             seen = sess.read.parquet(seen_dir).select("event_id")
             new = batch.join(seen, "event_id", "left_anti")
         else:
             new = batch
-        new = new.persist()
+        new = new.groupBy("event_id").agg(F.min("ts").alias("ts")).persist()
         try:
             (
                 new.groupBy(minute)
@@ -2433,11 +2440,18 @@ def stream_duplicate_delivery_audit(
         .groupBy("minute")
         .agg(F.sum("n").cast("bigint").alias("incrby_visits"))
     )
-    return exact.join(incrby, "minute").select(
+    # full outer: a minute whose every row was a duplicate delivery has
+    # incrby counts but zero stored visits (possible only with duplicate
+    # source event_ids — the adversarial-sweep fixtures)
+    return exact.join(incrby, "minute", "full_outer").select(
         "minute",
-        "visits",
-        "incrby_visits",
-        (F.col("incrby_visits") - F.col("visits")).alias("overcount"),
+        F.coalesce("visits", F.lit(0)).cast("bigint").alias("visits"),
+        F.coalesce("incrby_visits", F.lit(0)).cast("bigint").alias("incrby_visits"),
+        (
+            F.coalesce("incrby_visits", F.lit(0)) - F.coalesce("visits", F.lit(0))
+        )
+        .cast("bigint")
+        .alias("overcount"),
     )
 
 
@@ -2445,20 +2459,45 @@ def oracle_stream_duplicate_delivery(
     ev_cte: str, n_chunks: int = 3, dup_chunk: int = 1
 ) -> str:
     """DuckDB twin of :func:`stream_duplicate_delivery_audit` — re-derives
-    chunk membership under the same (ts, event_id) total order and adds
-    the ``dup_chunk`` counts to the INCRBY leg."""
+    chunk membership under the same (ts, event_id) total order and MODELS
+    THE ENGINE'S exactly-once discipline (r8 advice): the store leg
+    counts each event_id once, at its earliest ts within its chunk of
+    first appearance — so source fixtures with duplicate event_ids
+    (within a chunk, across chunks, or straddling a chunk boundary)
+    oracle correctly instead of relying on the fixture being
+    duplicate-free. The INCRBY leg still counts every delivered row plus
+    the redelivered chunk. Duplicate (ts, event_id) rows make row_number
+    ambiguous per COPY but the multiset of chunk values per (ts,
+    event_id) group is deterministic, which is all first_chunk/min-ts
+    and the per-minute counts consume."""
     return f"""{ev_cte},
 n AS (SELECT CAST(ceil(count(*) / {n_chunks}.0) AS BIGINT) AS step FROM ev),
 e AS (
-  SELECT ts,
+  SELECT event_id, ts,
          (row_number() OVER (ORDER BY ts, event_id) - 1)
            // (SELECT step FROM n) AS chunk
   FROM ev
+),
+firsts AS (SELECT event_id, min(chunk) AS first_chunk FROM e GROUP BY 1),
+stored AS (
+  SELECT e.event_id, min(e.ts) AS ts
+  FROM e JOIN firsts f
+    ON e.event_id = f.event_id AND e.chunk = f.first_chunk
+  GROUP BY 1
+),
+v AS (
+  SELECT date_trunc('minute', ts) AS minute, CAST(count(*) AS BIGINT) AS visits
+  FROM stored GROUP BY 1
+),
+i AS (
+  SELECT date_trunc('minute', ts) AS minute,
+         CAST(count(*) + coalesce(sum(CASE WHEN chunk = {dup_chunk} THEN 1 END), 0)
+              AS BIGINT) AS incrby_visits
+  FROM e GROUP BY 1
 )
-SELECT date_trunc('minute', ts) AS minute,
-       CAST(count(*) AS BIGINT) AS visits,
-       CAST(count(*) + coalesce(sum(CASE WHEN chunk = {dup_chunk} THEN 1 END), 0)
-            AS BIGINT) AS incrby_visits,
-       CAST(coalesce(sum(CASE WHEN chunk = {dup_chunk} THEN 1 END), 0)
-            AS BIGINT) AS overcount
-FROM e GROUP BY 1"""
+SELECT coalesce(v.minute, i.minute) AS minute,
+       CAST(coalesce(v.visits, 0) AS BIGINT) AS visits,
+       CAST(coalesce(i.incrby_visits, 0) AS BIGINT) AS incrby_visits,
+       CAST(coalesce(i.incrby_visits, 0) - coalesce(v.visits, 0) AS BIGINT)
+         AS overcount
+FROM v FULL OUTER JOIN i ON v.minute = i.minute"""

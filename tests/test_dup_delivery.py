@@ -113,3 +113,109 @@ def test_replay_writers_normalize_engine_written_sources(spark, tmp_path):
     d = sp._duplicate_delivery_replay_dir(one)
     chunk = glob.glob(f"{d}/chunk_*.parquet")[0]
     assert str(pq.read_schema(chunk).field("ts").type).startswith("timestamp[us")
+
+
+# ---------------------------------------------------------------------------
+# r9: property sweep of the chunk arithmetic + duplicate-source-id modeling
+# ---------------------------------------------------------------------------
+# The r8 advice's find: the engine's store leg is idempotent on event_id
+# while the old oracle counted every source row — green only while the
+# fixture had unique ids and duplicates never straddled a chunk boundary.
+# The engine now dedups within-batch too, and the oracle models the
+# engine (count each event_id once, at its earliest ts within its chunk
+# of first appearance). This sweep drives hand-built fixtures with exact
+# (ts, event_id) copies AND cross-chunk id reuse through every integer
+# edge the row_number-ceil bucketing has: n divisible by n_chunks, the
+# redelivered chunk being the short LAST chunk, and a single chunk.
+
+import datetime as _dt
+
+import duckdb
+import pyarrow as _pa
+from hypothesis import HealthCheck, example, given, settings
+from hypothesis import strategies as st
+
+from redis_dataflow_realtime_analytics_spark.registry import EV_CTE
+
+_T0 = _dt.datetime(2024, 3, 1, 9, 0, 0)
+
+_DUP_SCHEMA = _pa.schema(
+    [
+        ("event_id", _pa.int64()),
+        ("ts", _pa.timestamp("us")),
+        ("user_id", _pa.int64()),
+        ("event_type", _pa.string()),
+        ("value", _pa.float64()),
+        ("props", _pa.string()),
+    ]
+)
+
+
+def _dup_fixture(tmp_dir, n, exact_dups, later_dups) -> str:
+    rows = []
+    for i in range(n):
+        ts = _T0 + _dt.timedelta(minutes=i % 4, seconds=(i * 13) % 60)
+        rows.append(
+            {
+                "event_id": i,
+                "ts": ts,
+                "user_id": i % 3,
+                "event_type": "click",
+                "value": 1.0,
+                "props": '{"k": "e1"}',
+            }
+        )
+    base = list(rows)
+    for i in exact_dups:  # second delivery of the identical row
+        if i < n:
+            rows.append(dict(base[i]))
+    for i in later_dups:  # same event_id re-used at a later event time
+        if i < n:
+            r = dict(base[i])
+            r["ts"] = r["ts"] + _dt.timedelta(minutes=7)
+            rows.append(r)
+    path = str(tmp_dir / f"ev_{n}_{len(rows)}.parquet")
+    pq.write_table(_pa.Table.from_pylist(rows, schema=_DUP_SCHEMA), path)
+    return path
+
+
+def _run_both(spark, path, n_chunks, dup_chunk):
+    got = {
+        r["minute"].replace(tzinfo=None): (r["visits"], r["incrby_visits"], r["overcount"])
+        for r in sp.stream_duplicate_delivery_audit(
+            spark, path, n_chunks=n_chunks, dup_chunk=dup_chunk
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{path}'")
+    res = con.sql(
+        sp.oracle_stream_duplicate_delivery(EV_CTE, n_chunks, dup_chunk)
+    ).fetchall()
+    con.close()
+    want = {r[0]: (r[1], r[2], r[3]) for r in res}
+    assert got == want, f"engine {got}\noracle {want}"
+
+
+@given(
+    n=st.integers(1, 24),
+    n_chunks=st.integers(1, 5),
+    dup_pick=st.integers(0, 4),
+    exact_dups=st.sets(st.integers(0, 23), max_size=4),
+    later_dups=st.sets(st.integers(0, 23), max_size=4),
+)
+@example(n=12, n_chunks=3, dup_pick=1, exact_dups=set(), later_dups=set())
+@example(n=10, n_chunks=3, dup_pick=2, exact_dups={3}, later_dups=set())
+@example(n=5, n_chunks=1, dup_pick=0, exact_dups={0, 4}, later_dups={2})
+@example(n=9, n_chunks=3, dup_pick=2, exact_dups={2, 5}, later_dups={0, 8})
+@example(n=1, n_chunks=5, dup_pick=3, exact_dups={0}, later_dups={0})
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_dup_delivery_chunk_arithmetic_sweep(
+    spark, tmp_path_factory, n, n_chunks, dup_pick, exact_dups, later_dups
+):
+    tmp_dir = tmp_path_factory.mktemp("dupsweep")
+    path = _dup_fixture(tmp_dir, n, exact_dups, later_dups)
+    _run_both(spark, path, n_chunks, dup_pick % n_chunks)
