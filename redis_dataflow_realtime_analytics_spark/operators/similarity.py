@@ -1817,6 +1817,158 @@ SELECT c.cid, CAST(t.i AS INTEGER) AS pos,
 FROM c{iters} c, LATERAL unnest(generate_series(1, len(c.S))) t(i)"""
 
 
+def kmeans_float_portable_centroids(
+    spark: SparkSession, sf_dir: str, k: int = 8, iters: int = 2
+) -> DataFrame:
+    """Lloyd's k-means over the FLOAT embeddings, made portable — the
+    oracled twin of the float iterative path that
+    :func:`kmeans_embedding_centroids` / :func:`ann_ivf_kmeans_topk`
+    run (their rows-only gap, r8 verdict item 7). Four measured pinning
+    facts make the float loop cross-engine exact, each verified in
+    ``test_float_portability.py``:
+
+    * float32 → DOUBLE widening is IEEE-identical in Spark and DuckDB
+      (float→DECIMAL is NOT: Spark rounds the double expansion, DuckDB
+      scales in float precision — 0.1f casts to 0.100000001490 vs
+      0.099999997952 — so every decimal pin here goes through DOUBLE);
+    * the assignment distance is a STRICT LEFT FOLD in both engines
+      (``F.aggregate`` with a 0.0 seed vs ``list_reduce`` seeded by the
+      first element — equal because 0.0 + x0 == x0 in IEEE);
+    * per-dimension mean state crosses engines as FIXED-POINT integers
+      produced by pure IEEE double ops — ``floor(x·10¹² + 0.5)`` —
+      summed exactly in DECIMAL(38,0) and divided back in one double
+      expression ``CAST(s AS DOUBLE) / (n · 10¹²)``. A direct
+      double→DECIMAL(38,12) pin is NOT portable (measured during r9:
+      Spark rounds the double's shortest decimal representation, DuckDB
+      scales in binary — 1 unit-in-the-12th-digit divergences at
+      half-boundaries, one hit in 512 centroid cells at sf0.01), while
+      floor/multiply/add are bit-identical everywhere;
+    * argmin ties break on centroid id (total order).
+
+    Seeds are the k smallest ``vec_id`` embeddings; empty clusters keep
+    their previous centroid; the oracle unrolls the same ``iters``
+    iterations as chained CTEs (the PageRank/exact-k-means discipline).
+    Scale shape is identical to the float operator: one broadcast k×dim
+    codebook row per iteration (argmin inside higher-order functions —
+    no shuffle on the scoring side), one posexplode + (cid, pos) keyed
+    sum for the update; k·dim doubles of driver state.
+
+    Output: (cid, pos, mean, n) — final centroids long-form, pos
+    1-based.
+    """
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+    )
+    cent = (
+        emb.orderBy("vec_id")
+        .limit(k)
+        .select(
+            F.col("vec_id").alias("cid"),
+            F.col("v").alias("C"),
+            F.lit(1).cast("bigint").alias("n"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    argmin = F.expr(
+        "array_min(transform(cents, c -> struct("
+        " aggregate(zip_with(v, c.C, (a, b) -> (a - b) * (a - b)),"
+        "           CAST(0 AS DOUBLE), (acc, x) -> acc + x) AS d,"
+        " c.cid AS cid))).cid"
+    )
+    for _ in range(iters):
+        cents_row = cent.agg(
+            F.sort_array(F.collect_list(F.struct("cid", "C"))).alias("cents")
+        )
+        asg = emb.crossJoin(F.broadcast(cents_row)).select(
+            "vec_id", "v", argmin.alias("cid")
+        )
+        upd = (
+            asg.select("cid", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cid", "pos")
+            .agg(
+                F.sum(
+                    F.expr("CAST(floor(x * 1e12 + 0.5) AS DECIMAL(38,0))")
+                ).alias("s")
+            )
+            .groupBy("cid")
+            .agg(
+                F.expr(
+                    "transform(sort_array(collect_list(struct(pos, s))), t -> t.s)"
+                ).alias("S")
+            )
+            .join(asg.groupBy("cid").agg(F.count("*").alias("n")), "cid")
+            .select(
+                "cid",
+                F.expr("transform(S, s -> CAST(s AS DOUBLE) / (n * 1e12))").alias(
+                    "C"
+                ),
+                "n",
+            )
+        )
+        cent = (
+            cent.alias("p")
+            .join(upd.alias("u"), "cid", "left")
+            .select(
+                "cid",
+                F.coalesce("u.C", "p.C").alias("C"),
+                F.coalesce("u.n", "p.n").alias("n"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return cent.select("cid", "n", F.posexplode("C").alias("pos0", "m")).select(
+        "cid",
+        (F.col("pos0") + 1).cast("int").alias("pos"),
+        F.col("m").alias("mean"),
+        "n",
+    )
+
+
+def oracle_kmeans_float_portable(k: int = 8, iters: int = 2) -> str:
+    """DuckDB twin of :func:`kmeans_float_portable_centroids` — the same
+    float iterations unrolled as chained CTEs: double-widened vectors,
+    ``list_reduce`` left-fold distances, fixed-point-pinned mean sums."""
+    ctes = [
+        f"""e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings),
+c0 AS (
+  SELECT vec_id AS cid, v AS C, CAST(1 AS BIGINT) AS n
+  FROM e ORDER BY vec_id LIMIT {k})"""
+    ]
+    for i in range(1, iters + 1):
+        p = i - 1
+        ctes.append(
+            f"""a{i} AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+           list_reduce(list_transform(list_zip(e.v, c.C),
+                                      z -> (z[1] - z[2]) * (z[1] - z[2])),
+                       (acc, x) -> acc + x) AS d
+    FROM e CROSS JOIN c{p} c)
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) = 1),
+s{i} AS (
+  SELECT a.cid, t.i AS pos,
+         sum(CAST(floor(e.v[t.i] * 1e12 + 0.5) AS DECIMAL(38,0))) AS s
+  FROM a{i} a JOIN e ON e.vec_id = a.vec_id,
+       LATERAL unnest(generate_series(1, len(e.v))) t(i)
+  GROUP BY 1, 2),
+m{i} AS (SELECT cid, count(*) AS n FROM a{i} GROUP BY 1),
+u{i} AS (
+  SELECT s{i}.cid, list(CAST(s AS DOUBLE) / (m{i}.n * 1e12) ORDER BY pos) AS C,
+         any_value(m{i}.n) AS n
+  FROM s{i} JOIN m{i} ON m{i}.cid = s{i}.cid
+  GROUP BY 1),
+c{i} AS (
+  SELECT p.cid, COALESCE(u{i}.C, p.C) AS C, COALESCE(u{i}.n, p.n) AS n
+  FROM c{p} p LEFT JOIN u{i} ON u{i}.cid = p.cid)"""
+        )
+    body = ",\n".join(ctes)
+    return f"""WITH {body}
+SELECT c.cid, CAST(t.i AS INTEGER) AS pos, c.C[t.i] AS mean, c.n
+FROM c{iters} c, LATERAL unnest(generate_series(1, len(c.C))) t(i)"""
+
+
 def ann_ivf_exact_topk(
     spark: SparkSession,
     sf_dir: str,

@@ -2802,6 +2802,21 @@ q(
     similarity.kmeans_exact_centroids,
     similarity.oracle_kmeans_exact().format(norms=_ORACLE_NORMS),
 )
+# The FLOAT iterative path, made portable (r8 verdict item 7): Lloyd's
+# over double-widened float32 embeddings where the assignment distance
+# is the genuine IEEE left-fold Σ(a−b)² (F.aggregate ≡ list_reduce) and
+# only the per-dim mean STATE crosses engines as fixed-point integers
+# built from pure double ops (floor(x·1e12+0.5) — double→DECIMAL casts
+# measurably diverge between engines; floor/mul/add never do). Two
+# unrolled iterations prove the float feedback loop itself, closing the
+# last architecture-bearing rows-only gap (kmeans_embedding_centroids /
+# ann_ivf_kmeans_topk keep their true-float formulation as the scale
+# path, now with this twin oracling the construction).
+q(
+    "kmeans_float_portable_iterations",
+    lambda s, d: similarity.kmeans_float_portable_centroids(s, d),
+    similarity.oracle_kmeans_float_portable(),
+)
 # Exact-discipline power iteration — the spectral (PCA-training) member of
 # the oracled-iterative family: decimal-accumulated matrix-vector terms,
 # power-of-two rescale, one correctly-rounded sqrt+divide per iteration;

@@ -205,6 +205,18 @@ def test_kmeans_has_no_single_partition_pass(spark):
     assert "SinglePartition" not in p, p
 
 
+def test_kmeans_float_portable_plan(spark):
+    # the portable float twin keeps the float operator's scale shape:
+    # no single-partition corpus pass (seeds are a global top-k,
+    # TakeOrderedAndProject), and the only nested-loop join is the
+    # broadcast of the ONE-ROW collected codebook (argmin runs inside
+    # higher-order functions, never as a corpus x centroids join).
+    df = similarity.kmeans_float_portable_centroids(spark, SF_SMOKE, iters=1)
+    p = plans.plan_string(df)
+    assert "SinglePartition" not in p, p
+    assert "CartesianProduct" not in p, p
+
+
 def test_vocabulary_topv_avoids_global_sort(spark):
     # top-V must be TakeOrderedAndProject (parallel per-partition top-k +
     # merge), never a full Sort of the vocabulary; the rank/coverage window
