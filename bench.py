@@ -224,6 +224,9 @@ HEADLINE = [
     "dedup_minhash_oph_portable_pairs",
     "stream_stateful_uniques_tws",
     "stream_sessions_ttl_tws",
+    # new in r9: the float iterative k-means path, oracled (fixed-point
+    # mean pin; the genuine IEEE left-fold distance)
+    "kmeans_float_portable_iterations",
 ]
 
 

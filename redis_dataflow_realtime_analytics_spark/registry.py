@@ -3423,86 +3423,85 @@ q(
 # that carries its coverage in the meantime.
 # ---------------------------------------------------------------------------
 _PRIORITY = [
-    # ===================== ROUND 8 WINDOW =====================
-    # VERDICT r7 item 1 executed: this window spends its whole budget on
-    # (a) the round's new/changed pairings and (b) the ENTIRE stale pool
-    # — all 40 oracled keys whose latest external green predated r3 fit,
-    # so after this round no key's record is older than r3. The previous
-    # windows' keys (all green r6/r7) rotate out; rotation history lives
-    # in COVERAGE.md "Driver-window rotation log".
+    # ===================== ROUND 9 WINDOW =====================
+    # VERDICT r8 item 1 executed: 5 slots go to this round's new/changed
+    # pairings, the ENTIRE 32-key r3-stale tier rotates in, and 13 slots
+    # go to the front of the r4 tier (the verdict's named priorities
+    # first). The remaining 28 r4-tier keys are the R10 pool. Rotation
+    # history lives in COVERAGE.md "Driver-window rotation log".
     # --- 2. (query, oracle) pairings new or changed this round ---
-    # exactly-once sink audit (SURVEY §4 delta 1 made measurable)
+    # NEW: the float iterative k-means path, oracled (verdict item 7)
+    "kmeans_float_portable_iterations",
+    # engine+oracle changed: within-batch dedup + first-appearance-chunk
+    # oracle modeling (r8 advice, medium)
     "stream_duplicate_delivery_audit",
-    # portable twins of the last two architecture-bearing rows-only
-    # dedup families (VERDICT item 3)
-    "dedup_minhash_weighted_portable_pairs",
-    "dedup_minhash_oph_portable_pairs",
-    # Spark-4-native stateful twins (transformWithStateInPandas)
+    # engine changed: MapState membership reads (verdict item 2)
     "stream_stateful_uniques_tws",
+    # engine changed: order-insensitive late-event session merge (advice)
     "stream_sessions_ttl_tws",
-    # oracle text changed r8 (dedup-by-min-ts before the minute
-    # grouping — the r7 advice's cross-minute duplicate-id hardening)
-    "stream_deduped_visits",
-    # engine+oracle cutoff changed r8 (ceil(threshold*PERMS))
-    "dedup_incremental_neardup_portable",
-    # --- 4. re-checks whose operator file changed this round ---
-    # multimodal.py gained the empty-raster and 0-frame guards
-    "multimodal_decode_features",
-    "multimodal_video_scene_cuts",
-    # --- 4b. the r1-stale tier (oldest first) ---
-    "customer_keys_intersect_orders",
-    "customers_without_orders",
-    "monthly_order_revenue",
-    "top_orders_by_value",
-    # --- 4c. the ENTIRE r2-stale tier (36 keys) ---
-    "ann_topk_bruteforce",
-    "cube_quantity_by_flag_status",
-    "customers_by_nation_segment_pivot",
-    "dedup_exact_groups",
-    "dedup_ngram_jaccard_pairs",
-    "ev_cube_uniques",
-    "pack_documents_512",
-    "q21_suppliers_kept_waiting",
-    "r1_time_axis",
-    "r2_visits_timeseries",
-    "r3_users_timeseries",
-    "r4_experiments_timeseries",
-    "r5_variant_overlap",
-    "sample_documents_hash",
-    "similar_documents_report",
-    "sliding_visits",
-    "stream_sliding_visits",
-    "stream_stateful_uniques_per_variant",
-    "stream_uniques_per_ev_minute",
-    "stream_user_sessions",
-    "stream_visits_per_minute",
-    "text_lang_id",
-    "text_normalize_mask",
-    "text_token_stats",
-    "top_orders_per_customer",
-    "train_corpus_pipeline",
-    "user_event_features",
-    "user_sessions",
-    "w11_uniques_per_minute",
-    "w2_uniques_per_experiment_variant_minute",
-    "w3_uniques_per_variant",
-    "w3_uniques_per_variant_salted",
-    "w4_user_sets_per_variant",
-    "w5_uniques_per_experiment",
-    "w7_experiments_per_minute",
-    "w9_variants_per_minute",
-    # --- 4d. slot 50: the front of the r3-stale tier (next round's
-    # pool starts here — the remaining 32 r3-green keys, then r4) ---
-    "asof_last_click_before_error",
-    # R9 POOL (rotate in next round, plus anything r9 edits): the rest
-    # of the r3-stale tier — corpus_upsample_by_language,
-    # dedup_connected_components, dedup_documents,
-    # dedup_incremental_new_docs, dedup_neardup_survivors,
-    # embedding_neardup_pairs, events_enriched_with_customer,
-    # full_outer_nation_counts, funnel_conversion_by_experiment,
-    # multimodal_blob_stats, multimodal_frame_sample_offsets, and the
-    # remaining r3 keys enumerated by the staleness query — then the r4
-    # tier (42 keys incl. dedup_duplicate_spans).
+    "stream_sessions_ttl",
+    # --- 4b. the ENTIRE r3-stale tier (32 keys, oldest first) ---
+    "corpus_upsample_by_language",
+    "dedup_connected_components",
+    "dedup_documents",
+    "dedup_incremental_new_docs",
+    "dedup_neardup_survivors",
+    "embedding_neardup_pairs",
+    "events_enriched_with_customer",
+    "full_outer_nation_counts",
+    "funnel_conversion_by_experiment",
+    "multimodal_blob_stats",
+    "multimodal_frame_sample_offsets",
+    "order_price_histogram",
+    "order_window_functions",
+    "part_measures_unpivot",
+    "part_name_functions",
+    "price_percentiles_by_flag",
+    "q12_late_shipments",
+    "q16_part_supplier_diversity",
+    "q19_discounted_revenue",
+    "q7_volume_shipping",
+    "r2b_variant_minute_grid",
+    "r4b_variants_timeseries",
+    "sample_documents_stratified",
+    "sample_topk_per_language",
+    "sink_redis_command_catalog",
+    "sql_q4_order_priority",
+    "stream_click_error_join",
+    "stream_store_uniques_per_variant",
+    "text_top_bigrams",
+    "text_vocabulary_coverage",
+    "variant_series_correlation",
+    "visit_anomalies",
+    # --- 4c. the front of the r4-stale tier (13 keys; verdict-named
+    # priorities first) ---
+    "stream_click_error_left_join",
+    "dedup_decontamination",
+    "dedup_decontamination_bloom",
+    "ann_ivf_topk",
+    "stream_curated_ingest",
+    "stream_ingest_dedup",
+    "stream_enriched_events",
+    "stream_quality_filtered_docs",
+    "dedup_duplicate_spans",
+    "dedup_semantic_components",
+    "multimodal_decode_bmp",
+    "multimodal_resize",
+    "user_retention_cohorts",
+    # R10 POOL (the remaining 28 r4-tier keys, then r5): ann_topk_int8,
+    # chunk_documents_overlap, corpus_apply_updates,
+    # corpus_curated_pipeline, corpus_length_clip, corpus_mix_report,
+    # corpus_train_val_test_split, dedup_bow_groups,
+    # dedup_cluster_size_histogram, dedup_connected_components_star,
+    # dedup_keep_best_per_cluster, embedding_centroid_cosines,
+    # embedding_dim_stats, embedding_outlier_scores,
+    # events_activity_heatmap, events_heavy_hitter_users,
+    # events_key_skew_profile, lang_confusion_matrix,
+    # multimodal_decode_audio, multimodal_decode_gray,
+    # multimodal_resample_audio, multimodal_sample_video_frames,
+    # profile_documents, sample_documents_weighted,
+    # sample_weighted_per_language, text_repetition_signals,
+    # text_sentence_stats, vocab_overlap_sources.
 ]
 
 

@@ -2354,9 +2354,13 @@ def stream_duplicate_delivery_audit(
 
     Output: (minute, visits, incrby_visits, overcount) where
     ``overcount = incrby_visits − visits`` equals, minute by minute, the
-    event count of the redelivered chunk — the exact over-count a Redis
-    INCRBY deployment would silently serve. Fully SQL-oracled: chunk
-    membership is a deterministic function of (ts, event_id).
+    event count of the redelivered chunk plus any duplicate source ids
+    the store deduplicated — the exact over-count a Redis INCRBY
+    deployment would silently serve. Fully SQL-oracled: chunk membership
+    is a deterministic function of (ts, event_id), and the oracle models
+    the store discipline (each event_id once, at its earliest ts within
+    its chunk of first appearance — r9, see the hypothesis sweep in
+    ``tests/test_dup_delivery.py``).
 
     Scale notes: both legs are map-side partial aggregates; the seen
     index is partitioned parquet probed with a broadcast-able anti-join

@@ -35,11 +35,16 @@ STATE_SCHEMA = "uids array<string>"
 
 
 def stream_exact_uniques_per_variant(
-    spark: SparkSession, events_path: str, max_files_per_trigger: int = 1
+    spark: SparkSession,
+    events_path: str,
+    max_files_per_trigger: int = 1,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Replay ``events_path`` through the stateful operator (availableNow);
     return the final (variant, unique_users) — exact, matching the batch
-    ``metrics.uniques_per_variant``."""
+    ``metrics.uniques_per_variant``. ``checkpoint_dir`` pins the
+    checkpoint location so the soak harness can weigh the state store
+    afterwards (default: engine temp checkpoint)."""
 
     # closure (not module-level) so cloudpickle ships it by value — Python
     # workers don't have this repo on their import path
@@ -64,13 +69,10 @@ def stream_exact_uniques_per_variant(
 
     name = f"state_uniq_{uuid.uuid4().hex}"
     with _state_partitions(spark):
-        q = (
-            updates.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("update")
-            .trigger(availableNow=True)
-            .start()
-        )
+        w = updates.writeStream.format("memory").queryName(name)
+        if checkpoint_dir:
+            w = w.option("checkpointLocation", checkpoint_dir)
+        q = w.outputMode("update").trigger(availableNow=True).start()
         q.awaitTermination()
     return (
         spark.table(name)
@@ -463,6 +465,7 @@ def stream_exact_uniques_per_variant_tws(
     events_path: str,
     max_files_per_trigger: int = 1,
     state_impl: str = "map",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """``transformWithStateInPandas`` twin of
     :func:`stream_exact_uniques_per_variant` — exact all-time distinct
@@ -547,13 +550,10 @@ def stream_exact_uniques_per_variant_tws(
                 processor, OUTPUT_SCHEMA, "Update", "None"
             )
         )
-        q = (
-            updates.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("update")
-            .trigger(availableNow=True)
-            .start()
-        )
+        w = updates.writeStream.format("memory").queryName(name)
+        if checkpoint_dir:
+            w = w.option("checkpointLocation", checkpoint_dir)
+        q = w.outputMode("update").trigger(availableNow=True).start()
         q.awaitTermination()
     return (
         spark.table(name)

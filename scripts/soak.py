@@ -951,6 +951,61 @@ def main(n_events: int = 10_000_000, doc_mult: int = 20) -> None:
 
         section("r8_ops", _r8_ops)
 
+        def _r9_state_ab() -> None:
+            """r9: the TWS uniques membership A/B (MapState containsKey
+            vs the r8 ListState full-read vs the legacy whole-set
+            rewrite), each with a PINNED checkpoint so the state store
+            itself can be weighed afterwards — the state-size claim in
+            stateful.py's docstring, measured (VERDICT r8 item 6)."""
+            import subprocess
+
+            from redis_dataflow_realtime_analytics_spark.streaming import (
+                stateful,
+            )
+
+            if not stateful.tws_available():
+                return
+            one = f"{tmp}/events_one_r8.parquet"  # built by _r8_ops
+
+            def _du(path: str) -> int:
+                try:
+                    r = subprocess.run(
+                        ["du", "-sb", path], capture_output=True, text=True
+                    )
+                    return int(r.stdout.split()[0])
+                except Exception:
+                    return -1
+
+            for name, fn in {
+                "tws_uniques_map": (
+                    lambda ck: stateful.stream_exact_uniques_per_variant_tws(
+                        spark, one, max_files_per_trigger=4,
+                        state_impl="map", checkpoint_dir=ck,
+                    )
+                ),
+                "tws_uniques_list": (
+                    lambda ck: stateful.stream_exact_uniques_per_variant_tws(
+                        spark, one, max_files_per_trigger=4,
+                        state_impl="list", checkpoint_dir=ck,
+                    )
+                ),
+                "legacy_uniques_ckpt": (
+                    lambda ck: stateful.stream_exact_uniques_per_variant(
+                        spark, one, max_files_per_trigger=4,
+                        checkpoint_dir=ck,
+                    )
+                ),
+            }.items():
+                ck = f"{tmp}/ckpt_{name}"
+                t0 = time.perf_counter()
+                fn(ck).write.mode("overwrite").format("noop").save()
+                dt = time.perf_counter() - t0
+                out[f"{name}_s"] = round(dt, 2)
+                out[f"{name}_events_per_s"] = int(n_events / dt)
+                out[f"{name}_state_bytes"] = _du(f"{ck}/state")
+
+        section("r9_state_ab", _r9_state_ab)
+
     out["n_events"] = n_events
     print(json.dumps(out))
 
