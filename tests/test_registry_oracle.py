@@ -106,6 +106,11 @@ def test_priority_window_covers_every_unchecked_oracled_key():
         # are the r8 new/changed pairings, and the rest is the entire
         # pre-r3 stale pool (see COVERAGE.md rotation log).
         "CORRECTNESS_r07.json",
+        # r8 also 50/50 green (stamping the 5 r8-new keys + the whole
+        # r1/r2 tier). The r9 window consumes this record: its only
+        # never-green slot is kmeans_float_portable_iterations (new in
+        # r9); the other 49 slots re-check the r3/r4 stale tiers.
+        "CORRECTNESS_r08.json",
     ]
     green: set[str] = set()
     for fname in green_rounds:
