@@ -38,10 +38,19 @@ def main(n_events: int = 10_000_000, doc_mult: int = 20) -> None:
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     out: dict[str, object] = {}
 
+    only = {
+        x for x in os.environ.get("SPARK_GRAFT_SOAK_SECTIONS", "").split(",") if x
+    }
+
     def section(name: str, fn) -> None:
         """Run one soak section; a failure records the error instead of
         losing every other section's numbers (a 30M-event streaming join
-        can exhaust a local JVM - the batch numbers must still print)."""
+        can exhaust a local JVM - the batch numbers must still print).
+        SPARK_GRAFT_SOAK_SECTIONS=a,b,c restricts the run to named
+        sections (targeted A/Bs at multiple scales without paying for
+        the whole ladder)."""
+        if only and name not in only:
+            return
         try:
             fn()
         except Exception as ex:  # noqa: BLE001 - diagnostic harness
@@ -966,6 +975,27 @@ def main(n_events: int = 10_000_000, doc_mult: int = 20) -> None:
             if not stateful.tws_available():
                 return
             one = f"{tmp}/events_one_r8.parquet"  # built by _r8_ops
+            if not os.path.isfile(one):  # section-filtered run: build it
+                import glob as _glob
+                import shutil
+
+                spark.read.parquet(ev_path).withColumn(
+                    "event_id", F.xxhash64("uid", "timestamp")
+                ).select(
+                    "event_id",
+                    F.col("timestamp").alias("ts"),
+                    F.col("uid").cast("long").alias("user_id"),
+                    F.col("variant").alias("event_type"),
+                    F.lit(1.0).alias("value"),
+                    F.concat(
+                        F.lit('{"k": "'), "experiment_id", F.lit('"}')
+                    ).alias("props"),
+                ).coalesce(1).write.mode("overwrite").parquet(
+                    f"{tmp}/events_one_r8"
+                )
+                shutil.move(
+                    _glob.glob(f"{tmp}/events_one_r8/part-*.parquet")[0], one
+                )
 
             def _du(path: str) -> int:
                 try:
@@ -1003,6 +1033,27 @@ def main(n_events: int = 10_000_000, doc_mult: int = 20) -> None:
                 out[f"{name}_s"] = round(dt, 2)
                 out[f"{name}_events_per_s"] = int(n_events / dt)
                 out[f"{name}_state_bytes"] = _du(f"{ck}/state")
+
+            # the sessions pair extends the r8 protocol-overhead ratio
+            # to this scale (state size is bounded by OPEN sessions for
+            # both, so only time is recorded)
+            for name, fn in {
+                "r9_tws_sessions": (
+                    lambda: stateful.stream_sessions_ttl_tws(
+                        spark, one, max_files_per_trigger=4
+                    )
+                ),
+                "r9_legacy_sessions": (
+                    lambda: stateful.stream_sessions_ttl(
+                        spark, one, max_files_per_trigger=4
+                    )
+                ),
+            }.items():
+                t0 = time.perf_counter()
+                fn().write.mode("overwrite").format("noop").save()
+                dt = time.perf_counter() - t0
+                out[f"{name}_s"] = round(dt, 2)
+                out[f"{name}_events_per_s"] = int(n_events / dt)
 
         section("r9_state_ab", _r9_state_ab)
 
