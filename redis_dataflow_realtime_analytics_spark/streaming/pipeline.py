@@ -1019,7 +1019,7 @@ def oracle_stream_late_arrivals(n_chunks: int = 3, delay_minutes: int = 10) -> s
               END AS arrival
   FROM events
 ),
-n AS (SELECT CAST(ceil(count(*) / {n_chunks}.0) AS BIGINT) AS step FROM b),
+n AS (SELECT greatest(1, CAST(ceil(count(*) / {n_chunks}.0) AS BIGINT)) AS step FROM b),
 e AS (
   SELECT ts,
          (row_number() OVER (ORDER BY arrival, event_id) - 1)
@@ -2475,7 +2475,7 @@ def oracle_stream_duplicate_delivery(
     event_id) group is deterministic, which is all first_chunk/min-ts
     and the per-minute counts consume."""
     return f"""{ev_cte},
-n AS (SELECT CAST(ceil(count(*) / {n_chunks}.0) AS BIGINT) AS step FROM ev),
+n AS (SELECT greatest(1, CAST(ceil(count(*) / {n_chunks}.0) AS BIGINT)) AS step FROM ev),
 e AS (
   SELECT event_id, ts,
          (row_number() OVER (ORDER BY ts, event_id) - 1)

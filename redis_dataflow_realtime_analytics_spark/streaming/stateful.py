@@ -328,43 +328,33 @@ def _probe_gencode(shim: str | None) -> bool:
     validator can't vouch for) fails HERE, on the driver, instead of as
     an opaque VersionError inside the streaming Python runner.
 
-    The probe is HERMETIC: tracked modules (``google.*`` and the
-    gencode) are popped from ``sys.modules`` first so the import is a
-    REAL import — a cached ``StateMessage_pb2`` would make the probe a
-    vacuous no-op — and the prior cache is restored afterwards. Leaving
-    shim-resolved modules cached would make a later
-    ``_protobuf_shim_path()`` conclude a REAL runtime exists and skip
-    setting the workers' PYTHONPATH — the workers would then crash on
-    the import the driver only passed via its own cache."""
-    import importlib
+    The probe is HERMETIC because it runs in a SUBPROCESS (r9 advice):
+    the child interpreter starts with a cold ``sys.modules``, so the
+    import is always a REAL import (a cached ``StateMessage_pb2`` in
+    this process can't make it a vacuous no-op), and the live
+    interpreter's module state, descriptor pools, and ``sys.path`` are
+    never touched — no window where another thread importing protobuf
+    sees a half-removed ``google`` package, and no risk of re-importing
+    a C-extension (upb) runtime into parallel class hierarchies.
+    Driver-init-only (memoized by :func:`tws_available`), so the ~1 s
+    child-interpreter pyspark import is paid once."""
+    import subprocess
     import sys
 
-    def _tracked() -> list[str]:
-        return [
-            m
-            for m in sys.modules
-            if m == "google"
-            or m.startswith("google.")
-            or m == "pyspark.sql.streaming.proto.StateMessage_pb2"
-        ]
-
-    before = {m: sys.modules.pop(m) for m in _tracked()}
-    added = False
-    if shim and shim not in sys.path:
-        sys.path.insert(0, shim)
-        added = True
+    code = (
+        "import sys\n"
+        + (f"sys.path.insert(0, {shim!r})\n" if shim else "")
+        + "import pyspark.sql.streaming.proto.StateMessage_pb2\n"
+    )
     try:
-        importlib.import_module("pyspark.sql.streaming.proto.StateMessage_pb2")
-        return True
+        r = subprocess.run(
+            [sys.executable, "-c", code],
+            capture_output=True,
+            timeout=120,
+        )
+        return r.returncode == 0
     except Exception:
         return False
-    finally:
-        if added:
-            sys.path.remove(shim)
-        for m in _tracked():
-            if m not in before:
-                sys.modules.pop(m, None)
-        sys.modules.update(before)
 
 
 def tws_available() -> bool:

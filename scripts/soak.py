@@ -929,34 +929,40 @@ def main(n_events: int = 10_000_000, doc_mult: int = 20) -> None:
             out["dup_delivery_audit_s"] = round(dt, 2)
             out["dup_delivery_audit_events_per_s"] = int(n_events / dt)
 
-            if stateful.tws_available():
-                for name, fn in {
-                    "tws_uniques": (
-                        lambda: stateful.stream_exact_uniques_per_variant_tws(
-                            spark, one, max_files_per_trigger=4
-                        )
-                    ),
-                    "legacy_uniques": (
-                        lambda: stateful.stream_exact_uniques_per_variant(
-                            spark, one, max_files_per_trigger=4
-                        )
-                    ),
-                    "tws_sessions": (
-                        lambda: stateful.stream_sessions_ttl_tws(
-                            spark, one, max_files_per_trigger=4
-                        )
-                    ),
-                    "legacy_sessions": (
-                        lambda: stateful.stream_sessions_ttl(
-                            spark, one, max_files_per_trigger=4
-                        )
-                    ),
-                }.items():
-                    t0 = time.perf_counter()
-                    fn().write.mode("overwrite").format("noop").save()
-                    dt = time.perf_counter() - t0
-                    out[f"{name}_s"] = round(dt, 2)
-                    out[f"{name}_events_per_s"] = int(n_events / dt)
+            # Legacy legs have no shim dependency — run them regardless
+            # so a TWS-less host still records the baselines (r9 advice).
+            r8_tws_ok = stateful.tws_available()
+            if not r8_tws_ok:
+                out["r8_tws_skipped"] = "tws_unavailable"
+            for name, fn in {
+                "tws_uniques": (
+                    lambda: stateful.stream_exact_uniques_per_variant_tws(
+                        spark, one, max_files_per_trigger=4
+                    )
+                ),
+                "legacy_uniques": (
+                    lambda: stateful.stream_exact_uniques_per_variant(
+                        spark, one, max_files_per_trigger=4
+                    )
+                ),
+                "tws_sessions": (
+                    lambda: stateful.stream_sessions_ttl_tws(
+                        spark, one, max_files_per_trigger=4
+                    )
+                ),
+                "legacy_sessions": (
+                    lambda: stateful.stream_sessions_ttl(
+                        spark, one, max_files_per_trigger=4
+                    )
+                ),
+            }.items():
+                if name.startswith("tws_") and not r8_tws_ok:
+                    continue
+                t0 = time.perf_counter()
+                fn().write.mode("overwrite").format("noop").save()
+                dt = time.perf_counter() - t0
+                out[f"{name}_s"] = round(dt, 2)
+                out[f"{name}_events_per_s"] = int(n_events / dt)
 
         section("r8_ops", _r8_ops)
 
@@ -972,8 +978,12 @@ def main(n_events: int = 10_000_000, doc_mult: int = 20) -> None:
                 stateful,
             )
 
-            if not stateful.tws_available():
-                return
+            # Only the two TWS formulations depend on the protobuf shim;
+            # the legacy applyInPandasWithState legs run regardless so a
+            # shim-less host still records the baseline rows (r9 advice).
+            tws_ok = stateful.tws_available()
+            if not tws_ok:
+                out["r9_tws_skipped"] = "tws_unavailable"
             one = f"{tmp}/events_one_r8.parquet"  # built by _r8_ops
             if not os.path.isfile(one):  # section-filtered run: build it
                 import glob as _glob
@@ -1026,6 +1036,8 @@ def main(n_events: int = 10_000_000, doc_mult: int = 20) -> None:
                     )
                 ),
             }.items():
+                if name.startswith("tws_") and not tws_ok:
+                    continue
                 ck = f"{tmp}/ckpt_{name}"
                 t0 = time.perf_counter()
                 fn(ck).write.mode("overwrite").format("noop").save()
@@ -1049,6 +1061,8 @@ def main(n_events: int = 10_000_000, doc_mult: int = 20) -> None:
                     )
                 ),
             }.items():
+                if "tws" in name and not tws_ok:
+                    continue
                 t0 = time.perf_counter()
                 fn().write.mode("overwrite").format("noop").save()
                 dt = time.perf_counter() - t0
