@@ -1086,6 +1086,33 @@ def _chunked_docs_replay_dir(docs_path: str, n_chunks: int = 3) -> str:
     return out
 
 
+class IngestDedupWriter:
+    """foreachBatch sink for the streaming incremental exact dedup: each
+    micro-batch collapses its own duplicates (min doc_id per content
+    hash), anti-joins against the accumulated index store, and appends
+    only first-seen hashes. CRASH-IDEMPOTENT without a transaction log:
+    a batch replayed after a crash-between-write-and-commit finds its own
+    hashes already in the index, so the anti-join filters every row and
+    the re-run appends nothing — the exactly-once property
+    ``tests/test_recovery.py`` kills-and-restarts to prove."""
+
+    def __init__(self, index_dir: str):
+        self.index_dir = index_dir
+
+    def __call__(self, batch: DataFrame, _batch_id: int) -> None:
+        b = (
+            batch.select(F.md5("text").alias("content_hash"), "doc_id")
+            .groupBy("content_hash")
+            .agg(F.min("doc_id").alias("doc_id"))
+        )
+        if os.path.isdir(self.index_dir):
+            idx = batch.sparkSession.read.parquet(self.index_dir).select(
+                "content_hash"
+            )
+            b = b.join(idx, "content_hash", "left_anti")
+        b.write.mode("append").parquet(self.index_dir)
+
+
 def stream_ingest_dedup(
     spark: SparkSession, docs_path: str, n_chunks: int = 3
 ) -> DataFrame:
@@ -1120,19 +1147,8 @@ def stream_ingest_dedup(
         tempfile.gettempdir(), f"ingest_index_{uuid.uuid4().hex[:12]}"
     )
 
-    def ingest(batch: DataFrame, _batch_id: int) -> None:
-        b = (
-            batch.select(F.md5("text").alias("content_hash"), "doc_id")
-            .groupBy("content_hash")
-            .agg(F.min("doc_id").alias("doc_id"))
-        )
-        if os.path.isdir(index_dir):
-            idx = batch.sparkSession.read.parquet(index_dir).select("content_hash")
-            b = b.join(idx, "content_hash", "left_anti")
-        b.write.mode("append").parquet(index_dir)
-
     q = (
-        stream.writeStream.foreachBatch(ingest)
+        stream.writeStream.foreachBatch(IngestDedupWriter(index_dir))
         .option("checkpointLocation", f"{index_dir}_ckpt")
         .trigger(availableNow=True)
         .start()

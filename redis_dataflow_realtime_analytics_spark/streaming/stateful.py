@@ -34,17 +34,17 @@ OUTPUT_SCHEMA = "variant string, unique_users bigint"
 STATE_SCHEMA = "uids array<string>"
 
 
-def stream_exact_uniques_per_variant(
+def uniques_updates(
     spark: SparkSession,
     events_path: str,
     max_files_per_trigger: int = 1,
-    checkpoint_dir: str | None = None,
 ) -> DataFrame:
-    """Replay ``events_path`` through the stateful operator (availableNow);
-    return the final (variant, unique_users) — exact, matching the batch
-    ``metrics.uniques_per_variant``. ``checkpoint_dir`` pins the
-    checkpoint location so the soak harness can weigh the state store
-    afterwards (default: engine temp checkpoint)."""
+    """The UNSTARTED streaming transform behind
+    :func:`stream_exact_uniques_per_variant`: per-micro-batch (variant,
+    unique_users) updates off the stateful distinct-uid store. Exposed
+    separately so callers (the kill-and-restart recovery suite) can
+    attach their own sink/checkpoint and stop/resume the query — the op
+    below is this transform run availableNow to completion."""
 
     # closure (not module-level) so cloudpickle ships it by value — Python
     # workers don't have this repo on their import path
@@ -58,13 +58,27 @@ def stream_exact_uniques_per_variant(
         yield pd.DataFrame({"variant": [key[0]], "unique_users": [len(seen)]})
 
     ev = normalize_events(read_events_stream(spark, events_path, max_files_per_trigger))
-    updates = (
+    return (
         ev.select("variant", "user_id")
         .groupBy("variant")
         .applyInPandasWithState(
             update, OUTPUT_SCHEMA, STATE_SCHEMA, "update", GroupStateTimeout.NoTimeout
         )
     )
+
+
+def stream_exact_uniques_per_variant(
+    spark: SparkSession,
+    events_path: str,
+    max_files_per_trigger: int = 1,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Replay ``events_path`` through the stateful operator (availableNow);
+    return the final (variant, unique_users) — exact, matching the batch
+    ``metrics.uniques_per_variant``. ``checkpoint_dir`` pins the
+    checkpoint location so the soak harness can weigh the state store
+    afterwards (default: engine temp checkpoint)."""
+    updates = uniques_updates(spark, events_path, max_files_per_trigger)
     from .pipeline import _state_partitions
 
     name = f"state_uniq_{uuid.uuid4().hex}"
@@ -85,14 +99,21 @@ SESSION_OUT_SCHEMA = "user_id bigint, start_us bigint, end_us bigint, n_events b
 SESSION_STATE_SCHEMA = "start bigint, last bigint, n bigint"
 
 
-def stream_sessions_ttl(
+def sessions_updates(
     spark: SparkSession,
     events_path: str,
     gap_minutes: int = 30,
     max_files_per_trigger: int = 1,
     prebuilt_replay: bool = False,
 ) -> DataFrame:
-    """Gap-based sessionization as a TTL-EVICTING stateful streaming
+    """The UNSTARTED append-mode transform behind
+    :func:`stream_sessions_ttl` (closed-session emissions off the
+    TTL-evicting state store, heartbeat replay included). Exposed so the
+    recovery suite can run it against a fault-tolerant file sink with a
+    pinned checkpoint and kill/resume mid-replay; the op below runs it
+    availableNow through a memory sink to completion.
+
+    Gap-based sessionization as a TTL-EVICTING stateful streaming
     operator — ``applyInPandasWithState`` with **EventTimeTimeout**: a
     user's open session lives in the state store and is EVICTED (and
     emitted) when the watermark passes ``last_event + gap``. This is the
@@ -182,12 +203,27 @@ def stream_sessions_ttl(
         .withWatermark("ts", "10 minutes")
         .select("user_id", "ts", F.unix_micros("ts").alias("tus"))
     )
-    updates = ev.groupBy("user_id").applyInPandasWithState(
+    return ev.groupBy("user_id").applyInPandasWithState(
         update,
         SESSION_OUT_SCHEMA,
         SESSION_STATE_SCHEMA,
         "append",
         GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def stream_sessions_ttl(
+    spark: SparkSession,
+    events_path: str,
+    gap_minutes: int = 30,
+    max_files_per_trigger: int = 1,
+    prebuilt_replay: bool = False,
+) -> DataFrame:
+    """Run :func:`sessions_updates` availableNow to completion and return
+    the closed sessions (user_id, session_start, session_end, n_events) —
+    exact parity with the batch ``sessions.user_sessions`` twin."""
+    updates = sessions_updates(
+        spark, events_path, gap_minutes, max_files_per_trigger, prebuilt_replay
     )
     from .pipeline import _state_partitions
 
@@ -450,14 +486,20 @@ def _tws_session(spark: SparkSession):
                 sys.path.remove(shim)
 
 
-def stream_exact_uniques_per_variant_tws(
+def tws_uniques_updates(
     spark: SparkSession,
     events_path: str,
     max_files_per_trigger: int = 1,
     state_impl: str = "map",
-    checkpoint_dir: str | None = None,
 ) -> DataFrame:
-    """``transformWithStateInPandas`` twin of
+    """The UNSTARTED ``transformWithStateInPandas`` transform behind
+    :func:`stream_exact_uniques_per_variant_tws`. MUST be built (and its
+    query started) inside :func:`_tws_session` — pyspark's client-side
+    schema handling imports the protobuf gencode at plan-build time.
+    Exposed so the recovery suite can pin a checkpoint and kill/resume
+    the RocksDB-backed query mid-replay.
+
+    ``transformWithStateInPandas`` twin of
     :func:`stream_exact_uniques_per_variant` — exact all-time distinct
     users per variant, replayed availableNow, same oracle.
 
@@ -529,16 +571,28 @@ def stream_exact_uniques_per_variant_tws(
     ev = normalize_events(
         read_events_stream(spark, events_path, max_files_per_trigger)
     )
+    return (
+        ev.select("variant", "user_id")
+        .groupBy("variant")
+        .transformWithStateInPandas(processor, OUTPUT_SCHEMA, "Update", "None")
+    )
+
+
+def stream_exact_uniques_per_variant_tws(
+    spark: SparkSession,
+    events_path: str,
+    max_files_per_trigger: int = 1,
+    state_impl: str = "map",
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Run :func:`tws_uniques_updates` availableNow to completion; final
+    exact (variant, unique_users), same oracle as the legacy twin."""
     from .pipeline import _state_partitions
 
     name = f"tws_uniq_{uuid.uuid4().hex}"
     with _tws_session(spark), _state_partitions(spark):
-        updates = (
-            ev.select("variant", "user_id")
-            .groupBy("variant")
-            .transformWithStateInPandas(
-                processor, OUTPUT_SCHEMA, "Update", "None"
-            )
+        updates = tws_uniques_updates(
+            spark, events_path, max_files_per_trigger, state_impl
         )
         w = updates.writeStream.format("memory").queryName(name)
         if checkpoint_dir:
