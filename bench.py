@@ -227,6 +227,8 @@ HEADLINE = [
     # new in r9: the float iterative k-means path, oracled (fixed-point
     # mean pin; the genuine IEEE left-fold distance)
     "kmeans_float_portable_iterations",
+    # new in r10: the TWS initialState backfill-then-stream bootstrap
+    "stream_stateful_uniques_bootstrap",
 ]
 
 

@@ -1610,6 +1610,28 @@ SELECT variant, count(DISTINCT user_id) AS unique_users FROM ev GROUP BY 1""",
 )
 
 
+def _stream_stateful_uniques_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming import stateful
+
+    return stateful.stream_uniques_tws_bootstrapped(
+        spark, f"{sf_dir}/events.parquet"
+    )
+
+
+# TWS initialState bootstrap (r10): the backfill-then-stream migration of
+# the all-time membership store — seed each variant's MapState from the
+# batch aggregate over the history half via handleInitialState, stream
+# only the live tail, serve max(sink, seed counts). Same exact oracle as
+# the from-scratch twins; the planted-fixture pytest proves the seed is
+# load-bearing (history-only uids appear in no live batch).
+q(
+    "stream_stateful_uniques_bootstrap",
+    _stream_stateful_uniques_bootstrap,
+    f"""{EV_CTE}
+SELECT variant, count(DISTINCT user_id) AS unique_users FROM ev GROUP BY 1""",
+)
+
+
 # TTL-EVICTING stateful sessionization (applyInPandasWithState +
 # EventTimeTimeout): open sessions live in the state store and are
 # evicted-and-emitted when the watermark passes last_event + gap —
@@ -3423,85 +3445,81 @@ q(
 # that carries its coverage in the meantime.
 # ---------------------------------------------------------------------------
 _PRIORITY = [
-    # ===================== ROUND 9 WINDOW =====================
-    # VERDICT r8 item 1 executed: 5 slots go to this round's new/changed
-    # pairings, the ENTIRE 32-key r3-stale tier rotates in, and 13 slots
-    # go to the front of the r4 tier (the verdict's named priorities
-    # first). The remaining 28 r4-tier keys are the R10 pool. Rotation
+    # ===================== ROUND 10 WINDOW =====================
+    # VERDICT r9 item 2 executed: 7 slots go to this round's new/changed
+    # pairings, the ENTIRE 28-key r4-stale tier rotates in, and 15 slots
+    # go to the front of the r5 tier (the verdict's named priorities
+    # first). The remaining 15 r5-tier keys are the R11 pool. Rotation
     # history lives in COVERAGE.md "Driver-window rotation log".
     # --- 2. (query, oracle) pairings new or changed this round ---
-    # NEW: the float iterative k-means path, oracled (verdict item 7)
-    "kmeans_float_portable_iterations",
-    # engine+oracle changed: within-batch dedup + first-appearance-chunk
-    # oracle modeling (r8 advice, medium)
+    # NEW: the TWS initialState backfill-then-stream bootstrap (verdict
+    # item 8)
+    "stream_stateful_uniques_bootstrap",
+    # oracle changed: empty-fixture step guard greatest(1, …) (r9 advice)
     "stream_duplicate_delivery_audit",
-    # engine changed: MapState membership reads (verdict item 2)
+    "stream_late_arrivals_audit",
+    # engine changed: updates-builder extraction for the recovery suite
+    # (uniques_updates / sessions_updates / tws_uniques_updates /
+    # IngestDedupWriter) — behavior-neutral, but a green row must
+    # postdate the refactor
+    "stream_stateful_uniques_per_variant",
     "stream_stateful_uniques_tws",
-    # engine changed: order-insensitive late-event session merge (advice)
-    "stream_sessions_ttl_tws",
     "stream_sessions_ttl",
-    # --- 4b. the ENTIRE r3-stale tier (32 keys, oldest first) ---
-    "corpus_upsample_by_language",
-    "dedup_connected_components",
-    "dedup_documents",
-    "dedup_incremental_new_docs",
-    "dedup_neardup_survivors",
-    "embedding_neardup_pairs",
-    "events_enriched_with_customer",
-    "full_outer_nation_counts",
-    "funnel_conversion_by_experiment",
-    "multimodal_blob_stats",
-    "multimodal_frame_sample_offsets",
-    "order_price_histogram",
-    "order_window_functions",
-    "part_measures_unpivot",
-    "part_name_functions",
-    "price_percentiles_by_flag",
-    "q12_late_shipments",
-    "q16_part_supplier_diversity",
-    "q19_discounted_revenue",
-    "q7_volume_shipping",
-    "r2b_variant_minute_grid",
-    "r4b_variants_timeseries",
-    "sample_documents_stratified",
-    "sample_topk_per_language",
-    "sink_redis_command_catalog",
-    "sql_q4_order_priority",
-    "stream_click_error_join",
-    "stream_store_uniques_per_variant",
-    "text_top_bigrams",
-    "text_vocabulary_coverage",
-    "variant_series_correlation",
-    "visit_anomalies",
-    # --- 4c. the front of the r4-stale tier (13 keys; verdict-named
-    # priorities first) ---
-    "stream_click_error_left_join",
-    "dedup_decontamination",
-    "dedup_decontamination_bloom",
-    "ann_ivf_topk",
-    "stream_curated_ingest",
     "stream_ingest_dedup",
-    "stream_enriched_events",
-    "stream_quality_filtered_docs",
-    "dedup_duplicate_spans",
-    "dedup_semantic_components",
-    "multimodal_decode_bmp",
-    "multimodal_resize",
-    "user_retention_cohorts",
-    # R10 POOL (the remaining 28 r4-tier keys, then r5): ann_topk_int8,
-    # chunk_documents_overlap, corpus_apply_updates,
-    # corpus_curated_pipeline, corpus_length_clip, corpus_mix_report,
-    # corpus_train_val_test_split, dedup_bow_groups,
-    # dedup_cluster_size_histogram, dedup_connected_components_star,
-    # dedup_keep_best_per_cluster, embedding_centroid_cosines,
-    # embedding_dim_stats, embedding_outlier_scores,
-    # events_activity_heatmap, events_heavy_hitter_users,
-    # events_key_skew_profile, lang_confusion_matrix,
-    # multimodal_decode_audio, multimodal_decode_gray,
-    # multimodal_resample_audio, multimodal_sample_video_frames,
-    # profile_documents, sample_documents_weighted,
-    # sample_weighted_per_language, text_repetition_signals,
-    # text_sentence_stats, vocab_overlap_sources.
+    # --- 4b. the ENTIRE r4-stale tier (28 keys, oldest first) ---
+    "ann_topk_int8",
+    "chunk_documents_overlap",
+    "corpus_apply_updates",
+    "corpus_curated_pipeline",
+    "corpus_length_clip",
+    "corpus_mix_report",
+    "corpus_train_val_test_split",
+    "dedup_bow_groups",
+    "dedup_cluster_size_histogram",
+    "dedup_connected_components_star",
+    "dedup_keep_best_per_cluster",
+    "embedding_centroid_cosines",
+    "embedding_dim_stats",
+    "embedding_outlier_scores",
+    "events_activity_heatmap",
+    "events_heavy_hitter_users",
+    "events_key_skew_profile",
+    "lang_confusion_matrix",
+    "multimodal_decode_audio",
+    "multimodal_decode_gray",
+    "multimodal_resample_audio",
+    "multimodal_sample_video_frames",
+    "profile_documents",
+    "sample_documents_weighted",
+    "sample_weighted_per_language",
+    "text_repetition_signals",
+    "text_sentence_stats",
+    "vocab_overlap_sources",
+    # --- 4c. the front of the r5-stale tier (15 keys; verdict-named
+    # priorities first) ---
+    "ann_ivf_exact_topk",
+    "ann_topk_pq",
+    "kmeans_exact_centroids",
+    "embedding_top_component_exact",
+    "text_bm25_topk",
+    "ann_hamming_rerank_topk",
+    "ann_ivf_persisted_topk",
+    "ann_topk_hamming",
+    "corpus_leakage_free_split",
+    "corpus_remove_boilerplate",
+    "corpus_temperature_mix",
+    "dedup_containment_pairs",
+    "dedup_cross_source_matrix",
+    "dedup_graph_triangles",
+    "dedup_pagerank_centrality",
+    # R11 POOL (the remaining 15 r5-tier keys): embedding_pc1_scores,
+    # events_zorder_layout, hybrid_rrf_topk, multimodal_audio_frames,
+    # multimodal_image_histogram, retrieval_eval_report,
+    # rolling_week_user_value, stream_decontamination_gate,
+    # stream_image_ingest_features, stream_ivf_assign,
+    # stream_postings_ingest, text_bigram_logprob_scores,
+    # text_bm25_topk_capped, text_hashed_features,
+    # text_unigram_logprob_scores.
 ]
 
 

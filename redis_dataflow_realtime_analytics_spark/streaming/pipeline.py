@@ -761,6 +761,70 @@ def _chunked_events_replay_dir(events_path: str, n_chunks: int = 3) -> str:
 
 
 
+_SPLIT_REPLAY_DIRS: dict[tuple, tuple[str, str]] = {}
+
+
+def _split_replay_dir(
+    events_path: str, history_fraction: float = 0.5, n_live_chunks: int = 3
+) -> tuple[str, str]:
+    """(ts, event_id)-ordered split of the events fixture into a single
+    HISTORY parquet (the batch-backfill input) and a LIVE replay
+    directory (chunked, mtime-ordered) — the backfill-then-stream
+    migration shape the TWS initial-state bootstrap replays. Same
+    _COMPLETE-marker + (path, mtime, params)-keyed cache discipline as
+    the other replay builders. Returns (history_file, live_dir)."""
+    import hashlib
+    import tempfile
+    import time as _time
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    key = (
+        events_path,
+        os.stat(events_path).st_mtime_ns,
+        history_fraction,
+        n_live_chunks,
+    )
+    if key in _SPLIT_REPLAY_DIRS:
+        return _SPLIT_REPLAY_DIRS[key]
+    tag = hashlib.md5(
+        f"{events_path}:{key[1]}:{history_fraction}:{n_live_chunks}".encode()
+    ).hexdigest()[:16]
+    out = os.path.join(tempfile.gettempdir(), f"events_split_replay_{tag}")
+    history = os.path.join(out, "history.parquet")
+    live = os.path.join(out, "live")
+    marker = os.path.join(out, "_COMPLETE")
+    if os.path.isfile(marker):
+        _SPLIT_REPLAY_DIRS[key] = (history, live)
+        return history, live
+
+    tbl = _ts_micros(pq.read_table(events_path))
+    tbl = tbl.take(
+        pc.sort_indices(
+            tbl, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
+        )
+    )
+    n = tbl.num_rows
+    cut = min(max(int(n * history_fraction), 1), n - 1)  # both halves nonempty
+    os.makedirs(live, exist_ok=True)
+    pq.write_table(tbl.slice(0, cut), history)
+    rest = tbl.slice(cut)
+    step = max(1, (rest.num_rows + n_live_chunks - 1) // n_live_chunks)
+    paths = []
+    for i in range(0, rest.num_rows, step):
+        fp = os.path.join(live, f"chunk_{i // step:04d}.parquet")
+        pq.write_table(rest.slice(i, step), fp)
+        paths.append(fp)
+    base = _time.time() - 2 * len(paths)
+    for i, fp in enumerate(paths):
+        os.utime(fp, (base + 2 * i, base + 2 * i))
+    with open(marker, "w") as fh:
+        fh.write("ok\n")
+    _SPLIT_REPLAY_DIRS[key] = (history, live)
+    return history, live
+
+
 _LATE_REPLAY_DIRS: dict[tuple, str] = {}
 
 #: Deterministic per-event delivery delay for the late-arrival replay:

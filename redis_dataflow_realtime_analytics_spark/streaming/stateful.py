@@ -606,6 +606,105 @@ def stream_exact_uniques_per_variant_tws(
     )
 
 
+def stream_uniques_tws_bootstrapped(
+    spark: SparkSession,
+    events_path: str,
+    max_files_per_trigger: int = 1,
+    history_fraction: float = 0.5,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """TWS INITIAL-STATE bootstrap — the production migration path for the
+    reference's all-time ``set_var_{variant}`` Redis sets (W4,
+    MetricsCalculationPipeline.java:105-107): BACKFILL the membership
+    store from a batch aggregate over the history half of the fixture,
+    then stream only the live tail. ``transformWithStateInPandas`` takes
+    the seed as ``initialState`` (a GroupedData of distinct (variant,
+    uid) pairs); ``handleInitialState`` loads each variant's MapState +
+    running count in the FIRST micro-batch, and streamed batches
+    increment exactly like the un-seeded twin
+    (:func:`stream_exact_uniques_per_variant_tws`).
+
+    The final read unions the seeded counts with the update-mode sink —
+    a variant with no live events never emits post-seed, so its answer
+    is its backfill count (the same read-side union a production
+    cutover would serve during the catch-up window). Oracle:
+    ``count(DISTINCT user_id)`` per variant over ALL events; the parity
+    pytest additionally pins bootstrapped == replay-from-scratch and
+    proves the seed is load-bearing on a planted history-only-user
+    fixture."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    from .pipeline import _split_replay_dir, _state_partitions
+
+    history_path, live_dir = _split_replay_dir(events_path, history_fraction)
+    seed = (
+        normalize_events(spark.read.parquet(history_path))
+        .select("variant", F.col("user_id").cast("string").alias("uid"))
+        .distinct()
+    )
+
+    class BootstrappedUniques(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self.seen = handle.getMapState("seen", "uid string", "one byte")
+            self.n = handle.getValueState("n", "n bigint")
+
+        def handleInitialState(self, key, initialState, timerValues) -> None:
+            uids = sorted(set(initialState["uid"].tolist()))
+            for u in uids:
+                self.seen.updateValue((u,), (1,))
+            self.n.update((len(uids),))
+
+        def handleInputRows(self, key, rows, timerValues):
+            count = self.n.get()[0] if self.n.exists() else 0
+            batch: set[str] = set()
+            for pdf in rows:
+                batch.update(str(u) for u in pdf["user_id"].tolist())
+            fresh = [u for u in sorted(batch) if not self.seen.containsKey((u,))]
+            for u in fresh:
+                self.seen.updateValue((u,), (1,))
+            if fresh:
+                count += len(fresh)
+                self.n.update((count,))
+            yield pd.DataFrame({"variant": [key[0]], "unique_users": [count]})
+
+        def close(self) -> None:
+            pass
+
+    ev = normalize_events(
+        read_events_stream(spark, live_dir, max_files_per_trigger)
+    )
+    name = f"tws_boot_{uuid.uuid4().hex}"
+    with _tws_session(spark), _state_partitions(spark):
+        updates = (
+            ev.select("variant", "user_id")
+            .groupBy("variant")
+            .transformWithStateInPandas(
+                BootstrappedUniques(),
+                OUTPUT_SCHEMA,
+                "Update",
+                "None",
+                initialState=seed.groupBy("variant"),
+            )
+        )
+        w = updates.writeStream.format("memory").queryName(name)
+        if checkpoint_dir:
+            w = w.option("checkpointLocation", checkpoint_dir)
+        q = w.outputMode("update").trigger(availableNow=True).start()
+        q.awaitTermination()
+    seed_counts = seed.groupBy("variant").agg(
+        F.count("*").alias("unique_users")
+    )
+    return (
+        spark.table(name)
+        .unionByName(seed_counts)
+        .groupBy("variant")
+        .agg(F.max("unique_users").alias("unique_users"))
+    )
+
+
 def stream_sessions_ttl_tws(
     spark: SparkSession,
     events_path: str,

