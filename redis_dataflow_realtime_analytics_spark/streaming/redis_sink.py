@@ -90,28 +90,49 @@ def metric_commands(events: DataFrame) -> DataFrame:
 
 class RedisMetricsSink:
     """foreachBatch sink: ship the micro-batch's command rows to Redis
-    (pipelined, per partition) or to the parquet command log fallback."""
+    (pipelined, per partition) or to the parquet command log fallback.
 
-    def __init__(self, host: str = "localhost", port: int = 6379, log_dir: str | None = None):
+    ``client_factory`` is the client injection point: a zero-arg
+    callable, executed ON THE EXECUTORS (one client per partition),
+    returning an object with redis-py's ``pipeline(transaction=False)``
+    surface (``incrby``/``pfadd``/``sadd``/``execute``). Production uses
+    it for cluster/auth'd clients; the e2e test injects a minimal TCP
+    client so the real pipelined send path runs against a live keyspace
+    server without redis-py installed."""
+
+    def __init__(
+        self,
+        host: str = "localhost",
+        port: int = 6379,
+        log_dir: str | None = None,
+        client_factory=None,
+    ):
         self.host, self.port, self.log_dir = host, port, log_dir
+        self.client_factory = client_factory
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         cmds = metric_commands(batch_df)
-        if _redis is None or self.log_dir is not None:
-            if self.log_dir is None:
-                raise RuntimeError("redis-py unavailable; pass log_dir for the command log")
-            (
-                cmds.withColumn("batch_id", F.lit(batch_id))
-                .write.mode("overwrite")
-                .partitionBy("batch_id")
-                .parquet(self.log_dir)
-            )
-            return
+        factory = self.client_factory
+        if factory is None:
+            if _redis is None or self.log_dir is not None:
+                if self.log_dir is None:
+                    raise RuntimeError(
+                        "redis-py unavailable; pass log_dir for the command log"
+                    )
+                (
+                    cmds.withColumn("batch_id", F.lit(batch_id))
+                    .write.mode("overwrite")
+                    .partitionBy("batch_id")
+                    .parquet(self.log_dir)
+                )
+                return
+            host, port = self.host, self.port
 
-        host, port = self.host, self.port
+            def factory():  # pragma: no cover - needs a redis server
+                return _redis.Redis(host=host, port=port)
 
-        def send(rows) -> None:  # pragma: no cover - needs a redis server
-            client = _redis.Redis(host=host, port=port)
+        def send(rows) -> None:
+            client = factory()
             pipe = client.pipeline(transaction=False)
             n = 0
             for r in rows:
