@@ -652,10 +652,22 @@ def stream_uniques_tws_bootstrapped(
             self.n = handle.getValueState("n", "n bigint")
 
         def handleInitialState(self, key, initialState, timerValues) -> None:
-            uids = sorted(set(initialState["uid"].tolist()))
-            for u in uids:
+            # ACCUMULATE, never assign: the engine hands the seed to this
+            # hook one Arrow chunk at a time, so a key whose seed exceeds
+            # one batch (~10k rows) sees MULTIPLE invocations — assigning
+            # len(chunk) here left the count at the LAST chunk's size (the
+            # 14960-vs-15000 undercount the sf1 sweep caught; invisible at
+            # sf0.01 where every seed fits one chunk).
+            count = self.n.get()[0] if self.n.exists() else 0
+            fresh = [
+                u
+                for u in sorted(set(initialState["uid"].tolist()))
+                if not self.seen.containsKey((u,))
+            ]
+            for u in fresh:
                 self.seen.updateValue((u,), (1,))
-            self.n.update((len(uids),))
+            if fresh:
+                self.n.update((count + len(fresh),))
 
         def handleInputRows(self, key, rows, timerValues):
             count = self.n.get()[0] if self.n.exists() else 0

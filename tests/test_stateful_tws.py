@@ -142,3 +142,61 @@ def test_tws_bootstrap_seed_is_load_bearing(spark, tmp_path):
     }
     # click: 5 history-only + 5 live-only uids; view: 3 seed-only
     assert got == {"click": 10, "view": 3}
+
+
+def test_tws_bootstrap_multichunk_seed_accumulates(spark, tmp_path):
+    """sf1-sweep regression: a seed larger than one Arrow batch invokes
+    handleInitialState MULTIPLE times per key (one call per chunk); the
+    running count must accumulate across calls, not be assigned the last
+    chunk's size (the 14960-vs-15000 undercount). 25k seed uids force
+    ≥3 chunks at the default 10k Arrow batch size."""
+    from datetime import datetime, timedelta, timezone
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = datetime(2026, 1, 1, tzinfo=timezone.utc)
+    n_seed, n_live_new = 25_000, 50
+    rows = []
+    for i in range(n_seed):  # history half: 25k distinct uids
+        rows.append(
+            {
+                "event_id": i,
+                "ts": base + timedelta(seconds=i % 600),
+                "user_id": i,
+                "event_type": "click",
+                "value": 1.0,
+                "props": '{"k": "exp_a"}',
+            }
+        )
+    for i in range(n_seed):  # live half: 50 new uids, heavily repeated
+        rows.append(
+            {
+                "event_id": n_seed + i,
+                "ts": base + timedelta(hours=2, seconds=i % 600),
+                "user_id": 100_000 + i % n_live_new,
+                "event_type": "click",
+                "value": 1.0,
+                "props": '{"k": "exp_a"}',
+            }
+        )
+    schema = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("ts", pa.timestamp("us", tz="UTC")),
+            ("user_id", pa.int64()),
+            ("event_type", pa.string()),
+            ("value", pa.float64()),
+            ("props", pa.string()),
+        ]
+    )
+    path = str(tmp_path / "events.parquet")
+    pq.write_table(pa.Table.from_pylist(rows, schema=schema), path)
+
+    got = {
+        r["variant"]: r["unique_users"]
+        for r in stateful.stream_uniques_tws_bootstrapped(
+            spark, path, history_fraction=0.5
+        ).collect()
+    }
+    assert got == {"click": n_seed + n_live_new}
