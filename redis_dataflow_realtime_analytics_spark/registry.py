@@ -1632,6 +1632,85 @@ SELECT variant, count(DISTINCT user_id) AS unique_users FROM ev GROUP BY 1""",
 )
 
 
+def _stream_state_reader_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming import state_reader
+
+    return state_reader.state_reader_uniques(spark, f"{sf_dir}/events.parquet")
+
+
+# Offline state-store audit (r10): Spark 4's `statestore` data source
+# scans the legacy op's checkpoint FILES — a code path fully independent
+# of the processor that wrote them — and counts what each variant's
+# membership set actually PERSISTED. Every other streaming gate checks
+# the sink; this one checks the store (the reference answers the same
+# question with redis-cli SCARD against the live keyspace).
+q(
+    "stream_state_reader_uniques",
+    _stream_state_reader_uniques,
+    f"""{EV_CTE}
+SELECT variant, count(DISTINCT user_id) AS unique_users FROM ev GROUP BY 1""",
+)
+
+
+def _stream_state_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming import state_reader
+
+    return state_reader.state_time_travel_uniques(
+        spark, f"{sf_dir}/events.parquet"
+    )
+
+
+# State time-travel (r10): the same store read AS OF every committed
+# micro-batch (`batchId` option — provider delta-replay from the nearest
+# snapshot). The oracle re-derives chunk membership under the replay's
+# (ts, event_id) total order and counts distinct uids over each chunk
+# prefix; variants first seen in a later chunk are absent from earlier
+# snapshots, so the three per-batch images genuinely differ.
+q(
+    "stream_state_time_travel",
+    _stream_state_time_travel,
+    f"""{EV_CTE},
+n AS (SELECT greatest(1, CAST(ceil(count(*) / 3.0) AS BIGINT)) AS step FROM ev),
+e AS (
+  SELECT variant, user_id,
+         (row_number() OVER (ORDER BY ts, event_id) - 1)
+           // (SELECT step FROM n) AS chunk
+  FROM ev
+),
+b AS (SELECT CAST(unnest([0, 1, 2]) AS BIGINT) AS batch_id)
+SELECT b.batch_id, e.variant,
+       CAST(count(DISTINCT e.user_id) AS BIGINT) AS unique_users
+FROM b JOIN e ON e.chunk <= b.batch_id
+GROUP BY 1, 2""",
+)
+
+
+def _stream_state_reader_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming import state_reader
+
+    return state_reader.state_reader_tws_uniques(
+        spark, f"{sf_dir}/events.parquet"
+    )
+
+
+# TWS store audit (r10): read BOTH named state variables of the
+# transformWithStateInPandas twin's RocksDB checkpoint — the `seen`
+# MapState's per-variant entry count and the `n` ValueState counter —
+# and require each to equal the batch distinct count, catching the
+# set/counter drift class no sink gate can see. The read is JVM-only
+# (no Python worker, no protobuf shim), so the audit stays runnable
+# even where TWS queries themselves cannot start.
+q(
+    "stream_state_reader_tws",
+    _stream_state_reader_tws,
+    f"""{EV_CTE}
+SELECT variant,
+       count(DISTINCT user_id) AS unique_users,
+       count(DISTINCT user_id) AS counter_users
+FROM ev GROUP BY 1""",
+)
+
+
 # TTL-EVICTING stateful sessionization (applyInPandasWithState +
 # EventTimeTimeout): open sessions live in the state store and are
 # evicted-and-emitted when the watermark passes last_event + gap —
@@ -3455,6 +3534,14 @@ _PRIORITY = [
     # NEW: the TWS initialState backfill-then-stream bootstrap (verdict
     # item 8)
     "stream_stateful_uniques_bootstrap",
+    # NEW (r10, late-round): the offline state-store audit family —
+    # `statestore`/`state-metadata` reads over the engine's own
+    # checkpoints (final-state audit, per-batch time-travel, TWS
+    # MapState+ValueState cross-check). Three r5-tier keys rotate to
+    # the R11 pool to keep the 50-slot budget.
+    "stream_state_reader_uniques",
+    "stream_state_time_travel",
+    "stream_state_reader_tws",
     # oracle changed: empty-fixture step guard greatest(1, …) (r9 advice)
     "stream_duplicate_delivery_audit",
     "stream_late_arrivals_audit",
@@ -3509,10 +3596,10 @@ _PRIORITY = [
     "corpus_remove_boilerplate",
     "corpus_temperature_mix",
     "dedup_containment_pairs",
-    "dedup_cross_source_matrix",
-    "dedup_graph_triangles",
-    "dedup_pagerank_centrality",
-    # R11 POOL (the remaining 15 r5-tier keys): embedding_pc1_scores,
+    # R11 POOL (the remaining 18 r5-tier keys; the last three displaced
+    # by the r10 state-reader family, all three sf1-sweep-green this
+    # round): dedup_cross_source_matrix, dedup_graph_triangles,
+    # dedup_pagerank_centrality, embedding_pc1_scores,
     # events_zorder_layout, hybrid_rrf_topk, multimodal_audio_frames,
     # multimodal_image_histogram, retrieval_eval_report,
     # rolling_week_user_value, stream_decontamination_gate,
