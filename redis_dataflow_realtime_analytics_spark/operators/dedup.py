@@ -2257,12 +2257,22 @@ def oracle_neardup_pagerank(
 ) -> str:
     """DuckDB twin of :func:`neardup_pagerank` — the same iterations
     unrolled as chained CTEs; damping constants embedded via ``repr`` so
-    both engines evaluate the identical doubles."""
+    both engines evaluate the identical doubles.
+
+    ``pr``/``sym`` carry the MATERIALIZED hint: DuckDB otherwise INLINES
+    the quadratic shingle-join edge CTE into every one of its 7+
+    references (sym twice, then sym in deg and each unrolled r_k), and
+    at sf1 the simultaneously-live join intermediates exceeded the
+    box's 78 GB spill budget. Materialized once, the identical query
+    runs in ~6 s on the same fixture. Semantics unchanged — it is an
+    evaluation hint, and the sibling graph oracles (connected
+    components / label propagation / triangles / k-core) share the
+    same edge SQL single-referenced and pass unhinted."""
     d = repr(damping)
     t = repr(1 - damping)
     ctes = [
-        f"""pr AS ({pairs_sql}),
-sym AS (SELECT doc_a AS src, doc_b AS dst FROM pr
+        f"""pr AS MATERIALIZED ({pairs_sql}),
+sym AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM pr
         UNION ALL SELECT doc_b, doc_a FROM pr),
 deg AS (SELECT src, count(*) AS deg FROM sym GROUP BY src),
 n AS (SELECT count(*) AS total FROM deg),

@@ -2853,6 +2853,24 @@ def ann_truncation_recall_report(
     )
 
 
+def _dot(a: str, b: str) -> str:
+    """Exact int dot product as a PURE SCALAR expression:
+    ``list_sum(list_transform(list_zip(a, b), …))``. The previous
+    correlated form — ``(SELECT sum(z[1]*z[2]) FROM unnest(list_zip(…)))``
+    per output row — is semantically identical, but DuckDB decorrelates
+    each such subquery through a materialized delim join keyed on the
+    zipped LISTS themselves; over the 200×20k brute-force pair frame of
+    the sf1 fixture the six per-dim copies spilled >70 GB and died,
+    while the scalar form streams row-at-a-time (sf1: 101 s, no spill).
+    Same value: list_sum over BIGINT aggregates in HUGEINT exactly like
+    SUM, NULL on empty list, so the caller's COALESCE(…, 0) behaves
+    identically."""
+    return (
+        f"COALESCE(list_sum(list_transform(list_zip({a}, {b}), "
+        "z -> z[1] * z[2])), 0)"
+    )
+
+
 def oracle_ann_truncation_recall(k: int = 10) -> str:
     """DuckDB twin of :func:`ann_truncation_recall_report` — full-dim
     exact top-k CTE + one truncated top-k CTE per dim, recall by
@@ -2860,15 +2878,15 @@ def oracle_ann_truncation_recall(k: int = 10) -> str:
     dims = ", ".join(str(d) for d in TRUNC_DIMS)
     per_dim = []
     for d in TRUNC_DIMS:
+        vq = _dot(f"v.qv[1:{d}]", f"q.qv[1:{d}]")
+        vv = _dot(f"v.qv[1:{d}]", f"v.qv[1:{d}]")
+        qq = _dot(f"q.qv[1:{d}]", f"q.qv[1:{d}]")
         per_dim.append(f"""t{d} AS (
   SELECT query_id, neighbor_id FROM (
     SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
-           COALESCE(CAST((SELECT COALESCE(sum(z[1] * z[2]), 0)
-                 FROM unnest(list_zip(v.qv[1:{d}], q.qv[1:{d}])) s(z)) AS DOUBLE)
-             / NULLIF(sqrt(CAST((SELECT COALESCE(sum(z[1] * z[2]), 0)
-                 FROM unnest(list_zip(v.qv[1:{d}], v.qv[1:{d}])) s(z)) AS DOUBLE))
-                * sqrt(CAST((SELECT COALESCE(sum(z[1] * z[2]), 0)
-                 FROM unnest(list_zip(q.qv[1:{d}], q.qv[1:{d}])) s(z)) AS DOUBLE)), 0.0), 0.0)
+           COALESCE(CAST({vq} AS DOUBLE)
+             / NULLIF(sqrt(CAST({vv} AS DOUBLE))
+                * sqrt(CAST({qq} AS DOUBLE)), 0.0), 0.0)
              AS cosine
     FROM e v JOIN e q ON q.vec_id % {QUERY_MOD} = 0 AND v.vec_id <> q.vec_id)
   QUALIFY row_number() OVER (PARTITION BY query_id
@@ -2885,8 +2903,7 @@ h{d} AS (
 fullk AS (
   SELECT query_id, neighbor_id FROM (
     SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
-           COALESCE(CAST((SELECT COALESCE(sum(z[1] * z[2]), 0)
-                 FROM unnest(list_zip(v.qv, q.qv)) s(z)) AS DOUBLE)
+           COALESCE(CAST({_dot("v.qv", "q.qv")} AS DOUBLE)
              / NULLIF(sqrt(CAST(nv.n2 AS DOUBLE)) * sqrt(CAST(nq.n2 AS DOUBLE)), 0.0), 0.0)
              AS cosine
     FROM e v
