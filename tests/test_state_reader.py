@@ -157,6 +157,48 @@ def test_tws_state_reader_matches_batch_distinct(spark):
     assert rows
 
 
+def test_sessions_ttl_state_store_drains(spark, tmp_path):
+    """The bounded-state claim measured DIRECTLY in the store, not
+    inferred from output: after the heartbeat replay's eviction batch,
+    the sessions-TTL checkpoint holds NO real-user state (only the
+    synthetic heartbeat key may stay open — nothing ever advances the
+    watermark past its own session), while a mid-replay snapshot holds
+    open real sessions — so the drained end-state is EVICTION at work,
+    not a store that was never populated."""
+    from redis_dataflow_realtime_analytics_spark.streaming import (
+        pipeline,
+        stateful,
+    )
+
+    ckpt = str(tmp_path / "ckpt")
+    with pipeline._state_partitions(spark):
+        q = (
+            stateful.sessions_updates(spark, EVENTS)
+            .writeStream.format("noop")
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    md = spark.read.format("state-metadata").load(ckpt).collect()
+    last = max(r.maxBatchId for r in md)
+    assert last >= 2, "heartbeat replay should schedule >=3 micro-batches"
+
+    final = spark.read.format("statestore").load(ckpt)
+    assert final.filter(F.col("key.user_id") >= 0).count() == 0
+    # mid-replay (before the heartbeats arrive) real sessions ARE open
+    mid = (
+        spark.read.format("statestore")
+        .option("batchId", 0)
+        .load(ckpt)
+        .filter(F.col("key.user_id") >= 0)
+        .count()
+    )
+    assert mid > 0
+
+
 def test_operator_catalog_layout(spark):
     """state-metadata rows are deterministic: one store per checkpoint,
     8 state partitions (``_state_partitions``), batches 0..N_CHUNKS-1
