@@ -1685,6 +1685,40 @@ GROUP BY 1, 2""",
 )
 
 
+def _stream_state_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming import state_reader
+
+    return state_reader.state_changelog_uniques(
+        spark, f"{sf_dir}/events.parquet"
+    )
+
+
+# State CHANGE FEED (r10): `readChangeFeed` — one row per state write,
+# i.e. per (batch, variant) with input that batch; the delta view where
+# time-travel is the snapshot view. A variant idle in chunk k has live
+# state but NO row at batch k (planted pytest pins the hole). The
+# oracle derives per-chunk presence and counts each present variant's
+# chunk-prefix distinct uids — the post-image the write persisted.
+q(
+    "stream_state_changelog",
+    _stream_state_changelog,
+    f"""{EV_CTE},
+n AS (SELECT greatest(1, CAST(ceil(count(*) / 3.0) AS BIGINT)) AS step FROM ev),
+e AS (
+  SELECT variant, user_id,
+         (row_number() OVER (ORDER BY ts, event_id) - 1)
+           // (SELECT step FROM n) AS chunk
+  FROM ev
+),
+present AS (SELECT DISTINCT chunk AS batch_id, variant FROM e)
+SELECT CAST(p.batch_id AS BIGINT) AS batch_id,
+       'update' AS change_type, p.variant,
+       CAST(count(DISTINCT e.user_id) AS BIGINT) AS unique_users
+FROM present p JOIN e ON e.variant = p.variant AND e.chunk <= p.batch_id
+GROUP BY 1, 2, 3""",
+)
+
+
 def _stream_state_reader_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .streaming import state_reader
 
@@ -3542,6 +3576,7 @@ _PRIORITY = [
     "stream_state_reader_uniques",
     "stream_state_time_travel",
     "stream_state_reader_tws",
+    "stream_state_changelog",
     # oracle changed: empty-fixture step guard greatest(1, …) (r9 advice)
     "stream_duplicate_delivery_audit",
     "stream_late_arrivals_audit",
@@ -3595,10 +3630,10 @@ _PRIORITY = [
     "corpus_leakage_free_split",
     "corpus_remove_boilerplate",
     "corpus_temperature_mix",
-    "dedup_containment_pairs",
-    # R11 POOL (the remaining 18 r5-tier keys; the last three displaced
-    # by the r10 state-reader family, all three sf1-sweep-green this
-    # round): dedup_cross_source_matrix, dedup_graph_triangles,
+    # R11 POOL (the remaining 19 r5-tier keys; the last four displaced
+    # by the r10 state-reader family, all four sf1-sweep-green this
+    # round): dedup_containment_pairs, dedup_cross_source_matrix,
+    # dedup_graph_triangles,
     # dedup_pagerank_centrality, embedding_pc1_scores,
     # events_zorder_layout, hybrid_rrf_topk, multimodal_audio_frames,
     # multimodal_image_histogram, retrieval_eval_report,

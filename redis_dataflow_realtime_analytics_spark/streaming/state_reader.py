@@ -219,6 +219,42 @@ def state_time_travel_uniques(spark: SparkSession, events_path: str) -> DataFram
     return out
 
 
+def state_changelog_uniques(spark: SparkSession, events_path: str) -> DataFrame:
+    """The store's CHANGE FEED (``readChangeFeed`` option): one row per
+    state WRITE, i.e. per (micro-batch, variant) where that variant had
+    input rows — the delta view, where :func:`state_time_travel_uniques`
+    is the snapshot view. A variant with no events in chunk k produces
+    NO row at batch k even though it has live state (the planted pytest
+    pins exactly that hole), which is what distinguishes a changelog
+    from a per-batch snapshot scan.
+
+    Output: (batch_id bigint, change_type string, variant string,
+    unique_users bigint) — unique_users is the POST-IMAGE set size the
+    write persisted (the legacy tuple state rewrites the whole set, so
+    every write is an 'update' post-image; no deletes under NoTimeout).
+    Oracle: variants present in chunk k, counted over the chunk prefix
+    0..k under the replay's (ts, event_id) total order.
+
+    At scale this is the audit trail the reference's Redis AOF/keyspace
+    notifications would give: WHICH aggregates moved in a window,
+    without diffing full snapshots — the read streams the provider's
+    per-batch delta files, O(writes), not O(store).
+    """
+    ckpt = _checkpointed_run(spark, events_path, "legacy")
+    cf = (
+        spark.read.format("statestore")
+        .option("readChangeFeed", "true")
+        .option("changeStartBatchId", 0)
+        .load(ckpt)
+    )
+    return cf.select(
+        F.col("batch_id").cast("bigint").alias("batch_id"),
+        F.col("change_type").alias("change_type"),
+        F.col("key.variant").alias("variant"),
+        F.size("value.groupState.uids").cast("bigint").alias("unique_users"),
+    )
+
+
 def state_reader_tws_uniques(spark: SparkSession, events_path: str) -> DataFrame:
     """Audit the ``transformWithStateInPandas`` twin's RocksDB store by
     reading BOTH named state variables and cross-checking them: the

@@ -157,6 +157,64 @@ def test_tws_state_reader_matches_batch_distinct(spark):
     assert rows
 
 
+def test_changelog_is_delta_not_snapshot(spark, tmp_path):
+    """Planted: 'click' has events in chunks 0 and 2 but NOT 1, and
+    'signup' only in chunk 1 — the change feed must show exactly the
+    batches whose input TOUCHED each variant (click: 0 and 2, with the
+    batch-1 hole despite live state; signup: 1 only), with post-image
+    set sizes. A reader that scanned snapshots instead of deltas would
+    emit a click row at batch 1."""
+    from datetime import datetime, timedelta, timezone
+
+    import pyarrow as pa
+
+    base = datetime(2026, 1, 1, tzinfo=timezone.utc)
+    rows = []
+
+    def add(i, uid, variant):
+        rows.append(
+            {
+                "event_id": len(rows),
+                "ts": base + timedelta(minutes=i),
+                "user_id": uid,
+                "event_type": variant,
+                "value": 1.0,
+                "props": '{"k": "exp_a"}',
+            }
+        )
+
+    for i in range(3):  # chunk 0: clicks, uids 1-3
+        add(i, 1 + i, "click")
+    for i in range(3):  # chunk 1: signups only — the click hole
+        add(3 + i, 1 + i, "signup")
+    add(6, 1, "click")  # chunk 2: one repeat + one fresh click uid
+    add(7, 9999, "click")
+    add(8, 9999, "click")
+
+    schema = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("ts", pa.timestamp("us", tz="UTC")),
+            ("user_id", pa.int64()),
+            ("event_type", pa.string()),
+            ("value", pa.float64()),
+            ("props", pa.string()),
+        ]
+    )
+    path = str(tmp_path / "events.parquet")
+    pq.write_table(pa.Table.from_pylist(rows, schema=schema), path)
+
+    got = {
+        (r["batch_id"], r["variant"]): (r["change_type"], r["unique_users"])
+        for r in state_reader.state_changelog_uniques(spark, path).collect()
+    }
+    assert got == {
+        (0, "click"): ("update", 3),
+        (1, "signup"): ("update", 3),
+        (2, "click"): ("update", 4),
+    }
+
+
 def test_sessions_ttl_state_store_drains(spark, tmp_path):
     """The bounded-state claim measured DIRECTLY in the store, not
     inferred from output: after the heartbeat replay's eviction batch,
