@@ -193,7 +193,18 @@ def ngram_jaccard_pairs(
     # AGGREGATED pair table — tiny vs the pair stream, and AQE broadcasts
     # it when it fits (no forced hint: at 10⁹ docs the sizes table is not
     # broadcastable and this becomes an ordinary shuffle join).
-    sh = docs.select("doc_id", F.explode(_shingle_array()).alias("shingle"))
+    #
+    # The inverted index is MATERIALIZED once (localCheckpoint): the plan
+    # otherwise re-runs scan→repartition→tokenize→explode for every one of
+    # its four consumers (both self-join sides + both size lookups), and —
+    # worse at scale — the planner broadcasts the whole index as the
+    # self-join build side (estimates after a Generate are unusable), a
+    # plan that cannot exist at 10⁹ docs. Checkpointing pins the index to
+    # one tokenize pass and makes the self-join a plain shuffle join on
+    # the shingle key. Isolated A/B at sf0.1: 31.5 s → 3.9 s min-of-3.
+    sh = docs.select(
+        "doc_id", F.explode(_shingle_array()).alias("shingle")
+    ).localCheckpoint(eager=True)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     idx = sh
     if max_shingle_df is not None:
@@ -1073,6 +1084,14 @@ def portable_minhash_signatures(docs: DataFrame) -> DataFrame:
         F.min((F.lit(a) * x + F.lit(b)) % F.lit(PORTABLE_P)).alias(f"h{i}")
         for i, (a, b) in enumerate(_PORT_COEF)
     ]
+    # No materialization: consumers reference this frame 3-4× (banded
+    # self-join sides + the a/b est-join projections), but the printed
+    # plan's apparent duplication is collapsed at runtime by AQE's
+    # ReuseExchange (the groupBy exchange is canonical-identical across
+    # references). A localCheckpoint here was A/B'd in the r10
+    # optimization pass and measured NEUTRAL-to-worse (min floors 2.5/2.0/
+    # 2.0/1.7 s → 2.8/2.3/3.1/1.7 s across the four portable bench keys):
+    # the barrier serializes what ReuseExchange already shares.
     return sh.groupBy("doc_id").agg(*aggs)
 
 
@@ -2897,6 +2916,13 @@ def entity_match_pairs(
         .withColumn("side", F.lit("d"))
     )
     recs = clean.unionByName(dirty)
+    # The ranked prefix below is MATERIALIZED once (localCheckpoint): it
+    # is consumed twice (the dirty and clean sides of the candidate join),
+    # and without the checkpoint the planner re-runs the whole
+    # scan→explode→df-aggregate→window subtree per side — 16 parquet
+    # scans of `documents` in the unfixed physical plan, 4 after. The
+    # frame is prefix-bounded (≤ q·d+1 grams per record), so the
+    # materialization stays O(records) at any corpus size.
     grams = recs.select(
         "side",
         "id",
@@ -2914,6 +2940,7 @@ def entity_match_pairs(
         .withColumn("r", F.row_number().over(w_rank))
         .where(F.col("r") <= q * max_dist + 1)
         .select("side", "id", "gram")
+        .localCheckpoint(eager=True)
     )
     cand = (
         prefix.where(F.col("side") == "d")
@@ -3115,15 +3142,23 @@ def corpus_drop_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     gate = corpus_quality_gate(spark, sf_dir).select(
         "doc_id", F.col("keep").alias("pass_gate")
     )
+    # The audit spine (flags + content hash, NO raw text) is MATERIALIZED
+    # once: `base` has four consumers (the survivor filter feeding both
+    # the canonical groupBy and the dup join, plus the final ladder), and
+    # without the checkpoint the planner re-runs the whole gate evaluation
+    # per consumer — 22 parquet scans / 44 exchanges in the unfixed plan.
+    # Hashing the normalized text here (instead of carrying `text` into
+    # the survivor branch) keeps the materialized frame O(docs)×~50 B —
+    # the same rows-not-payload discipline the spine would need at 100 TB.
     base = docs.join(gate, "doc_id", "left").select(
         "doc_id",
-        "text",
         (F.col("doc_id") % DECON_MOD == 0).alias("is_benchmark"),
         F.col("pass_gate").isNull().alias("too_short"),
         F.coalesce(F.col("pass_gate"), F.lit(False)).alias("pass_gate"),
-    )
+        F.md5(_norm_text()).alias("h"),
+    ).localCheckpoint(eager=True)
     survivors = base.where(~F.col("is_benchmark") & F.col("pass_gate")).select(
-        "doc_id", F.md5(_norm_text()).alias("h")
+        "doc_id", "h"
     )
     canon = survivors.groupBy("h").agg(F.min("doc_id").alias("canonical_doc_id"))
     dup_flag = survivors.join(canon, "h").select(
