@@ -1734,20 +1734,24 @@ def _kmeans_exact_state(
         asg = emb.crossJoin(F.broadcast(cents_row)).select(
             "vec_id", "qvec", argmin.alias("cid")
         )
+        # n_c rides the (cid, pos) aggregation instead of a second
+        # aggregate over `asg` (r10 optimization): every vector emits
+        # every pos, so count(*) within any (cid, pos) group IS the
+        # cluster population — the previous separate count leg re-ran
+        # the whole map-side assignment pass (crossJoin + argmin, the
+        # expensive stage) a second time per iteration and paid a join
+        # to glue n back on. One corpus pass per iteration now.
         sums = (
             asg.select("cid", F.posexplode("qvec").alias("pos", "x"))
             .groupBy("cid", "pos")
-            .agg(F.sum("x").alias("s"))
+            .agg(F.sum("x").alias("s"), F.count("*").alias("n_at_pos"))
         )
-        per_cid = (
-            sums.groupBy("cid")
-            .agg(
-                F.expr(
-                    "transform(sort_array(collect_list(struct(pos, s))), t -> t.s)"
-                ).alias("S"),
-                F.sum(F.col("s").cast("decimal(38,0)") * F.col("s")).alias("s2"),
-            )
-            .join(asg.groupBy("cid").agg(F.count("*").alias("n")), "cid")
+        per_cid = sums.groupBy("cid").agg(
+            F.expr(
+                "transform(sort_array(collect_list(struct(pos, s))), t -> t.s)"
+            ).alias("S"),
+            F.sum(F.col("s").cast("decimal(38,0)") * F.col("s")).alias("s2"),
+            F.max("n_at_pos").alias("n"),
         )
         cent = (
             cent.alias("p")
@@ -2199,17 +2203,38 @@ def embedding_top_component_exact(
 
     Output: (pos, component) — the final unit iterate, 1-based dims.
     """
+    v_row = _top_component_exact_row(spark, sf_dir, iters=iters)
+    return v_row.select(
+        F.posexplode("v").alias("pos0", "component")
+    ).select((F.col("pos0") + 1).cast("int").alias("pos"), "component")
+
+
+def _top_component_exact_row(
+    spark: SparkSession, sf_dir: str, iters: int = 8
+):
+    """The exact power-iteration fixpoint of
+    :func:`embedding_top_component_exact`, returned as its internal
+    ONE-ROW array frame (column ``v array<double>``) so consumers that
+    broadcast the component (:func:`embedding_pc1_scores`) skip the
+    explode→re-collect round trip."""
     emb = _quantized(spark, sf_dir).select("vec_id", "qvec")
     d = len(emb.first().qvec)
-    v = spark.range(1, d + 1).select(
-        F.col("id").cast("int").alias("pos"), F.lit(1.0).alias("val")
+    # The iterate is carried as a ONE-ROW array frame rather than (pos,
+    # val) rows (r10 optimization): each iteration is then a SINGLE
+    # materialized job — corpus pass → dim-keyed decimal sum →
+    # normalization folded in as an unpartitioned window (64 rows; the
+    # separate nrm aggregate + broadcast job it replaces computed the
+    # identical DECIMAL(38,12) sum) → sorted collect back to the array.
+    # The next iteration's broadcast then ships the checkpointed row
+    # as-is instead of re-aggregating a (pos, val) frame — 3 jobs per
+    # iteration before, 1 + a trivial broadcast after. Every arithmetic
+    # step (decimal fold, grouped decimal sums, the single double
+    # divide) is unchanged, so the fixpoint stays bit-identical to the
+    # unrolled oracle CTEs.
+    v_row = spark.createDataFrame([([1.0] * d,)], "v array<double>").localCheckpoint(
+        eager=True
     )
     for _ in range(iters):
-        v_row = v.agg(
-            F.expr(
-                "transform(sort_array(collect_list(struct(pos, val))), t -> t.val)"
-            ).alias("v")
-        )
         t = emb.crossJoin(F.broadcast(v_row)).select(
             "qvec",
             # DECIMAL(25,12), NOT (38,12): Spark types the fold's
@@ -2239,17 +2264,26 @@ def embedding_top_component_exact(
                 ).alias("ws")
             )
         )
-        nrm = w.agg(
-            F.expr(
-                "sqrt(CAST(sum(CAST(ws * ws AS DECIMAL(38,12))) AS DOUBLE))"
-            ).alias("nrm")
-        )
-        v = (
-            w.crossJoin(F.broadcast(nrm))
-            .select("pos", (F.col("ws") / F.col("nrm")).alias("val"))
+        v_row = (
+            w.select(
+                "pos",
+                (
+                    F.col("ws")
+                    / F.expr(
+                        "sqrt(CAST(sum(CAST(ws * ws AS DECIMAL(38,12)))"
+                        " OVER () AS DOUBLE))"
+                    )
+                ).alias("val"),
+            )
+            .agg(
+                F.expr(
+                    "transform(sort_array(collect_list(struct(pos, val))),"
+                    " t -> t.val)"
+                ).alias("v")
+            )
             .localCheckpoint(eager=True)
         )
-    return v.select("pos", F.col("val").alias("component"))
+    return v_row
 
 
 def embedding_pc1_scores(
@@ -2269,13 +2303,7 @@ def embedding_pc1_scores(
     final component broadcast as a one-row frame; the fold is array-local
     (no shuffle) at DECIMAL(25,12) (see the t-leg note).
     """
-    v = embedding_top_component_exact(spark, sf_dir, iters=iters)
-    v_row = v.agg(
-        F.expr(
-            "transform(sort_array(collect_list(struct(pos, component))),"
-            " t -> t.component)"
-        ).alias("v")
-    )
+    v_row = _top_component_exact_row(spark, sf_dir, iters=iters)
     emb = _quantized(spark, sf_dir).select("vec_id", "qvec")
     return emb.crossJoin(F.broadcast(v_row)).select(
         "vec_id",
