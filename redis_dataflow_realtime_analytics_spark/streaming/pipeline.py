@@ -1438,8 +1438,11 @@ def stream_drop_audit(
 
 
 def stream_hierarchical_rollup(
-    spark: SparkSession, events_path: str, max_files_per_trigger: int = 1
+    spark: SparkSession, events_path: str, max_files_per_trigger: int = 2
 ) -> DataFrame:
+    # default mFPT=2 (r10): 2 micro-batches over the 3-chunk replay —
+    # partials are decimal-additive, so the merged hierarchy is
+    # bit-identical at any batching (see _chunked_docs_replay_dir note).
     """Streaming twin of ``metrics.hierarchical_time_rollup`` — the
     continuous-aggregate REFRESH path: each event shipment appends its
     own minute-grain partials (count + DECIMAL(38,12) value sum) to the
