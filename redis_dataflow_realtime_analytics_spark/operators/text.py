@@ -1613,7 +1613,15 @@ def _bpe_round(syms: DataFrame) -> tuple[DataFrame, DataFrame]:
         .groupBy(F.col("sym").alias("lhs"), F.col("nxt").alias("rhs"))
         .agg(F.sum("wc").alias("pair_count"))
     )
-    top1 = pairs.orderBy(F.desc("pair_count"), "lhs", "rhs").limit(1)
+    # pin the 1-row argmax eagerly: un-checkpointed, this vocab-sized
+    # pair-count aggregation runs TWICE per round — once inside the next
+    # round's syms checkpoint (top1 broadcast-joins into the application)
+    # and again when the final merge-table union is collected
+    top1 = (
+        pairs.orderBy(F.desc("pair_count"), "lhs", "rhs")
+        .limit(1)
+        .localCheckpoint(eager=True)
+    )
     return _bpe_apply(syms, top1, probe_empty=False), top1
 
 

@@ -1374,6 +1374,8 @@ def stream_drop_audit(
     index_dir = os.path.join(tempfile.gettempdir(), f"audit_index_{tag}")
 
     def audit(batch: DataFrame, _batch_id: int) -> None:
+        import glob as _glob
+
         ss = batch.sparkSession
         gate = quality_gate_frame(batch).select(
             "doc_id", F.col("keep").alias("pass_gate")
@@ -1388,13 +1390,28 @@ def stream_drop_audit(
         surv = base.where(~F.col("is_benchmark") & F.col("pass_gate")).select(
             "doc_id", F.md5(_norm_text()).alias("h")
         )
-        surv = surv.localCheckpoint(eager=True)  # probe + append read it twice
-        batch_canon = surv.groupBy("h").agg(F.min("doc_id").alias("cmin"))
-        dup = surv.join(batch_canon, "h").select(
+        # One job materializes the batch's survivor hashes AS the index
+        # append (doc_id rides along; readers only take ``h``) — the
+        # prior localCheckpoint + separate index-append write were two
+        # jobs over the same rows. The probe must see only PRIOR
+        # shipments' hashes, so the pre-write file listing is captured
+        # and both sides re-read the store by explicit file list.
+        prior = sorted(_glob.glob(os.path.join(index_dir, "part-*.parquet")))
+        surv.write.mode("append").parquet(index_dir)
+        new = sorted(
+            set(_glob.glob(os.path.join(index_dir, "part-*.parquet"))) - set(prior)
+        )
+        surv_m = (
+            ss.read.parquet(*new)
+            if new
+            else ss.createDataFrame([], "doc_id bigint, h string")
+        )
+        batch_canon = surv_m.groupBy("h").agg(F.min("doc_id").alias("cmin"))
+        dup = surv_m.join(batch_canon, "h").select(
             "doc_id", "h", (F.col("doc_id") != F.col("cmin")).alias("in_batch_dup")
         )
-        if os.path.isdir(index_dir):
-            idx = ss.read.parquet(index_dir).select("h").distinct()
+        if prior:
+            idx = ss.read.parquet(*prior).select("h").distinct()
             dup = dup.join(
                 idx.withColumn("seen", F.lit(True)), "h", "left"
             ).select(
@@ -1406,7 +1423,10 @@ def stream_drop_audit(
         else:
             dup = dup.select("doc_id", F.col("in_batch_dup").alias("is_exact_dup"))
         contaminated = (
-            base.where(~F.col("is_benchmark"))
+            # derived from the RAW batch, not ``base``: the shingle probe
+            # needs only (doc_id, text), and routing it through ``base``
+            # would re-run the quality-gate aggregate inside this subtree
+            batch.where(F.col("doc_id") % DECON_MOD != 0)
             .select("doc_id", F.explode(_shingle_array(DECON_K)).alias("shingle"))
             .join(F.broadcast(bench_sh), "shingle", "left_semi")
             .select("doc_id")
@@ -1425,7 +1445,6 @@ def stream_drop_audit(
             .write.mode("append")
             .parquet(out_dir)
         )
-        surv.select("h").write.mode("append").parquet(index_dir)
 
     q = (
         stream.writeStream.foreachBatch(audit)
