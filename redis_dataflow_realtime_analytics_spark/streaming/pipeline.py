@@ -89,7 +89,20 @@ def _replay_to_memory(spark: SparkSession, agg: DataFrame, prefix: str) -> DataF
             .start()
         )
         q.awaitTermination()
-    return spark.table(name)
+    return _detach_memory_sink(spark, name)
+
+
+def _detach_memory_sink(spark: SparkSession, name: str) -> DataFrame:
+    """Pin the finished sink's rows as an independent checkpointed frame
+    and drop the temp view. The memory sink holds every result row on the
+    driver for as long as its table stays registered — one leaked table
+    per replay invocation (a bench process runs hundreds). Checkpointing
+    first keeps the returned frame valid after the view is gone; the
+    sink's rows become collectable as soon as the caller drops the frame
+    instead of living for the session."""
+    out = spark.table(name).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(name)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -245,7 +258,7 @@ def _replay_to_memory_append(
             .start()
         )
         q.awaitTermination()
-    return spark.table(name)
+    return _detach_memory_sink(spark, name)
 
 
 def stream_click_error_join(
@@ -1056,7 +1069,9 @@ def stream_visits_with_late_backfill(
         )
         q.awaitTermination()
     streamed = (
-        spark.table(name).groupBy("minute").agg(F.max("n").alias("n"))
+        _detach_memory_sink(spark, name)
+        .groupBy("minute")
+        .agg(F.max("n").alias("n"))
     )
     return (
         streamed.join(late, "minute", "full_outer")

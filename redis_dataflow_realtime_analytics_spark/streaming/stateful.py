@@ -79,7 +79,7 @@ def stream_exact_uniques_per_variant(
     checkpoint location so the soak harness can weigh the state store
     afterwards (default: engine temp checkpoint)."""
     updates = uniques_updates(spark, events_path, max_files_per_trigger)
-    from .pipeline import _state_partitions
+    from .pipeline import _detach_memory_sink, _state_partitions
 
     name = f"state_uniq_{uuid.uuid4().hex}"
     with _state_partitions(spark):
@@ -89,7 +89,7 @@ def stream_exact_uniques_per_variant(
         q = w.outputMode("update").trigger(availableNow=True).start()
         q.awaitTermination()
     return (
-        spark.table(name)
+        _detach_memory_sink(spark, name)
         .groupBy("variant")
         .agg(F.max("unique_users").alias("unique_users"))
     )
@@ -225,7 +225,7 @@ def stream_sessions_ttl(
     updates = sessions_updates(
         spark, events_path, gap_minutes, max_files_per_trigger, prebuilt_replay
     )
-    from .pipeline import _state_partitions
+    from .pipeline import _detach_memory_sink, _state_partitions
 
     name = f"state_sess_{uuid.uuid4().hex}"
     with _state_partitions(spark):
@@ -238,7 +238,7 @@ def stream_sessions_ttl(
         )
         q.awaitTermination()
     return (
-        spark.table(name)
+        _detach_memory_sink(spark, name)
         .where(F.col("user_id") >= 0)  # drop heartbeat rows
         .select(
             "user_id",
@@ -587,7 +587,7 @@ def stream_exact_uniques_per_variant_tws(
 ) -> DataFrame:
     """Run :func:`tws_uniques_updates` availableNow to completion; final
     exact (variant, unique_users), same oracle as the legacy twin."""
-    from .pipeline import _state_partitions
+    from .pipeline import _detach_memory_sink, _state_partitions
 
     name = f"tws_uniq_{uuid.uuid4().hex}"
     with _tws_session(spark), _state_partitions(spark):
@@ -600,7 +600,7 @@ def stream_exact_uniques_per_variant_tws(
         q = w.outputMode("update").trigger(availableNow=True).start()
         q.awaitTermination()
     return (
-        spark.table(name)
+        _detach_memory_sink(spark, name)
         .groupBy("variant")
         .agg(F.max("unique_users").alias("unique_users"))
     )
@@ -637,7 +637,7 @@ def stream_uniques_tws_bootstrapped(
         StatefulProcessorHandle,
     )
 
-    from .pipeline import _split_replay_dir, _state_partitions
+    from .pipeline import _detach_memory_sink, _split_replay_dir, _state_partitions
 
     history_path, live_dir = _split_replay_dir(events_path, history_fraction)
     seed = (
@@ -710,7 +710,7 @@ def stream_uniques_tws_bootstrapped(
         F.count("*").alias("unique_users")
     )
     return (
-        spark.table(name)
+        _detach_memory_sink(spark, name)
         .unionByName(seed_counts)
         .groupBy("variant")
         .agg(F.max("unique_users").alias("unique_users"))
@@ -801,7 +801,7 @@ def stream_sessions_ttl_tws(
         def close(self) -> None:
             pass
 
-    from .pipeline import _heartbeat_replay_dir, _state_partitions
+    from .pipeline import _detach_memory_sink, _heartbeat_replay_dir, _state_partitions
 
     # see stream_sessions_ttl: prebuilt_replay injects a caller-built
     # (possibly out-of-order) replay directory
@@ -827,7 +827,7 @@ def stream_sessions_ttl_tws(
         )
         q.awaitTermination()
     return (
-        spark.table(name)
+        _detach_memory_sink(spark, name)
         .where(F.col("user_id") >= 0)  # drop heartbeat rows
         .select(
             "user_id",
