@@ -134,6 +134,11 @@ def _train_perceptron(xy: DataFrame, rounds: int = 3) -> DataFrame:
             .groupBy("bucket")
             .agg(F.sum(F.col("y") * F.col("feat")).alias("dw"))
         )
+        # the FINAL weights are read once by every caller, but leaving
+        # the last round lazy was A/B'd and REJECTED (r10): the callers
+        # consume w via F.broadcast, and evaluating the whole round
+        # chain inside the broadcast-build thread measured 4.7 -> 9.0 s
+        # on the scores key. Checkpoint every round.
         w = (
             w.join(upd, "bucket", "left")
             .select(

@@ -1887,21 +1887,28 @@ def kmeans_float_portable_centroids(
         asg = emb.crossJoin(F.broadcast(cents_row)).select(
             "vec_id", "v", argmin.alias("cid")
         )
+        # n rides the (cid, pos) aggregation (the exact-loop r10 fix):
+        # every vector emits every pos, so count(*) within any
+        # (cid, pos) group IS the cluster population — the separate
+        # count leg re-ran the whole assignment pass (crossJoin +
+        # argmin) a second time per iteration and paid a join to glue
+        # n back on. One corpus pass per iteration now.
         upd = (
             asg.select("cid", F.posexplode("v").alias("pos", "x"))
             .groupBy("cid", "pos")
             .agg(
                 F.sum(
                     F.expr("CAST(floor(x * 1e12 + 0.5) AS DECIMAL(38,0))")
-                ).alias("s")
+                ).alias("s"),
+                F.count("*").alias("n_at_pos"),
             )
             .groupBy("cid")
             .agg(
                 F.expr(
                     "transform(sort_array(collect_list(struct(pos, s))), t -> t.s)"
-                ).alias("S")
+                ).alias("S"),
+                F.max("n_at_pos").alias("n"),
             )
-            .join(asg.groupBy("cid").agg(F.count("*").alias("n")), "cid")
             .select(
                 "cid",
                 F.expr("transform(S, s -> CAST(s AS DOUBLE) / (n * 1e12))").alias(
