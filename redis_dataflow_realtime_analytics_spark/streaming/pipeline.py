@@ -2509,9 +2509,9 @@ def stream_duplicate_delivery_audit(
         f"{base}_store",
         f"{base}_seen",
     )
-    state = {"has_seen": False}
-
     def sink(batch: DataFrame, _batch_id: int) -> None:
+        import glob as _glob
+
         minute = F.date_trunc("minute", F.col("ts")).alias("minute")
         # INCRBY discipline: apply every delivery, duplicates included.
         # coalesce(1): a per-minute partial aggregate of one micro-batch
@@ -2531,27 +2531,37 @@ def stream_duplicate_delivery_audit(
         # earliest ts in the batch so the surviving row is deterministic.
         # Without the second layer the exactly-once claim would hold only
         # because the harness pins one file per trigger (r8 advice).
+        #
+        # One job materializes the batch's accepted (event_id, ts) rows
+        # AS the seen-index append (the drop-audit fusion): the prior
+        # persist + two separate writes ran the dedup subtree once to
+        # cache plus once per store. The anti-join must see only PRIOR
+        # shipments, so the pre-write file listing is captured and the
+        # minute counts re-read exactly the new files.
         sess = batch.sparkSession
-        if state["has_seen"]:
-            seen = sess.read.parquet(seen_dir).select("event_id")
+        prior = sorted(_glob.glob(os.path.join(seen_dir, "part-*.parquet")))
+        if prior:
+            seen = sess.read.parquet(*prior).select("event_id")
             new = batch.join(seen, "event_id", "left_anti")
         else:
             new = batch
-        new = new.groupBy("event_id").agg(F.min("ts").alias("ts")).persist()
-        try:
-            (
-                new.groupBy(minute)
-                .agg(F.count("*").alias("n"))
-                .coalesce(1)
-                .write.mode("append")
-                .parquet(store_dir)
-            )
-            new.select("event_id").coalesce(1).write.mode("append").parquet(
-                seen_dir
-            )
-            state["has_seen"] = True
-        finally:
-            new.unpersist()
+        new = new.groupBy("event_id").agg(F.min("ts").alias("ts"))
+        new.coalesce(1).write.mode("append").parquet(seen_dir)
+        fresh = sorted(
+            set(_glob.glob(os.path.join(seen_dir, "part-*.parquet"))) - set(prior)
+        )
+        new_m = (
+            sess.read.parquet(*fresh)
+            if fresh
+            else sess.createDataFrame([], new.schema)
+        )
+        (
+            new_m.groupBy(minute)
+            .agg(F.count("*").alias("n"))
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(store_dir)
+        )
 
     with _state_partitions(spark):
         q = (

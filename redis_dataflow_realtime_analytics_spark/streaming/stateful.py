@@ -532,7 +532,10 @@ def tws_uniques_updates(
             self.n = handle.getValueState("n", "n bigint")
 
         def handleInputRows(self, key, rows, timerValues):
-            count = self.n.get()[0] if self.n.exists() else 0
+            # get() returns None when absent — one round trip, not the
+            # exists()+get() pair
+            prev = self.n.get()
+            count = prev[0] if prev is not None else 0
             batch: set[str] = set()
             for pdf in rows:
                 batch.update(str(u) for u in pdf["user_id"].tolist())
@@ -658,7 +661,8 @@ def stream_uniques_tws_bootstrapped(
             # len(chunk) here left the count at the LAST chunk's size (the
             # 14960-vs-15000 undercount the sf1 sweep caught; invisible at
             # sf0.01 where every seed fits one chunk).
-            count = self.n.get()[0] if self.n.exists() else 0
+            prev = self.n.get()
+            count = prev[0] if prev is not None else 0
             fresh = [
                 u
                 for u in sorted(set(initialState["uid"].tolist()))
@@ -670,7 +674,8 @@ def stream_uniques_tws_bootstrapped(
                 self.n.update((count + len(fresh),))
 
         def handleInputRows(self, key, rows, timerValues):
-            count = self.n.get()[0] if self.n.exists() else 0
+            prev = self.n.get()
+            count = prev[0] if prev is not None else 0
             batch: set[str] = set()
             for pdf in rows:
                 batch.update(str(u) for u in pdf["user_id"].tolist())
@@ -767,10 +772,17 @@ def stream_sessions_ttl_tws(
             )
             if not ts:
                 return
-            if self.open.exists():
-                cur_s, cur_l, cur_n = self.open.get()
-                for t in list(self.handle.listTimers()):
-                    self.handle.deleteTimer(t)
+            # one get() instead of exists()+get(), and the pending
+            # timer's expiry is recomputed from the stored `last`
+            # instead of a listTimers round trip: update() and
+            # registerTimer() always commit together with the same
+            # cur_l, so the registered expiry IS (last + gap)//1000 + 1
+            # — 6 proto round trips per active user per batch drop to 4
+            # (each call is a separate state-server message).
+            st = self.open.get()
+            if st is not None:
+                cur_s, cur_l, cur_n = st
+                self.handle.deleteTimer((cur_l + gap_us) // 1000 + 1)
             else:
                 cur_s, cur_l, cur_n = ts[0], ts[0], 0
             closed = []
@@ -793,8 +805,9 @@ def stream_sessions_ttl_tws(
                 yield pd.DataFrame(closed)
 
         def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
-            if self.open.exists():
-                s, l, n = self.open.get()
+            st = self.open.get()
+            if st is not None:
+                s, l, n = st
                 self.open.clear()
                 yield pd.DataFrame([self._row(key[0], s, l, n)])
 
