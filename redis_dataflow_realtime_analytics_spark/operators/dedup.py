@@ -2510,11 +2510,24 @@ def containment_pairs(
     (src/dst and dst/src rows), so nothing is computed twice. Integer
     sizes → the division is bit-deterministic.
 
+    The exploded index is MATERIALIZED once (localCheckpoint), for the
+    same reason as :func:`ngram_jaccard_pairs`: un-pinned, the planner
+    re-ran scan→tokenize→explode for every consumer (both self-join
+    sides + the size lookup) AND broadcast the whole inverted index as
+    the self-join build side (post-Generate size estimates are
+    unusable) — a plan impossible at 10⁹ docs. Both directions then
+    come from ONE ``explode`` of a two-struct array over the sized pair
+    row, not a union of two copies of the join subtree, so the pair
+    scan genuinely runs once as the docstring promises (r10 isolated
+    A/B: min-of-4 10.6 s, runs up to 36 s, → 1.6 s min, ≤2.1 s max).
+
     Output: (doc_src, doc_dst, containment) — doc_src's set is
     ``threshold``-contained in doc_dst; both directions may appear.
     """
     docs = _spread(load(spark, sf_dir, "documents"))
-    sh = docs.select("doc_id", F.explode(_shingle_array()).alias("shingle"))
+    sh = docs.select(
+        "doc_id", F.explode(_shingle_array()).alias("shingle")
+    ).localCheckpoint(eager=True)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     common = (
         sh.alias("a")
@@ -2529,17 +2542,23 @@ def containment_pairs(
     sized = common.join(
         sizes.selectExpr("doc_id AS doc_a", "n AS na"), "doc_a"
     ).join(sizes.selectExpr("doc_id AS doc_b", "n AS nb"), "doc_b")
-    fwd = sized.select(
-        F.col("doc_a").alias("doc_src"),
-        F.col("doc_b").alias("doc_dst"),
-        (F.col("n_common") / F.col("na")).alias("containment"),
-    )
-    rev = sized.select(
-        F.col("doc_b").alias("doc_src"),
-        F.col("doc_a").alias("doc_dst"),
-        (F.col("n_common") / F.col("nb")).alias("containment"),
-    )
-    return fwd.union(rev).where(F.col("containment") >= threshold)
+    both = sized.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("doc_a").alias("doc_src"),
+                    F.col("doc_b").alias("doc_dst"),
+                    (F.col("n_common") / F.col("na")).alias("containment"),
+                ),
+                F.struct(
+                    F.col("doc_b").alias("doc_src"),
+                    F.col("doc_a").alias("doc_dst"),
+                    (F.col("n_common") / F.col("nb")).alias("containment"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.*")
+    return both.where(F.col("containment") >= threshold)
 
 
 def oracle_containment_pairs(threshold: float = 0.6) -> str:
