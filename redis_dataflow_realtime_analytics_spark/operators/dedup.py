@@ -2035,13 +2035,20 @@ def neardup_keep_best(
     Determinism: quality is the IEEE-exact int/int formula from
     ``text.quality_projection`` (bit-identical per engine), so the
     within-cluster argmax + min-doc_id tie-break is hash-checkable.
+
+    ``scored`` is MATERIALIZED once (localCheckpoint): it feeds both
+    the per-cluster argmax aggregate and the best-row join, and
+    ReuseExchange does not reliably share the duplicated
+    components+quality subtree at runtime (r10 interleaved A/B: cold
+    run 10.3 s → 4.2 s, floor 3.35 → 3.12 s). The pinned rows are
+    cluster members only — O(duplicate population).
     """
     from .text import quality_projection
 
     docs = _spread(load(spark, sf_dir, "documents"))
     comp = neardup_components(spark, sf_dir, threshold=threshold)
     q = quality_projection(docs).select("doc_id", "quality")
-    scored = comp.join(q, "doc_id")
+    scored = comp.join(q, "doc_id").localCheckpoint(eager=True)
     best = scored.groupBy("component_id").agg(
         F.max("quality").alias("best_q"),
         F.count("*").alias("cluster_size"),
@@ -2819,6 +2826,15 @@ def keep_best_by_model(
     the persisted-model serving path, so this composes two broadcast-
     sized artifacts with corpus-sized work only in featurization.
 
+    ``scored`` is MATERIALIZED once (localCheckpoint): it feeds both the
+    per-cluster argmax aggregate and the final best-row join, and the
+    duplicated subtree is the ENTIRE featurization+scoring path (28
+    `documents` scans / 56 Exchange in the un-pinned plan — twice the
+    serving path's 14/22). ReuseExchange does not reliably share it at
+    runtime (r10 interleaved A/B: cold run 20.6 s → 8.6 s, floor
+    4.94 → 4.55 s with the checkpoint). The pinned rows are cluster
+    members only — O(duplicate population), tiny at any scale.
+
     Output: (component_id, doc_id, cluster_size, margin).
     """
     from .classifier import perceptron_persisted_scores
@@ -2827,7 +2843,7 @@ def keep_best_by_model(
     scores = perceptron_persisted_scores(spark, sf_dir).select(
         "doc_id", "margin"
     )
-    scored = comp.join(scores, "doc_id")
+    scored = comp.join(scores, "doc_id").localCheckpoint(eager=True)
     best = scored.groupBy("component_id").agg(
         F.max("margin").alias("best_m"),
         F.count("*").alias("cluster_size"),
