@@ -202,9 +202,19 @@ def ngram_jaccard_pairs(
     # plan that cannot exist at 10⁹ docs. Checkpointing pins the index to
     # one tokenize pass and makes the self-join a plain shuffle join on
     # the shingle key. Isolated A/B at sf0.1: 31.5 s → 3.9 s min-of-3.
-    sh = docs.select(
-        "doc_id", F.explode(_shingle_array()).alias("shingle")
-    ).localCheckpoint(eager=True)
+    #
+    # The pinned rows carry xxhash64(shingle), not the string (r11; §2.3
+    # narrower types / §5 pinned bytes): downstream only equi-joins and
+    # counts shingles, so identity-by-hash suffices — 8 bytes/row pinned
+    # and shuffled instead of a ~(k·word) string. A 64-bit collision
+    # between DIFFERENT shingles (which could over-count n_common) needs
+    # ~2^32 distinct shingles for even-odds; at 10⁶ distinct (sf0.1) the
+    # probability is ~3e-8, and the oracle sweep double-checks every run.
+    sh = (
+        docs.select("doc_id", F.explode(_shingle_array()).alias("shingle"))
+        .select("doc_id", F.xxhash64("shingle").alias("shingle"))
+        .localCheckpoint(eager=True)
+    )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     idx = sh
     if max_shingle_df is not None:
@@ -1657,6 +1667,34 @@ FROM pairs WHERE bit_count(xor(sa, sb)) <= {max_hamming}"""
 
 
 # --- Connected components (pairs -> duplicate clusters) ---------------------
+def _sym_edges(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Symmetrize an undirected ``(doc_a, doc_b)`` edge list into a pinned
+    ``(src, dst)`` frame with ONE pass over the edge subtree.
+
+    ``union(edges.select(a,b), edges.select(b,a))`` re-RUNS the edge plan
+    once per branch — for the pair-generation subtrees (quadratic
+    self-joins, LSH verification) that doubles the most expensive stage of
+    every graph consumer, and the localCheckpoint then materializes the
+    doubled plan. posexplode of a 2-struct array emits (a,b) and (b,a)
+    from a single scan (the r10 containment-pairs lesson), so the edge
+    computation runs exactly once; the checkpoint pins 2|E| rows of pure
+    int64 ids. Row multiset is identical to the union formulation."""
+    return (
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("doc_a").alias(src), F.col("doc_b").alias(dst)),
+                    F.struct(F.col("doc_b").alias(src), F.col("doc_a").alias(dst)),
+                )
+            ).alias("e")
+        )
+        .select(f"e.{src}", f"e.{dst}")
+        .localCheckpoint(eager=True)
+    )
+
+
 def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
     """Connected components over an undirected edge list ``(doc_a, doc_b)``:
     returns ``(doc_id, component_id)`` with ``component_id`` = min doc_id
@@ -1683,10 +1721,7 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
     bit-identical at any partitioning, hash-checkable against a recursive
     SQL closure.
     """
-    sym = edges.select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    ).union(edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
-    sym = sym.localCheckpoint(eager=True)
+    sym = _sym_edges(edges)
     # Initial labels already fold in the direct neighborhood:
     # comp = min(own id, min neighbor id) is exactly what the first
     # propagation round would compute, but costs one groupBy on the edge
@@ -2141,11 +2176,7 @@ def neardup_pagerank(
     graph's nodes sum to ≈ 1 (teleport mass included).
     """
     edges = ngram_jaccard_pairs(spark, sf_dir, threshold=threshold)
-    sym = (
-        edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .union(edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
-        .localCheckpoint(eager=True)
-    )
+    sym = _sym_edges(edges)
     deg = sym.groupBy("src").agg(F.count("*").alias("deg"))
     total = deg.agg(F.count("*").alias("_n"))
     # (doc_id, deg, _n) — the static node frame every iteration reuses
@@ -2220,11 +2251,7 @@ def kcore_peel(edges: DataFrame, k: int = 2, rounds: int = 4) -> DataFrame:
     an end-to-end number on uncapped exact pairs measures the quadratic
     pair generation, not the peel (r5 soak: 73 s end-to-end vs ~3 s for
     the peel on the same LSH edge list)."""
-    sym = (
-        edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .union(edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
-        .localCheckpoint(eager=True)
-    )
+    sym = _sym_edges(edges)
     for _ in range(rounds):
         # Materialize the survivor set once per round: it feeds BOTH
         # semi-joins; unmaterialized it would recompute its degree
@@ -2532,9 +2559,12 @@ def containment_pairs(
     ``threshold``-contained in doc_dst; both directions may appear.
     """
     docs = _spread(load(spark, sf_dir, "documents"))
-    sh = docs.select(
-        "doc_id", F.explode(_shingle_array()).alias("shingle")
-    ).localCheckpoint(eager=True)
+    # hashed shingle payloads, same argument as ngram_jaccard_pairs (r11)
+    sh = (
+        docs.select("doc_id", F.explode(_shingle_array()).alias("shingle"))
+        .select("doc_id", F.xxhash64("shingle").alias("shingle"))
+        .localCheckpoint(eager=True)
+    )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     common = (
         sh.alias("a")
@@ -2759,11 +2789,7 @@ def lpa_labels(edges: DataFrame, rounds: int = 3) -> DataFrame:
     is |nodes| rows, localCheckpoint'ed per round to truncate the
     stacked-join lineage. All state integer ids.
     """
-    sym = (
-        edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .union(edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
-        .localCheckpoint(eager=True)
-    )
+    sym = _sym_edges(edges)
     labels = sym.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
     )
