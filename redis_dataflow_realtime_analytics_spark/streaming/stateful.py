@@ -17,6 +17,7 @@ answer from an update-mode memory sink.
 
 from __future__ import annotations
 
+import sys
 import uuid
 from collections.abc import Iterator
 from contextlib import contextmanager
@@ -30,8 +31,63 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from ..sources.events import normalize_events, read_events_stream
 
+# The stateful processors are nested classes (pickled by value), but
+# cloudpickle serializes their references to module-LEVEL helpers
+# (``_fresh_uids``) by module+qualname — an unpicklable reference on a
+# Python worker whose cwd/path can't import this repo. Register the
+# module for by-value pickling so worker-side closures are self-contained
+# (the operators/multimodal.py convention).
+try:  # pragma: no cover - trivially present on pyspark>=3.3
+    from pyspark import cloudpickle as _cloudpickle
+
+    _cloudpickle.register_pickle_by_value(sys.modules[__name__])
+except Exception:  # noqa: BLE001 - best-effort; --py-files covers the rest
+    pass
+
 OUTPUT_SCHEMA = "variant string, unique_users bigint"
 STATE_SCHEMA = "uids array<string>"
+
+
+def _fresh_uids(batch: set, count: int, seen) -> list:
+    """The membership step shared by the TWS uniques processors: the
+    sorted uids of ``batch`` NOT already in the ``seen`` MapState, which
+    holds ``count`` uids.
+
+    Every ``containsKey`` is one proto round trip to the state server, so
+    the probe strategy is chosen by size, like a join strategy (§3.1):
+
+    * ``count == 0`` — state is empty (count and the map commit
+      atomically per batch), every uid is fresh: ZERO probe round trips.
+    * ``count <= |batch|`` — the stored set is no bigger than the batch
+      (backfill, replay, early life): ONE chunked ``keys()`` scan
+      (O(count/page) round trips, the server pages many keys per
+      response) answers every probe.
+    * ``count > |batch|`` — real steady state (all-time cardinality ≫
+      batch): per-uid point probes, the only shape that scales — a scan
+      would read the unbounded store.
+
+    The r10 measurement showed each probe ≈ one RT; on the replay bench
+    the first batch carries every uid, so the scan/empty branches remove
+    ~|batch| round trips per (key, batch) without touching the at-scale
+    point-lookup design."""
+    import logging
+
+    if count == 0:
+        fresh = sorted(batch)
+        strategy, probe_rts = "empty", 0
+    elif count <= len(batch):
+        stored = {k[0] for k in seen.keys()}
+        fresh = sorted(batch - stored)
+        strategy, probe_rts = "scan", -(-count // 100)  # server pages keys
+    else:
+        fresh = [u for u in sorted(batch) if not seen.containsKey((u,))]
+        strategy, probe_rts = "probe", len(batch)
+    logging.getLogger(__name__).info(
+        "uniques membership: strategy=%s count=%d batch=%d fresh=%d "
+        "probe_rts~%d (point-probe formulation would cost %d)",
+        strategy, count, len(batch), len(fresh), probe_rts, len(batch),
+    )
+    return fresh
 
 
 def uniques_updates(
@@ -539,7 +595,7 @@ def tws_uniques_updates(
             batch: set[str] = set()
             for pdf in rows:
                 batch.update(str(u) for u in pdf["user_id"].tolist())
-            fresh = [u for u in sorted(batch) if not self.seen.containsKey((u,))]
+            fresh = _fresh_uids(batch, count, self.seen)
             for u in fresh:
                 self.seen.updateValue((u,), (1,))
             if fresh:
@@ -682,7 +738,7 @@ def stream_uniques_tws_bootstrapped(
             batch: set[str] = set()
             for pdf in rows:
                 batch.update(str(u) for u in pdf["user_id"].tolist())
-            fresh = [u for u in sorted(batch) if not self.seen.containsKey((u,))]
+            fresh = _fresh_uids(batch, count, self.seen)
             for u in fresh:
                 self.seen.updateValue((u,), (1,))
             if fresh:
@@ -793,9 +849,10 @@ def stream_sessions_ttl_tws(
             st = self.open.get()
             if st is not None:
                 cur_s, cur_l, cur_n = st
-                self.handle.deleteTimer((cur_l + gap_us) // 1000 + 1)
+                old_expiry = (cur_l + gap_us) // 1000 + 1
             else:
                 cur_s, cur_l, cur_n = ts[0], ts[0], 0
+                old_expiry = None
             closed = []
             for t in ts:
                 # strict >: an event at exactly last+gap extends the
@@ -811,7 +868,17 @@ def stream_sessions_ttl_tws(
                     cur_l = max(cur_l, t)
                     cur_n += 1
             self.open.update((cur_s, cur_l, cur_n))
-            self.handle.registerTimer((cur_l + gap_us) // 1000 + 1)
+            # Each deleteTimer/registerTimer is one proto round trip; when
+            # the batch didn't move the open session's end (late/duplicate
+            # events under the min/max merge), the pending timer's expiry
+            # IS the new expiry — re-registering the same millisecond is
+            # two wasted round trips. Delete-then-register only when the
+            # expiry actually changed.
+            new_expiry = (cur_l + gap_us) // 1000 + 1
+            if old_expiry != new_expiry:
+                if old_expiry is not None:
+                    self.handle.deleteTimer(old_expiry)
+                self.handle.registerTimer(new_expiry)
             for row in closed:
                 yield row
 

@@ -200,3 +200,35 @@ def test_tws_bootstrap_multichunk_seed_accumulates(spark, tmp_path):
         ).collect()
     }
     assert got == {"click": n_seed + n_live_new}
+
+
+def test_fresh_uids_strategy_by_size():
+    """The membership step picks its probe strategy by size: empty state
+    pays ZERO state-server calls, state <= batch pays ONE keys() scan,
+    state > batch keeps the per-uid point probes (the at-scale shape)."""
+
+    class _FakeMap:
+        def __init__(self, stored):
+            self._s = set(stored)
+            self.contains_calls = 0
+            self.keys_calls = 0
+
+        def keys(self):
+            self.keys_calls += 1
+            return iter([(u,) for u in sorted(self._s)])
+
+        def containsKey(self, k):
+            self.contains_calls += 1
+            return k[0] in self._s
+
+    m = _FakeMap([])
+    assert stateful._fresh_uids({"b", "a"}, 0, m) == ["a", "b"]
+    assert m.contains_calls == 0 and m.keys_calls == 0
+
+    m = _FakeMap(["a"])
+    assert stateful._fresh_uids({"a", "b", "c"}, 1, m) == ["b", "c"]
+    assert m.contains_calls == 0 and m.keys_calls == 1
+
+    m = _FakeMap(["a", "b", "c", "d"])
+    assert stateful._fresh_uids({"e", "a"}, 4, m) == ["e"]
+    assert m.keys_calls == 0 and m.contains_calls == 2
