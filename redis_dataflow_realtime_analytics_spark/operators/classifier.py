@@ -64,6 +64,13 @@ def _features_with_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     like N²·T·maxcount; below ~2×10^4 docs per TRAINING shard this sits
     inside int64 (train on a shard-sized sample, score the full corpus —
     standard classifier practice anyway).
+
+    Since r11 this dense frame is the REFERENCE formulation only: the
+    production train/score paths run the exact integer reassociation
+    over the sparse counts (:func:`_sparse_train_inputs` /
+    :func:`_sparse_margins` — same sums regrouped, bit-identical), and
+    tests/test_round6_ops.py re-derives margins from THIS frame to pin
+    the two formulations against each other.
     """
     from .text import FEATURE_HASH_DIM, hashed_features
 
@@ -108,42 +115,171 @@ def _features_with_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dense.unionByName(bias).join(y, "doc_id")
 
 
-def _train_perceptron(xy: DataFrame, rounds: int = 3) -> DataFrame:
-    """The training loop over the (doc_id, bucket, feat, y) frame —
-    returns the final (bucket, w) weight frame. Round 1 is the closed
-    form (w0 = 0 misclassifies every doc); each later round is one
-    broadcast weight join + a doc-keyed margin sum + a bucket-keyed
-    update sum, weights localCheckpoint'ed per round."""
-    w = (
-        xy.groupBy("bucket")
-        .agg(F.sum(F.col("y") * F.col("feat")).alias("w"))
+def _sparse_train_inputs(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The r11 reassociated formulation's inputs, each pinned once:
+
+    * ``counts`` — the SPARSE hashed term counts (doc_id, bucket, c),
+      only buckets a document actually hits;
+    * ``stats`` — the full FEATURE_HASH_DIM-row grid (bucket, S, N) with
+      corpus bucket totals (S coalesced to 0 for corpus-empty buckets,
+      exactly like the dense grid's left join did) and the corpus count;
+    * ``y`` — (doc_id, y) ±1 labels.
+
+    Together these carry everything the dense (doc × (dim+1))-row
+    centered frame carried, in ~dim/nnz-per-doc fewer rows — the exact
+    integer reassociation ``feat = N·c − S_b`` makes every consumer
+    recoverable from the sparse side plus per-bucket/ per-corpus
+    constants (see :func:`_sparse_margins`)."""
+    from .text import FEATURE_HASH_DIM, hashed_features
+
+    docs = spread(load(spark, sf_dir, "documents"))
+    counts = (
+        hashed_features(spark, sf_dir)
+        .select("doc_id", "bucket", F.col("n_terms").cast("bigint").alias("c"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(rounds - 1):
-        margins = (
-            xy.join(F.broadcast(w), "bucket")
-            .groupBy("doc_id")
-            .agg(
-                F.sum(F.col("w") * F.col("feat")).alias("margin"),
-                F.first("y").alias("y"),
+    grid = spark.range(FEATURE_HASH_DIM).select(F.col("id").cast("int").alias("bucket"))
+    n = docs.agg(F.count("*").cast("bigint").alias("N"))
+    stats = (
+        grid.join(counts.groupBy("bucket").agg(F.sum("c").alias("S")), "bucket", "left")
+        .crossJoin(F.broadcast(n))
+        .select("bucket", F.coalesce("S", F.lit(0)).cast("bigint").alias("S"), "N")
+        .localCheckpoint(eager=True)
+    )
+    y = docs.select(
+        "doc_id",
+        F.when(F.col("n_chars") >= QUALITY_LABEL_CHARS, F.lit(1))
+        .otherwise(F.lit(-1))
+        .cast("bigint")
+        .alias("y"),
+    ).localCheckpoint(eager=True)
+    return counts, stats, y
+
+
+def _sparse_margins(
+    y: DataFrame, counts: DataFrame, w: DataFrame, stats: DataFrame
+) -> DataFrame:
+    """(doc_id, margin, y) under weights ``w``, computed from the SPARSE
+    counts — the exact integer reassociation of the dense margin:
+
+        margin_d = Σ_b w_b·(N·c_db − S_b) + w_bias
+                 = N·Σ_{b ∈ doc} w_b·c_db − Σ_b w_b·S_b + w_bias
+
+    The first term touches only the sparse rows; the second is a single
+    per-round constant K (64-element dot product); the bias folds in as
+    another constant. Every sum is int64 over the same addends regrouped
+    — bit-identical to the dense formulation by the associativity of
+    integer addition (no floats anywhere)."""
+    consts = (
+        stats.join(w, "bucket")
+        .agg(
+            F.coalesce(F.sum(F.col("w") * F.col("S")), F.lit(0))
+            .cast("bigint")
+            .alias("K"),
+            F.coalesce(F.max("N"), F.lit(0)).cast("bigint").alias("N"),
+        )
+        .crossJoin(
+            w.where(F.col("bucket") == BIAS_BUCKET).select(F.col("w").alias("wb"))
+        )
+    )
+    sdot = (
+        counts.join(F.broadcast(w), "bucket")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("w") * F.col("c")).alias("swc"))
+    )
+    return (
+        y.join(sdot, "doc_id", "left")
+        .crossJoin(F.broadcast(consts))
+        .select(
+            "doc_id",
+            (
+                F.col("N") * F.coalesce(F.col("swc"), F.lit(0))
+                - F.col("K")
+                + F.col("wb")
             )
+            .cast("bigint")
+            .alias("margin"),
+            "y",
         )
-        miscl = margins.where(F.col("y") * F.col("margin") <= 0).select("doc_id")
-        upd = (
-            xy.join(miscl, "doc_id", "left_semi")
-            .groupBy("bucket")
-            .agg(F.sum(F.col("y") * F.col("feat")).alias("dw"))
-        )
-        # the FINAL weights are read once by every caller, but leaving
-        # the last round lazy was A/B'd and REJECTED (r10): the callers
-        # consume w via F.broadcast, and evaluating the whole round
-        # chain inside the broadcast-build thread measured 4.7 -> 9.0 s
-        # on the scores key. Checkpoint every round.
-        w = (
-            w.join(upd, "bucket", "left")
+    )
+
+
+def _train_perceptron(
+    counts: DataFrame, stats: DataFrame, y: DataFrame, rounds: int = 3
+) -> DataFrame:
+    """The training loop, reassociated onto the sparse counts (r11;
+    VERDICT item 7) — returns the final (bucket, w) weight frame,
+    bit-identical to the dense formulation (integer sums regrouped).
+
+    Round 1 closed form under w0 = 0 (every doc misclassified):
+        w_b = Σ_d y_d·(N·c_db − S_b) = N·Σ_d y_d·c_db − S_b·Σ_d y_d
+        w_bias = Σ_d y_d
+    Later rounds: margins via :func:`_sparse_margins`, then the update
+    restricted to misclassified docs M with Sy = Σ_{d∈M} y_d:
+        dw_b = N·Σ_{d∈M} y_d·c_db − S_b·Sy,   dw_bias = Sy.
+
+    Per round this scans the sparse rows twice (margins + update)
+    instead of the dense grid twice — ~dim/nnz fewer rows through every
+    exchange — plus 65-row frame arithmetic. Weights are
+    localCheckpoint'ed per round (leaving the last round lazy was A/B'd
+    and REJECTED in r10: evaluating the chain inside the broadcast-build
+    thread measured 4.7 → 9.0 s on the scores key)."""
+
+    def _w_frame(uyc: DataFrame, sy: DataFrame) -> DataFrame:
+        """stats ⋈ sparse update sums + Sy correction, bias row appended:
+        the (bucket, w-delta) frame both the closed form and the round
+        updates share."""
+        return (
+            stats.join(uyc, "bucket", "left")
+            .crossJoin(F.broadcast(sy))
             .select(
                 "bucket",
-                (F.col("w") + F.coalesce(F.col("dw"), F.lit(0))).alias("w"),
+                (
+                    F.col("N") * F.coalesce(F.col("uyc"), F.lit(0))
+                    - F.col("S") * F.col("Sy")
+                )
+                .cast("bigint")
+                .alias("w"),
+            )
+            .unionByName(
+                sy.select(
+                    F.lit(BIAS_BUCKET).cast("int").alias("bucket"),
+                    F.col("Sy").cast("bigint").alias("w"),
+                )
+            )
+        )
+
+    sy_all = y.agg(F.coalesce(F.sum("y"), F.lit(0)).cast("bigint").alias("Sy"))
+    u1 = (
+        counts.join(y, "doc_id")
+        .groupBy("bucket")
+        .agg(F.sum(F.col("y") * F.col("c")).alias("uyc"))
+    )
+    w = _w_frame(u1, sy_all).localCheckpoint(eager=True)
+    for _ in range(rounds - 1):
+        miscl = (
+            _sparse_margins(y, counts, w, stats)
+            .where(F.col("y") * F.col("margin") <= 0)
+            .select("doc_id", "y")
+        )
+        sy_m = miscl.agg(
+            F.coalesce(F.sum("y"), F.lit(0)).cast("bigint").alias("Sy")
+        )
+        u = (
+            counts.join(miscl, "doc_id")
+            .groupBy("bucket")
+            .agg(F.sum(F.col("y") * F.col("c")).alias("uyc"))
+        )
+        dw = _w_frame(u, sy_m).withColumnRenamed("w", "dw")
+        w = (
+            w.join(dw, "bucket", "left")
+            .select(
+                "bucket",
+                (F.col("w") + F.coalesce(F.col("dw"), F.lit(0)))
+                .cast("bigint")
+                .alias("w"),
             )
             .localCheckpoint(eager=True)
         )
@@ -162,8 +298,8 @@ def perceptron_model(
 
     Output: (bucket, w).
     """
-    xy = _features_with_labels(spark, sf_dir).localCheckpoint(eager=True)
-    return _train_perceptron(xy, rounds=rounds)
+    counts, stats, y = _sparse_train_inputs(spark, sf_dir)
+    return _train_perceptron(counts, stats, y, rounds=rounds)
 
 
 def oracle_perceptron_model(rounds: int = 3) -> str:
@@ -194,16 +330,9 @@ def perceptron_scores(
     Output: (doc_id, margin, label, pred, correct) — margin from the
     final weights, pred = +1 iff margin > 0.
     """
-    xy = _features_with_labels(spark, sf_dir).localCheckpoint(eager=True)
-    w = _train_perceptron(xy, rounds=rounds)
-    scored = (
-        xy.join(F.broadcast(w), "bucket")
-        .groupBy("doc_id")
-        .agg(
-            F.sum(F.col("w") * F.col("feat")).alias("margin"),
-            F.first("y").alias("label"),
-        )
-    )
+    counts, stats, y = _sparse_train_inputs(spark, sf_dir)
+    w = _train_perceptron(counts, stats, y, rounds=rounds)
+    scored = _sparse_margins(y, counts, w, stats).withColumnRenamed("y", "label")
     pred = F.when(F.col("margin") > 0, F.lit(1)).otherwise(F.lit(-1)).cast("bigint")
     return scored.select(
         "doc_id",
@@ -328,15 +457,8 @@ def perceptron_persisted_scores(
     and values to :func:`perceptron_scores`.
     """
     w = _persisted_model(spark, sf_dir, rounds=rounds)
-    xy = _features_with_labels(spark, sf_dir)
-    scored = (
-        xy.join(F.broadcast(w), "bucket")
-        .groupBy("doc_id")
-        .agg(
-            F.sum(F.col("w") * F.col("feat")).alias("margin"),
-            F.first("y").alias("label"),
-        )
-    )
+    counts, stats, y = _sparse_train_inputs(spark, sf_dir)
+    scored = _sparse_margins(y, counts, w, stats).withColumnRenamed("y", "label")
     pred = F.when(F.col("margin") > 0, F.lit(1)).otherwise(F.lit(-1)).cast("bigint")
     return scored.select(
         "doc_id",
@@ -395,35 +517,19 @@ def score_batch_with_model(
     projection training used (``hashed_features_projection``); centered
     features derive from the BROADCAST training-corpus stats, never the
     batch's own, so scores are bit-identical to the batch scorer."""
-    from .text import FEATURE_HASH_DIM, hashed_features_projection
+    from .text import hashed_features_projection
 
-    spark = batch.sparkSession
     counts = hashed_features_projection(batch).select(
         "doc_id", "bucket", F.col("n_terms").cast("bigint").alias("c")
     )
-    buckets = spark.range(FEATURE_HASH_DIM).select(
-        F.col("id").cast("int").alias("bucket")
-    )
-    dense = (
-        batch.select("doc_id")
-        .crossJoin(F.broadcast(buckets))
-        .join(counts, ["doc_id", "bucket"], "left")
-        .join(F.broadcast(stats), "bucket", "left")
-        .select(
-            "doc_id",
-            "bucket",
-            (
-                F.col("N") * F.coalesce(F.col("c"), F.lit(0))
-                - F.coalesce(F.col("S"), F.lit(0))
-            )
-            .cast("bigint")
-            .alias("feat"),
-        )
-    )
-    bias = batch.select(
-        "doc_id",
-        F.lit(BIAS_BUCKET).cast("int").alias("bucket"),
-        F.lit(1).cast("bigint").alias("feat"),
+    # Contributions are restricted to buckets PRESENT in the persisted
+    # stats frame — the dense formulation left-joined stats and took N
+    # from the matched row, so a bucket with no persisted stats produced
+    # a NULL feat and dropped out of the margin sum; the semi-join
+    # reproduces that boundary exactly (no-op when, as always for a
+    # corpus-derived feature store, every hit bucket has stats).
+    scounts = counts.join(
+        F.broadcast(stats.select("bucket")), "bucket", "left_semi"
     )
     y = batch.select(
         "doc_id",
@@ -432,14 +538,8 @@ def score_batch_with_model(
         .cast("bigint")
         .alias("y"),
     )
-    xy = dense.unionByName(bias).join(y, "doc_id")
-    scored = (
-        xy.join(F.broadcast(weights), "bucket")
-        .groupBy("doc_id")
-        .agg(
-            F.sum(F.col("w") * F.col("feat")).alias("margin"),
-            F.first("y").alias("label"),
-        )
+    scored = _sparse_margins(y, scounts, weights, stats).withColumnRenamed(
+        "y", "label"
     )
     pred = F.when(F.col("margin") > 0, F.lit(1)).otherwise(F.lit(-1)).cast("bigint")
     return scored.select(
