@@ -319,8 +319,18 @@ def main() -> None:
     # dict) goes only to bench_out.json; the final printed line is a
     # BOUNDED summary that always fits the tail window, pointing at the
     # file (per-query numbers were also printed one-per-line above).
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_out.json"), "w") as f:
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "bench_out.json"), "w") as f:
         f.write(json.dumps(full, separators=(",", ":")) + "\n")
+    # bench_out.json is overwritten every run, which cost round 10 its
+    # per-query round-over-round diff (PERF_r10.per_query == {} — the
+    # driver's 2000-byte stdout tail can't hold 153 per-query lines).
+    # Append each run (with its core count and a wall-clock stamp) to a
+    # history log so any later round can diff per-query numbers across
+    # rounds and core counts without re-running anything.
+    record = dict(full, cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32")), ts=round(time.time(), 1))
+    with open(os.path.join(here, "bench_history.jsonl"), "a") as f:
+        f.write(json.dumps(record, separators=(",", ":")) + "\n")
     print(summary_line(times, sf_val))
 
 

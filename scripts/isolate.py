@@ -1,7 +1,8 @@
 #!/usr/bin/env python3
 """Isolated per-query measurement (guide §1): run the named queries in a
 fresh session, each N times into the noop sink, print min/all times, and
-optionally dump .explain("formatted") to plans/r10/<name>_<tag>.txt.
+optionally dump .explain("formatted") to plans/<round>/<name>_<tag>.txt
+(round from $SPARK_GRAFT_PLANS_ROUND, default r11).
 
     python scripts/isolate.py [--plans TAG] [--n 3] name [name ...]
 
@@ -23,7 +24,11 @@ from redis_dataflow_realtime_analytics_spark import registry
 from redis_dataflow_realtime_analytics_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-PLANS_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r10")
+PLANS_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "plans",
+    os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r11"),
+)
 
 
 def main() -> None:
