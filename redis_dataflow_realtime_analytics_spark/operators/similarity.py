@@ -27,16 +27,25 @@ from pyspark.sql import functions as F
 
 from ..functions import vectors as V
 from ..functions.numeric import oracle_dsum12
-from ..tables import load
+from ..tables import load, spread
 
 #: Query set = every QUERY_MOD-th vector (deterministic, data-derived).
 QUERY_MOD = 100
 
 
 def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus with one-time fixed-point quantization + squared norms."""
+    """Corpus with one-time fixed-point quantization + squared norms.
+
+    The scan is ``spread`` across all task slots FIRST (r11): the
+    embeddings fixture is a single parquet split, and every consumer
+    feeds this frame into per-row-heavy scoring (broadcast-query dot
+    products, the IVF assignment crossJoin) that would otherwise run on
+    1-2 tasks — invisible at sf0.1 (2 k vectors) but the reason the ANN
+    family showed 8→32-core ratios of 1.1-1.3× at sf1 (the r10
+    embedding_neardup_pairs lesson, measured 32 s → 2.5 s then, applied
+    to the whole family)."""
     return (
-        load(spark, sf_dir, "embeddings")
+        spread(load(spark, sf_dir, "embeddings"))
         .select("vec_id", V.quantize("embedding").alias("qvec"))
         .withColumn("n2", V.qnorm2("qvec"))
     )
@@ -47,6 +56,47 @@ def query_set(emb: DataFrame) -> DataFrame:
         F.col("vec_id").alias("query_id"),
         F.col("qvec").alias("q_qvec"),
         F.col("n2").alias("q_n2"),
+    )
+
+
+def _rowlocal_assign(emb: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest-centroid corpus assignment computed ROW-LOCALLY (r11):
+    returns (vec_id, qvec, n2, bucket) for a quantized corpus against a
+    codebook frame (centroid_id, c_qvec, c_n2).
+
+    The crossJoin+window formulation explodes the corpus
+    |corpus|×|centroids|-fold and then SORTS that frame inside a window
+    just to keep rank 1 — at sf1 an 8 M-row sort for 20 k assignments,
+    and the reason ann_ivf_topk showed a 1.14× 8→32-core ratio. Here the
+    codebook collapses to a broadcast ONE-ROW array of (cid, vec, n2)
+    structs and each corpus row computes its argmax with ``array_min``
+    over negated cosines — exact same dot/cosine arithmetic as
+    V.qdot/V.cosine (incl. the zero-norm → 0.0 convention); tie → min
+    centroid_id, matching the window's ORDER BY desc(c_cos),
+    centroid_id. The _KMEANS_ARGMIN shape: no row explosion, no sort,
+    pure whole-stage codegen."""
+    cents_row = cents.agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("centroid_id").alias("cid"),
+                    F.col("c_qvec").alias("cv"),
+                    F.col("c_n2").alias("cn2"),
+                )
+            )
+        ).alias("cents")
+    )
+    best = (
+        "array_min(transform(cents, c -> struct("
+        " CAST(CASE WHEN n2 > 0 AND c.cn2 > 0 THEN"
+        "   -(CAST(aggregate(zip_with(qvec, c.cv, (x, y) -> x * y),"
+        "          CAST(0 AS BIGINT), (acc, v) -> acc + v) AS DOUBLE)"
+        "     / (sqrt(CAST(n2 AS DOUBLE)) * sqrt(CAST(c.cn2 AS DOUBLE))))"
+        "   ELSE 0.0 END AS DOUBLE) AS nv,"
+        " c.cid AS cid))).cid"
+    )
+    return emb.crossJoin(F.broadcast(cents_row)).select(
+        "vec_id", "qvec", "n2", F.expr(best).alias("bucket")
     )
 
 
@@ -88,7 +138,7 @@ def ann_topk_int8(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
     Output: (query_id, neighbor_id, approx_cosine, rank).
     """
     emb = (
-        load(spark, sf_dir, "embeddings")
+        spread(load(spark, sf_dir, "embeddings"))
         .withColumn("ma", V.vec_maxabs("embedding"))
         .select("vec_id", V.quantize_int8("embedding", "ma").alias("q8"))
         .withColumn("n2", V.qdot("q8", "q8"))
@@ -118,16 +168,15 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str, threshold: float =
     Brute force O(n²) pairs; at scale swap the pair join for the IVF
     bucketing below (pairs only within a bucket) or random-hyperplane LSH.
 
-    The stream side (a) is spread across all task slots first: the
-    non-equi pair join inherits ITS partitioning, and a small single-file
+    The stream side (a) is spread across all task slots: the non-equi
+    pair join inherits ITS partitioning, and a small single-file
     embeddings scan would otherwise run the whole O(n²) × O(dim) scoring
     stage on 1-2 tasks (measured 32 s → 2.5 s at sf0.1 through
-    ``semantic_components``).
+    ``semantic_components``; the spread now lives inside ``_quantized``
+    for the whole family).
     """
-    from ..tables import spread
-
     emb = _quantized(spark, sf_dir)
-    a = spread(emb).select(
+    a = emb.select(
         F.col("vec_id").alias("vec_id_a"),
         F.col("qvec").alias("qa"),
         F.col("n2").alias("na"),
@@ -208,7 +257,7 @@ def ann_lsh_topk(
     # and the (collected) broadcast query set — without it the Python UDF
     # stage runs once per consumer.
     emb = (
-        load(spark, sf_dir, "embeddings")
+        spread(load(spark, sf_dir, "embeddings"))
         .select(
             "vec_id",
             V.quantize("embedding").alias("qvec"),
@@ -290,7 +339,7 @@ def ann_lsh_portable_topk(
     :func:`ann_topk_bruteforce`."""
     planes = _portable_planes(n_bits)
     emb = (
-        load(spark, sf_dir, "embeddings")
+        spread(load(spark, sf_dir, "embeddings"))
         .select("vec_id", V.quantize("embedding").alias("qvec"))
         .withColumn("n2", V.qnorm2("qvec"))
     )
@@ -438,7 +487,7 @@ def ann_ivf_topk(
             .select(df["*"], F.col("centroid_id").alias(out))
         )
 
-    assigned = nearest(emb, "vec_id", "qvec", "n2", 1, "bucket")
+    assigned = _rowlocal_assign(emb, cents)
     q = query_set(emb)
     probes = nearest(q, "query_id", "q_qvec", "q_n2", nprobe, "probe_bucket")
 
@@ -478,7 +527,7 @@ def embedding_neardup_pairs_lsh(
     """
     bucket_udf = _lsh_bucket_udf(n_bits)
     emb = (
-        load(spark, sf_dir, "embeddings")
+        spread(load(spark, sf_dir, "embeddings"))
         .select(
             "vec_id",
             V.quantize("embedding").alias("qvec"),
@@ -549,7 +598,7 @@ def kmeans_embedding_centroids(
     Output: one row per cluster — (cluster_id, n_points, inertia,
     centroid array<double>).
     """
-    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb = spread(load(spark, sf_dir, "embeddings")).select("vec_id", "embedding")
 
     # Seed selection assumes a reasonably dense id space: every stride-th
     # vec_id. If ids are sparse/offset (fewer than k hits), widen to the
@@ -568,22 +617,34 @@ def kmeans_embedding_centroids(
     centroids: list[list[float]] = [list(map(float, r.embedding)) for r in init]
 
     def assigned_df() -> DataFrame:
-        cent_rows = [(cid, c) for cid, c in enumerate(centroids)]
-        cents = spark.createDataFrame(
-            cent_rows, "cluster_id int, centroid array<double>"
+        # Row-local argmin against the broadcast one-row codebook array
+        # (r11, the _rowlocal_assign/_KMEANS_ARGMIN shape): same
+        # zip_with/aggregate distance fold as the previous
+        # crossJoin+window form (bit-identical doubles), tie → min
+        # cluster_id, but no |corpus|×k row explosion and no sort. The
+        # codebook is already a driver list, so the one-row array frame
+        # is built LOCALLY — no collect_list aggregation, and the plan
+        # keeps its no-SinglePartition guarantee (test_plans.py).
+        cents_row = spark.createDataFrame(
+            [([(int(cid), [float(x) for x in c]) for cid, c in enumerate(centroids)],)],
+            "cents array<struct<cluster_id:int,centroid:array<double>>>",
         )
-        dist = F.aggregate(
-            F.zip_with("embedding", "centroid", lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+        best = (
+            "array_min(transform(cents, c -> struct("
+            " aggregate(zip_with(embedding, c.centroid,"
+            "   (a, b) -> (a - b) * (a - b)),"
+            "   CAST(0.0 AS DOUBLE), (acc, x) -> acc + x) AS dist,"
+            " c.cluster_id AS cid)))"
         )
-        w = Window.partitionBy("vec_id").orderBy("dist", "cluster_id")
         return (
-            emb.join(F.broadcast(cents), how="cross")
-            .withColumn("dist", dist)
-            .withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-            .select("vec_id", "embedding", "cluster_id", "dist")
+            emb.crossJoin(F.broadcast(cents_row))
+            .select("vec_id", "embedding", F.expr(best).alias("b"))
+            .select(
+                "vec_id",
+                "embedding",
+                F.col("b.cid").alias("cluster_id"),
+                F.col("b.dist").alias("dist"),
+            )
         )
 
     for _ in range(iters):
@@ -673,7 +734,7 @@ def ann_ivf_kmeans_topk(
             .select(df["*"], F.col("centroid_id").alias(out))
         )
 
-    assigned = nearest(emb, "vec_id", "qvec", "n2", 1, "bucket")
+    assigned = _rowlocal_assign(emb, cents)
     q = query_set(emb)
     probes = nearest(q, "query_id", "q_qvec", "q_n2", nprobe, "probe_bucket")
     scored = (
@@ -764,7 +825,7 @@ def embedding_outlier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     no shuffle of the vector table at all. At 100 TB of embeddings the
     only data-sized exchange is the centroid partial aggregation.
     """
-    emb = load(spark, sf_dir, "embeddings")
+    emb = spread(load(spark, sf_dir, "embeddings"))
     q = emb.select("vec_id", "label", V.quantize("embedding").alias("qv"))
     cent, ns2 = _label_centroid_sums(emb)
     sv = cent.groupBy("label").agg(
@@ -836,7 +897,7 @@ def centroid_pairwise_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The reference has no vector surface (north-star extension).
     """
-    emb = load(spark, sf_dir, "embeddings")
+    emb = spread(load(spark, sf_dir, "embeddings"))
     cent, ns2 = _label_centroid_sums(emb)
     a, b = cent.alias("a"), cent.alias("b")
     dots = (
@@ -1163,7 +1224,7 @@ def embedding_subspace_projection(
         [tuple([[basis[j][i] for i in range(d)] for j in range(r)])],
         ", ".join(f"v{j} array<double>" for j in range(r)),
     )
-    emb = load(spark, sf_dir, "embeddings").select(
+    emb = spread(load(spark, sf_dir, "embeddings")).select(
         "vec_id", V.quantize("embedding").alias("qvec")
     )
     projs = [
@@ -1215,7 +1276,7 @@ def ann_topk_hamming(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame
 
     Output: (query_id, neighbor_id, hamming, rank), rank 1..k.
     """
-    emb = load(spark, sf_dir, "embeddings").select(
+    emb = spread(load(spark, sf_dir, "embeddings")).select(
         "vec_id", *_sign_sketch("embedding")
     )
     q = emb.where(F.col("vec_id") % QUERY_MOD == 0).select(
@@ -1860,7 +1921,7 @@ def kmeans_float_portable_centroids(
     Output: (cid, pos, mean, n) — final centroids long-form, pos
     1-based.
     """
-    emb = load(spark, sf_dir, "embeddings").select(
+    emb = spread(load(spark, sf_dir, "embeddings")).select(
         "vec_id",
         F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
     )
