@@ -1613,16 +1613,23 @@ def _bpe_round(syms: DataFrame) -> tuple[DataFrame, DataFrame]:
         .groupBy(F.col("sym").alias("lhs"), F.col("nxt").alias("rhs"))
         .agg(F.sum("wc").alias("pair_count"))
     )
-    # pin the 1-row argmax eagerly: un-checkpointed, this vocab-sized
-    # pair-count aggregation runs TWICE per round — once inside the next
-    # round's syms checkpoint (top1 broadcast-joins into the application)
-    # and again when the final merge-table union is collected
-    top1 = (
-        pairs.orderBy(F.desc("pair_count"), "lhs", "rhs")
-        .limit(1)
-        .localCheckpoint(eager=True)
+    # The 1-row argmax is COLLECTED (one job — the same vocab-sized
+    # aggregation the r10 eager checkpoint paid) and re-enters the plan
+    # as a local one-row frame: vs the checkpointed variant this saves
+    # the per-round broadcast-build over a checkpointed RDD and lets the
+    # caller assemble the merge table driver-side with no final union
+    # job. The plan shape stays constant across rounds (LocalTableScan
+    # carries the pair as DATA, not literals), so whole-stage codegen
+    # compiles once — the r10 power-iteration lesson still holds.
+    spark = syms.sparkSession
+    rows = (
+        pairs.orderBy(F.desc("pair_count"), "lhs", "rhs").limit(1).collect()
     )
-    return _bpe_apply(syms, top1, probe_empty=False), top1
+    top1 = spark.createDataFrame(
+        [(r["lhs"], r["rhs"], r["pair_count"]) for r in rows],
+        "lhs string, rhs string, pair_count bigint",
+    )
+    return _bpe_apply(syms, top1, probe_empty=False), rows
 
 
 def bpe_merges(spark: SparkSession, sf_dir: str, n_merges: int = 3) -> DataFrame:
@@ -1664,19 +1671,18 @@ def bpe_merges(spark: SparkSession, sf_dir: str, n_merges: int = 3) -> DataFrame
         ).alias("pos0", "sym"),
     ).select("w", "wc", (F.col("pos0") + 1).alias("pos"), "sym")
     syms = syms.localCheckpoint(eager=True)
-    merge_frames = []
+    merge_rows = []
     for rank in range(1, n_merges + 1):
-        syms, top1 = _bpe_round(syms)
+        syms, top1_rows = _bpe_round(syms)
         syms = syms.localCheckpoint(eager=True)
-        merge_frames.append(
-            top1.select(
-                F.lit(rank).alias("merge_rank"), "lhs", "rhs", "pair_count"
-            )
+        merge_rows.extend(
+            (rank, r["lhs"], r["rhs"], r["pair_count"]) for r in top1_rows
         )
-    out = merge_frames[0]
-    for mf in merge_frames[1:]:
-        out = out.unionAll(mf)
-    return out
+    # the merge table is assembled driver-side from the collected argmax
+    # rows (≤ n_merges rows) — no union-of-checkpoints job at the end
+    return spark.createDataFrame(
+        merge_rows, "merge_rank int, lhs string, rhs string, pair_count bigint"
+    )
 
 
 def _oracle_bpe_rounds(n_merges: int = 3) -> str:
