@@ -517,19 +517,45 @@ def score_batch_with_model(
     projection training used (``hashed_features_projection``); centered
     features derive from the BROADCAST training-corpus stats, never the
     batch's own, so scores are bit-identical to the batch scorer."""
-    from .text import hashed_features_projection
+    # This kernel deliberately KEEPS the dense-grid formulation (r11
+    # measured both ways): it scores one MICRO-BATCH per call, so the
+    # dim+1-rows-per-doc grid is batch-sized and flows through a single
+    # join+aggregate — whereas the sparse reassociation's per-call
+    # constant frames (stats⋈weights K, bias row) add several tiny
+    # broadcast jobs PER BATCH, which the replay bench measured as a
+    # +36% regression on stream_model_scores (2.85 → 3.87 s floor). The
+    # corpus-sized train/score paths use the sparse formulation
+    # (bit-identical, _sparse_margins); the streaming serving path pays
+    # per-batch job count, not per-row volume.
+    from .text import FEATURE_HASH_DIM, hashed_features_projection
 
+    spark = batch.sparkSession
     counts = hashed_features_projection(batch).select(
         "doc_id", "bucket", F.col("n_terms").cast("bigint").alias("c")
     )
-    # Contributions are restricted to buckets PRESENT in the persisted
-    # stats frame — the dense formulation left-joined stats and took N
-    # from the matched row, so a bucket with no persisted stats produced
-    # a NULL feat and dropped out of the margin sum; the semi-join
-    # reproduces that boundary exactly (no-op when, as always for a
-    # corpus-derived feature store, every hit bucket has stats).
-    scounts = counts.join(
-        F.broadcast(stats.select("bucket")), "bucket", "left_semi"
+    buckets = spark.range(FEATURE_HASH_DIM).select(
+        F.col("id").cast("int").alias("bucket")
+    )
+    dense = (
+        batch.select("doc_id")
+        .crossJoin(F.broadcast(buckets))
+        .join(counts, ["doc_id", "bucket"], "left")
+        .join(F.broadcast(stats), "bucket", "left")
+        .select(
+            "doc_id",
+            "bucket",
+            (
+                F.col("N") * F.coalesce(F.col("c"), F.lit(0))
+                - F.coalesce(F.col("S"), F.lit(0))
+            )
+            .cast("bigint")
+            .alias("feat"),
+        )
+    )
+    bias = batch.select(
+        "doc_id",
+        F.lit(BIAS_BUCKET).cast("int").alias("bucket"),
+        F.lit(1).cast("bigint").alias("feat"),
     )
     y = batch.select(
         "doc_id",
@@ -538,8 +564,14 @@ def score_batch_with_model(
         .cast("bigint")
         .alias("y"),
     )
-    scored = _sparse_margins(y, scounts, weights, stats).withColumnRenamed(
-        "y", "label"
+    xy = dense.unionByName(bias).join(y, "doc_id")
+    scored = (
+        xy.join(F.broadcast(weights), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("w") * F.col("feat")).alias("margin"),
+            F.first("y").alias("label"),
+        )
     )
     pred = F.when(F.col("margin") > 0, F.lit(1)).otherwise(F.lit(-1)).cast("bigint")
     return scored.select(
